@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream-shaped batch queries over the `events` table (10K rows
+  * at sf0.01; the streaming module runs the same logic incrementally
+  * with watermarks — see graft.streaming.EventStreams).
+  *
+  * Scale notes: everything partitions by `user_id` or by coarse time
+  * bucket — both high-cardinality, skew-free keys; sessionization is a
+  * single shuffle on user_id followed by narrow window functions; no
+  * driver-side state.
+  */
+object Events {
+
+  /** Hourly tumbling-window aggregation per event type. Time bucket is
+    * emitted as a string so both engines hash the same bytes.
+    */
+  val hourly = Query(
+    "ev_hourly_agg",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00")
+            .as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"),
+          count_distinct(col("user_id")).as("n_users"),
+        )
+        .orderBy(col("hour"), col("event_type"))
+    },
+    oracle = Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+             event_type, count(*) AS n,
+             round(sum(value), 2) AS total_value,
+             count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    headline = true,
+  )
+
+  /** Sessionization: a session breaks after a 30-minute idle gap.
+    * lag → gap flag → running sum = session id, then per-user session
+    * stats. One shuffle on user_id; all three window functions share the
+    * same (user_id, ts, event_id) sort so Spark plans a single Window
+    * exec over one sort.
+    */
+  val sessionize = Query(
+    "ev_sessionize",
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val withGap = Tables(s, dir).events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      withGap
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("session_id")).cast("long").as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          count(lit(1)).as("n_session_rows"),
+        )
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH gaps AS (
+        SELECT user_id, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      ), flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN prev_ts IS NULL
+                 OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        FROM gaps
+      ), sess AS (
+        SELECT user_id,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      ), per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sess GROUP BY 1, 2
+      )
+      SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+             max(n_events) AS max_session_events,
+             count(*) AS n_session_rows
+      FROM per_session GROUP BY user_id ORDER BY user_id
+    """),
+  )
+
+  /** Daily active users + event volume (retention-style rollup). */
+  val dailyActive = Query(
+    "ev_daily_active",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(
+          count_distinct(col("user_id")).as("dau"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"),
+        )
+        .orderBy(col("day"))
+    },
+    oracle = Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             count(DISTINCT user_id) AS dau, count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+  )
+
+  /** Conversion funnel: users whose first view precedes their first
+    * purchase. Two small self-aggregations broadcast-joined.
+    */
+  val funnel = Query(
+    "ev_funnel",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val firstView = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val firstBuy = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_buy"))
+      firstView
+        .join(firstBuy, "user_id")
+        .filter(col("first_view") < col("first_buy"))
+        .select(col("user_id"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+           b AS (SELECT user_id, min(ts) AS first_buy FROM events
+                 WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT v.user_id FROM v JOIN b USING (user_id)
+      WHERE first_view < first_buy ORDER BY user_id
+    """),
+  )
+
+  /** Semi-structured: extract a JSON field from `props` and aggregate on
+    * it (the engine's JSON path surface).
+    */
+  val jsonProps = Query(
+    "ev_json_props",
+    (s, dir) => {
+      Tables(s, dir).events
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k_mod"))
+    },
+    oracle = Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+             count(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+  )
+
+  def all: Seq[Query] = Seq(hourly, sessionize, dailyActive, funnel, jsonProps)
+}

@@ -1,0 +1,393 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory over the TPC-H-ish test tables — the
+  * query surface a user of the reference would gain by switching to this
+  * engine (the reference itself has none of these, SURVEY.md §2.4; they
+  * are Spark built-ins, declared here so the driver's DuckDB oracle
+  * pins their semantics).
+  *
+  * Scale notes (100 TB design rules, per query):
+  *   - fact-table filters are plain `Column` predicates on scan output →
+  *     Catalyst pushes them into the parquet reader (PushedFilters).
+  *   - dimension joins (`region`/`nation`/`customer`/`supplier`/`part`)
+  *     are explicitly `broadcast()` — at any SF the dims are orders of
+  *     magnitude smaller than `lineitem`, so the big side never shuffles
+  *     for them.
+  *   - aggregations are partial+final hash aggregations (combiner built
+  *     in); the only full shuffles are on the grouping keys.
+  *   - doubles in outputs are rounded (2–4 dp) so DuckDB's and Spark's
+  *     summation orders agree after rounding; every row set is given a
+  *     deterministic total order for stable comparison.
+  */
+object Relational {
+
+  /** TPC-H Q1: pricing summary. Single scan of lineitem, one shuffle on
+    * (returnflag, linestatus) — 6 groups, partial agg does ~all work
+    * map-side.
+    */
+  val q1 = Query(
+    "q1_pricing_summary",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        round(avg(l_quantity), 4) AS avg_qty,
+        round(avg(l_extendedprice), 4) AS avg_price,
+        round(avg(l_discount), 4) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """),
+    headline = true,
+  )
+
+  /** TPC-H Q3: top-10 unshipped orders by revenue. customer is broadcast
+    * (1.5K..150K rows vs 6M+ lineitem at SF1+); orders⋈lineitem is the
+    * one real shuffle join; top-k is a TakeOrderedAndProject (no global
+    * sort materialization). Ties broken by l_orderkey for determinism.
+    */
+  val q3 = Query(
+    "q3_shipping_priority",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      val ord  = t.orders.filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val li   = t.lineitem.filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    oracle = Some("""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """),
+    headline = true,
+  )
+
+  /** TPC-H Q5: local-supplier volume. Five joins; region→nation→
+    * {customer,supplier} chain is all broadcast (dims), so lineitem is
+    * shuffled once (against orders) and the rest stays map-side.
+    */
+  val q5 = Query(
+    "q5_local_supplier_volume",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val asia = t.region.filter(col("r_name") === "ASIA")
+      val nat  = t.nation.join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      val ord = t.orders.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      t.lineitem
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.customer),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    oracle = Some("""
+      SELECT n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue DESC, n_name
+    """),
+    headline = true,
+  )
+
+  /** TPC-H Q4-like: order-priority count with EXISTS (left-semi join).
+    * The semi join keeps only orderkeys — Spark plans a shuffled semi
+    * join with the lineitem side aggregated away early.
+    */
+  val q4 = Query(
+    "q4_order_priority",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ord = t.orders.filter(
+        col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val lateLines = t.lineitem
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey")).distinct()
+      ord.join(lateLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    oracle = Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """),
+  )
+
+  /** TPC-H Q6-like: forecast revenue change — pure scan+filter+agg, the
+    * pushdown showcase (all three predicates reach the parquet reader).
+    */
+  val q6 = Query(
+    "q6_forecast_revenue",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.04, 0.07) && col("l_quantity") < 25)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+    oracle = Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.04 AND 0.07 AND l_quantity < 25
+    """),
+    headline = true,
+  )
+
+  /** ROLLUP over returnflag × linestatus (grouping-sets family). NULL
+    * subtotal keys are COALESCE'd to 'ALL' so the two engines hash
+    * identical values.
+    */
+  val qRollup = Query(
+    "q_rollup",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    },
+    oracle = Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus
+    """),
+  )
+
+  /** Window ranking: top-3 parts by retail price per brand
+    * (row_number, deterministic tiebreak on p_partkey).
+    */
+  val qWindowTopk = Query(
+    "q_window_topk",
+    (s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables(s, dir).part
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("rk"), col("p_partkey"),
+          round(col("p_retailprice"), 2).as("price"))
+        .orderBy(col("p_brand"), col("rk"))
+    },
+    oracle = Some("""
+      SELECT p_brand, rk, p_partkey, round(p_retailprice, 2) AS price
+      FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          row_number() OVER (PARTITION BY p_brand
+                             ORDER BY p_retailprice DESC, p_partkey) AS rk
+        FROM part)
+      WHERE rk <= 3 ORDER BY p_brand, rk
+    """),
+  )
+
+  /** Window frames: running revenue + previous-order delta per customer
+    * (sum over unbounded-preceding frame, lag). Deterministic order
+    * within customer via (o_orderdate, o_orderkey).
+    */
+  val qWindowRunning = Query(
+    "q_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir).orders
+        .filter(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+            .as("running_total"),
+          round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+            .as("prev_price"),
+        )
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey, o_orderkey,
+        round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        round(coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey
+    """),
+  )
+
+  /** Exact distinct counts (the reference has no distinct at all). */
+  val qDistinct = Query(
+    "q_distinct",
+    (s, dir) => {
+      Tables(s, dir).lineitem.agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count_distinct(col("l_orderkey")).as("n_orders"),
+      )
+    },
+    oracle = Some("""
+      SELECT count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem
+    """),
+  )
+
+  /** Set operations: customers ordering in both 1996 and 1997
+    * (INTERSECT) minus those also ordering in 1998 (EXCEPT).
+    */
+  val qSetOps = Query(
+    "q_set_ops",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      def buyersIn(y: Int) =
+        o.filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+      buyersIn(1996).intersect(buyersIn(1997)).except(buyersIn(1998))
+        .orderBy(col("o_custkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      ORDER BY o_custkey
+    """),
+  )
+
+  /** Anti join: customers with no 1995 orders (NOT EXISTS). */
+  val qAntiJoin = Query(
+    "q_anti_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val o95 = t.orders.filter(year(col("o_orderdate")) === 1995)
+      t.customer
+        .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND year(o_orderdate) = 1995)
+      ORDER BY c_custkey
+    """),
+  )
+
+  /** Scalar subquery: orders priced ≥ 1.5× the global average. */
+  val qSubquery = Query(
+    "q_scalar_subquery",
+    (s, dir) => {
+      val o   = Tables(s, dir).orders
+      val avgP = o.agg(avg(col("o_totalprice")).as("a"))
+      o.join(broadcast(avgP))
+        .filter(col("o_totalprice") >= col("a") * 1.5)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM orders
+      WHERE o_totalprice >= (SELECT avg(o_totalprice) FROM orders) * 1.5
+      ORDER BY o_orderkey
+    """),
+  )
+
+  /** GROUP BY + HAVING: nations whose suppliers carry above-average
+    * account balance mass.
+    */
+  val qHaving = Query(
+    "q_having",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("s_acctbal")), 2).as("total_bal"),
+          count(lit(1)).as("n_supp"))
+        .filter(col("n_supp") >= 3)
+        .orderBy(col("n_name"))
+    },
+    oracle = Some("""
+      SELECT n_name, round(sum(s_acctbal), 2) AS total_bal, count(*) AS n_supp
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name HAVING count(*) >= 3 ORDER BY n_name
+    """),
+  )
+
+  def all: Seq[Query] = Seq(
+    q1, q3, q5, q4, q6, qRollup, qWindowTopk, qWindowRunning,
+    qDistinct, qSetOps, qAntiJoin, qSubquery, qHaving)
+}

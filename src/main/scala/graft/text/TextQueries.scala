@@ -1,0 +1,214 @@
+package graft.text
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language ID, quality scoring, token
+  * counting, n-gram stats, document fingerprinting).
+  *
+  * All token work happens inside array higher-order functions
+  * (`split`/`filter`/`transform`/`aggregate`) — codegen'd, no UDFs, no
+  * explode until aggregation actually needs rows. At 100 TB the
+  * documents table is the big one; every query here is scan + narrow
+  * per-row compute + one small aggregation, i.e., embarrassingly
+  * parallel with no skew.
+  */
+object TextQueries {
+
+  private def toks(c: Column): Column =
+    filter(split(c, " "), t => length(t) > 0)
+
+  /** Per-document token statistics. */
+  val tokenStats = Query(
+    "tx_token_stats",
+    (s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          size(array_distinct(col("t"))).as("n_uniq"),
+          round(
+            aggregate(transform(col("t"), t => length(t)), lit(0),
+              (acc, x) => acc + x).cast("double") / size(col("t")), 4)
+            .as("avg_tok_len"),
+        )
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq,
+        round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 4)
+          AS avg_tok_len
+      FROM (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+            FROM documents)
+      ORDER BY doc_id
+    """),
+    headline = true,
+  )
+
+  private val stopwords = Seq("the", "a", "and", "of", "or", "is", "in")
+
+  /** Heuristic quality score: token count band + stopword-ratio band
+    * (classic pretraining-corpus filters, cf. C4/Gopher rules).
+    */
+  val quality = Query(
+    "tx_quality",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"), toks(col("text")).as("t"))
+        .select(
+          col("doc_id"), col("n_chars"),
+          size(col("t")).as("n_tokens"),
+          round(size(filter(col("t"),
+            x => x.isInCollection(stopwords))).cast("double") /
+            size(col("t")), 4).as("stop_ratio"),
+        )
+      d.select(
+        col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        when(col("n_tokens").between(10, 2000) &&
+          col("stop_ratio").between(0.01, 0.6), lit("keep"))
+          .otherwise(lit("drop")).as("verdict"),
+      ).orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        FROM documents
+      ), m AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+          round(CAST(len(list_filter(toks,
+            x -> x IN ('the','a','and','of','or','is','in'))) AS DOUBLE)
+            / len(toks), 4) AS stop_ratio
+        FROM t)
+      SELECT doc_id, n_tokens, stop_ratio,
+        CASE WHEN n_tokens BETWEEN 10 AND 2000
+              AND stop_ratio BETWEEN 0.01 AND 0.6
+             THEN 'keep' ELSE 'drop' END AS verdict
+      FROM m ORDER BY doc_id
+    """),
+  )
+
+  /** Marker-word language ID (n-gram-free heuristic: count hits against
+    * per-language stopword lists, argmax with fixed priority
+    * en>de>es>fr>zh). The same deterministic rule runs in the oracle, so
+    * correctness means "the distributed pipeline computes the declared
+    * function", not linguistic accuracy.
+    */
+  val langid = Query(
+    "tx_langid",
+    (s, dir) => {
+      val markers = Map(
+        "en" -> Seq("the", "and", "of", "is"),
+        "de" -> Seq("der", "die", "und", "ist"),
+        "es" -> Seq("el", "los", "y", "es"),
+        "fr" -> Seq("le", "les", "et", "est"),
+      )
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      val scored = markers.foldLeft(d) { case (df, (l, ws)) =>
+        df.withColumn(s"score_$l",
+          size(filter(col("t"), x => x.isInCollection(ws))))
+      }
+      scored
+        .select(
+          col("doc_id"), col("lang").as("labeled"),
+          when(col("score_en") >= greatest(col("score_de"), col("score_es"), col("score_fr")) &&
+            col("score_en") > 0, "en")
+            .when(col("score_de") >= greatest(col("score_es"), col("score_fr")) &&
+              col("score_de") > 0, "de")
+            .when(col("score_es") >= col("score_fr") && col("score_es") > 0, "es")
+            .when(col("score_fr") > 0, "fr")
+            .otherwise("und").as("guess"),
+        )
+        .groupBy(col("labeled"), col("guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("labeled"), col("guess"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        FROM documents
+      ), scored AS (
+        SELECT doc_id, lang,
+          len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS score_en,
+          len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS score_de,
+          len(list_filter(toks, x -> x IN ('el','los','y','es'))) AS score_es,
+          len(list_filter(toks, x -> x IN ('le','les','et','est'))) AS score_fr
+        FROM t
+      ), guessed AS (
+        SELECT lang AS labeled,
+          CASE
+            WHEN score_en >= greatest(score_de, score_es, score_fr) AND score_en > 0 THEN 'en'
+            WHEN score_de >= greatest(score_es, score_fr) AND score_de > 0 THEN 'de'
+            WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+            WHEN score_fr > 0 THEN 'fr'
+            ELSE 'und' END AS guess
+        FROM scored)
+      SELECT labeled, guess, count(*) AS n
+      FROM guessed GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+  )
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set (shingle-free near-dup precursor; equal fingerprints ⇒
+    * same-vocabulary docs).
+    */
+  val fingerprint = Query(
+    "tx_fingerprint",
+    (s, dir) => {
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(toks(col("text"))))))
+            .as("fp"),
+        )
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(
+          list_filter(string_split(text, ' '), x -> length(x) > 0))), ' ')) AS fp
+      FROM documents ORDER BY doc_id
+    """),
+  )
+
+  /** Corpus bigram frequencies, top-20 (deterministic tiebreak). Bigrams
+    * are built inside the array domain (transform over an index
+    * sequence) and only then exploded — at scale this keeps the
+    * pre-shuffle record count at one row per bigram with map-side
+    * partial counting.
+    */
+  val bigrams = Query(
+    "tx_bigrams",
+    (s, dir) => {
+      Tables(s, dir).documents
+        .select(toks(col("text")).as("t"))
+        .select(explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)),
+        )).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        FROM documents
+      ), b AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+          i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t)
+      SELECT bigram, count(*) AS n FROM b
+      GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+    """),
+  )
+
+  def all: Seq[Query] = Seq(tokenStats, quality, langid, fingerprint, bigrams)
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 hides the Column <-> Expression bridge behind
+  * `private[sql] ExpressionUtils`; this is the minimal in-namespace
+  * shim exposing it to graft (a common pattern for Spark extension
+  * libraries).
+  */
+object Bridge {
+  def column(e: Expression): Column     = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
