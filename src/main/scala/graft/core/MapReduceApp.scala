@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import java.io.FileInputStream
+import java.util.Properties
+
+/** CLI entry point with the reference's job-submission surface:
+  * `MapReduceApp <mapReduce.properties>`
+  * (`mapreduce/app/MapReduceApp.java`, `data/MapReduce.pdf` §5).
+  *
+  * Understood keys (reference names kept verbatim):
+  *   mapred.Input.name            input path (required)
+  *   mapred.Output.name           output path (default: <input>.out)
+  *   mapred.Input.split-size      split bytes (default 2048)
+  *   mapred.Reducers.number       reduce parallelism (default 1)
+  *   mapred.Combine.flag          true/false (default true)
+  *   mapred.Join.flag             true/false merge outputs (default false)
+  *   mapred.Mapper.class-name     FQCN of a graft.core.Mapper object/class
+  *   mapred.Reducer.class-name    FQCN of a graft.core.Reducer
+  *   mapred.Partitioner.class-name FQCN of a graft.core.KeyPartitioner
+  *
+  * Cluster/CORBA wiring keys (`mapred.Master.*`, `mapred.Workers.
+  * exec-nodes`, reporter/buffer keys) are accepted and ignored — their
+  * concerns (placement, fault detection, restart, straggler kill) are
+  * Spark-native (SURVEY §2.2 R1–R9); `--master`/`spark.speculation.*`
+  * configure them.
+  *
+  * Like the reference (`schedule/MasterServant.java:213-225` /
+  * `WorkerInitializer.createIOFormatServant`), user classes load
+  * reflectively by name; Scala `object`s resolve via their `MODULE$`.
+  */
+object MapReduceApp {
+
+  private def loadInstance[T](name: String): T = {
+    val cls =
+      try Class.forName(name + "$")
+      catch { case _: ClassNotFoundException => Class.forName(name) }
+    val obj =
+      try cls.getField("MODULE$").get(null)
+      catch { case _: NoSuchFieldException =>
+        cls.getDeclaredConstructor().newInstance()
+      }
+    obj.asInstanceOf[T]
+  }
+
+  def parseConf(props: Properties): JobConf = {
+    val input = Option(props.getProperty("mapred.Input.name"))
+      .getOrElse(sys.error("mapred.Input.name is required"))
+    JobConf(
+      input       = input,
+      output      = props.getProperty("mapred.Output.name", input + ".out"),
+      numReducers = props.getProperty("mapred.Reducers.number", "1").toInt,
+      splitSize   = props.getProperty("mapred.Input.split-size", "2048").toLong,
+      combine     = props.getProperty("mapred.Combine.flag", "true").toBoolean,
+      joinOutput  = props.getProperty("mapred.Join.flag", "false").toBoolean,
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: MapReduceApp <mapReduce.properties>")
+    val props = new Properties()
+    val in    = new FileInputStream(args(0))
+    try props.load(in) finally in.close()
+
+    val conf = parseConf(props)
+    val mapper = loadInstance[Mapper](
+      props.getProperty("mapred.Mapper.class-name", "graft.core.WordCount$TokenMapper"))
+    val reducer = loadInstance[Reducer](
+      props.getProperty("mapred.Reducer.class-name", "graft.core.WordCount$SumReducer"))
+    val partitioner = loadInstance[KeyPartitioner](
+      props.getProperty("mapred.Partitioner.class-name", "graft.core.JavaHashPartitioner"))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-mapreduce")
+      .config("spark.sql.shuffle.partitions",
+        math.max(conf.numReducers, 1).toString)
+      // the reference's straggler mitigation thresholds
+      // (`schedule/MasterServant.java:510,552`) map onto speculation
+      .config("spark.speculation.multiplier", "1.2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    MapReduceJob.run(spark, conf, mapper, reducer, partitioner)
+    // total-seconds print at job end, like `app/MapReduceApp.java:263-266`
+    println(f"Tempo total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    spark.stop()
+  }
+}

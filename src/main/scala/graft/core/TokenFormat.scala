@@ -1,0 +1,75 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** The reference's token text format, byte-semantics-compatible.
+  *
+  * Input: a char stream of tokens separated by the space character;
+  * runs of separators collapse; tokens longer than 1000 chars are split
+  * into 1000-char pieces (`user/TokenRecordReader.java:31-38,58-107`).
+  * A token parses as `key|value` via Java `String.split("\\|")`: a
+  * 1-field result (no `|`, or a single trailing `|`) yields
+  * `(key="none", value=<whole token>)`; otherwise fields 0 and 1 are
+  * kept and the rest dropped (`user/TokenRecordReader.java:156-165`).
+  *
+  * Output: `key|value ` space-terminated tokens on one line per
+  * reducer file (`user/TokenRecordWriter.java:85`).
+  *
+  * Scale notes: reading goes through `spark.read.text` — Spark's
+  * line-oriented split planning replaces the reference's copy-splits-
+  * to-new-files `getSplit` (`servant/IOFormatServant.java:130-164`);
+  * record-boundary alignment at split edges is Hadoop TextInputFormat's
+  * line logic. Deviation (documented): the reference treats newline as
+  * an ordinary token char; we treat it as a separator, which is what a
+  * line-based 100 TB scan needs and is indistinguishable on the
+  * reference's own corpora (single-line files).
+  */
+object TokenFormat extends Serializable {
+  val KeyNone      = "none"
+  val MaxTokenLen  = 1000
+  val Separator    = ' '
+
+  /** Tokenize one chunk of text (reference O2 semantics). */
+  def tokenize(chunk: String): Iterator[String] =
+    chunk.split(Separator).iterator.filter(_.nonEmpty)
+      .flatMap(_.grouped(MaxTokenLen))
+
+  /** Parse one token into a (key, value) record — exact replica of
+    * `TokenRecordReader.next` (`user/TokenRecordReader.java:156-165`).
+    */
+  def parse(token: String): (String, String) = {
+    val split = token.split("\\|")
+    if (split.length == 1) (KeyNone, token)
+    else (split(0), split(1))
+  }
+
+  /** Serialize one record — `TokenRecordWriter.write` format string
+    * (`user/TokenRecordWriter.java:85`).
+    */
+  def format(key: String, value: String): String = s"$key|$value"
+
+  /** Read a token file into (key, value) records. `splitSize` maps to
+    * `spark.sql.files.maxPartitionBytes` so the scan parallelism knob
+    * of the reference (`mapred.Input.split-size`) keeps its meaning.
+    */
+  def read(spark: SparkSession, conf: JobConf): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.files.maxPartitionBytes", conf.splitSize)
+    spark.read.textFile(conf.input)
+      .flatMap(line => tokenize(line).map(parse))
+  }
+
+  /** Write records in the golden byte format: within each output file,
+    * tokens joined by a single space on one line (one file per reduce
+    * partition, like the reference's `reduced<index>` files).
+    */
+  def write(ds: Dataset[(String, String)], conf: JobConf): Unit = {
+    import ds.sparkSession.implicits._
+    val lines = ds.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else Iterator(it.map { case (k, v) => format(k, v) }.mkString(" ") + " ")
+    }
+    val out = if (conf.joinOutput) lines.coalesce(1) else lines
+    out.write.mode("overwrite").text(conf.output)
+  }
+}

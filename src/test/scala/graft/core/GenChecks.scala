@@ -1,0 +1,17 @@
+package graft.core
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Minimal deterministic property driver over ScalaCheck Gen (the
+  * scalatest<->scalacheck bridge artifact isn't in the offline cache).
+  */
+trait GenChecks {
+  def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    (1 to n).foreach { _ =>
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+}
