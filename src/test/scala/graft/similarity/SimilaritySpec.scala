@@ -1,0 +1,62 @@
+package graft.similarity
+
+import graft.{QueryRegistry, SparkSuite}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+
+  private def emb = graft.Tables(spark, sf("sf0.001")).embeddings
+
+  test("native cosine expression == built-ins composition, bit for bit") {
+    val pairs = emb.limit(50).as("a")
+      .join(emb.limit(50).as("b"), col("a.vec_id") < col("b.vec_id"))
+    val diff = pairs.select(
+      VectorFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("native"),
+      VectorFunctions.cosineSimComposed(col("a.embedding"), col("b.embedding")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.count() == 0)
+  }
+
+  test("cosine of a vector with itself is 1.0") {
+    val selfs = emb.select(
+      VectorFunctions.cosineSim(col("embedding"), col("embedding")).as("c"))
+    assert(selfs.filter(abs(col("c") - 1.0) > 1e-12).count() == 0)
+  }
+
+  test("planted duplicates surface at cos ~ 1.0 in dd_embedding_cosine") {
+    val got = QueryRegistry.byName("dd_embedding_cosine")
+      .run(spark, sf("sf0.001")).collect()
+    val planted = got.filter(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 100000)
+    assert(planted.length == 25)
+    assert(planted.forall(r => math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9))
+  }
+
+  test("LSH bucket search recall >= 0.5 of brute-force top-1 (same-bucket queries)") {
+    // brute-force top-1 neighbor per query
+    val brute = QueryRegistry.byName("ss_cosine_topk").run(spark, sf("sf0.001"))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = QueryRegistry.byName("ss_lsh_topk").run(spark, sf("sf0.001"))
+      .filter(col("rk") === 1 && col("qid") < 20)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recall over queries the LSH search answered at all
+    val answered = lsh.keySet.intersect(brute.keySet)
+    assert(answered.nonEmpty)
+    val hits = answered.count(q => brute(q) == lsh(q))
+    // 8-bit buckets on 64 random dims: exact-top-1 recall is modest by
+    // design; this guards against the bucketing being broken, not tuned
+    assert(hits.toDouble / answered.size >= 0.2,
+      s"recall ${hits.toDouble / answered.size} over ${answered.size} queries")
+  }
+
+  test("sign bucket key has the declared width and alphabet") {
+    val buckets = emb
+      .select(VectorFunctions.signBucket(col("embedding"), 8).as("b"))
+      .distinct().collect().map(_.getString(0))
+    assert(buckets.forall(b => b.length == 8 && b.forall(c => c == '0' || c == '1')))
+  }
+}
