@@ -30,7 +30,8 @@ object QueryRegistry {
       operators.Events.all ++
       text.TextQueries.all ++
       dedup.DedupQueries.all ++
-      similarity.SimilarityQueries.all
+      similarity.SimilarityQueries.all ++
+      multimodal.Multimodal.all
 
   lazy val byName: Map[String, Query] = {
     val qs = all
