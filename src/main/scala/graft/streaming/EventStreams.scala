@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over event streams — the incremental
+  * twin of graft.operators.Events (same logic, same schemas, but
+  * running on an unbounded source with watermarks and state).
+  *
+  * The reference has no streaming (SURVEY §2.4); this is north-star
+  * surface. Scale notes: all state is keyed by `user_id` or by
+  * (window, event_type) — high-cardinality, skew-free keys; state per
+  * key is O(1) (session accumulator / windowed partial agg), and the
+  * watermark bounds total state, so a 1000-executor deployment holds
+  * state shards in the state store with no driver involvement.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  /** Internal accumulator persisted in the state store (public: the
+    * state encoder's generated code must reach the constructor).
+    */
+  case class SessionState(startMs: Long, lastMs: Long, n: Int, total: Double)
+
+  /** Tumbling 1-hour windows per event type; watermark tolerates
+    * 10 minutes of disorder, after which windows finalize and state is
+    * dropped.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Gap-based sessionization (30-minute idle gap), the stateful
+    * counterpart of the batch `ev_sessionize` query: a session closes
+    * when a later event of the same user arrives past the gap, or when
+    * the event-time watermark passes last+gap (timeout), so sessions of
+    * idle users still close.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def toSession(uid: Long, st: SessionState): Session =
+      Session(uid, new java.sql.Timestamp(st.startMs),
+        new java.sql.Timestamp(st.lastMs), st.n, st.total)
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession(uid, _))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[Session]
+            var cur    = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.lastMs <= gapMs =>
+                  cur = Some(st.copy(lastMs = math.max(st.lastMs, t),
+                    n = st.n + 1, total = st.total + e.value))
+                case Some(st) =>
+                  closed += toSession(uid, st)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

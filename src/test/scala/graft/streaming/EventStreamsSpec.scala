@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.streaming.EventStreams._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSuite {
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600_000L + min * 60_000L)
+
+  private def ev(id: Long, min: Int, uid: Long, typ: String = "view",
+      value: Double = 1.0): Event = Event(id, ts(min), uid, typ, value)
+
+  test("hourlyAgg finalizes windows after watermark and drops too-late events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in hour-window [1:00, 2:00)
+      input.addData(ev(1, 5, 1), ev(2, 10, 2))
+      q.processAllAvailable()
+      // batch 2: event far in the future pushes the watermark past the
+      // first window; a late straggler for the first window rides along
+      input.addData(ev(3, 200, 3))
+      q.processAllAvailable()
+      input.addData(ev(4, 6, 4)) // late: watermark is already past 2:10
+      q.processAllAvailable()
+      val out = spark.table("hourly_out")
+        .select(col("hour"), col("n")).collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      // first window finalized with exactly the 2 on-time events
+      assert(out(ts(0)) == 2L, s"got $out")
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when the same user returns past the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // user 1: events at minute 0,10 then a return at minute 100 (> 30m gap)
+      input.addData(ev(1, 0, 1, value = 2.0), ev(2, 10, 1, value = 3.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 100, 1))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out").as[Session].collect()
+      assert(sessions.length == 1)
+      val s0 = sessions.head
+      assert(s0.user_id == 1 && s0.n_events == 2 && s0.total_value == 5.0)
+      assert(s0.session_start == ts(0) && s0.session_end == ts(10))
+    } finally q.stop()
+  }
+
+  test("sessionize closes idle sessions by event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_timeout_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 0, 7), ev(2, 5, 7))
+      q.processAllAvailable()
+      // another user's far-future event advances the watermark beyond
+      // user 7's last+gap+watermark-delay: the idle session must close
+      input.addData(ev(3, 300, 8))
+      q.processAllAvailable()
+      input.addData(ev(4, 301, 8)) // one more batch so the timeout fires
+      q.processAllAvailable()
+      import spark.implicits._
+      val sessions = spark.table("sessions_timeout_out").as[Session].collect()
+      assert(sessions.exists(s => s.user_id == 7 && s.n_events == 2))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization agrees with the batch ev_sessionize totals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay the real sf0.001 events table through the stream; compare
+    // total (closed + open) sessions per user with the batch query
+    val events = graft.Tables(spark, sf("sf0.001")).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[Event].collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_replay_out")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = events.splitAt(events.length / 2)
+      input.addData(first.toIndexedSeq); q.processAllAvailable()
+      input.addData(rest.toIndexedSeq); q.processAllAvailable()
+      // far-future sentinel closes everything still open
+      input.addData(Event(-1, new Timestamp(events.last.ts.getTime + 86400_000L),
+        -1, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2, new Timestamp(events.last.ts.getTime + 86400_000L + 1),
+        -2, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_replay_out").as[Session].collect()
+        .filter(_.user_id >= 0)
+        .groupBy(_.user_id).view.mapValues(_.length).toMap
+      val batch = graft.QueryRegistry.byName("ev_sessionize")
+        .run(spark, sf("sf0.001"))
+        .select(col("user_id"), col("n_sessions")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed.keySet == batch.keySet)
+      val mismatches = batch.keySet.filter(u => streamed(u).toLong != batch(u))
+      assert(mismatches.isEmpty,
+        s"session-count mismatch for users: ${mismatches.take(5)}")
+    } finally q.stop()
+  }
+}
