@@ -1,23 +1,46 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-round throughput harness (driver contract: prints ONE JSON
+  * line). Each registry query is executed twice through a `noop` sink —
+  * the first pass warms JIT/parquet footers/broadcast relations, the
+  * second is the measured engine throughput. The noop sink forces full
+  * materialization of every operator without paying file-write cost
+  * (a bare `count()` would let Catalyst prune whole subtrees).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def exec(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    val queries = QueryRegistry.all
+    queries.foreach { q =>
+      try exec(q.run(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-warm] ${q.name} failed: ${e.getMessage}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = queries.map { q =>
+      val t0 = System.nanoTime()
+      try exec(q.run(spark, sfDir))
+      catch { case _: Throwable => () }
+      q.name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -30,21 +30,76 @@ object DedupQueries {
   private def toks(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
-  /** Distinct 3-token shingles of the text. */
+  /** Distinct 3-token shingles of the text (empty for <3 tokens). */
   private def shingles(c: Column): Column = {
     val t = toks(c)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(t) - 2, lit(0))),
-      i => concat_ws(" ",
-        element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)),
-    ))
+    array_distinct(
+      when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2), i => concat_ws(" ",
+          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(typedLit(Array.empty[String])))
   }
+
+  /** Distinct 32-bit base hashes of the 3-token shingles (first 8 md5
+    * hex chars as an integer). All downstream work — min-hashing,
+    * posting lists, Jaccard — runs on these longs instead of shingle
+    * strings: one md5 per shingle total, and set operations on 8-byte
+    * values instead of ~30-byte strings. 32-bit collisions perturb a
+    * ~100-element Jaccard by <1e-7 in expectation — part of the
+    * declared semantics, mirrored in the oracle. Computed by the native
+    * fused kernel ([[graft.functions.ShingleHash32]]); the composed
+    * form below documents the identical semantics in built-ins and is
+    * parity-tested in DedupSpec.
+    */
+  private def shingleHashes(c: Column): Column =
+    graft.functions.HashFunctions.shingleHash32(c)
+
+  /** Built-ins-only twin of [[shingleHashes]] (interpreted HOFs — ~20×
+    * slower; kept as executable documentation + parity check).
+    */
+  private[dedup] def shingleHashesComposed(c: Column): Column =
+    array_distinct(transform(shingles(c), s =>
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long")))
+
+  private val shingleHashSql =
+    """list_distinct(list_transform(
+         list_transform(range(1, greatest(len(t) - 1, 1)),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+         s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))"""
+
+  /** 16 affine rehashes of the base hash: h_j(x) = (a_j*x + b_j) mod P,
+    * P = 4294967311 (prime > 2^32), a_j odd 31-bit — products stay
+    * under 2^63 in both engines. One md5 per shingle; the 16 minhash
+    * passes are pure integer math.
+    */
+  private val hashParams: Seq[(Long, Long)] = Seq(
+    (114060685L, 287214675L), (658016613L, 1798685852L),
+    (1761721497L, 1276361822L), (516347111L, 173320195L),
+    (1034123049L, 781389125L), (1490082987L, 1994458317L),
+    (1263980515L, 1536417746L), (373428981L, 762499639L),
+    (1284903395L, 869725180L), (97658015L, 1270950602L),
+    (570517315L, 669059531L), (1689677235L, 2007647645L),
+    (1509779901L, 770577552L), (1001072045L, 274222389L),
+    (1024637813L, 989941651L), (731651807L, 1986382793L))
+
+  private val MinhashP = 4294967311L
 
   private def dupCorpus(t: Tables): DataFrame =
     t.documents.select(col("doc_id"), col("text"))
       .unionAll(
         t.documents.filter(col("source") === "src0")
           .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+
+  /** Fan a small scan out to cluster width before heavy per-row
+    * compute. The local documents table is one parquet split; without
+    * this, shingling+hashing runs on a single core (measured 5-8 s of
+    * the 25 s minhash wall-clock). On a real 100 TB corpus the scan
+    * already yields thousands of splits and this repartition is the
+    * first thing to delete — it exists to make parallelism match
+    * compute shape, not data size.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
   private val dupCorpusSql =
     """SELECT doc_id, text FROM documents
@@ -72,64 +127,66 @@ object DedupQueries {
     headline = true,
   )
 
-  /** MinHash + LSH near-dup: 16 md5-derived min-hashes per doc (4 bands
-    * × 4 rows), band-bucket join for candidates, exact shingle Jaccard
-    * on candidates only. Signature computation is per-row and narrow;
-    * the candidate join shuffles on the band hash — the standard
-    * at-scale shape (no cross join anywhere).
+  /** MinHash + LSH near-dup: 16 affine min-hashes per doc over the
+    * 32-bit shingle base hashes (4 bands × 4 rows), band-bucket join
+    * for candidates, exact hashed-shingle Jaccard on candidates only.
+    *
+    * Signature computation is per-row and narrow — one md5 per shingle
+    * plus pure integer math for all 16 hash functions; the candidate
+    * join shuffles on the band key (the standard at-scale shape, no
+    * cross join anywhere); Jaccard touches only candidate pairs.
     */
   val minhashLsh = Query(
     "dd_minhash_lsh",
     (s, dir) => {
       val t  = Tables(s, dir)
-      val sh = dupCorpus(t)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      val sh = spread(dupCorpus(t))
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
-      // band b hash = md5(band || '#' || concat of minhashes 4b..4b+3),
-      // minhash j = lexicographic min over md5(j || ':' || shingle)
-      val bands = sh.select(
-        col("doc_id"),
-        explode(transform(sequence(lit(0), lit(3)), b =>
-          md5(concat(b.cast("string"), lit("#"),
-            aggregate(
-              transform(sequence(lit(0), lit(3)), r =>
-                array_min(transform(col("sh"), x =>
-                  md5(concat((b * 4 + r).cast("string"), lit(":"), x))))),
-              lit(""), (acc, m) => concat(acc, m)))))).as("bh"))
+      val mh = array(hashParams.map { case (a, b) =>
+        array_min(transform(col("sh"), h => (h * a + b) % MinhashP))
+      }: _*)
+      val bandKeys = array((0 until 4).map { b =>
+        concat_ws(":", lit(b.toString) +:
+          (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)
+            .cast("string")): _*)
+      }: _*)
+      val bands = sh.withColumn("mh", mh)
+        .select(col("doc_id"), explode(bandKeys).as("bh"))
       val cands = bands.as("a")
         .join(bands.as("b"), col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
-      val withSets = cands
+      cands
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      withSets.select(
-        col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) -
-            size(array_intersect(col("sh_a"), col("sh_b")))), 4).as("jaccard"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4)
+            .as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    oracle = Some(s"""
+    oracle = {
+      val mhList = hashParams.map { case (a, b) =>
+        s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashP))"
+      }.mkString("[", ", ", "]")
+      val bandList = (0 until 4).map { b =>
+        val parts = (0 until 4).map(r => s"mh[${b * 4 + r + 1}]::VARCHAR")
+        s"'$b:' || " + parts.mkString(" || ':' || ")
+      }.mkString("[", ", ", "]")
+      Some(s"""
       WITH corpus AS ($dupCorpusSql),
       sh AS (
-        SELECT doc_id, list_distinct(list_transform(
-          range(1, greatest(len(t) - 1, 1)),
-          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        SELECT doc_id, $shingleHashSql AS sh
         FROM (SELECT doc_id,
                 list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
               FROM corpus)
         WHERE len(t) >= 3
       ),
-      bands AS (
-        SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-          md5(b::VARCHAR || '#' || array_to_string(
-            list_transform(range(0, 4), r ->
-              list_aggregate(list_transform(sh, x ->
-                md5((b * 4 + r)::VARCHAR || ':' || x)), 'min')), '')))) AS bh
-        FROM sh
-      ),
+      mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
+      bands AS (SELECT doc_id, unnest($bandList) AS bh FROM mh),
       cands AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
@@ -142,7 +199,8 @@ object DedupQueries {
         JOIN sh sa ON sa.doc_id = id_a
         JOIN sh sb ON sb.doc_id = id_b
       ORDER BY id_a, id_b
-    """),
+    """)
+    },
     headline = true,
   )
 
@@ -157,18 +215,10 @@ object DedupQueries {
   val simhash = Query(
     "dd_simhash",
     (s, dir) => {
-      Tables(s, dir).documents
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) > 0)
-        .withColumn("hs",
-          expr("transform(t, x -> cast(conv(substr(md5(x),1,15),16,10) as bigint))"))
-        .withColumn("simhash",
-          expr("""aggregate(sequence(0,59), cast(0 as bigint), (acc, i) ->
-              acc + CASE WHEN 2 * size(filter(hs, h -> shiftright(h, i) % 2 = 1))
-                          >= size(hs)
-                    THEN shiftleft(cast(1 as bigint), i)
-                    ELSE cast(0 as bigint) END)"""))
-        .select(col("doc_id"), col("simhash"))
+      spread(Tables(s, dir).documents.select(col("doc_id"), col("text")))
+        .filter(size(toks(col("text"))) > 0)
+        .select(col("doc_id"),
+          graft.functions.HashFunctions.simhash60(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     },
     oracle = Some("""
@@ -199,8 +249,8 @@ object DedupQueries {
     "dd_ngram_jaccard",
     (s, dir) => {
       val t  = Tables(s, dir)
-      val sh = dupCorpus(t)
-        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      val sh = spread(dupCorpus(t))
+        .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
       val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50)
       val posting = sh.join(rare.select(col("s")), "s")
@@ -223,9 +273,7 @@ object DedupQueries {
     oracle = Some(s"""
       WITH corpus AS ($dupCorpusSql),
       sh AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-          range(1, greatest(len(t) - 1, 1)),
-          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        SELECT doc_id, unnest($shingleHashSql) AS s
         FROM (SELECT doc_id,
                 list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
               FROM corpus)

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.security.MessageDigest
+
+/** Native tokenize→shingle→hash kernels. The composed form
+  * (split + transform(sequence…) + md5 + conv) is evaluated
+  * interpreted — Spark's higher-order functions have no codegen — and
+  * measured ~18 µs per shingle; these expressions run the same
+  * computation as one fused JVM loop (~1 µs/shingle), called from
+  * generated code as a static method.
+  *
+  * Hash parity contract (mirrored by the DuckDB oracles):
+  *  - shingle32: value = first 4 md5 bytes of the shingle string as an
+  *    unsigned 32-bit int == `('0x'||substr(md5(s),1,8))::BIGINT`.
+  *  - simhash60: per-token 60-bit value = first 8 md5 bytes as unsigned
+  *    64-bit >>> 4 == `('0x'||substr(md5(t),1,15))::BIGINT`; bit i of
+  *    the fingerprint is 1 iff 2*ones(i) >= n_tokens.
+  * Tokenization = split on single space, empties dropped (TokenFormat
+  * semantics, `user/TokenRecordReader.java:32`).
+  */
+object HashKernels {
+  private val md5Local = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  private def tokenize(text: String): Array[String] =
+    text.split(' ').filter(_.nonEmpty)
+
+  private def md5Prefix8(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** Distinct 32-bit hashes of the n-token shingles of `text`. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val md   = md5Local.get()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb   = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      seen.add(md5Prefix8(md, sb.toString) >>> 32)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it  = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 60-bit SimHash of `text` (majority vote over per-token hashes;
+    * duplicates count). 0 for token-less text.
+    */
+  def simhash60(text: UTF8String): Long = {
+    val toks = tokenize(text.toString)
+    if (toks.isEmpty) return 0L
+    val md   = md5Local.get()
+    val ones = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = md5Prefix8(md, toks(i)) >>> 4
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) ones(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (2 * ones(b) >= toks.length) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+}
+
+/** `array<long>` of distinct 32-bit shingle hashes of a text column. */
+case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.shingleHashes(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHash32 =
+    copy(child = c)
+
+  override def prettyName: String = "shingle_hash32"
+}
+
+/** 60-bit SimHash of a text column. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simhash60(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash60($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
+    copy(child = c)
+
+  override def prettyName: String = "simhash60"
+}
+
+object HashFunctions {
+  /** Distinct 32-bit 3-token-shingle hashes (native kernel). */
+  def shingleHash32(c: Column, n: Int = 3): Column =
+    Exprs.toColumn(ShingleHash32(Exprs.toExpr(c), n))
+
+  /** 60-bit SimHash fingerprint (native kernel). */
+  def simhash60(c: Column): Column =
+    Exprs.toColumn(SimHash60(Exprs.toExpr(c)))
+}

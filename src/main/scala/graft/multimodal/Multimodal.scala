@@ -117,10 +117,8 @@ object Multimodal {
           col("media_id"), col("media_type"),
           length(col("content")).cast("long").as("n_bytes"),
           md5(col("content")).as("checksum"),
-          round(
-            aggregate(transform(split(decode(col("content"), "UTF-8"), ""),
-              c => ascii(c)), lit(0), (acc, x) => acc + x).cast("double") /
-              length(col("content")), 4).as("mean_level"))
+          round(graft.functions.BinaryFunctions.byteMean(col("content")), 4)
+            .as("mean_level"))
         .orderBy(col("media_id"))
     },
     // text is ASCII, so bytes == codepoints and md5(blob) == md5(text)

@@ -33,6 +33,16 @@ class DedupSpec extends SparkSuite {
     assert(planted.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("native shingle-hash kernel == built-ins composition") {
+    import org.apache.spark.sql.functions.{col, array_sort}
+    val docs = graft.Tables(spark, dir).documents.select(col("text"))
+    val diff = docs.select(
+      array_sort(graft.functions.HashFunctions.shingleHash32(col("text"))).as("native"),
+      array_sort(DedupQueries.shingleHashesComposed(col("text"))).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.count() == 0)
+  }
+
   test("dd_simhash: equal texts hash equal; fingerprints fit in 60 bits") {
     val hashes = QueryRegistry.byName("dd_simhash").run(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
