@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of each (or one
+  * named) registry query so scan pushdown, broadcast choices, and
+  * codegen spans can be reviewed per round.
+  *
+  *   runMain graft.Explain [queryName] [sfDir]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name  = args.headOption
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val targets = name match {
+      case Some(n) => Seq(QueryRegistry.byName(n))
+      case None    => QueryRegistry.all.filter(_.headline)
+    }
+    targets.foreach { q =>
+      println(s"\n===== ${q.name} =====")
+      println(q.run(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

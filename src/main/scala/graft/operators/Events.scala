@@ -167,5 +167,51 @@ object Events {
     """),
   )
 
-  def all: Seq[Query] = Seq(hourly, sessionize, dailyActive, funnel, jsonProps)
+  /** As-of join: each purchase matched to the same user's most recent
+    * strictly-earlier view. Spark lacks a native ASOF JOIN; the
+    * composition is the documented pattern (SURVEY §2.4 preference (a)):
+    * union both streams, one window per user ordered by event time with
+    * a `rangeBetween(-inf, -1)` frame on epoch-micros — the range frame
+    * (not rows) is what gives exact strict-inequality as-of semantics
+    * under timestamp ties. The oracle runs DuckDB's NATIVE `ASOF JOIN`,
+    * so the composition is checked against a real as-of implementation,
+    * not against itself. One shuffle on user_id; no self-join.
+    */
+  val asofJoin = Query(
+    "ev_asof_join",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), unix_micros(col("ts")).as("tsu"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      e.withColumn("last_view_ts",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_view_ts").isNotNull)
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          date_format(col("last_view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("view_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("last_view_ts")))
+            .as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+           p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
+      ORDER BY p.event_id
+    """),
+  )
+
+  def all: Seq[Query] =
+    Seq(hourly, sessionize, dailyActive, funnel, jsonProps, asofJoin)
 }

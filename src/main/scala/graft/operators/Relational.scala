@@ -387,7 +387,91 @@ object Relational {
     """),
   )
 
+  /** Full outer join: per-customer 1996 vs 1997 spend — customers
+    * active in only one year appear with a NULL-coalesced zero on the
+    * other side.
+    */
+  val qFullOuter = Query(
+    "q_full_outer",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      def spend(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as(s"ck$y"))
+        .agg(round(sum(col("o_totalprice")), 2).as(s"spend$y"))
+      spend(1996).join(spend(1997),
+        col("ck1996") === col("ck1997"), "full_outer")
+        .select(
+          coalesce(col("ck1996"), col("ck1997")).as("custkey"),
+          coalesce(col("spend1996"), lit(0.0)).as("spend_1996"),
+          coalesce(col("spend1997"), lit(0.0)).as("spend_1997"))
+        .orderBy(col("custkey"))
+    },
+    oracle = Some("""
+      WITH s96 AS (SELECT o_custkey AS ck, round(sum(o_totalprice), 2) AS spend
+                   FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+           s97 AS (SELECT o_custkey AS ck, round(sum(o_totalprice), 2) AS spend
+                   FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1)
+      SELECT coalesce(s96.ck, s97.ck) AS custkey,
+             coalesce(s96.spend, 0.0) AS spend_1996,
+             coalesce(s97.spend, 0.0) AS spend_1997
+      FROM s96 FULL OUTER JOIN s97 ON s96.ck = s97.ck
+      ORDER BY custkey
+    """),
+  )
+
+  /** Correlated subquery (TPC-H Q2 shape): parts priced at their
+    * brand's minimum. Spark: window-min composition (one shuffle on
+    * brand) — the decorrelation Catalyst itself would do.
+    */
+  val qCorrelated = Query(
+    "q_correlated_min",
+    (s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+      Tables(s, dir).part
+        .withColumn("min_price", min(col("p_retailprice")).over(w))
+        .filter(col("p_retailprice") === col("min_price"))
+        .select(col("p_brand"), col("p_partkey"),
+          round(col("p_retailprice"), 2).as("price"))
+        .orderBy(col("p_brand"), col("p_partkey"))
+    },
+    oracle = Some("""
+      SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price
+      FROM part p
+      WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_brand = p.p_brand)
+      ORDER BY p_brand, p_partkey
+    """),
+  )
+
+  /** Pivot via conditional aggregation (engine-portable pivot shape):
+    * revenue by linestatus pivoted across return flags.
+    */
+  val qPivot = Query(
+    "q_pivot",
+    (s, dir) => {
+      val li  = Tables(s, dir).lineitem
+      def rev(flag: String) = round(sum(
+        when(col("l_returnflag") === flag,
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(0.0)), 2)
+      li.groupBy(col("l_linestatus"))
+        .agg(rev("A").as("rev_a"), rev("N").as("rev_n"), rev("R").as("rev_r"))
+        .orderBy(col("l_linestatus"))
+    },
+    oracle = Some("""
+      SELECT l_linestatus,
+        round(sum(CASE WHEN l_returnflag = 'A'
+          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_a,
+        round(sum(CASE WHEN l_returnflag = 'N'
+          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_n,
+        round(sum(CASE WHEN l_returnflag = 'R'
+          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_r
+      FROM lineitem GROUP BY 1 ORDER BY 1
+    """),
+  )
+
   def all: Seq[Query] = Seq(
     q1, q3, q5, q4, q6, qRollup, qWindowTopk, qWindowRunning,
-    qDistinct, qSetOps, qAntiJoin, qSubquery, qHaving)
+    qDistinct, qSetOps, qAntiJoin, qSubquery, qHaving,
+    qFullOuter, qCorrelated, qPivot)
 }

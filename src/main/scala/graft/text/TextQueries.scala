@@ -210,5 +210,38 @@ object TextQueries {
     """),
   )
 
-  def all: Seq[Query] = Seq(tokenStats, quality, langid, fingerprint, bigrams)
+  /** BPE-style pre-tokenization count: alpha runs, digit runs, and
+    * single non-alphanumeric marks (the GPT-2-style pre-tokenizer
+    * shape, ASCII-restricted so the Java and RE2 regex dialects agree),
+    * next to the whitespace token count — the two token-budget metrics
+    * a corpus pipeline reports.
+    */
+  val bpeTokens = Query(
+    "tx_tokens_bpe",
+    (s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          size(toks(col("text"))).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("n_bpe_tokens"))
+        .withColumn("bpe_per_ws",
+          round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id,
+        len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+          AS n_ws_tokens,
+        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+          AS n_bpe_tokens,
+        round(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+          AS DOUBLE) /
+          len(list_filter(string_split(text, ' '), x -> length(x) > 0)), 4)
+          AS bpe_per_ws
+      FROM documents ORDER BY doc_id
+    """),
+  )
+
+  def all: Seq[Query] =
+    Seq(tokenStats, quality, langid, fingerprint, bigrams, bpeTokens)
 }
