@@ -62,6 +62,12 @@ class MapReduceGoldenSpec extends SparkSuite {
     assert(got == goldenCounts)
   }
 
+  test("golden: teste1M word counts (largest reference corpus, 10 reducers)") {
+    val got = runWordCount(s"$seedDir/teste1M.txt", reducers = 10)
+    assert(got == expectedCounts(s"$seedDir/teste1M.txt"))
+    assert(got("e") == 16538L + 12240L + 12578L) // out1M sentence counts
+  }
+
   test("combine=false produces identical results (O8 equivalence)") {
     val in = s"$seedDir/teste10K.txt"
     assert(runWordCount(in, combine = true) == runWordCount(in, combine = false))
