@@ -79,8 +79,10 @@ object MapReduceJob {
       mapper: Mapper,
       reducer: Reducer,
       partitioner: KeyPartitioner = JavaHashPartitioner,
+      format: graft.sources.KVFormat = graft.sources.TokenKVFormat,
   ): Unit =
-    TokenFormat.write(transform(spark, conf, mapper, reducer, partitioner), conf)
+    format.write(
+      transform(spark, conf, mapper, reducer, partitioner, format), conf)
 
   /** The dataflow without the sink — exposed for tests and composition. */
   def transform(
@@ -89,10 +91,11 @@ object MapReduceJob {
       mapper: Mapper,
       reducer: Reducer,
       partitioner: KeyPartitioner = JavaHashPartitioner,
+      format: graft.sources.KVFormat = graft.sources.TokenKVFormat,
   ): Dataset[(String, String)] = {
     import spark.implicits._
 
-    val records = TokenFormat.read(spark, conf)
+    val records = format.read(spark, conf)
     val mapped  = records.flatMap { case (k, v) => mapper.map(k, v) }
 
     if (conf.numReducers == 0) {

@@ -18,6 +18,8 @@ import java.util.Properties
   *   mapred.Mapper.class-name     FQCN of a graft.core.Mapper object/class
   *   mapred.Reducer.class-name    FQCN of a graft.core.Reducer
   *   mapred.Partitioner.class-name FQCN of a graft.core.KeyPartitioner
+  *   mapred.IOFormat.class-name   FQCN of a graft.sources.KVFormat
+  *                                (Token/Csv/Json/Parquet KVFormat)
   *
   * Cluster/CORBA wiring keys (`mapred.Master.*`, `mapred.Workers.
   * exec-nodes`, reporter/buffer keys) are accepted and ignored — their
@@ -69,6 +71,8 @@ object MapReduceApp {
       props.getProperty("mapred.Reducer.class-name", "graft.core.WordCount$SumReducer"))
     val partitioner = loadInstance[KeyPartitioner](
       props.getProperty("mapred.Partitioner.class-name", "graft.core.JavaHashPartitioner"))
+    val format = loadInstance[graft.sources.KVFormat](
+      props.getProperty("mapred.IOFormat.class-name", "graft.sources.TokenKVFormat"))
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -83,7 +87,7 @@ object MapReduceApp {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    MapReduceJob.run(spark, conf, mapper, reducer, partitioner)
+    MapReduceJob.run(spark, conf, mapper, reducer, partitioner, format)
     // total-seconds print at job end, like `app/MapReduceApp.java:263-266`
     println(f"Tempo total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     spark.stop()

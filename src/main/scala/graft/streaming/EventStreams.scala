@@ -40,6 +40,17 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Streaming deduplication on event id: at-least-once sources
+    * (Kafka replays, retried producers) become effectively-once
+    * downstream. State holds one entry per id only within the
+    * watermark horizon, so it is bounded — the streaming twin of
+    * `dd_exact`.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization (30-minute idle gap), the stateful
     * counterpart of the batch `ev_sessionize` query: a session closes
     * when a later event of the same user arrives past the gap, or when

@@ -82,6 +82,25 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 0, 1), ev(2, 1, 1))
+      q.processAllAvailable()
+      // replay event 1 (same id) in a later micro-batch + a new event
+      input.addData(ev(1, 0, 1), ev(3, 2, 1))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select(col("event_id"))
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization agrees with the batch ev_sessionize totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
