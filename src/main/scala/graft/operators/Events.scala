@@ -212,6 +212,46 @@ object Events {
     """),
   )
 
+  /** Range join: (purchase, view) pairs of the same user within ±5
+    * minutes. Naive form is a theta join (cross product per user); the
+    * scalable shape used here buckets both sides into 5-minute epochs
+    * and joins on (user_id, bucket) with one side exploded to its
+    * {b-1, b, b+1} candidate buckets — an equi-join Catalyst can hash-
+    * partition, with the exact range predicate as a post-filter. The
+    * oracle states the naive theta join directly; results must match.
+    */
+  val rangeJoin = Query(
+    "ev_range_join",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"),
+          unix_micros(col("ts")).as("v_us"))
+        .withColumn("bucket",
+          explode(array((-1 to 1).map(d =>
+            expr("v_us div 300000000") + d): _*)))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+        .withColumn("bucket", expr("p_us div 300000000"))
+      purchases.join(views, Seq("user_id", "bucket"))
+        .filter(abs(col("p_us") - col("v_us")) <= 300000000L)
+        .select(col("p_id"), col("v_id"), col("user_id"),
+          (col("p_us") - col("v_us")).as("gap_us"))
+        .distinct()
+        .orderBy(col("p_id"), col("v_id"))
+    },
+    oracle = Some("""
+      SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id,
+             epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id
+       AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 300000000
+      ORDER BY p_id, v_id
+    """),
+  )
+
   def all: Seq[Query] =
-    Seq(hourly, sessionize, dailyActive, funnel, jsonProps, asofJoin)
+    Seq(hourly, sessionize, dailyActive, funnel, jsonProps, asofJoin, rangeJoin)
 }

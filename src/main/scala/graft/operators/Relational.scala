@@ -470,8 +470,26 @@ object Relational {
     """),
   )
 
+  /** HLL approximate distinct counts next to exact ones. No SQL oracle:
+    * DuckDB's approx sketch differs by construction, so the driver
+    * records the weaker rows-only check; RelationalExtraSpec bounds the
+    * estimate against the exact value instead (HLL++ rsd ≈ 5%).
+    */
+  val qApproxDistinct = Query(
+    "q_approx_distinct",
+    (s, dir) => {
+      Tables(s, dir).lineitem.agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+      )
+    },
+    oracle = None,
+  )
+
   def all: Seq[Query] = Seq(
     q1, q3, q5, q4, q6, qRollup, qWindowTopk, qWindowRunning,
     qDistinct, qSetOps, qAntiJoin, qSubquery, qHaving,
-    qFullOuter, qCorrelated, qPivot)
+    qFullOuter, qCorrelated, qPivot, qApproxDistinct)
 }
