@@ -1,0 +1,22 @@
+package graft.core
+
+import graft.SparkSuite
+
+/** O1/O14: `mapred.Input.split-size` must control scan parallelism
+  * through `files.maxPartitionBytes` (the reference cuts ~50 × 2 KB
+  * splits from the 100 KB input, `servant/IOFormatServant.java:77-80`).
+  */
+class SplitSizeSpec extends SparkSuite {
+  test("splitSize controls the number of input partitions") {
+    val input = "/root/reference/mapreduce/seed/teste100K.txt"
+    val small = TokenFormat.read(spark,
+      JobConf(input = input, output = "/tmp/unused", splitSize = 2048))
+      .rdd.getNumPartitions
+    val large = TokenFormat.read(spark,
+      JobConf(input = input, output = "/tmp/unused", splitSize = 1 << 20))
+      .rdd.getNumPartitions
+    // ~100KB / 2KB ≈ 50 splits (Spark packs by cost, so allow slack)
+    assert(small >= 20, s"expected fine-grained splits, got $small")
+    assert(large <= 4, s"expected coarse splits, got $large")
+  }
+}
