@@ -488,8 +488,64 @@ object Relational {
     oracle = None,
   )
 
+  /** Column profiling sweep (data-quality pass a pipeline runs before
+    * training): per-column null counts, distincts, ranges — one scan,
+    * one partial-agg shuffle.
+    */
+  val qProfile = Query(
+    "q_profile",
+    (s, dir) => {
+      Tables(s, dir).orders.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_custkey").isNull.cast("long")).as("null_custkey"),
+        count_distinct(col("o_orderstatus")).as("n_status"),
+        count_distinct(col("o_orderpriority")).as("n_priority"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"),
+      )
+    },
+    oracle = Some("""
+      SELECT count(*) AS n_rows,
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+        count(DISTINCT o_orderstatus) AS n_status,
+        count(DISTINCT o_orderpriority) AS n_priority,
+        round(min(o_totalprice), 2) AS min_price,
+        round(max(o_totalprice), 2) AS max_price,
+        strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+        strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+      FROM orders
+    """),
+  )
+
+  /** Exact interpolated percentiles per order status (Spark
+    * `percentile` == DuckDB `quantile_cont`, both the (n-1)·p linear
+    * interpolation; rounded for float parity).
+    */
+  val qPercentiles = Query(
+    "q_percentiles",
+    (s, dir) => {
+      Tables(s, dir).orders
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        )
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      SELECT o_orderstatus,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      FROM orders GROUP BY 1 ORDER BY 1
+    """),
+  )
+
   def all: Seq[Query] = Seq(
     q1, q3, q5, q4, q6, qRollup, qWindowTopk, qWindowRunning,
     qDistinct, qSetOps, qAntiJoin, qSubquery, qHaving,
-    qFullOuter, qCorrelated, qPivot, qApproxDistinct)
+    qFullOuter, qCorrelated, qPivot, qApproxDistinct, qProfile, qPercentiles)
 }

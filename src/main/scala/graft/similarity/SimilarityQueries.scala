@@ -180,5 +180,82 @@ object SimilarityQueries {
     """),
   )
 
-  def all: Seq[Query] = Seq(bruteTopk, lshTopk, cosineNearDup)
+  /** IVF (inverted-file) approximate top-k: the corpus is coarsely
+    * quantized to 16 centroid cells (deterministic seed centroids:
+    * vec_id < 16, broadcast); each vector is assigned to its argmax-
+    * cosine centroid, queries probe their top-2 cells (nprobe=2), and
+    * ranking happens only among candidates in probed cells.
+    *
+    * At scale: assignment is a broadcast map-side pass over the corpus
+    * scan; the only shuffle is the (cell) equi-join — IVF's posting
+    * lists. Real deployments learn centroids (k-means sample); the
+    * seed-vector choice keeps the operator deterministic for the
+    * oracle, and swapping centroid provenance changes no plan shape.
+    */
+  val ivfTopk = Query(
+    "ss_ivf_topk",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+      // cell assignment: argmax cosine, ties to the higher cid
+      val scoredCells = e.join(cents)
+        .select(col("vec_id"), col("embedding"),
+          col("cid"), VectorFunctions.cosineSim(col("embedding"), col("cv")).as("ccos"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").desc)
+      val assigned = scoredCells
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      // queries probe their top-2 cells
+      val probes = scoredCells.filter(col("vec_id") < 20)
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") <= 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("cid").as("cell"))
+      val scored = assigned.join(probes, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VectorFunctions.cosineSim(col("qv"), col("embedding")).as("cos"))
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      scored
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    oracle = Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+      ), scored_cells AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos
+        FROM embeddings e, cents c
+      ), ranked_cells AS (
+        SELECT vec_id, embedding, cid,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid DESC) AS rk
+        FROM scored_cells
+      ), assigned AS (
+        SELECT vec_id, embedding, cid AS cell FROM ranked_cells WHERE rk = 1
+      ), probes AS (
+        SELECT vec_id AS qid, embedding AS qv, cid AS cell
+        FROM ranked_cells WHERE rk <= 2 AND vec_id < 20
+      ), cand AS (
+        SELECT p.qid, a.vec_id AS nid,
+               ${cosineSqlExpr2("p.qv", "a.embedding")} AS cos
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.qid
+      ), ranked AS (
+        SELECT qid, nid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        FROM cand)
+      SELECT qid, rk, nid, round(cos, 4) AS cos
+      FROM ranked WHERE rk <= 5 ORDER BY qid, rk
+    """),
+  )
+
+  def all: Seq[Query] = Seq(bruteTopk, lshTopk, ivfTopk, cosineNearDup)
 }

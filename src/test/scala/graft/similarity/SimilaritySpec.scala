@@ -53,6 +53,20 @@ class SimilaritySpec extends SparkSuite {
       s"recall ${hits.toDouble / answered.size} over ${answered.size} queries")
   }
 
+  test("IVF search returns some true top-5 neighbors (probed-cell recall)") {
+    val brute = QueryRegistry.byName("ss_cosine_topk").run(spark, sf("sf0.001"))
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = QueryRegistry.byName("ss_ivf_topk").run(spark, sf("sf0.001"))
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    // 2 of 16 random seed cells probed on isotropic vectors: modest by
+    // design; guards against broken assignment, not tuning
+    assert(recall >= 0.1, s"top-5 recall $recall")
+  }
+
   test("sign bucket key has the declared width and alphabet") {
     val buckets = emb
       .select(VectorFunctions.signBucket(col("embedding"), 8).as("b"))
