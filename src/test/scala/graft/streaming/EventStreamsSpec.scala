@@ -82,6 +82,40 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming hourlyAgg agrees with the batch ev_hourly_agg on full replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.Tables(spark, sf("sf0.001")).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[Event].collect()
+    val input = MemoryStream[Event]
+    val q = hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("hourly_replay_out")
+      .outputMode("append").start()
+    try {
+      // single batch => watermark can't drop anything; sentinel finalizes
+      input.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(Event(-1,
+        new Timestamp(events.map(_.ts.getTime).max + 86400_000L), -1, "x", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2,
+        new Timestamp(events.map(_.ts.getTime).max + 86400_000L + 1), -2, "x", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_replay_out")
+        .filter(col("event_type") =!= "x")
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.QueryRegistry.byName("ev_hourly_agg")
+        .run(spark, sf("sf0.001"))
+        .select(col("hour"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"stream/batch mismatch: ${(streamed.toSet diff batch.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
