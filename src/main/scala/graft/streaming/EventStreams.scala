@@ -51,6 +51,31 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream join: purchases joined to same-user views within
+    * ±5 minutes — the incremental twin of the batch `ev_range_join`.
+    * Both sides carry watermarks and the join condition is time-bounded
+    * in both directions, which is what lets Spark expire join state:
+    * a buffered view can be dropped once the purchase-side watermark
+    * passes view_ts + 5 min, so state is bounded by rate × window, not
+    * by stream length.
+    */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("v_ts") <= col("p_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   /** Gap-based sessionization (30-minute idle gap), the stateful
     * counterpart of the batch `ev_sessionize` query: a session closes
     * when a later event of the same user arrives past the gap, or when

@@ -3,14 +3,15 @@ package graft.streaming
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Replays an events parquet table as a rate-limited file stream
-  * through the streaming sessionizer and prints closed sessions —
-  * the runnable surface of the streaming module:
-  * `runMain graft.streaming.StreamDemo <sfDir>`
+/** Replays an events parquet table as a file stream through a
+  * streaming operator and prints the result — the runnable surface of
+  * the streaming module:
+  * `runMain graft.streaming.StreamDemo <sfDir> [sessionize|join]`
   */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val mode  = args.drop(1).headOption.getOrElse("sessionize")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -32,13 +33,17 @@ object StreamDemo {
       .parquet(staging)
       .as[EventStreams.Event]
 
-    val q = EventStreams.sessionize(stream)
-      .writeStream.format("memory").queryName("sessions")
+    val out = mode match {
+      case "join" => EventStreams.viewPurchaseJoin(stream.toDF())
+      case _      => EventStreams.sessionize(stream).toDF()
+    }
+    val q = out
+      .writeStream.format("memory").queryName("stream_out")
       .outputMode("append").start()
     q.processAllAvailable()
-    val closed = spark.table("sessions")
-    println(s"closed_sessions=${closed.count()}")
-    closed.orderBy(desc("n_events")).show(5, truncate = false)
+    val result = spark.table("stream_out")
+    println(s"rows=${result.count()}")
+    result.show(5, truncate = false)
     q.stop()
     spark.stop()
   }

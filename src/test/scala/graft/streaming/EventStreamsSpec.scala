@@ -135,6 +135,31 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream range join agrees with the batch ev_range_join pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.Tables(spark, sf("sf0.01")).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[Event].collect()
+    val input = MemoryStream[Event]
+    val q = viewPurchaseJoin(input.toDF())
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      input.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_out")
+        .select(col("p_id"), col("v_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.QueryRegistry.byName("ev_range_join")
+        .run(spark, sf("sf0.01"))
+        .select(col("p_id"), col("v_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"stream=$streamed vs batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming sessionization agrees with the batch ev_sessionize totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
