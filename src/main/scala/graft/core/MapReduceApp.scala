@@ -48,15 +48,39 @@ object MapReduceApp {
   def parseConf(props: Properties): JobConf = {
     val input = Option(props.getProperty("mapred.Input.name"))
       .getOrElse(sys.error("mapred.Input.name is required"))
+    // #map tasks = #splits in the reference (`schedule/MasterServant
+    // .java:310`); when mapred.Mappers.number is given without an
+    // explicit split size, derive the split size that yields that many
+    // splits (what `IOFormatServant.getSplits` effectively does).
+    val splitSize = Option(props.getProperty("mapred.Input.split-size"))
+      .map(_.toLong)
+      .orElse {
+        Option(props.getProperty("mapred.Mappers.number")).map { m =>
+          val f = new java.io.File(input)
+          val bytes = if (f.isFile) f.length() else 0L
+          math.max(1L, math.ceil(bytes.toDouble / m.toInt).toLong)
+        }
+      }
+      .getOrElse(2048L)
     JobConf(
       input       = input,
       output      = props.getProperty("mapred.Output.name", input + ".out"),
       numReducers = props.getProperty("mapred.Reducers.number", "1").toInt,
-      splitSize   = props.getProperty("mapred.Input.split-size", "2048").toLong,
+      splitSize   = splitSize,
       combine     = props.getProperty("mapred.Combine.flag", "true").toBoolean,
       joinOutput  = props.getProperty("mapred.Join.flag", "false").toBoolean,
     )
   }
+
+  /** `mapred.Reporter.level` → Spark log level (reference levels:
+    * 0 errors, 1 info, 2 debug — `idl/mapReduce.idl:20-24`).
+    */
+  private[core] def logLevel(props: Properties): String =
+    props.getProperty("mapred.Reporter.level", "0") match {
+      case "0" => "WARN"
+      case "1" => "INFO"
+      case _   => "DEBUG"
+    }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: MapReduceApp <mapReduce.properties>")
@@ -84,7 +108,7 @@ object MapReduceApp {
       .config("spark.speculation.multiplier", "1.2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(logLevel(props))
 
     val t0 = System.nanoTime()
     MapReduceJob.run(spark, conf, mapper, reducer, partitioner, format)

@@ -227,6 +227,30 @@ object Relational {
     """),
   )
 
+  /** CUBE over returnflag × linestatus — all four grouping sets. */
+  val qCube = Query(
+    "q_cube",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("total"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("total"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    },
+    oracle = Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n, round(sum(l_extendedprice), 2) AS total
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus
+    """),
+  )
+
   /** Window ranking: top-3 parts by retail price per brand
     * (row_number, deterministic tiebreak on p_partkey).
     */
@@ -545,7 +569,7 @@ object Relational {
   )
 
   def all: Seq[Query] = Seq(
-    q1, q3, q5, q4, q6, qRollup, qWindowTopk, qWindowRunning,
+    q1, q3, q5, q4, q6, qRollup, qCube, qWindowTopk, qWindowRunning,
     qDistinct, qSetOps, qAntiJoin, qSubquery, qHaving,
     qFullOuter, qCorrelated, qPivot, qApproxDistinct, qProfile, qPercentiles)
 }

@@ -1,0 +1,41 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.util.Properties
+
+class MapReduceAppConfSpec extends AnyFunSuite {
+
+  private def props(kv: (String, String)*): Properties = {
+    val p = new Properties()
+    kv.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  test("Mappers.number derives the split size from the input length") {
+    // teste100K.txt is 100,010 bytes; 50 mappers => 2001-byte splits
+    val conf = MapReduceApp.parseConf(props(
+      "mapred.Input.name" -> "/root/reference/mapreduce/seed/teste100K.txt",
+      "mapred.Mappers.number" -> "50"))
+    assert(conf.splitSize == 2001L)
+  }
+
+  test("explicit split-size wins over Mappers.number") {
+    val conf = MapReduceApp.parseConf(props(
+      "mapred.Input.name" -> "/root/reference/mapreduce/seed/teste100K.txt",
+      "mapred.Mappers.number" -> "50",
+      "mapred.Input.split-size" -> "4096"))
+    assert(conf.splitSize == 4096L)
+  }
+
+  test("defaults match the reference (2048-byte splits, 1 reducer, combine on)") {
+    val conf = MapReduceApp.parseConf(props("mapred.Input.name" -> "/x"))
+    assert(conf.splitSize == 2048L && conf.numReducers == 1 && conf.combine)
+    assert(!conf.joinOutput && conf.output == "/x.out")
+  }
+
+  test("reporter levels map to log levels") {
+    assert(MapReduceApp.logLevel(props()) == "WARN")
+    assert(MapReduceApp.logLevel(props("mapred.Reporter.level" -> "1")) == "INFO")
+    assert(MapReduceApp.logLevel(props("mapred.Reporter.level" -> "2")) == "DEBUG")
+  }
+}
