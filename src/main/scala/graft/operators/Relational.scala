@@ -310,6 +310,63 @@ object Relational {
     """),
   )
 
+  /** Window-function breadth: dense_rank, ntile, lead, first over one
+    * shared (nation, balance) ordering — Spark plans a single Window
+    * exec for all four.
+    */
+  val qWindowMisc = Query(
+    "q_window_misc",
+    (s, dir) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      Tables(s, dir).supplier
+        .select(
+          col("s_suppkey"), col("s_nationkey"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"),
+          coalesce(lead(col("s_suppkey"), 1).over(w), lit(-1L)).as("next_supp"),
+          first(col("s_suppkey")).over(w).as("richest"))
+        .orderBy(col("s_suppkey"))
+    },
+    oracle = Some("""
+      SELECT s_suppkey, s_nationkey,
+        dense_rank() OVER w AS drk,
+        ntile(4) OVER w AS quartile,
+        coalesce(lead(s_suppkey, 1) OVER w, -1) AS next_supp,
+        first_value(s_suppkey) OVER w AS richest
+      FROM supplier
+      WINDOW w AS (PARTITION BY s_nationkey
+                   ORDER BY s_acctbal DESC, s_suppkey)
+      ORDER BY s_suppkey
+    """),
+  )
+
+  /** Date/time function surface: calendar rollup by (year, quarter)
+    * with month spans — engine-portable extractions only (dayofweek
+    * numbering differs between engines and is deliberately avoided).
+    */
+  val qDatetime = Query(
+    "q_datetime",
+    (s, dir) => {
+      Tables(s, dir).orders
+        .groupBy(
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .agg(
+          count(lit(1)).as("n"),
+          count_distinct(month(col("o_orderdate"))).as("n_months"),
+          min(dayofmonth(col("o_orderdate"))).as("first_dom"))
+        .orderBy(col("yr"), col("qtr"))
+    },
+    oracle = Some("""
+      SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+        count(*) AS n,
+        count(DISTINCT month(o_orderdate)) AS n_months,
+        min(day(o_orderdate)) AS first_dom
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+  )
+
   /** Exact distinct counts (the reference has no distinct at all). */
   val qDistinct = Query(
     "q_distinct",
@@ -570,6 +627,7 @@ object Relational {
 
   def all: Seq[Query] = Seq(
     q1, q3, q5, q4, q6, qRollup, qCube, qWindowTopk, qWindowRunning,
-    qDistinct, qSetOps, qAntiJoin, qSubquery, qHaving,
-    qFullOuter, qCorrelated, qPivot, qApproxDistinct, qProfile, qPercentiles)
+    qWindowMisc, qDatetime, qDistinct, qSetOps, qAntiJoin, qSubquery,
+    qHaving, qFullOuter, qCorrelated, qPivot, qApproxDistinct, qProfile,
+    qPercentiles)
 }
