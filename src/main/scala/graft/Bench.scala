@@ -32,12 +32,18 @@ object Bench {
         System.err.println(s"[bench-warm] ${q.name} failed: ${e.getMessage}")
       }
     }
-    val results = queries.map { q =>
+    // two measured passes, min per query: single-pass numbers on a
+    // shared box carry seconds of scheduler/GC noise
+    def measure(): Map[String, Double] = queries.map { q =>
       val t0 = System.nanoTime()
       try exec(q.run(spark, sfDir))
       catch { case _: Throwable => () }
       q.name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    val m1 = measure()
+    val m2 = measure()
+    val results = queries.map(q =>
+      q.name -> math.min(m1(q.name), m2(q.name)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
