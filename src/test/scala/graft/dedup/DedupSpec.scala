@@ -33,6 +33,23 @@ class DedupSpec extends SparkSuite {
     assert(planted.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("native kernels == composition on generated text incl. unicode and edge shapes") {
+    import org.apache.spark.sql.functions.{col, array_sort}
+    import org.scalacheck.Gen
+    val word = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      Gen.oneOf("héllo", "wörld", "日本語", "données", "a|b", ""))
+    val text = Gen.listOfN(8, word).map(_.mkString(" "))
+    val samples = new graft.core.GenChecks {}.collectSamples(text, 200)
+    import spark.implicits._
+    val df = samples.toDF("text")
+    val diff = df.select(
+      array_sort(graft.functions.HashFunctions.shingleHash32(col("text"))).as("native"),
+      array_sort(DedupQueries.shingleHashesComposed(col("text"))).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.count() == 0)
+  }
+
   test("native shingle-hash kernel == built-ins composition") {
     import org.apache.spark.sql.functions.{col, array_sort}
     val docs = graft.Tables(spark, dir).documents.select(col("text"))
