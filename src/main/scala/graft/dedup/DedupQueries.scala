@@ -299,5 +299,122 @@ object DedupQueries {
     """),
   )
 
-  def all: Seq[Query] = Seq(exact, minhashLsh, simhash, ngramJaccard)
+  /** Incremental (CDC-style) dedup: drop incoming docs whose content
+    * hash already exists in the corpus — the production shape for
+    * continuously-ingested corpora, where re-running full dedup per
+    * batch is unaffordable. One anti join on 16-byte hashes; the
+    * corpus side would be a bucketed hash table at scale.
+    */
+  def incremental(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val known = existing.select(md5(col("text")).as("h")).distinct()
+    incoming
+      .withColumn("h", md5(col("text")))
+      .join(known, Seq("h"), "left_anti")
+      .drop("h")
+  }
+
+  /** Composed corpus-cleaning pass — quality filter, then exact dedup
+    * (keep lowest doc_id per hash), then near-dup drop (a doc is
+    * dropped when it is the higher id of any MinHash candidate pair
+    * with Jaccard ≥ 0.8; pairwise rather than transitive closure, so
+    * the rule stays one anti join and is SQL-expressible for the
+    * oracle). Emits the surviving corpus ids + the per-stage verdicts.
+    */
+  val cleanCorpus = Query(
+    "dd_clean_corpus",
+    (s, dir) => {
+      val corpus = dupCorpus(Tables(s, dir))
+      val toksOf = toks(col("text"))
+      val quality = corpus
+        .filter(size(toksOf).between(10, 2000))
+      val exactKept = quality
+        .withColumn("h", md5(col("text")))
+        .withColumn("keeper", min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .filter(col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("text"))
+      val sh = exactKept
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val mh = array(hashParams.map { case (a, b) =>
+        array_min(transform(col("sh"), h => (h * a + b) % MinhashP))
+      }: _*)
+      val bandKeys = array((0 until 4).map { b =>
+        concat_ws(":", lit(b.toString) +:
+          (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)
+            .cast("string")): _*)
+      }: _*)
+      val bands = sh.withColumn("mh", mh)
+        .select(col("doc_id"), explode(bandKeys).as("bh"))
+      val nearPairs = bands.as("a")
+        .join(bands.as("b"), col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.8)
+        .select(col("id_b").as("doc_id"))
+        .distinct()
+      exactKept
+        .join(nearPairs, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = {
+      val mhList = hashParams.map { case (a, b) =>
+        s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashP))"
+      }.mkString("[", ", ", "]")
+      val bandList = (0 until 4).map { b =>
+        val parts = (0 until 4).map(r => s"mh[${b * 4 + r + 1}]::VARCHAR")
+        s"'$b:' || " + parts.mkString(" || ':' || ")
+      }.mkString("[", ", ", "]")
+      Some(s"""
+      WITH corpus AS ($dupCorpusSql),
+      quality AS (
+        SELECT doc_id, text FROM corpus
+        WHERE len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+              BETWEEN 10 AND 2000
+      ),
+      exact_kept AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+            min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          FROM quality)
+        WHERE doc_id = keeper
+      ),
+      sh AS (
+        SELECT doc_id, $shingleHashSql AS sh
+        FROM (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+              FROM exact_kept)
+        WHERE len(t) >= 3
+      ),
+      mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
+      bands AS (SELECT doc_id, unnest($bandList) AS bh FROM mh),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
+      ),
+      near_drop AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM cands
+          JOIN sh sa ON sa.doc_id = id_a
+          JOIN sh sb ON sb.doc_id = id_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+              >= 0.8
+      )
+      SELECT doc_id FROM exact_kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+      ORDER BY doc_id
+    """)
+    },
+    headline = true,
+  )
+
+  def all: Seq[Query] =
+    Seq(exact, minhashLsh, simhash, ngramJaccard, cleanCorpus)
 }

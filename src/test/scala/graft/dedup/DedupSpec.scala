@@ -60,6 +60,28 @@ class DedupSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("incremental dedup admits only unseen content") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") < 250)
+    // incoming: 50 already-known docs (shifted ids) + 50 new ones
+    val incoming = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") >= 250 && col("doc_id") < 300))
+    val admitted = DedupQueries.incremental(existing, incoming).collect()
+    assert(admitted.length == 50)
+    assert(admitted.forall(r => r.getAs[Long]("doc_id") >= 250))
+  }
+
+  test("dd_clean_corpus drops planted duplicates and keeps originals") {
+    val kept = graft.QueryRegistry.byName("dd_clean_corpus").run(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // every planted copy (id >= 100000) must be gone (exact dedup keeps
+    // the lower-id original)
+    assert(!kept.exists(_ >= 100000))
+    assert(kept.nonEmpty)
+  }
+
   test("dd_simhash: equal texts hash equal; fingerprints fit in 60 bits") {
     val hashes = QueryRegistry.byName("dd_simhash").run(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
