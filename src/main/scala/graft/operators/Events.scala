@@ -252,6 +252,47 @@ object Events {
     """),
   )
 
-  def all: Seq[Query] =
-    Seq(hourly, sessionize, dailyActive, funnel, jsonProps, asofJoin, rangeJoin)
+  /** Native session windows: Spark's `session_window(ts, gap)` merges
+    * events with <30-minute gaps per user — the built-in counterpart of
+    * the manual lag-based `ev_sessionize`. The oracle reproduces the
+    * same sessions with the manual SQL, so the two formulations are
+    * proven equivalent. (window.end is last_event + gap by definition,
+    * so the comparable columns are start and counts.)
+    */
+  val sessionWindow = Query(
+    "ev_session_window",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    oracle = Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sess AS (
+        SELECT user_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start
+    """),
+  )
+
+  def all: Seq[Query] = Seq(hourly, sessionize, dailyActive, funnel,
+    jsonProps, asofJoin, rangeJoin, sessionWindow)
 }

@@ -367,6 +367,42 @@ object Relational {
     """),
   )
 
+  /** Scalar string-function surface (upper/lower/trim/pad/replace/
+    * substring/concat/length/levenshtein) — classic Levenshtein is
+    * engine-portable, so even edit distance is value-oracled.
+    */
+  val qStringFuncs = Query(
+    "q_string_funcs",
+    (s, dir) => {
+      Tables(s, dir).part
+        .filter(col("p_partkey") < 500)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          lower(col("p_type")).as("type_lc"),
+          trim(col("p_name")).as("name_trim"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+          regexp_replace(col("p_brand"), "#", "-").as("brand_dash"),
+          substring(col("p_type"), 1, 5).as("type_head"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).as("name_len"),
+          levenshtein(col("p_brand"), lit("Brand#1")).as("brand_dist"))
+        .orderBy(col("p_partkey"))
+    },
+    oracle = Some("""
+      SELECT p_partkey,
+        upper(p_brand) AS brand_uc, lower(p_type) AS type_lc,
+        trim(p_name) AS name_trim,
+        lpad(p_partkey::VARCHAR, 8, '0') AS key_pad,
+        replace(p_brand, '#', '-') AS brand_dash,
+        substr(p_type, 1, 5) AS type_head,
+        p_brand || '/' || p_type AS brand_type,
+        length(p_name) AS name_len,
+        levenshtein(p_brand, 'Brand#1') AS brand_dist
+      FROM part WHERE p_partkey < 500 ORDER BY p_partkey
+    """),
+  )
+
   /** Exact distinct counts (the reference has no distinct at all). */
   val qDistinct = Query(
     "q_distinct",
@@ -627,7 +663,7 @@ object Relational {
 
   def all: Seq[Query] = Seq(
     q1, q3, q5, q4, q6, qRollup, qCube, qWindowTopk, qWindowRunning,
-    qWindowMisc, qDatetime, qDistinct, qSetOps, qAntiJoin, qSubquery,
+    qWindowMisc, qDatetime, qStringFuncs, qDistinct, qSetOps, qAntiJoin, qSubquery,
     qHaving, qFullOuter, qCorrelated, qPivot, qApproxDistinct, qProfile,
     qPercentiles)
 }
