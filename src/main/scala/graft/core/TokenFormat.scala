@@ -29,9 +29,11 @@ object TokenFormat extends Serializable {
   val MaxTokenLen  = 1000
   val Separator    = ' '
 
-  /** Tokenize one chunk of text (reference O2 semantics). */
+  /** Tokenize one chunk of text (reference O2 semantics; newline is
+    * normalized to a separator — see the read() scale note).
+    */
   def tokenize(chunk: String): Iterator[String] =
-    chunk.split(Separator).iterator.filter(_.nonEmpty)
+    chunk.split("[ \n\r]+").iterator.filter(_.nonEmpty)
       .flatMap(_.grouped(MaxTokenLen))
 
   /** Parse one token into a (key, value) record — exact replica of
@@ -51,12 +53,24 @@ object TokenFormat extends Serializable {
   /** Read a token file into (key, value) records. `splitSize` maps to
     * `spark.sql.files.maxPartitionBytes` so the scan parallelism knob
     * of the reference (`mapred.Input.split-size`) keeps its meaning.
+    *
+    * Scale note: the token format is typically ONE physical line (the
+    * writer emits space-terminated tokens with no newlines), so a
+    * newline-delimited scan collapses any file into a single record and
+    * serializes tokenization on one core. Reading with the space
+    * character as the record separator makes Hadoop's record reader
+    * align splits at token boundaries — exactly the reference's
+    * extend-split-to-next-space logic (`servant/IOFormatServant
+    * .java:147-154`), done by the input format instead of by copying
+    * bytes. Records are still run through [[tokenize]], which also
+    * treats newlines as separators, so multi-line files parse
+    * identically (documented deviation, SURVEY §7.4#1).
     */
   def read(spark: SparkSession, conf: JobConf): Dataset[(String, String)] = {
     import spark.implicits._
     spark.conf.set("spark.sql.files.maxPartitionBytes", conf.splitSize)
-    spark.read.textFile(conf.input)
-      .flatMap(line => tokenize(line).map(parse))
+    spark.read.option("lineSep", Separator.toString).textFile(conf.input)
+      .flatMap(rec => tokenize(rec).map(parse))
   }
 
   /** Write records in the golden byte format: within each output file,
