@@ -2,6 +2,7 @@ package graft.text
 
 import graft.{Query, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -242,6 +243,103 @@ object TextQueries {
     """),
   )
 
-  def all: Seq[Query] =
-    Seq(tokenStats, quality, langid, fingerprint, bigrams, bpeTokens)
+  /** Character-n-gram language ID: per-language trigram profiles are
+    * learned from the labeled corpus inside the query (top-15 char
+    * trigrams per language by frequency, ties broken lexicographically)
+    * and each document is scored by profile overlap of its distinct
+    * trigrams; argmax with deterministic tiebreak on language code.
+    * Train and apply are both set-shaped (explode → count → rank →
+    * join) — the whole classifier is one oracle-checkable query.
+    */
+  val langidNgram = Query(
+    "tx_langid_ngram",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val trigrams = docs.select(
+        col("doc_id"), col("lang"),
+        array_distinct(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+          .as("tg"))
+      val exploded = trigrams.select(col("doc_id"), col("lang"),
+        explode(col("tg")).as("g"))
+      val profiles = exploded.groupBy(col("lang").as("plang"), col("g"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("plang")).orderBy(col("n").desc, col("g"))))
+        .filter(col("rk") <= 15)
+        .select(col("plang"), col("g"))
+      val scores = exploded
+        .join(profiles, Seq("g"))
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(count(lit(1)).as("overlap"))
+      val wBest = Window.partitionBy(col("doc_id"))
+        .orderBy(col("overlap").desc, col("plang"))
+      scores
+        .withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .groupBy(col("lang").as("labeled"), col("plang").as("guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("labeled"), col("guess"))
+    },
+    oracle = Some("""
+      WITH tg AS (
+        SELECT doc_id, lang,
+          unnest(list_distinct(list_transform(
+            range(1, greatest(length(text) - 1, 1)),
+            i -> substr(text, i, 3)))) AS g
+        FROM documents
+      ), profiles AS (
+        SELECT lang AS plang, g FROM (
+          SELECT lang, g, row_number() OVER (PARTITION BY lang
+            ORDER BY count(*) DESC, g) AS rk
+          FROM tg GROUP BY lang, g)
+        WHERE rk <= 15
+      ), scores AS (
+        SELECT t.doc_id, t.lang, p.plang, count(*) AS overlap
+        FROM tg t JOIN profiles p ON p.g = t.g
+        GROUP BY 1, 2, 3
+      ), best AS (
+        SELECT doc_id, lang, plang,
+          row_number() OVER (PARTITION BY doc_id
+                             ORDER BY overlap DESC, plang) AS rk
+        FROM scores)
+      SELECT lang AS labeled, plang AS guess, count(*) AS n
+      FROM best WHERE rk = 1
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+  )
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash
+    * (Rabin–Karp fold) over the token stream — h = fold(h·B + hash32(t)
+    * mod P). Unlike the sorted-set md5 fingerprint, token order
+    * matters, so reordered documents get different fingerprints.
+    */
+  val rollingFingerprint = Query(
+    "tx_rolling_fp",
+    (s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .withColumn("hs", transform(col("t"), x =>
+          conv(substring(md5(x), 1, 8), 16, 10).cast("long")))
+        // modulus < 2^58 keeps acc*31 + h under 2^63 in both engines
+        // (DuckDB errors on signed overflow rather than wrapping)
+        .withColumn("fp", expr(
+          "aggregate(hs, cast(0 as bigint), (acc, h) -> (acc * 31 + h) % 288230376151711717)"))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(0::BIGINT,
+            list_transform(
+              list_filter(string_split(text, ' '), x -> length(x) > 0),
+              x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
+          (acc, h) -> (acc * 31 + h) % 288230376151711717) AS fp
+      FROM documents ORDER BY doc_id
+    """),
+  )
+
+  def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
+    fingerprint, rollingFingerprint, bigrams, bpeTokens)
 }
