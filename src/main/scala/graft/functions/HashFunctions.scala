@@ -66,6 +66,20 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Codegen entry point for [[CharNgrams]]. */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= s.length) { seen.add(s.substring(i, i + n)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it  = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit SimHash of `text` (majority vote over per-token hashes;
     * duplicates count). 0 for token-less text.
     */
@@ -92,6 +106,28 @@ object HashKernels {
     }
     out
   }
+}
+
+/** Distinct character n-grams of a text column (fused kernel twin of
+  * `transform(sequence(1, length-n+1), i -> substring(text, i, n))` +
+  * `array_distinct`, which runs interpreted). First-occurrence order,
+  * matching the composed form and DuckDB's list_distinct.
+  */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.charNgrams(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.charNgrams($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): CharNgrams =
+    copy(child = c)
+
+  override def prettyName: String = "char_ngrams"
 }
 
 /** `array<long>` of distinct 32-bit shingle hashes of a text column. */
@@ -135,4 +171,8 @@ object HashFunctions {
   /** 60-bit SimHash fingerprint (native kernel). */
   def simhash60(c: Column): Column =
     Exprs.toColumn(SimHash60(Exprs.toExpr(c)))
+
+  /** Distinct character n-grams (native kernel). */
+  def charNgrams(c: Column, n: Int): Column =
+    Exprs.toColumn(CharNgrams(Exprs.toExpr(c), n))
 }

@@ -257,9 +257,7 @@ object TextQueries {
       val docs = Tables(s, dir).documents
       val trigrams = docs.select(
         col("doc_id"), col("lang"),
-        array_distinct(expr(
-          "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
-          .as("tg"))
+        graft.functions.HashFunctions.charNgrams(col("text"), 3).as("tg"))
       val exploded = trigrams.select(col("doc_id"), col("lang"),
         explode(col("tg")).as("g"))
       val profiles = exploded.groupBy(col("lang").as("plang"), col("g"))
