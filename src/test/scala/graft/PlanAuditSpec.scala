@@ -1,0 +1,30 @@
+package graft
+
+/** Physical-plan lint for the whole registry: no query may plan an
+  * unbounded CartesianProduct — the one join shape that cannot survive
+  * a 100 TB input. Non-equi joins against a *broadcast* side
+  * (BroadcastNestedLoopJoin) are permitted only for the queries that
+  * declare a bounded small side (brute-force similarity baselines, the
+  * 16-centroid IVF assignment).
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  /** declared brute-force baselines: O(n²) against a bounded/broadcast
+    * side is their documented contract
+    */
+  private val broadcastLoopAllowed = Set(
+    "ss_cosine_topk", "ss_ivf_topk", "dd_embedding_cosine",
+    "q_scalar_subquery")
+
+  QueryRegistry.all.foreach { q =>
+    test(s"${q.name} plans no cartesian product") {
+      val plan = q.run(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct:\n$plan")
+      if (!broadcastLoopAllowed(q.name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans an undeclared nested-loop join:\n$plan")
+      }
+    }
+  }
+}
