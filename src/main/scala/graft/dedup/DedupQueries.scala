@@ -251,9 +251,12 @@ object DedupQueries {
       val t  = Tables(s, dir)
       val sh = spread(dupCorpus(t))
         .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
-      val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50)
-      val posting = sh.join(rare.select(col("s")), "s")
+      // df cap as a broadcast anti join against the HOT set: hot
+      // shingles are few by construction (that's why they're capped),
+      // so the posting list never re-shuffles just to learn its df
+      val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50).select(col("s"))
+      val posting = sh.join(broadcast(hot), Seq("s"), "left_anti")
       val inter = posting.as("a")
         .join(posting.as("b"), col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id"))
