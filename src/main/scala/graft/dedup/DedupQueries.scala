@@ -418,6 +418,53 @@ object DedupQueries {
     headline = true,
   )
 
+  /** Passage-level duplication: 10-token shingles occurring in more
+    * than one document are duplicated passages (the bounded-length tier
+    * of substring dedup — cf. suffix-array train-data dedup, which this
+    * approximates at fixed n). Output: per document, how many of its
+    * passages are shared and with how many other docs at worst. One
+    * explode + one groupBy on 8-byte hashes.
+    */
+  val dupPassages = Query(
+    "dd_dup_passages",
+    (s, dir) => {
+      val t  = Tables(s, dir)
+      val sh = spread(dupCorpus(t))
+        .select(col("doc_id"),
+          explode(graft.functions.HashFunctions.shingleHash32(col("text"), 10))
+            .as("s"))
+      val shared = sh.groupBy(col("s"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") > 1)
+      sh.join(shared, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_passages"),
+          max(col("df")).as("max_spread"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH corpus AS ($dupCorpusSql),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          list_transform(range(1, greatest(len(t) - 8, 1)),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                 t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' ||
+                 t[i+8] || ' ' || t[i+9]),
+          x -> ('0x' || substr(md5(x), 1, 8))::BIGINT))) AS s
+        FROM (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+              FROM corpus)
+        WHERE len(t) >= 10
+      ),
+      shared AS (
+        SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s HAVING count(DISTINCT doc_id) > 1
+      )
+      SELECT doc_id, count(*) AS n_shared_passages, max(df) AS max_spread
+      FROM sh JOIN shared USING (s)
+      GROUP BY doc_id ORDER BY doc_id
+    """),
+  )
+
   def all: Seq[Query] =
-    Seq(exact, minhashLsh, simhash, ngramJaccard, cleanCorpus)
+    Seq(exact, minhashLsh, simhash, ngramJaccard, cleanCorpus, dupPassages)
 }
