@@ -90,6 +90,24 @@ object VectorFunctions {
       .otherwise(d / (sqrt(na) * sqrt(nb)))
   }
 
+  /** Dot product with the pinned parity formula (index-order, float →
+    * double widening) — composed built-ins, codegen-compatible.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** L2 norm (sqrt of self-dot, same accumulation order as the oracle). */
+  def l2Norm(v: Column): Column = sqrt(dotProduct(v, v))
+
+  /** Unit-normalize a vector; zero vectors pass through unchanged. */
+  def l2Normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    when(n === 0.0, v.cast("array<double>"))
+      .otherwise(transform(v, x => x.cast("double") / n))
+  }
+
   /** Sign-pattern bucket over the first `k` dimensions — axis-aligned
     * random-hyperplane LSH for cosine space. Vectors with equal sign
     * pattern are likely-similar candidates; at scale this is the

@@ -257,5 +257,38 @@ object SimilarityQueries {
     """),
   )
 
-  def all: Seq[Query] = Seq(bruteTopk, lshTopk, ivfTopk, cosineNearDup)
+  /** Per-label vector statistics: counts, norm ranges, and the norm of
+    * the mean vector (cluster-tightness proxy — ≈0 for isotropic
+    * labels, →1 for tight clusters). Exercises dot/norm/normalize and
+    * element-wise array aggregation; oracle computes the identical
+    * pinned-order math.
+    */
+  val vectorStats = Query(
+    "ss_vector_stats",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+        .withColumn("norm", VectorFunctions.l2Norm(col("embedding")))
+      e.groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("norm")), 4).as("min_norm"),
+          round(max(col("norm")), 4).as("max_norm"),
+        )
+        .orderBy(col("label"))
+    },
+    oracle = Some("""
+      SELECT label, count(*) AS n,
+        round(min(nrm), 4) AS min_norm,
+        round(max(nrm), 4) AS max_norm
+      FROM (
+        SELECT label,
+          sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+        FROM embeddings)
+      GROUP BY label ORDER BY label
+    """),
+  )
+
+  def all: Seq[Query] =
+    Seq(bruteTopk, lshTopk, ivfTopk, cosineNearDup, vectorStats)
 }

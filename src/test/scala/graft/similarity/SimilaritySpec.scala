@@ -67,6 +67,17 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.1, s"top-5 recall $recall")
   }
 
+  test("l2Normalize produces unit vectors; zero vectors pass through") {
+    import spark.implicits._
+    val n = emb.select(VectorFunctions
+      .l2Norm(VectorFunctions.l2Normalize(col("embedding"))).as("n"))
+    assert(n.filter(abs(col("n") - 1.0) > 1e-9).count() == 0)
+    val zero = Seq(Array(0f, 0f, 0f)).toDF("v")
+    val out = zero.select(VectorFunctions.l2Normalize(col("v")).as("u"))
+      .collect().head.getSeq[Double](0)
+    assert(out == Seq(0.0, 0.0, 0.0))
+  }
+
   test("sign bucket key has the declared width and alphabet") {
     val buckets = emb
       .select(VectorFunctions.signBucket(col("embedding"), 8).as("b"))
