@@ -62,13 +62,19 @@ object MapReduceApp {
         }
       }
       .getOrElse(2048L)
+    val joinOutput = props.getProperty("mapred.Join.flag", "false").toBoolean
+    // when joining, the reference names the merged result via
+    // mapred.Join.file-name (`schedule/MasterServant.java:210-212`)
+    val output = (if (joinOutput) Option(props.getProperty("mapred.Join.file-name"))
+                  else None)
+      .getOrElse(props.getProperty("mapred.Output.name", input + ".out"))
     JobConf(
       input       = input,
-      output      = props.getProperty("mapred.Output.name", input + ".out"),
+      output      = output,
       numReducers = props.getProperty("mapred.Reducers.number", "1").toInt,
       splitSize   = splitSize,
       combine     = props.getProperty("mapred.Combine.flag", "true").toBoolean,
-      joinOutput  = props.getProperty("mapred.Join.flag", "false").toBoolean,
+      joinOutput  = joinOutput,
     )
   }
 

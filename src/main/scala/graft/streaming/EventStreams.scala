@@ -40,6 +40,27 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** The reference's one job — word count — as an incremental stream:
+    * token text files arriving in a directory are tokenized with the
+    * exact TokenFormat semantics and folded into running counts
+    * (update mode; partial aggregation per micro-batch = the combiner,
+    * state = one long per word). The 1 MB corpus the reference ran as
+    * its biggest batch job becomes a trickle this handles per-file.
+    */
+  def streamingWordCount(spark: org.apache.spark.sql.SparkSession,
+      inputDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .option("lineSep", " ")
+      .text(inputDir)
+      .as[String]
+      .flatMap(rec => graft.core.TokenFormat.tokenize(rec)
+        .map(graft.core.TokenFormat.parse))
+      .toDF("key", "word")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming deduplication on event id: at-least-once sources
     * (Kafka replays, retried producers) become effectively-once
     * downstream. State holds one entry per id only within the

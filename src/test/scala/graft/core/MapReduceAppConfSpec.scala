@@ -33,6 +33,17 @@ class MapReduceAppConfSpec extends AnyFunSuite {
     assert(!conf.joinOutput && conf.output == "/x.out")
   }
 
+  test("Join.file-name names the merged output when Join.flag is set") {
+    val joined = MapReduceApp.parseConf(props(
+      "mapred.Input.name" -> "/x", "mapred.Join.flag" -> "true",
+      "mapred.Join.file-name" -> "/y/result"))
+    assert(joined.joinOutput && joined.output == "/y/result")
+    // without the flag the name is ignored, like the reference's dead key
+    val plain = MapReduceApp.parseConf(props(
+      "mapred.Input.name" -> "/x", "mapred.Join.file-name" -> "/y/result"))
+    assert(!plain.joinOutput && plain.output == "/x.out")
+  }
+
   test("reporter levels map to log levels") {
     assert(MapReduceApp.logLevel(props()) == "WARN")
     assert(MapReduceApp.logLevel(props("mapred.Reporter.level" -> "1")) == "INFO")
