@@ -19,6 +19,11 @@ class MixSpec extends SparkSuite {
     assert(c != a)
   }
 
+  test("hashSample edges: fraction 0 selects nothing, 1 selects everything") {
+    assert(Mix.hashSample(docs, "doc_id", 0.0).count() == 0)
+    assert(Mix.hashSample(docs, "doc_id", 1.0).count() == docs.count())
+  }
+
   test("hashSample nests: the 10% sample is a subset of the 30% sample") {
     val big   = Mix.hashSample(docs, "doc_id", 0.3).collect().map(_.getLong(0)).toSet
     val small = Mix.hashSample(docs, "doc_id", 0.1).collect().map(_.getLong(0)).toSet
