@@ -47,7 +47,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val headlineNames = queries.filter(_.headline).map(_.name).toSet
+    val headlineTotal = results.collect {
+      case (n, v) if headlineNames(n) => v
+    }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"headline_total":$headlineTotal,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
