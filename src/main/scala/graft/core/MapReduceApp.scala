@@ -104,13 +104,17 @@ object MapReduceApp {
     val format = loadInstance[graft.sources.KVFormat](
       props.getProperty("mapred.IOFormat.class-name", "graft.sources.TokenKVFormat"))
 
+    val master = sys.env.getOrElse("SPARK_MASTER", "local[*]")
     val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .master(master)
       .appName("graft-mapreduce")
       .config("spark.sql.shuffle.partitions",
         math.max(conf.numReducers, 1).toString)
-      // the reference's straggler mitigation thresholds
-      // (`schedule/MasterServant.java:510,552`) map onto speculation
+      // the reference's straggler mitigation (kill map tasks at 1.2×
+      // the running mean, `schedule/MasterServant.java:510,552`) is
+      // Spark speculation; enabled on real clusters (speculative copies
+      // are meaningless with a single local executor)
+      .config("spark.speculation", (!master.startsWith("local")).toString)
       .config("spark.speculation.multiplier", "1.2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
