@@ -24,6 +24,28 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * line-based 100 TB scan needs and is indistinguishable on the
   * reference's own corpora (single-line files).
   */
+/** TextOutputFormat that writes the value bytes verbatim — no record
+  * separator — so token output files end exactly like the reference's
+  * (`... sao|2881 `, trailing space, no newline).
+  */
+class NoNewlineTextOutputFormat
+    extends org.apache.hadoop.mapreduce.lib.output.TextOutputFormat[
+      org.apache.hadoop.io.NullWritable, org.apache.hadoop.io.Text] {
+  override def getRecordWriter(
+      job: org.apache.hadoop.mapreduce.TaskAttemptContext) = {
+    val file = getDefaultWorkFile(job, ".txt")
+    val out  = file.getFileSystem(job.getConfiguration).create(file, false)
+    new org.apache.hadoop.mapreduce.RecordWriter[
+      org.apache.hadoop.io.NullWritable, org.apache.hadoop.io.Text] {
+      override def write(k: org.apache.hadoop.io.NullWritable,
+          v: org.apache.hadoop.io.Text): Unit =
+        out.write(v.getBytes, 0, v.getLength)
+      override def close(c: org.apache.hadoop.mapreduce.TaskAttemptContext): Unit =
+        out.close()
+    }
+  }
+}
+
 object TokenFormat extends Serializable {
   val KeyNone      = "none"
   val MaxTokenLen  = 1000
@@ -74,16 +96,27 @@ object TokenFormat extends Serializable {
   }
 
   /** Write records in the golden byte format: within each output file,
-    * tokens joined by a single space on one line (one file per reduce
-    * partition, like the reference's `reduced<index>` files).
+    * `key|value ` tokens on one line with NO trailing newline — the
+    * reference's writer emits only the tokens (`user/TokenRecordWriter
+    * .java:85`), so output files are byte-identical to its artifacts.
+    * One file per reduce partition, like the `reduced<index>` files.
     */
   def write(ds: Dataset[(String, String)], conf: JobConf): Unit = {
-    import ds.sparkSession.implicits._
     val lines = ds.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else Iterator(it.map { case (k, v) => format(k, v) }.mkString(" ") + " ")
-    }
+    }(org.apache.spark.sql.Encoders.STRING)
     val out = if (conf.joinOutput) lines.coalesce(1) else lines
-    out.write.mode("overwrite").text(conf.output)
+    val path = new org.apache.hadoop.fs.Path(conf.output)
+    val fs = path.getFileSystem(
+      ds.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    out.rdd
+      .map(l => (org.apache.hadoop.io.NullWritable.get(),
+        new org.apache.hadoop.io.Text(l)))
+      .saveAsNewAPIHadoopFile(conf.output,
+        classOf[org.apache.hadoop.io.NullWritable],
+        classOf[org.apache.hadoop.io.Text],
+        classOf[NoNewlineTextOutputFormat])
   }
 }

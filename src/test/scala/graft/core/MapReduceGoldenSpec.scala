@@ -91,9 +91,8 @@ class MapReduceGoldenSpec extends SparkSuite {
     val content = new String(Files.readAllBytes(files.head))
     val golden = new String(Files.readAllBytes(
       Paths.get("/root/reference/mapreduce/dataset/teste100K49reduced0.txt")))
-    // identical token stream in identical (comparator) order; trailing
-    // whitespace/newline normalized
-    assert(content.trim == golden.trim)
+    // byte-identical, including the trailing space and absent newline
+    assert(content == golden)
   }
 
   test("map-only job (numReducers=0) skips the shuffle and keeps raw pairs") {
