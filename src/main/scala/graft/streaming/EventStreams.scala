@@ -61,6 +61,15 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Stream–static enrichment: join the event stream against a static
+    * dimension frame (broadcast per micro-batch, no stream state at
+    * all) — the third join class next to stream-stream and batch
+    * joins. The dimension is re-resolvable per batch, so slowly-
+    * changing dims pick up updates without restarting the query.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** Streaming deduplication on event id: at-least-once sources
     * (Kafka replays, retried producers) become effectively-once
     * downstream. State holds one entry per id only within the

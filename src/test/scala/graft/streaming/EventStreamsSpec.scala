@@ -116,6 +116,26 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins every event to its dim row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("view", 1.0), ("purchase", 5.0), ("error", -1.0))
+      .toDF("event_type", "weight")
+    val input = MemoryStream[Event]
+    val q = EventStreams.enrich(input.toDF(), dim, "event_type")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 0, 1, "view"), ev(2, 1, 1, "purchase"),
+        ev(3, 2, 1, "signup")) // signup has no dim row -> dropped (inner)
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select(col("event_id"), col("weight")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out == Map(1L -> 1.0, 2L -> 5.0))
+    } finally q.stop()
+  }
+
   test("streaming word count over arriving token files matches the batch goldens") {
     val dir = java.nio.file.Files.createTempDirectory("stream-wc")
     val in  = dir.resolve("in"); java.nio.file.Files.createDirectories(in)
