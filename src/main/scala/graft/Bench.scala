@@ -33,25 +33,38 @@ object Bench {
       }
     }
     // two measured passes, min per query: single-pass numbers on a
-    // shared box carry seconds of scheduler/GC noise
-    def measure(): Map[String, Double] = queries.map { q =>
+    // shared box carry seconds of scheduler/GC noise. A failed pass
+    // records None — a query regressing to a hard failure must not
+    // make the benchmark look faster.
+    def measure(): Map[String, Option[Double]] = queries.map { q =>
       val t0 = System.nanoTime()
-      try exec(q.run(spark, sfDir))
-      catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { exec(q.run(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
+      q.name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }.toMap
     val m1 = measure()
     val m2 = measure()
-    val results = queries.map(q =>
-      q.name -> math.min(m1(q.name), m2(q.name)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val results: Seq[(String, Option[Double])] = queries.map { q =>
+      q.name -> ((m1(q.name), m2(q.name)) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b)             => a.orElse(b) // one good pass still counts
+      })
+    }
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("null")(_.toString)
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, None) => k }
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
     val headlineNames = queries.filter(_.headline).map(_.name).toSet
     val headlineTotal = results.collect {
-      case (n, v) if headlineNames(n) => v
+      case (n, Some(v)) if headlineNames(n) => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"headline_total":$headlineTotal,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"headline_total":$headlineTotal,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,11 +24,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native
     * type for — read the raw INT64 nanos and truncate to microseconds
     * (exactly what DuckDB's µs timestamps do), via integer division so
-    * no precision is lost through doubles.
+    * no precision is lost through doubles. `nanosAsLong` is a session
+    * conf with no reader-option twin, so the read goes through a child
+    * session (graft.core.Sessions) instead of mutating the shared one.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load("events").withColumn("ts",
+    val reader = graft.core.Sessions.withConf(spark,
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    reader.read.parquet(s"$dir/events.parquet").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }

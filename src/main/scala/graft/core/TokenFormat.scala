@@ -89,9 +89,12 @@ object TokenFormat extends Serializable {
     * identically (documented deviation, SURVEY §7.4#1).
     */
   def read(spark: SparkSession, conf: JobConf): Dataset[(String, String)] = {
-    import spark.implicits._
-    spark.conf.set("spark.sql.files.maxPartitionBytes", conf.splitSize)
-    spark.read.option("lineSep", Separator.toString).textFile(conf.input)
+    // split-size is a session conf, not a reader option — scope it to a
+    // child session so it can't leak into concurrent reads (Sessions).
+    val reader = Sessions.withConf(spark,
+      "spark.sql.files.maxPartitionBytes" -> conf.splitSize.toString)
+    import reader.implicits._
+    reader.read.option("lineSep", Separator.toString).textFile(conf.input)
       .flatMap(rec => tokenize(rec).map(parse))
   }
 

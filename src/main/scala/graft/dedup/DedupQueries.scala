@@ -91,15 +91,43 @@ object DedupQueries {
           .select((col("doc_id") + 100000).as("doc_id"), col("text")))
 
   /** Fan a small scan out to cluster width before heavy per-row
-    * compute. The local documents table is one parquet split; without
-    * this, shingling+hashing runs on a single core (measured 5-8 s of
-    * the 25 s minhash wall-clock). On a real 100 TB corpus the scan
-    * already yields thousands of splits and this repartition is the
-    * first thing to delete — it exists to make parallelism match
-    * compute shape, not data size.
+    * compute — but only when the scan actually yields fewer partitions
+    * than the shuffle width. The local documents table is one parquet
+    * split; without this, shingling+hashing runs on a single core
+    * (measured 5-8 s of the 25 s minhash wall-clock). On a real 100 TB
+    * corpus the scan already yields thousands of splits, the guard
+    * fails, and no repartition of the text payload ever happens.
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** Shuffle computed shingle signatures on `doc_id` — a deliberate
+    * Exchange directly above the md5 kernel so every downstream
+    * consumer reuses ONE kernel computation (AQE/ReuseExchange dedups
+    * identical exchange subtrees within an execution). The payload is
+    * (doc_id, hashes) — the text column is gone, so the shuffle is
+    * ~8 bytes/shingle, cheap at any scale, vs re-running one md5 per
+    * shingle per consumer (2-3× kernel cost measured in round 1).
+    *
+    * The partition count is pinned (REPARTITION_BY_NUM) so AQE does
+    * not coalesce this stage down to its input byte size: consumers
+    * EXPAND the data (band explode, pair generation), and sizing their
+    * parallelism by the exchange's ~1 MB input starves them to a
+    * handful of cores (measured 2-3× slowdown on the downstream stage).
+    */
+  private def reuseByDoc(df: DataFrame): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      col("doc_id"))
+
+  /** Pinned-width repartition on an arbitrary key (same AQE-coalesce
+    * opt-out as [[reuseByDoc]]) for shuffles whose downstream stage
+    * multiplies the data.
+    */
+  private def spreadBy(df: DataFrame, c: Column): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, c)
 
   private val dupCorpusSql =
     """SELECT doc_id, text FROM documents
@@ -140,6 +168,14 @@ object DedupQueries {
     "dd_minhash_lsh",
     (s, dir) => {
       val t  = Tables(s, dir)
+      // Shape note: at bench scale the signature frame is consumed
+      // inline by each of its 3 consumers (bands + the two Jaccard
+      // rejoins) — the kernel is ~0.2 s and re-running it in parallel
+      // beats chaining extra exchange barriers (measured 1.1 s vs
+      // 1.9 s with a reuse exchange). At 100 TB, where re-scanning the
+      // corpus dominates, insert the [[reuseByDoc]] exchange here —
+      // the AQE stage-reuse plumbing is proven by dd_ngram_jaccard,
+      // which keeps that shape.
       val sh = spread(dupCorpus(t))
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
@@ -249,20 +285,32 @@ object DedupQueries {
     "dd_ngram_jaccard",
     (s, dir) => {
       val t  = Tables(s, dir)
-      val sh = spread(dupCorpus(t))
-        .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
-      // df cap as a broadcast anti join against the HOT set: hot
-      // shingles are few by construction (that's why they're capped),
-      // so the posting list never re-shuffles just to learn its df
-      val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > 50).select(col("s"))
-      val posting = sh.join(broadcast(hot), Seq("s"), "left_anti")
-      val inter = posting.as("a")
-        .join(posting.as("b"), col("a.s") === col("b.s") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // one kernel pass, shared by sizes (array form) and the posting
+      // list (exploded form) through the reuseByDoc exchange
+      val shArr = reuseByDoc(spread(dupCorpus(t))
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh")))
+      val sh = shArr.select(col("doc_id"), explode(col("sh")).as("s"))
+      // materialized posting lists: ONE groupBy builds the inverted
+      // index, the df cap folds into a size filter (no separate hot-set
+      // aggregation + anti join), and co-occurring pairs are generated
+      // in the array domain — i<j over the sorted list, ≤C(50,2) pairs
+      // per shingle by construction — instead of a posting self-join.
+      // 3 shuffles total (postings, pair counts, final sort) vs 5 for
+      // the self-join formulation. spreadBy pins the stage width: the
+      // pair explode multiplies rows ~5×, so its parallelism must not
+      // be sized by the posting shuffle's input bytes.
+      val lists = spreadBy(sh, col("s")).groupBy(col("s"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 50))
+      val pairs = lists.select(explode(flatten(transform(col("ds"),
+        (x, i) => transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+      val inter = pairs.groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("inter"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      // |shingle set| per doc straight from the array — no second
+      // aggregation over the exploded postings
+      val sizes = shArr.select(col("doc_id"), size(col("sh")).as("sz"))
       inter
         .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
         .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
@@ -336,9 +384,9 @@ object DedupQueries {
           .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
         .filter(col("doc_id") === col("keeper"))
         .select(col("doc_id"), col("text"))
-      val sh = exactKept
+      val sh = reuseByDoc(exactKept
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
+        .filter(size(col("sh")) > 0))
       val mh = array(hashParams.map { case (a, b) =>
         array_min(transform(col("sh"), h => (h * a + b) % MinhashP))
       }: _*)
@@ -429,10 +477,13 @@ object DedupQueries {
     "dd_dup_passages",
     (s, dir) => {
       val t  = Tables(s, dir)
-      val sh = spread(dupCorpus(t))
+      // kernel once; both consumers (shared-passage agg + rejoin) read
+      // the s-partitioned exchange with no further shuffle; width
+      // pinned (see reuseByDoc) so the rejoin stage keeps parallelism
+      val sh = spreadBy(spread(dupCorpus(t))
         .select(col("doc_id"),
           explode(graft.functions.HashFunctions.shingleHash32(col("text"), 10))
-            .as("s"))
+            .as("s")), col("s"))
       val shared = sh.groupBy(col("s"))
         .agg(count_distinct(col("doc_id")).as("df"))
         .filter(col("df") > 1)

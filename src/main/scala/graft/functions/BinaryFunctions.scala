@@ -1,16 +1,18 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
 
 /** Mean unsigned byte value of a binary column — the stub "signal
   * level" feature for multimodal content, as a codegen'd expression
   * (replaces a per-character split+ascii array pipeline that allocated
   * one string per byte).
   */
-case class ByteMean(child: Expression) extends UnaryExpression {
+case class ByteMean(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(v: Any): Any = {

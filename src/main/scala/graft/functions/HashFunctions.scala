@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.security.MessageDigest
@@ -113,9 +113,11 @@ object HashKernels {
   * `array_distinct`, which runs interpreted). First-occurrence order,
   * matching the composed form and DuckDB's list_distinct.
   */
-case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any =
     HashKernels.charNgrams(v.asInstanceOf[UTF8String], n)
@@ -131,7 +133,9 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** `array<long>` of distinct 32-bit shingle hashes of a text column. */
-case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any =
@@ -148,7 +152,9 @@ case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** 60-bit SimHash of a text column. */
-case class SimHash60(child: Expression) extends UnaryExpression {
+case class SimHash60(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any =

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact Java `String.hashCode` as a native Catalyst expression with
@@ -14,7 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * negative-result crash is a caller concern; `graft` always pairs this
   * with `pmod`.
   */
-case class JavaStringHash(child: Expression) extends UnaryExpression {
+case class JavaStringHash(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(v: Any): Any =

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity over two float-array columns as a native Catalyst
   * expression with whole-stage codegen: one fused loop accumulating
@@ -20,8 +20,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * results match bit-for-bit. Zero-norm inputs yield 0.0.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
+
+  // `ArrayData.getFloat` misreads double-backed arrays, so an
+  // `array<double>` argument must fail analysis, not return garbage.
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -23,13 +23,36 @@ object Maintenance {
     val parts = math.max(1, (bytes.toDouble / targetBytes.toDouble).ceil.toInt)
     val tmp   = dir + "__compacting"
     df.repartition(parts).write.mode("overwrite").parquet(tmp)
-    // local-FS directory swap (the metastore/commit-protocol seam)
-    val fs  = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val src = new org.apache.hadoop.fs.Path(tmp)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(dst, true)
-    fs.rename(src, dst)
+    swapDirs(spark, tmp, dir)
     parts
+  }
+
+  /** Directory swap that never leaves a window without the data: the
+    * original moves aside to a backup, the new directory renames into
+    * place, then the backup is dropped. A crash at any point leaves
+    * either the original (as `dir` or recoverable at `dir__backup`) or
+    * the completed swap — never neither. The FS is resolved from the
+    * path itself, not the default FS, so scheme-qualified dirs work.
+    */
+  private[operators] def swapDirs(spark: SparkSession, tmp: String,
+      dir: String): Unit = {
+    val conf   = spark.sparkContext.hadoopConfiguration
+    val src    = new org.apache.hadoop.fs.Path(tmp)
+    val dst    = new org.apache.hadoop.fs.Path(dir)
+    val backup = new org.apache.hadoop.fs.Path(dir + "__backup")
+    val fs     = dst.getFileSystem(conf)
+    if (fs.exists(backup)) fs.delete(backup, true) // stale from a crash
+    if (!fs.rename(dst, backup))
+      throw new java.io.IOException(s"rename $dst -> $backup failed")
+    // Hadoop FileSystems variously return false OR throw for a bad
+    // source — treat both as "swap-in failed" so the rollback runs
+    val swappedIn =
+      try fs.rename(src, dst)
+      catch { case _: java.io.IOException => false }
+    if (!swappedIn) {
+      fs.rename(backup, dst) // roll back; original untouched
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
+    fs.delete(backup, true)
   }
 }

@@ -36,16 +36,24 @@ object MapReduceQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
 
-  private def kvTokens(docs: DataFrame): DataFrame =
+  /** Java `String.split("\\|")` drops trailing empty fields, so a
+    * trailing-pipe token like `a|` is a 1-field split and parses as
+    * `(none, "a|")` (`user/TokenRecordReader.java:156-165`,
+    * [[graft.core.TokenFormat.parse]]). Spark's `split` keeps trailing
+    * empties at every limit, so the "≥2 fields after dropping trailing
+    * empties" test is expressed by stripping the trailing pipe run
+    * before counting; key/value still come from the raw split (interior
+    * empties are real fields: `a||b` → `(a, "")`).
+    */
+  private[graft] def kvTokens(docs: DataFrame): DataFrame = {
+    val parts = split(col("tok"), "\\|")
+    val isKv  = size(split(regexp_replace(col("tok"), "\\|+$", ""), "\\|")) >= 2
     tokens(docs).select(
       col("doc_id"),
-      when(col("tok").contains("|"), element_at(split(col("tok"), "\\|"), 1))
-        .otherwise(lit("none"))
-        .as("key"),
-      when(col("tok").contains("|"), element_at(split(col("tok"), "\\|"), 2))
-        .otherwise(col("tok"))
-        .as("value"),
+      when(isKv, element_at(parts, 1)).otherwise(lit("none")).as("key"),
+      when(isKv, element_at(parts, 2)).otherwise(col("tok")).as("value"),
     )
+  }
 
   /** O1+O2: record scan + tokenize into `(key, value)` records. */
   val mrTokenize = Query(
@@ -56,13 +64,22 @@ object MapReduceQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("key"), col("value"))
     },
+    // is_kv mirrors Java split-with-trailing-empties-dropped yielding
+    // >= 2 fields: some '|' present that is not part of a pure trailing
+    // pipe run (e.g. 'a|' and '|' are NOT k|v; 'a|b', '|a', 'a||b' are).
     oracle = Some("""
+      WITH parsed AS (
+        SELECT tok,
+          contains(tok, '|')
+            AND NOT regexp_matches(tok, '^[^|]*\|+$') AS is_kv
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE length(tok) > 0
+      )
       SELECT
-        CASE WHEN contains(tok, '|') THEN split_part(tok, '|', 1) ELSE 'none' END AS key,
-        CASE WHEN contains(tok, '|') THEN split_part(tok, '|', 2) ELSE tok END AS value,
+        CASE WHEN is_kv THEN split_part(tok, '|', 1) ELSE 'none' END AS key,
+        CASE WHEN is_kv THEN split_part(tok, '|', 2) ELSE tok END AS value,
         count(*) AS n
-      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-      WHERE length(tok) > 0
+      FROM parsed
       GROUP BY 1, 2 ORDER BY 1, 2
     """),
   )

@@ -587,22 +587,41 @@ object Relational {
     """),
   )
 
-  /** HLL approximate distinct counts next to exact ones. No SQL oracle:
-    * DuckDB's approx sketch differs by construction, so the driver
-    * records the weaker rows-only check; RelationalExtraSpec bounds the
-    * estimate against the exact value instead (HLL++ rsd ≈ 5%).
+  /** HLL approximate distinct counts, oracle-checked via error bounds.
+    * The sketch value itself can't cross engines (DuckDB's approx
+    * sketch differs by construction), so the query outputs the exact
+    * counts plus boolean `*_within_5pct` flags asserting the HLL++
+    * estimate lands within 2×rsd (rsd≈5%, so 10%; the rsd is a std
+    * dev, not a bound — 1× is exceeded at small SFs); DuckDB recomputes
+    * the exact counts and asserts the flags are true.
     */
   val qApproxDistinct = Query(
     "q_approx_distinct",
     (s, dir) => {
-      Tables(s, dir).lineitem.agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        count_distinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        count_distinct(col("l_orderkey")).as("exact_orders"),
-      )
+      Tables(s, dir).lineitem
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+        )
+        .select(
+          col("exact_parts"),
+          col("exact_orders"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.10).as("parts_within_10pct"),
+          (abs(col("approx_orders") - col("exact_orders")) <=
+            col("exact_orders") * 0.10).as("orders_within_10pct"),
+        )
     },
-    oracle = None,
+    oracle = Some("""
+      SELECT
+        count(DISTINCT l_partkey)  AS exact_parts,
+        count(DISTINCT l_orderkey) AS exact_orders,
+        true AS parts_within_10pct,
+        true AS orders_within_10pct
+      FROM lineitem
+    """),
   )
 
   /** Column profiling sweep (data-quality pass a pipeline runs before
@@ -625,7 +644,7 @@ object Relational {
     },
     oracle = Some("""
       SELECT count(*) AS n_rows,
-        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
         count(DISTINCT o_orderstatus) AS n_status,
         count(DISTINCT o_orderpriority) AS n_priority,
         round(min(o_totalprice), 2) AS min_price,

@@ -258,16 +258,25 @@ object TextQueries {
       val trigrams = docs.select(
         col("doc_id"), col("lang"),
         graft.functions.HashFunctions.charNgrams(col("text"), 3).as("tg"))
+      // explicit Exchange above the n-gram kernel: profile building and
+      // scoring both read this one shuffle (AQE stage reuse) instead of
+      // each re-running the full explode+kernel pass (round-1's slowest
+      // query, 2× kernel cost)
       val exploded = trigrams.select(col("doc_id"), col("lang"),
         explode(col("tg")).as("g"))
+        .repartition(
+          trigrams.sparkSession.sessionState.conf.numShufflePartitions,
+          col("g"))
       val profiles = exploded.groupBy(col("lang").as("plang"), col("g"))
         .agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("plang")).orderBy(col("n").desc, col("g"))))
         .filter(col("rk") <= 15)
         .select(col("plang"), col("g"))
+      // ≤15 trigrams × #languages — always broadcastable, don't rely
+      // on AQE discovering that at runtime
       val scores = exploded
-        .join(profiles, Seq("g"))
+        .join(broadcast(profiles), Seq("g"))
         .groupBy(col("doc_id"), col("lang"), col("plang"))
         .agg(count(lit(1)).as("overlap"))
       val wBest = Window.partitionBy(col("doc_id"))

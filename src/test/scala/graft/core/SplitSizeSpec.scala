@@ -19,4 +19,13 @@ class SplitSizeSpec extends SparkSuite {
     assert(small >= 20, s"expected fine-grained splits, got $small")
     assert(large <= 4, s"expected coarse splits, got $large")
   }
+
+  test("read does not leak maxPartitionBytes into the shared session") {
+    val before = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    TokenFormat.read(spark, JobConf(
+      input = "/root/reference/mapreduce/seed/teste1K.txt",
+      output = "/tmp/unused", splitSize = 2048)).count()
+    assert(spark.conf.getOption("spark.sql.files.maxPartitionBytes") == before,
+      "per-read split size leaked into the parent session conf")
+  }
 }

@@ -25,4 +25,26 @@ class MaintenanceSpec extends SparkSuite {
     assert(after.agg(sum(col("l_quantity"))).head.getDouble(0) ==
       t.lineitem.agg(sum(col("l_quantity"))).head.getDouble(0))
   }
+
+  test("swapDirs never loses data: failed swap-in rolls the original back") {
+    val base = Files.createTempDirectory("swap")
+    val dst  = base.resolve("data").toString
+    val t    = Tables(spark, sf("sf0.001"))
+    t.region.write.mode("overwrite").parquet(dst)
+    val before = spark.read.parquet(dst).count()
+
+    // tmp does NOT exist -> the second rename fails mid-swap; the
+    // original must be restored at dst (crash-window regression test
+    // for the old delete-then-rename ordering, which would lose it)
+    intercept[java.io.IOException] {
+      Maintenance.swapDirs(spark, base.resolve("missing").toString, dst)
+    }
+    assert(spark.read.parquet(dst).count() == before,
+      "original directory lost after failed swap")
+    // and no stale backup left behind blocking the next attempt
+    val nation = base.resolve("v2").toString
+    t.nation.write.mode("overwrite").parquet(nation)
+    Maintenance.swapDirs(spark, nation, dst)
+    assert(spark.read.parquet(dst).count() == t.nation.count())
+  }
 }
