@@ -240,6 +240,147 @@ object DedupQueries {
     headline = true,
   )
 
+  /** MinHash band-bucket candidate pairs for a `(doc_id, sh)` signature
+    * frame: 16 affine min-hashes → 4 bands × 4 rows → band-key
+    * equi-join, `id_a < id_b`, deduplicated. The shared LSH front-end
+    * of [[minhashLsh]], [[cleanCorpus]] and [[dupClusters]].
+    */
+  private def bandPairs(sh: DataFrame): DataFrame = {
+    val mh = array(hashParams.map { case (a, b) =>
+      array_min(transform(col("sh"), h => (h * a + b) % MinhashP))
+    }: _*)
+    val bandKeys = array((0 until 4).map { b =>
+      concat_ws(":", lit(b.toString) +:
+        (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)
+          .cast("string")): _*)
+    }: _*)
+    val bands = sh.withColumn("mh", mh)
+      .select(col("doc_id"), explode(bandKeys).as("bh"))
+    bands.as("a")
+      .join(bands.as("b"), col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact hashed-shingle Jaccard (`jac`, unrounded) for candidate
+    * pairs, via two rejoins against the signature frame.
+    */
+  private def withJaccard(cands: DataFrame, sh: DataFrame): DataFrame =
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+
+  /** The SQL twin of [[bandPairs]]+[[withJaccard]] up to the `cands`
+    * CTE (expects `corpus` to be defined by the caller).
+    */
+  private def bandCandSql: String = {
+    val mhList = hashParams.map { case (a, b) =>
+      s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashP))"
+    }.mkString("[", ", ", "]")
+    val bandList = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"mh[${b * 4 + r + 1}]::VARCHAR")
+      s"'$b:' || " + parts.mkString(" || ':' || ")
+    }.mkString("[", ", ", "]")
+    s"""
+      sh AS (
+        SELECT doc_id, $shingleHashSql AS sh
+        FROM (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+              FROM corpus)
+        WHERE len(t) >= 3
+      ),
+      mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
+      bands AS (SELECT doc_id, unnest($bandList) AS bh FROM mh),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
+      )"""
+  }
+
+  /** Transitive near-duplicate clusters: connected components over the
+    * MinHash candidate pairs with Jaccard ≥ 0.5, canonical
+    * representative = min doc_id per component. Emits (doc_id, cluster)
+    * for every document that participates in at least one near-dup
+    * pair — the semantic a production corpus dedup wants (the pairwise
+    * drop rule in [[cleanCorpus]] under-merges chains A~B~C where A≁C).
+    *
+    * Components are computed by iterative min-label propagation over
+    * the edge list: each round every node takes the min of its own and
+    * its neighbors' labels; rounds = component diameter (near-dup
+    * clusters are shallow — chains of near-identical docs), bounded at
+    * 16 with a fixpoint check per round. Each round is one join + one
+    * groupBy on the (tiny) edge list — the corpus itself is never
+    * touched after edge extraction. Labels persist between rounds
+    * (the standard iterative-graph pattern; at scale, checkpoint every
+    * few rounds to truncate lineage). Oracle: DuckDB recursive CTE
+    * computing min reachable id.
+    */
+  val dupClusters = Query(
+    "dd_dup_clusters",
+    (s, dir) => {
+      val t  = Tables(s, dir)
+      val sh = spread(dupCorpus(t))
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val edges = withJaccard(bandPairs(sh), sh)
+        .filter(col("jac") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val bidir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .persist()
+      var labels = bidir.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")).persist()
+      var changed = 1L
+      var rounds  = 0
+      while (changed > 0 && rounds < 16) {
+        val nbrMin = bidir
+          .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+          .groupBy(col("src")).agg(min(col("nlbl")).as("nbr"))
+          .select(col("src").as("id"), col("nbr"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+          .persist()
+        changed = next
+          .join(labels.select(col("id"), col("lbl").as("prev")), "id")
+          .filter(col("lbl") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE corpus AS ($dupCorpusSql),
+      $bandCandSql,
+      edges AS (
+        SELECT id_a, id_b FROM cands
+          JOIN sh sa ON sa.doc_id = id_a
+          JOIN sh sb ON sb.doc_id = id_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+              >= 0.5
+      ),
+      bidir AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM edges
+      ),
+      walk(id, lbl) AS (
+        SELECT DISTINCT src, src FROM bidir
+        UNION
+        SELECT b.dst, w.lbl FROM walk w JOIN bidir b ON b.src = w.id
+      )
+      SELECT id AS doc_id, min(lbl) AS cluster
+      FROM walk GROUP BY id ORDER BY doc_id
+    """),
+  )
+
   /** SimHash: 60-bit similarity-preserving fingerprint per document
     * (low 60 bits of md5 per token; majority vote per bit). Entirely
     * per-row array math — embarrassingly parallel; pair search over the
@@ -517,5 +658,6 @@ object DedupQueries {
   )
 
   def all: Seq[Query] =
-    Seq(exact, minhashLsh, simhash, ngramJaccard, cleanCorpus, dupPassages)
+    Seq(exact, minhashLsh, simhash, ngramJaccard, cleanCorpus, dupPassages,
+      dupClusters)
 }

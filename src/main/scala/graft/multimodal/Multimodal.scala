@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * columns plus a typed metadata struct, with decode / feature-extract
   * / resize / frame-sample stages.
   *
-  * The decode step is a clearly-marked STUB (`StubDecoder`) — this
-  * container has no image/audio codecs — but everything Spark-side is
-  * real and tested: the schema (binary content + metadata struct), the
-  * per-partition batched UDF shape, partitioning, and the feature
-  * queries. Swapping `StubDecoder.decode` for a JNI/codec call changes
-  * no plan shape.
+  * Two decode tiers:
+  *  - AUDIO is decoded FOR REAL: [[WavCodec]] parses RIFF/WAVE PCM
+  *    byte-for-byte inside the batched per-partition seam
+  *    (`mm_wav_decode` below; golden-tested in MultimodalSpec).
+  *  - image/video remain a clearly-marked STUB (`StubDecoder`) — this
+  *    container has no image codecs — with the Spark-side plumbing
+  *    (binary + metadata schema, batched UDF shape, partitioning)
+  *    real and tested. Swapping `StubDecoder.decode` for a JNI/codec
+  *    call changes no plan shape.
   *
   * Scale notes: media blobs are the widest column by far — every query
   * prunes to (id, meta) before any shuffle and touches `content` only
@@ -152,5 +155,53 @@ object Multimodal {
     """),
   )
 
-  def all: Seq[Query] = Seq(features, frames)
+  /** Real audio decode: a deterministic WAV corpus is synthesized from
+    * `documents` parameters (rate, sample count, and a PCM waveform are
+    * all pure functions of doc_id/n_chars), encoded to real RIFF bytes,
+    * and then every output field is read back by PARSING those bytes
+    * with [[WavCodec.decode]] in the batched per-partition seam. The
+    * oracle recomputes the parameters directly — if either the encoder
+    * or the byte-walking parser is wrong, the values diverge.
+    *
+    * Scale shape: generation+decode are one narrow mapPartitions pass;
+    * blobs never shuffle (the only exchange is the final sort).
+    */
+  val wavDecode = Query(
+    "mm_wav_decode",
+    (s, dir) => {
+      import s.implicits._
+      val params = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      val decoded = params.mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val rate    = 8000 + (id % 5).toInt * 2000
+          val n       = (nChars % 240 + 1).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 7) % 65536) - 32768).toShort)
+          val w = WavCodec.decode(WavCodec.encode(rate, samples))
+          (id, w.sampleRate, w.nChannels, w.bitsPerSample, w.nSamples,
+            w.nSamples * 1000L / w.sampleRate, w.meanSample)
+        }
+      }.toDF("media_id", "sample_rate", "n_channels", "bits_per_sample",
+        "n_samples", "duration_ms", "mean_sample")
+      decoded
+        .withColumn("mean_sample", round(col("mean_sample"), 4))
+        .orderBy(col("media_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id AS media_id,
+        (8000 + (doc_id % 5) * 2000)::INT AS sample_rate,
+        1 AS n_channels,
+        16 AS bits_per_sample,
+        (n_chars % 240 + 1)::INT AS n_samples,
+        (n_chars % 240 + 1) * 1000 // (8000 + (doc_id % 5) * 2000)
+          AS duration_ms,
+        round(list_sum(list_transform(range(0, (n_chars % 240 + 1)::INT),
+          i -> (doc_id * 31 + i * 7) % 65536 - 32768))::DOUBLE
+          / (n_chars % 240 + 1), 4) AS mean_sample
+      FROM documents ORDER BY media_id
+    """),
+  )
+
+  def all: Seq[Query] = Seq(features, frames, wavDecode)
 }

@@ -144,25 +144,42 @@ object SimilarityQueries {
     """),
   )
 
-  /** Embedding-cosine near-duplicate pairs: planted duplicates (first
-    * 25 vectors re-inserted with shifted ids) must surface at cos=1;
-    * natural pairs above 0.3 ride along. The brute self-join is the
-    * sf-scale correctness baseline for the LSH path above.
+  /** Embedding-cosine near-duplicate pairs via sign-bucket LSH:
+    * candidates are pairs sharing at least one of the 8 hyperplane
+    * sign-pattern buckets (the same table scheme as [[lshTopk]]), exact
+    * cosine runs on candidates only, pairs with cos ≥ 0.3 are emitted.
+    * Planted duplicates (first 25 vectors re-inserted with shifted ids)
+    * share every bucket, so they always surface at cos = 1.
+    *
+    * The declared semantics are the bucketed ones — mirrored exactly in
+    * the oracle — so the query is an equi-join pipeline that scales:
+    * one shuffle on the (table:bucket) key, never an all-pairs join.
+    * The O(n²) brute self-join lives only in SimilaritySpec as the
+    * recall baseline ([[bruteNearDupPairs]]).
     */
   val cosineNearDup = Query(
     "dd_embedding_cosine",
     (s, dir) => {
-      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
-      val corpus = e.unionAll(
-        e.filter(col("vec_id") < 25)
-          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      val pairs = corpus.as("a")
-        .join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          VectorFunctions.cosineSim(col("a.embedding"), col("b.embedding"))
-            .as("cos"))
+      val corpus = nearDupCorpus(Tables(s, dir))
+      val bucketsExpr = expr(
+        """transform(sequence(0, 7), t -> concat(cast(t as string), ':',
+             case when element_at(embedding, t*4+1) >= 0 then '1' else '0' end,
+             case when element_at(embedding, t*4+2) >= 0 then '1' else '0' end,
+             case when element_at(embedding, t*4+3) >= 0 then '1' else '0' end,
+             case when element_at(embedding, t*4+4) >= 0 then '1' else '0' end))""")
+      val b = corpus.select(col("vec_id"), explode(bucketsExpr).as("bucket"))
+      val cand = b.as("a")
+        .join(b.as("b"), col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+        .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          VectorFunctions.cosineSim(col("va"), col("vb")).as("cos"))
         .filter(col("cos") >= 0.3)
-      pairs.select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     },
     oracle = Some(s"""
@@ -171,34 +188,92 @@ object SimilarityQueries {
         UNION ALL
         SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
         WHERE vec_id < 25
+      ), b AS (
+        SELECT vec_id, unnest(list_transform(range(0, 8), t ->
+          t::VARCHAR || ':' ||
+          (CASE WHEN embedding[t*4+1] >= 0 THEN '1' ELSE '0' END) ||
+          (CASE WHEN embedding[t*4+2] >= 0 THEN '1' ELSE '0' END) ||
+          (CASE WHEN embedding[t*4+3] >= 0 THEN '1' ELSE '0' END) ||
+          (CASE WHEN embedding[t*4+4] >= 0 THEN '1' ELSE '0' END))) AS bucket
+        FROM corpus
+      ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        FROM b a JOIN b b2 ON b2.bucket = a.bucket AND a.vec_id < b2.vec_id
       ), pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ${cosineSqlExpr("a", "b")} AS cos
-        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, ${cosineSqlExpr2("ca.embedding", "cb.embedding")} AS cos
+        FROM cand
+          JOIN corpus ca ON ca.vec_id = id_a
+          JOIN corpus cb ON cb.vec_id = id_b)
       SELECT id_a, id_b, round(cos, 4) AS cos
       FROM pairs WHERE cos >= 0.3 ORDER BY id_a, id_b
     """),
   )
 
-  /** IVF (inverted-file) approximate top-k: the corpus is coarsely
-    * quantized to 16 centroid cells (deterministic seed centroids:
-    * vec_id < 16, broadcast); each vector is assigned to its argmax-
-    * cosine centroid, queries probe their top-2 cells (nprobe=2), and
-    * ranking happens only among candidates in probed cells.
+  /** The planted-duplicate near-dup corpus shared by the registered
+    * bucketed query and the spec-only brute baseline.
+    */
+  private[similarity] def nearDupCorpus(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding"))
+    e.unionAll(
+      e.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
+  /** Spec-only brute-force near-dup pairs (cos ≥ `minCos`) — the O(n²)
+    * recall baseline for [[cosineNearDup]]; intentionally NOT in the
+    * registry because an all-pairs theta join cannot survive 100 TB.
+    */
+  private[similarity] def bruteNearDupPairs(t: Tables, minCos: Double): DataFrame = {
+    val corpus = nearDupCorpus(t)
+    corpus.as("a")
+      .join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        VectorFunctions.cosineSim(col("a.embedding"), col("b.embedding"))
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** IVF (inverted-file) approximate top-k with LEARNED centroids: a
+    * deterministic seeded k-means step — seed centroids are the first
+    * 16 vectors, every vector is assigned to its argmax-cosine seed,
+    * and the learned centroid is the component-wise mean of each cell
+    * (one Lloyd iteration). Means are rounded to 3 dp and cast to
+    * float so both engines quantize identically (double summation
+    * order differs across engines; rounding absorbs it). Corpus
+    * vectors are then re-assigned against the learned centroids,
+    * queries probe their top-2 cells (nprobe=2), and ranking happens
+    * only among candidates in probed cells.
     *
-    * At scale: assignment is a broadcast map-side pass over the corpus
-    * scan; the only shuffle is the (cell) equi-join — IVF's posting
-    * lists. Real deployments learn centroids (k-means sample); the
-    * seed-vector choice keeps the operator deterministic for the
-    * oracle, and swapping centroid provenance changes no plan shape.
+    * At scale: both assignment passes are broadcast map-side passes
+    * over the corpus scan (centroids are k×dim doubles); the mean step
+    * is one narrow posexplode + partial-agg shuffle of (cell, pos)
+    * pairs; the only other shuffle is the (cell) equi-join — IVF's
+    * posting lists.
     */
   val ivfTopk = Query(
     "ss_ivf_topk",
     (s, dir) => {
       val e = Tables(s, dir).embeddings
-      val cents = broadcast(e.filter(col("vec_id") < 16)
+      val seeds = broadcast(e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
-      // cell assignment: argmax cosine, ties to the higher cid
+      val wAssign0 = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").desc)
+      val assigned0 = e.join(seeds)
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          VectorFunctions.cosineSim(col("embedding"), col("cv")).as("ccos"))
+        .withColumn("rk", row_number().over(wAssign0))
+        .filter(col("rk") === 1)
+        .select(col("embedding"), col("cid"))
+      // one Lloyd step: component-wise cell means, quantized for parity
+      val cents = broadcast(assigned0
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          expr("transform(pm, x -> cast(round(x.m, 3) as float))").as("cv")))
+      // re-assignment against learned centroids: argmax cosine, ties to
+      // the higher cid
       val scoredCells = e.join(cents)
         .select(col("vec_id"), col("embedding"),
           col("cid"), VectorFunctions.cosineSim(col("embedding"), col("cv")).as("ccos"))
@@ -227,8 +302,28 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rk"))
     },
     oracle = Some(s"""
-      WITH cents AS (
+      WITH seeds AS (
         SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+      ), seed_scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos
+        FROM embeddings e, seeds c
+      ), seed_ranked AS (
+        SELECT vec_id, embedding, cid,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid DESC) AS rk
+        FROM seed_scored
+      ), assigned0 AS (
+        SELECT embedding, cid FROM seed_ranked WHERE rk = 1
+      ), comp AS (
+        SELECT cid, i.pos, avg(embedding[i.pos]) AS m
+        FROM assigned0
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) i
+        GROUP BY 1, 2
+      ), cents AS (
+        SELECT cid, list_transform(list(round(m, 3) ORDER BY pos),
+                                   x -> x::FLOAT) AS cv
+        FROM comp GROUP BY cid
       ), scored_cells AS (
         SELECT e.vec_id, e.embedding, c.cid,
                ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos

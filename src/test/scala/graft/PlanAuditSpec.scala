@@ -13,8 +13,7 @@ class PlanAuditSpec extends SparkSuite {
     * side is their documented contract
     */
   private val broadcastLoopAllowed = Set(
-    "ss_cosine_topk", "ss_ivf_topk", "dd_embedding_cosine",
-    "q_scalar_subquery")
+    "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery")
 
   QueryRegistry.all.foreach { q =>
     test(s"${q.name} plans no cartesian product") {

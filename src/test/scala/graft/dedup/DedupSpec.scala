@@ -82,6 +82,24 @@ class DedupSpec extends SparkSuite {
     assert(kept.nonEmpty)
   }
 
+  test("dd_dup_clusters: planted pairs co-cluster under the min-id label") {
+    val rows = QueryRegistry.byName("dd_dup_clusters").run(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(rows.nonEmpty)
+    // label is a component MINIMUM: never above the member id, and the
+    // representative is itself a clustered member with its own label
+    assert(rows.forall { case (id, c) => c <= id })
+    assert(rows.values.toSet.forall(c => rows.get(c).contains(c)))
+    // every planted duplicate (id + 100000) joins its original's cluster
+    val planted = rows.keys.filter(_ >= 100000)
+    assert(planted.nonEmpty)
+    planted.foreach { p =>
+      assert(rows(p) == rows(p - 100000),
+        s"planted copy $p not clustered with original ${p - 100000}")
+    }
+  }
+
   test("dd_simhash: equal texts hash equal; fingerprints fit in 60 bits") {
     val hashes = QueryRegistry.byName("dd_simhash").run(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

@@ -39,4 +39,45 @@ class MultimodalSpec extends SparkSuite {
     val bad = out.filter(col("frame_no") % 7 =!= 0)
     assert(bad.count() == 0)
   }
+
+  test("WavCodec.decode parses hand-written golden WAV bytes") {
+    // 8000 Hz mono 16-bit PCM, samples [0, 1000, -1000, 32767] — bytes
+    // written out field by field, independent of WavCodec.encode
+    val bb = java.nio.ByteBuffer.allocate(52)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(44)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(8)
+    Seq[Short](0, 1000, -1000, 32767).foreach(bb.putShort)
+    val w = WavCodec.decode(bb.array())
+    assert(w == WavCodec.WavInfo(8000, 1, 16, 4, (0 + 1000 - 1000 + 32767) / 4.0))
+  }
+
+  test("WavCodec decode inverts encode; unknown chunks are skipped") {
+    val samples = Array.tabulate(301)(i => ((i * 977) % 65536 - 32768).toShort)
+    val w = WavCodec.decode(WavCodec.encode(44100, samples))
+    assert(w.sampleRate == 44100 && w.nChannels == 1 &&
+      w.bitsPerSample == 16 && w.nSamples == 301)
+    assert(math.abs(w.meanSample -
+      samples.map(_.toLong).sum.toDouble / samples.length) < 1e-12)
+    // splice a LIST chunk between fmt and data: parser must skip it
+    val plain = WavCodec.encode(8000, Array[Short](5, 7))
+    val extra = java.nio.ByteBuffer.allocate(plain.length + 10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(plain, 0, 36) // up to end of fmt chunk
+    extra.put("LIST".getBytes("US-ASCII")); extra.putInt(2)
+    extra.put(Array[Byte](1, 2))
+    extra.put(plain, 36, plain.length - 36)
+    val spliced = extra.array()
+    // fix the RIFF size field for the added 10 bytes
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    assert(WavCodec.decode(spliced) == WavCodec.decode(plain))
+    // corrupt magic must fail loudly
+    val bad = plain.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException] { WavCodec.decode(bad) }
+  }
 }

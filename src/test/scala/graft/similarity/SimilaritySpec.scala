@@ -33,6 +33,26 @@ class SimilaritySpec extends SparkSuite {
     assert(planted.forall(r => math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9))
   }
 
+  test("bucketed near-dup recall vs the brute-force baseline") {
+    val t = graft.Tables(spark, sf("sf0.001"))
+    // brute pairs is the spec-only O(n²) baseline; the registered query
+    // must recover every planted duplicate and a solid share of the rest
+    val brute = SimilarityQueries.bruteNearDupPairs(t, 0.3)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = QueryRegistry.byName("dd_embedding_cosine")
+      .run(spark, sf("sf0.001"))
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(brute), "bucketed result must be a candidate subset")
+    val plantedBrute = brute.filter { case (a, b) => b == a + 100000 }
+    assert(plantedBrute.subsetOf(bucketed), "planted duplicates missed")
+    val recall = brute.intersect(bucketed).size.toDouble / brute.size
+    // 8 tables × 4 sign bits at cos≥0.3: analytic recall ≈ 0.6; guard
+    // against broken bucketing, not tuning
+    assert(recall >= 0.3, s"near-dup recall $recall over ${brute.size} pairs")
+  }
+
   test("LSH bucket search recall >= 0.5 of brute-force top-1 (same-bucket queries)") {
     // brute-force top-1 neighbor per query
     val brute = QueryRegistry.byName("ss_cosine_topk").run(spark, sf("sf0.001"))
