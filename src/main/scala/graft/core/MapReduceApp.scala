@@ -120,8 +120,22 @@ object MapReduceApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel(props))
 
+    // progress log file, the reference's Reporter servant contract
+    val reporter = Reporter.fromProps(props)
+    reporter.open()
+    reporter.report(1, s"MapReduceApp: job started, input=${conf.input} " +
+      s"output=${conf.output} reducers=${conf.numReducers} " +
+      s"splitSize=${conf.splitSize}")
     val t0 = System.nanoTime()
-    MapReduceJob.run(spark, conf, mapper, reducer, partitioner, format)
+    try {
+      MapReduceJob.run(spark, conf, mapper, reducer, partitioner, format)
+      reporter.report(1,
+        f"MapReduceApp: job finished in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    } catch {
+      case e: Throwable =>
+        reporter.report(0, s"MapReduceApp: job failed: ${e.getMessage}")
+        throw e
+    } finally reporter.close()
     // total-seconds print at job end, like `app/MapReduceApp.java:263-266`
     println(f"Tempo total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     spark.stop()

@@ -49,4 +49,19 @@ class MapReduceAppConfSpec extends AnyFunSuite {
     assert(MapReduceApp.logLevel(props("mapred.Reporter.level" -> "1")) == "INFO")
     assert(MapReduceApp.logLevel(props("mapred.Reporter.level" -> "2")) == "DEBUG")
   }
+
+  test("Reporter writes only messages at or below the execution level") {
+    val f = java.io.File.createTempFile("report", ".debug")
+    val r = new Reporter(f.getPath, executionLevel = 1)
+    assert(r.open())
+    r.report(0, "an error")
+    r.report(1, "some info")
+    r.report(2, "debug noise")
+    r.close()
+    val lines = scala.io.Source.fromFile(f).getLines().toSeq
+    assert(lines == Seq("an error", "some info"))
+    // reference defaults: report.debug at level 0
+    val byProps = Reporter.fromProps(props())
+    assert(byProps != null)
+  }
 }
