@@ -274,10 +274,61 @@ object DedupQueries {
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
 
-  /** The SQL twin of [[bandPairs]]+[[withJaccard]] up to the `cands`
-    * CTE (expects `corpus` to be defined by the caller).
+  /** Min-label-propagation connected components over an
+    * `(id_a, id_b)` edge list → `(id, lbl)` where `lbl` is the minimum
+    * id of the component. Rounds = component diameter (shallow for
+    * near-dup clusters), bounded at 16 with a fixpoint check; each
+    * round is one join + one groupBy on the edge list only. Labels
+    * persist between rounds (the standard iterative-graph pattern; at
+    * scale, checkpoint every few rounds to truncate lineage).
     */
-  private def bandCandSql: String = {
+  private def connectedComponents(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).persist()
+    var changed = 1L
+    var rounds  = 0
+    while (changed > 0 && rounds < 16) {
+      val nbrMin = bidir
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src")).agg(min(col("nlbl")).as("nbr"))
+        .select(col("src").as("id"), col("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("prev")), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** The recursive-CTE twin of [[connectedComponents]]: expects an
+    * `edges(id_a, id_b)` CTE, defines `bidir` and `walk(id, lbl)`.
+    * `min(lbl) GROUP BY id` over `walk` is the component label.
+    */
+  private val ccWalkSql = """
+      bidir AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM edges
+      ),
+      walk(id, lbl) AS (
+        SELECT DISTINCT src, src FROM bidir
+        UNION
+        SELECT b.dst, w.lbl FROM walk w JOIN bidir b ON b.src = w.id
+      )"""
+
+  /** The SQL twin of [[bandPairs]]+[[withJaccard]] up to the `cands`
+    * CTE, reading documents from the CTE named `src`.
+    */
+  private def bandCandSql(src: String = "corpus"): String = {
     val mhList = hashParams.map { case (a, b) =>
       s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashP))"
     }.mkString("[", ", ", "]")
@@ -290,7 +341,7 @@ object DedupQueries {
         SELECT doc_id, $shingleHashSql AS sh
         FROM (SELECT doc_id,
                 list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
-              FROM corpus)
+              FROM $src)
         WHERE len(t) >= 3
       ),
       mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
@@ -305,8 +356,8 @@ object DedupQueries {
     * MinHash candidate pairs with Jaccard ≥ 0.5, canonical
     * representative = min doc_id per component. Emits (doc_id, cluster)
     * for every document that participates in at least one near-dup
-    * pair — the semantic a production corpus dedup wants (the pairwise
-    * drop rule in [[cleanCorpus]] under-merges chains A~B~C where A≁C).
+    * pair — the semantic a production corpus dedup wants; the same
+    * component machinery drives [[cleanCorpus]]'s near-dup drop stage.
     *
     * Components are computed by iterative min-label propagation over
     * the edge list: each round every node takes the min of its own and
@@ -329,35 +380,13 @@ object DedupQueries {
       val edges = withJaccard(bandPairs(sh), sh)
         .filter(col("jac") >= 0.5)
         .select(col("id_a"), col("id_b"))
-      val bidir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .persist()
-      var labels = bidir.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")).persist()
-      var changed = 1L
-      var rounds  = 0
-      while (changed > 0 && rounds < 16) {
-        val nbrMin = bidir
-          .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
-          .groupBy(col("src")).agg(min(col("nlbl")).as("nbr"))
-          .select(col("src").as("id"), col("nbr"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
-          .persist()
-        changed = next
-          .join(labels.select(col("id"), col("lbl").as("prev")), "id")
-          .filter(col("lbl") =!= col("prev")).count()
-        labels.unpersist()
-        labels = next
-        rounds += 1
-      }
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
         .orderBy(col("doc_id"))
     },
     oracle = Some(s"""
       WITH RECURSIVE corpus AS ($dupCorpusSql),
-      $bandCandSql,
+      ${bandCandSql()},
       edges AS (
         SELECT id_a, id_b FROM cands
           JOIN sh sa ON sa.doc_id = id_a
@@ -366,16 +395,7 @@ object DedupQueries {
               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
               >= 0.5
       ),
-      bidir AS (
-        SELECT id_a AS src, id_b AS dst FROM edges
-        UNION ALL
-        SELECT id_b AS src, id_a AS dst FROM edges
-      ),
-      walk(id, lbl) AS (
-        SELECT DISTINCT src, src FROM bidir
-        UNION
-        SELECT b.dst, w.lbl FROM walk w JOIN bidir b ON b.src = w.id
-      )
+      $ccWalkSql
       SELECT id AS doc_id, min(lbl) AS cluster
       FROM walk GROUP BY id ORDER BY doc_id
     """),
@@ -506,11 +526,13 @@ object DedupQueries {
   }
 
   /** Composed corpus-cleaning pass — quality filter, then exact dedup
-    * (keep lowest doc_id per hash), then near-dup drop (a doc is
-    * dropped when it is the higher id of any MinHash candidate pair
-    * with Jaccard ≥ 0.8; pairwise rather than transitive closure, so
-    * the rule stays one anti join and is SQL-expressible for the
-    * oracle). Emits the surviving corpus ids + the per-stage verdicts.
+    * (keep lowest doc_id per hash), then TRANSITIVE near-dup drop:
+    * connected components over the MinHash candidate pairs with
+    * Jaccard ≥ 0.8 ([[connectedComponents]]), keeping only the
+    * canonical representative (min doc_id) of each cluster — the
+    * production semantic (a pairwise drop rule keeps local-minimum
+    * docs that a chain A~C, B~C with A<B<C should merge away).
+    * Emits the surviving corpus ids.
     */
   val cleanCorpus = Query(
     "dd_clean_corpus",
@@ -528,43 +550,19 @@ object DedupQueries {
       val sh = reuseByDoc(exactKept
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0))
-      val mh = array(hashParams.map { case (a, b) =>
-        array_min(transform(col("sh"), h => (h * a + b) % MinhashP))
-      }: _*)
-      val bandKeys = array((0 until 4).map { b =>
-        concat_ws(":", lit(b.toString) +:
-          (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)
-            .cast("string")): _*)
-      }: _*)
-      val bands = sh.withColumn("mh", mh)
-        .select(col("doc_id"), explode(bandKeys).as("bh"))
-      val nearPairs = bands.as("a")
-        .join(bands.as("b"), col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .filter(col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.8)
-        .select(col("id_b").as("doc_id"))
-        .distinct()
+      val edges = withJaccard(bandPairs(sh), sh)
+        .filter(col("jac") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      val nearDrop = connectedComponents(edges)
+        .filter(col("lbl") =!= col("id"))
+        .select(col("id").as("doc_id"))
       exactKept
-        .join(nearPairs, Seq("doc_id"), "left_anti")
+        .join(nearDrop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     },
-    oracle = {
-      val mhList = hashParams.map { case (a, b) =>
-        s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashP))"
-      }.mkString("[", ", ", "]")
-      val bandList = (0 until 4).map { b =>
-        val parts = (0 until 4).map(r => s"mh[${b * 4 + r + 1}]::VARCHAR")
-        s"'$b:' || " + parts.mkString(" || ':' || ")
-      }.mkString("[", ", ", "]")
-      Some(s"""
-      WITH corpus AS ($dupCorpusSql),
+    oracle = Some(s"""
+      WITH RECURSIVE corpus AS ($dupCorpusSql),
       quality AS (
         SELECT doc_id, text FROM corpus
         WHERE len(list_filter(string_split(text, ' '), x -> length(x) > 0))
@@ -577,33 +575,23 @@ object DedupQueries {
           FROM quality)
         WHERE doc_id = keeper
       ),
-      sh AS (
-        SELECT doc_id, $shingleHashSql AS sh
-        FROM (SELECT doc_id,
-                list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
-              FROM exact_kept)
-        WHERE len(t) >= 3
-      ),
-      mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
-      bands AS (SELECT doc_id, unnest($bandList) AS bh FROM mh),
-      cands AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
-      ),
-      near_drop AS (
-        SELECT DISTINCT id_b AS doc_id
-        FROM cands
+      ${bandCandSql("exact_kept")},
+      edges AS (
+        SELECT id_a, id_b FROM cands
           JOIN sh sa ON sa.doc_id = id_a
           JOIN sh sb ON sb.doc_id = id_b
         WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
               >= 0.8
+      ),
+      $ccWalkSql,
+      near_drop AS (
+        SELECT id AS doc_id FROM walk GROUP BY id HAVING min(lbl) <> id
       )
       SELECT doc_id FROM exact_kept
       WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
       ORDER BY doc_id
-    """)
-    },
+    """),
     headline = true,
   )
 
