@@ -274,20 +274,66 @@ object DedupQueries {
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
 
-  /** Min-label-propagation connected components over an
-    * `(id_a, id_b)` edge list → `(id, lbl)` where `lbl` is the minimum
-    * id of the component. Rounds = component diameter (shallow for
-    * near-dup clusters), bounded at 16 with a fixpoint check; each
-    * round is one join + one groupBy on the edge list only. Labels
-    * persist between rounds (the standard iterative-graph pattern; at
-    * scale, checkpoint every few rounds to truncate lineage).
+  /** Connected components over an `(id_a, id_b)` edge list →
+    * `(id, lbl)` where `lbl` is the minimum id of the component.
+    *
+    * Near-dup edge lists are bounded and tiny relative to the corpus
+    * (candidate pairs only — the corpus itself never enters), so the
+    * default path ships the whole edge list to ONE executor task and
+    * runs union-find with path compression there: a single narrow
+    * stage, no per-round driver actions. This is executor-side, not a
+    * driver collect, and the threshold (50M edges ≈ 800 MB of longs)
+    * keeps it inside one task's memory comfortably.
+    *
+    * Above the threshold it falls back to iterative min-label
+    * propagation: rounds = component diameter (shallow for near-dup
+    * clusters), bounded at 16 with a fixpoint check; each round is one
+    * join + one groupBy on the edge list only — the standard
+    * iterative-graph pattern (at scale, checkpoint every few rounds to
+    * truncate lineage).
     */
-  private def connectedComponents(edges: DataFrame): DataFrame = {
-    val bidir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+  private[dedup] def connectedComponents(
+      edges: DataFrame,
+      unionFindMaxEdges: Long = 50L * 1000 * 1000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("id_a"), col("id_b")).persist()
+    val n = e.count() // materializes the (tiny) edge cache
+    if (n <= unionFindMaxEdges) {
+      val labels = e
+        .select(col("id_a").cast("long").as("_1"), col("id_b").cast("long").as("_2"))
+        .as[(Long, Long)].repartition(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+          parent.keys.foreach { id =>
+            val r = find(id)
+            minOfRoot(r) = math.min(minOfRoot.getOrElse(r, id), id)
+          }
+          parent.keys.iterator.map(id => (id, minOfRoot(find(id))))
+        }
+        .toDF("id", "lbl")
+      e.unpersist()
+      return labels
+    }
+    val bidir = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(e.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = bidir.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).persist()
+    var cached  = labels // the frame actually persisted this round
     var changed = 1L
     var rounds  = 0
     while (changed > 0 && rounds < 16) {
@@ -295,17 +341,20 @@ object DedupQueries {
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src")).agg(min(col("nlbl")).as("nbr"))
         .select(col("src").as("id"), col("nbr"))
+      // carry the previous label through the round so the fixpoint
+      // check is a filter on the materialized frame, not a second join
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
         .persist()
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("prev")), "id")
-        .filter(col("lbl") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("lbl"))
       rounds += 1
     }
+    bidir.unpersist()
+    e.unpersist()
     labels
   }
 

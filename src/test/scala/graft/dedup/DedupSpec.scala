@@ -100,6 +100,27 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("connectedComponents: union-find and label-propagation paths agree") {
+    import spark.implicits._
+    // chain 1-2-3-4, star 10-{11,12,13}, pair 20-21, and a cross-link
+    // making {10..13, 20, 21} one component
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (10L, 12L), (13L, 10L),
+      (20L, 21L), (12L, 21L),
+    ).toDF("id_a", "id_b")
+    def labelsOf(maxEdges: Long): Map[Long, Long] =
+      DedupQueries.connectedComponents(edges, unionFindMaxEdges = maxEdges)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("lbl")).toMap
+    val uf = labelsOf(Long.MaxValue) // union-find path
+    val lp = labelsOf(0L)            // iterative label propagation path
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 10L, 21L -> 10L)
+    assert(uf == expected)
+    assert(lp == expected)
+  }
+
   test("dd_simhash: equal texts hash equal; fingerprints fit in 60 bits") {
     val hashes = QueryRegistry.byName("dd_simhash").run(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
