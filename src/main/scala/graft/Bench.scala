@@ -25,7 +25,12 @@ object Bench {
     def exec(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    val queries = QueryRegistry.all
+    // Dev-only subset filter (comma-separated query names); the driver
+    // never sets it, so the recorded bench always covers the registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only.fold(QueryRegistry.all)(names =>
+      QueryRegistry.all.filter(q => names(q.name)))
     queries.foreach { q =>
       try exec(q.run(spark, sfDir))
       catch { case e: Throwable =>

@@ -91,17 +91,12 @@ object DedupQueries {
           .select((col("doc_id") + 100000).as("doc_id"), col("text")))
 
   /** Fan a small scan out to cluster width before heavy per-row
-    * compute — but only when the scan actually yields fewer partitions
-    * than the shuffle width. The local documents table is one parquet
-    * split; without this, shingling+hashing runs on a single core
-    * (measured 5-8 s of the 25 s minhash wall-clock). On a real 100 TB
-    * corpus the scan already yields thousands of splits, the guard
-    * fails, and no repartition of the text payload ever happens.
+    * compute ([[graft.core.Par.spread]] — conditional, a no-op on
+    * already-wide scans; without it the local single-split documents
+    * table shingles on one core, measured 5-8 s of the 25 s minhash
+    * wall-clock in round 1).
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
+  private def spread(df: DataFrame): DataFrame = graft.core.Par.spread(df)
 
   /** Shuffle computed shingle signatures on `doc_id` — a deliberate
     * Exchange directly above the md5 kernel so every downstream
@@ -127,7 +122,7 @@ object DedupQueries {
     * multiplies the data.
     */
   private def spreadBy(df: DataFrame, c: Column): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, c)
+    graft.core.Par.spreadBy(df, c)
 
   private val dupCorpusSql =
     """SELECT doc_id, text FROM documents

