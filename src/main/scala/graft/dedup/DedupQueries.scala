@@ -320,7 +320,10 @@ object DedupQueries {
           parent.keys.iterator.map(id => (id, minOfRoot(find(id))))
         }
         .toDF("id", "lbl")
-      e.unpersist()
+      // NOTE: `e` stays persisted — the returned frame reads it when the
+      // caller's action runs (unpersisting here would silently re-run
+      // the whole edge pipeline at materialization time); the
+      // ContextCleaner reaps the cache once the frame is unreachable.
       return labels
     }
     val bidir = e.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -490,35 +493,37 @@ object DedupQueries {
     "dd_ngram_jaccard",
     (s, dir) => {
       val t  = Tables(s, dir)
-      // one kernel pass, shared by sizes (array form) and the posting
-      // list (exploded form) through the reuseByDoc exchange
-      val shArr = reuseByDoc(spread(dupCorpus(t))
-        .select(col("doc_id"), shingleHashes(col("text")).as("sh")))
-      val sh = shArr.select(col("doc_id"), explode(col("sh")).as("s"))
+      // ONE kernel pass; each posting row carries its document's
+      // shingle-set size, so Jaccard needs no sizes rejoin at the end —
+      // the whole query is 3 shuffles (postings, pair counts, final
+      // sort) and ZERO joins. The size column costs 4 bytes/posting on
+      // the wire; the two broadcast joins it replaces cost two extra
+      // stages and a second pass over the signature frame.
+      val postings = spread(dupCorpus(t))
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("sz"),
+          explode(col("sh")).as("s"))
       // materialized posting lists: ONE groupBy builds the inverted
       // index, the df cap folds into a size filter (no separate hot-set
       // aggregation + anti join), and co-occurring pairs are generated
-      // in the array domain — i<j over the sorted list, ≤C(50,2) pairs
-      // per shingle by construction — instead of a posting self-join.
-      // 3 shuffles total (postings, pair counts, final sort) vs 5 for
-      // the self-join formulation. spreadBy pins the stage width: the
-      // pair explode multiplies rows ~5×, so its parallelism must not
-      // be sized by the posting shuffle's input bytes.
-      val lists = spreadBy(sh, col("s")).groupBy(col("s"))
-        .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      // in the array domain — i<j over the doc_id-sorted list, ≤C(50,2)
+      // pairs per shingle by construction — instead of a posting
+      // self-join. spreadBy pins the stage width: the pair explode
+      // multiplies rows ~5×, so its parallelism must not be sized by
+      // the posting shuffle's input bytes.
+      val lists = spreadBy(postings, col("s")).groupBy(col("s"))
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("sz"))))
+          .as("ds"))
         .filter(size(col("ds")).between(2, 50))
       val pairs = lists.select(explode(flatten(transform(col("ds"),
         (x, i) => transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-        .select(col("p.id_a"), col("p.id_b"))
-      val inter = pairs.groupBy(col("id_a"), col("id_b"))
+          y => struct(x.getField("doc_id").as("id_a"),
+            x.getField("sz").as("sz_a"),
+            y.getField("doc_id").as("id_b"),
+            y.getField("sz").as("sz_b")))))).as("p"))
+        .select(col("p.id_a"), col("p.sz_a"), col("p.id_b"), col("p.sz_b"))
+      pairs.groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
         .agg(count(lit(1)).as("inter"))
-      // |shingle set| per doc straight from the array — no second
-      // aggregation over the exploded postings
-      val sizes = shArr.select(col("doc_id"), size(col("sh")).as("sz"))
-      inter
-        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
         .withColumn("jaccard",
           round(col("inter").cast("double") /
             (col("sz_a") + col("sz_b") - col("inter")), 4))
