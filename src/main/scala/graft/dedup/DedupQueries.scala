@@ -535,10 +535,17 @@ object DedupQueries {
               val snap = buf.toArray // ≤50 entries → ≤1225 pairs
               snap.indices.iterator.flatMap { i =>
                 val (da, sa) = snap(i)
-                (i + 1 until snap.length).iterator.map { j =>
-                  val (db, sb) = snap(j); (da, sa, db, sb)
+                (i + 1 until snap.length).iterator.flatMap { j =>
+                  val (db, sb) = snap(j)
+                  // length filter (PPJoin-style): jac = i/(sa+sb-i) with
+                  // i ≤ min(sa,sb) caps at min/max, so jac ≥ 0.5 is
+                  // impossible when max > 2·min — drop those pairs
+                  // BEFORE the shuffle; the declared output (pairs with
+                  // jac ≥ 0.5) is untouched
+                  if (sb <= 2 * sa && sa <= 2 * sb) Iterator.single((da, sa, db, sb))
+                  else Iterator.empty
                 }
-              }.toArray.iterator
+              }
             }
             def hasNext: Boolean = {
               while (!out.hasNext && (it.hasNext || buf.nonEmpty)) {

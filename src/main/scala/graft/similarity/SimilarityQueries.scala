@@ -156,6 +156,18 @@ object SimilarityQueries {
     * one shuffle on the (table:bucket) key, never an all-pairs join.
     * The O(n²) brute self-join lives only in SimilaritySpec as the
     * recall baseline ([[bruteNearDupPairs]]).
+    *
+    * Plan shape: embeddings ride THROUGH the bucket join (the same
+    * choice Spark ML's BucketedRandomProjectionLSH makes), so cosine +
+    * the ≥0.3 cut run inside the join stage and the pair-dedup
+    * aggregation sees only the (tiny) surviving pairs — vs the
+    * candidates-then-rejoin formulation, which shuffles every candidate
+    * pair (826k at sf0.1, of which a few hundred survive) through a
+    * distinct + two joins. A pair sharing k buckets pays cosine k
+    * times; measured expansion is 1.24× at sf0.1 — far cheaper than a
+    * 1M-row exchange. At 100 TB the trade holds: the rejoin variant
+    * must shuffle the full embedding column anyway (no broadcastable
+    * side), while this shape moves each vector once per bucket table.
     */
   val cosineNearDup = Query(
     "dd_embedding_cosine",
@@ -167,18 +179,17 @@ object SimilarityQueries {
              case when element_at(embedding, t*4+2) >= 0 then '1' else '0' end,
              case when element_at(embedding, t*4+3) >= 0 then '1' else '0' end,
              case when element_at(embedding, t*4+4) >= 0 then '1' else '0' end))""")
-      val b = corpus.select(col("vec_id"), explode(bucketsExpr).as("bucket"))
-      val cand = b.as("a")
+      val b = corpus.select(col("vec_id"), col("embedding"),
+        explode(bucketsExpr).as("bucket"))
+      b.as("a")
         .join(b.as("b"), col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-        .distinct()
-      cand
-        .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
-        .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          VectorFunctions.cosineSim(col("va"), col("vb")).as("cos"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          VectorFunctions.cosineSim(col("a.embedding"), col("b.embedding"))
+            .as("cos"))
         .filter(col("cos") >= 0.3)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(first(col("cos")).as("cos"))
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -244,58 +255,65 @@ object SimilarityQueries {
     * queries probe their top-2 cells (nprobe=2), and ranking happens
     * only among candidates in probed cells.
     *
-    * At scale: both assignment passes are broadcast map-side passes
-    * over the corpus scan (centroids are k×dim doubles); the mean step
-    * is one narrow posexplode + partial-agg shuffle of (cell, pos)
-    * pairs; the only other shuffle is the (cell) equi-join — IVF's
-    * posting lists.
+    * At scale: the centroid set is a BOUNDED model (k×dim floats), so
+    * it ships into the scan as literals (the model-then-apply pattern,
+    * same as the langid profiles) — both assignment passes are then
+    * NARROW per-row argmax projections over the corpus scan, no join
+    * and no per-vector window anywhere. The mean step is one
+    * posexplode + partial-agg shuffle of (cell, pos) pairs; the only
+    * other shuffle is the (cell) equi-join — IVF's posting lists.
+    * The two collects are model aggregates (16 rows / 16×64 floats),
+    * never corpus data.
     */
   val ivfTopk = Query(
     "ss_ivf_topk",
     (s, dir) => {
       val e = Tables(s, dir).embeddings
-      val seeds = broadcast(e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
-      val wAssign0 = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid").desc)
-      val assigned0 = e.join(seeds)
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          VectorFunctions.cosineSim(col("embedding"), col("cv")).as("ccos"))
-        .withColumn("rk", row_number().over(wAssign0))
-        .filter(col("rk") === 1)
-        .select(col("embedding"), col("cid"))
+      // argmax-cosine cell over literal centroids: lexicographic
+      // struct max = max ccos, ties to the higher cid — identical to
+      // the declared (ccos DESC, cid DESC) ranking
+      def cellScores(cents: Seq[(Int, Array[Float])]): Column =
+        array(cents.map { case (cid, cv) =>
+          struct(
+            VectorFunctions.cosineSim(col("embedding"), typedLit(cv))
+              .as("ccos"),
+            lit(cid).as("cid"))
+        }: _*)
+      val seeds: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+        .sortBy(_._1)
       // one Lloyd step: component-wise cell means, quantized for parity
-      val cents = broadcast(assigned0
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cents: Seq[(Int, Array[Float])] = e
+        .select(array_max(cellScores(seeds)).getField("cid").as("cid"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
-          expr("transform(pm, x -> cast(round(x.m, 3) as float))").as("cv")))
-      // re-assignment against learned centroids: argmax cosine, ties to
-      // the higher cid
-      val scoredCells = e.join(cents)
+          expr("transform(pm, x -> cast(round(x.m, 3) as float))").as("cv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+        .sortBy(_._1)
+      // apply: per-row cell scores against the learned model, top-1 for
+      // corpus rows, top-2 (nprobe) for query rows — narrow projections
+      val scored = e.select(col("vec_id"), col("embedding"),
+        sort_array(cellScores(cents), asc = false).as("cs"))
+      val assigned = scored
         .select(col("vec_id"), col("embedding"),
-          col("cid"), VectorFunctions.cosineSim(col("embedding"), col("cv")).as("ccos"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid").desc)
-      val assigned = scoredCells
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-      // queries probe their top-2 cells
-      val probes = scoredCells.filter(col("vec_id") < 20)
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") <= 2)
+          element_at(col("cs"), 1).getField("cid").as("cell"))
+      val probes = scored.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("cid").as("cell"))
-      val scored = assigned.join(probes, Seq("cell"))
+          explode(slice(col("cs"), 1, 2)).as("c"))
+        .select(col("qid"), col("qv"), col("c").getField("cid").as("cell"))
+      val cand = assigned.join(probes, Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
           VectorFunctions.cosineSim(col("qv"), col("embedding")).as("cos"))
       val wRank = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nid"))
-      scored
+      cand
         .withColumn("rk", row_number().over(wRank))
         .filter(col("rk") <= 5)
         .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 4).as("cos"))
