@@ -371,23 +371,33 @@ object TextQueries {
     * ordering never depends on float comparison; the tfidf score itself
     * is informational output, rounded to 4 decimals on both sides.
     *
-    * Scale shape: (doc, term) counts and term document-frequencies are
-    * both partial-agged groupBys; the df table is vocabulary-sized (a
-    * term-keyed shuffle join — broadcastable when the vocabulary is
-    * bounded); corpus size arrives as a broadcast 1-row aggregate, not
-    * a driver action; the final top-k is a doc_id-keyed window.
+    * Scale shape: ONE corpus-sized exchange. The scan pre-partitions on
+    * doc_id before the explode (text payload, not exploded tokens, on
+    * the wire); HashPartitioning(doc_id) then satisfies the
+    * (doc_id, term) groupBy, the per-doc window, everything — no
+    * further exchange until the final presentation sort. The df table
+    * is the IDF model (vocabulary-bounded, the same assumption Spark
+    * ML's IDF model makes), so it broadcasts back; corpus size arrives
+    * as a broadcast 1-row aggregate, not a driver action.
     */
   val tfidf = Query(
     "tx_tfidf",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      val tf = docs
+      val tf = graft.core.Par
+        .spreadBy(docs.select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df from its OWN scan (per-row distinct terms, then count) so
+      // the broadcast build never re-executes the tf pipeline — a
+      // broadcast exchange cannot reuse the stream side's shuffle, so
+      // deriving df from tf would compute tf twice (measured 4× cost)
+      val df = docs
+        .select(explode(array_distinct(toks(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      tf.join(df, "term")
+      tf.join(broadcast(df), "term")
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf", round(
           col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
@@ -429,7 +439,10 @@ object TextQueries {
     * The per-row ratios ride through the bigram aggregation as grouping
     * keys (they are functions of doc_id) — one explode feeding two
     * doc_id-prefixed partial aggregations, no self-join back to the
-    * documents scan.
+    * documents scan. The scan pre-partitions on doc_id (text payload on
+    * the wire, fanned to cluster width for the per-row n-gram work);
+    * both groupBys' keys are doc_id-prefixed, so neither needs another
+    * exchange — the only other shuffle is the presentation sort.
     */
   val repetition = Query(
     "tx_repetition",
@@ -440,7 +453,9 @@ object TextQueries {
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
             element_at(t, i + 2)))))
       }
-      Tables(s, dir).documents
+      graft.core.Par
+        .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"), toks(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(
