@@ -203,5 +203,53 @@ object Multimodal {
     """),
   )
 
-  def all: Seq[Query] = Seq(features, frames, wavDecode)
+  /** Real image decode, same contract as [[wavDecode]]: a deterministic
+    * 24bpp BMP corpus is synthesized (dimensions and grey levels are
+    * pure functions of doc_id), encoded to real DIB bytes, and every
+    * output field is read back by PARSING those bytes with
+    * [[BmpCodec.decode]] — including the row padding and bottom-up row
+    * order (top_left only comes out right if the parser walks the pixel
+    * array correctly). The oracle recomputes the parameters directly.
+    *
+    * Grey level at image-linear index i (= y·w + x) is
+    * (doc_id·7 + i·3) mod 256.
+    */
+  val bmpDecode = Query(
+    "mm_bmp_decode",
+    (s, dir) => {
+      import s.implicits._
+      val params = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val decoded = params.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 31 + 1).toInt
+          val h = (id % 17 + 1).toInt
+          val bytes = BmpCodec.encode(w, h,
+            (x, y) => ((id * 7 + (y.toLong * w + x) * 3) % 256).toInt)
+          val b = BmpCodec.decode(bytes)
+          (id, b.width, b.height, b.bitsPerPixel, b.fileSize, b.meanLevel,
+            b.topLeft)
+        }
+      }.toDF("media_id", "width", "height", "bits_per_pixel", "file_size",
+        "mean_level", "top_left")
+      decoded
+        .withColumn("mean_level", round(col("mean_level"), 4))
+        .orderBy(col("media_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id AS media_id,
+        (doc_id % 31 + 1)::INT AS width,
+        (doc_id % 17 + 1)::INT AS height,
+        24 AS bits_per_pixel,
+        (54 + ((3 * (doc_id % 31 + 1) + 3) // 4 * 4) * (doc_id % 17 + 1))::INT
+          AS file_size,
+        round(list_sum(list_transform(
+          range(0, ((doc_id % 31 + 1) * (doc_id % 17 + 1))::INT),
+          i -> (doc_id * 7 + i * 3) % 256))::DOUBLE
+          / ((doc_id % 31 + 1) * (doc_id % 17 + 1)), 4) AS mean_level,
+        ((doc_id * 7) % 256)::INT AS top_left
+      FROM documents ORDER BY media_id
+    """),
+  )
+
+  def all: Seq[Query] = Seq(features, frames, wavDecode, bmpDecode)
 }

@@ -381,6 +381,89 @@ object SimilarityQueries {
     """),
   )
 
+  /** Embedding k-means clustering (k=8, cosine assignment, two seeded
+    * Lloyd iterations) — the clustering stage of semantic dedup / domain
+    * discovery over a training corpus. Deterministic end-to-end: seeds
+    * are the first k vectors, each iteration's centroids are
+    * component-wise cell means quantized to 3 dp floats (absorbing
+    * cross-engine double-summation order), assignment is argmax cosine
+    * with ties to the higher cell id. Output: per-cluster membership
+    * count and mean cosine-to-centroid (cohesion).
+    *
+    * Same scale/codegen shape as [[ivfTopk]]: each Lloyd pass is one
+    * narrow corpus scan with a `greatest()`-codegen'd argmax over
+    * literal centroids + a k×dim partial-agg shuffle; the model (k×dim
+    * floats) is the only thing ever collected.
+    */
+  val kmeans = Query(
+    "ss_kmeans",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val Dim = 64
+      val K = 8
+      def bestCell(cents: Seq[(Int, Array[Float])]): Column =
+        greatest(cents.map { case (cid, cv) =>
+          struct(
+            VectorFunctions.cosineSim(col("embedding"), typedLit(cv))
+              .as("ccos"),
+            lit(cid).as("cid"))
+        }: _*)
+      def lloyd(cents: Seq[(Int, Array[Float])]): Seq[(Int, Array[Float])] = {
+        val avgs = (1 to Dim).map(i =>
+          avg(element_at(col("embedding"), i)).as(s"m_$i"))
+        e.select(bestCell(cents).getField("cid").as("cid"), col("embedding"))
+          .groupBy(col("cid"))
+          .agg(avgs.head, avgs.tail: _*)
+          .select(col("cid"), array((1 to Dim).map(i =>
+            round(col(s"m_$i"), 3).cast("float")): _*).as("cv"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+          .sortBy(_._1)
+      }
+      val seeds: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+        .sortBy(_._1)
+      val model = lloyd(lloyd(seeds))
+      e.select(bestCell(model).as("best"))
+        .select(col("best.cid").as("cluster"), col("best.ccos").as("ccos"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), round(avg(col("ccos")), 4).as("avg_cos"))
+        .orderBy(col("cluster"))
+    },
+    oracle = Some {
+      def assignSql(centsRel: String, n: Int) = s"""
+        SELECT vec_id, embedding, cid, ccos FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+            ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos,
+            row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY ${cosineSqlExpr2("e.embedding", "c.cv")} DESC,
+                                        c.cid DESC) AS rk
+          FROM embeddings e, $centsRel c) a$n WHERE rk = 1"""
+      def meansSql(assignRel: String) = s"""
+        SELECT cid, list_transform(list(round(m, 3) ORDER BY pos),
+                                   x -> x::FLOAT) AS cv
+        FROM (
+          SELECT cid, i.pos, avg(embedding[i.pos]) AS m
+          FROM $assignRel CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) i
+          GROUP BY 1, 2)
+        GROUP BY cid"""
+      s"""
+      WITH seeds AS (
+        SELECT vec_id::INT AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id < 8
+      ), a1 AS (${assignSql("seeds", 1)}),
+      c1 AS (${meansSql("a1")}),
+      a2 AS (${assignSql("c1", 2)}),
+      c2 AS (${meansSql("a2")}),
+      a3 AS (${assignSql("c2", 3)})
+      SELECT cid AS cluster, count(*) AS n, round(avg(ccos), 4) AS avg_cos
+      FROM a3 GROUP BY 1 ORDER BY 1
+      """
+    },
+  )
+
   /** Per-label vector statistics: counts, norm ranges, and the norm of
     * the mean vector (cluster-tightness proxy — ≈0 for isotropic
     * labels, →1 for tight clusters). Exercises dot/norm/normalize and
@@ -414,5 +497,5 @@ object SimilarityQueries {
   )
 
   def all: Seq[Query] =
-    Seq(bruteTopk, lshTopk, ivfTopk, cosineNearDup, vectorStats)
+    Seq(bruteTopk, lshTopk, ivfTopk, kmeans, cosineNearDup, vectorStats)
 }

@@ -80,4 +80,27 @@ class MultimodalSpec extends SparkSuite {
     val bad = plain.clone(); bad(0) = 'X'
     intercept[IllegalArgumentException] { WavCodec.decode(bad) }
   }
+
+  test("BmpCodec decode inverts encode incl. row padding and bottom-up order") {
+    // 3×2: row stride = 12 (3·3=9 padded to 12) — padding bytes in play
+    val levels = Map((0, 0) -> 10, (1, 0) -> 20, (2, 0) -> 30,
+      (0, 1) -> 40, (1, 1) -> 50, (2, 1) -> 60)
+    val bytes = BmpCodec.encode(3, 2, (x, y) => levels((x, y)))
+    assert(bytes.length == 54 + 12 * 2)
+    assert(bytes(0) == 'B' && bytes(1) == 'M')
+    // bottom-up: FIRST stored row is image row y=1 → blue byte = 40
+    assert((bytes(54) & 0xff) == 40)
+    val d = BmpCodec.decode(bytes)
+    assert(d.width == 3 && d.height == 2 && d.bitsPerPixel == 24)
+    assert(d.fileSize == bytes.length)
+    assert(d.topLeft == 10) // image (0,0), i.e. first pixel of LAST stored row
+    assert(math.abs(d.meanLevel - levels.values.sum / 6.0) < 1e-12)
+    // 1×1 (stride 4, minimal) roundtrip
+    val one = BmpCodec.decode(BmpCodec.encode(1, 1, (_, _) => 255))
+    assert(one.width == 1 && one.height == 1 && one.topLeft == 255)
+    // corrupt magic and truncated pixel array must fail loudly
+    val bad = bytes.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException] { BmpCodec.decode(bad) }
+    intercept[IllegalArgumentException] { BmpCodec.decode(bytes.take(60)) }
+  }
 }
