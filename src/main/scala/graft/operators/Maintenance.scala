@@ -27,6 +27,23 @@ object Maintenance {
     parts
   }
 
+  /** Write `df` as a bucketed (and bucket-sorted) external table —
+    * the standing answer to "this join shuffles 100 TB every night":
+    * both fact tables hash-partition into `nBuckets` files by the join
+    * key AT WRITE TIME, so every future equi-join or aggregation on
+    * that key reads co-located buckets and plans NO exchange (proved in
+    * MaintenanceSpec by asserting the joined plan is exchange-free).
+    * The bucket count is a capacity decision (≈ cluster cores × small
+    * multiple at the target scale), made once at layout time.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   /** Directory swap that never leaves a window without the data: the
     * original moves aside to a backup, the new directory renames into
     * place, then the backup is dropped. A crash at any point leaves

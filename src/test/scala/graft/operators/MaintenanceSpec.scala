@@ -47,4 +47,40 @@ class MaintenanceSpec extends SparkSuite {
     Maintenance.swapDirs(spark, nation, dst)
     assert(spark.read.parquet(dst).count() == t.nation.count())
   }
+
+  test("bucketed layout: co-located join and keyed agg plan NO exchange") {
+    val t    = Tables(spark, sf("sf0.001"))
+    val base = Files.createTempDirectory("bucketed")
+    Maintenance.writeBucketed(
+      t.orders.select(col("o_orderkey"), col("o_orderdate")),
+      "orders_b", "o_orderkey", 4, base.resolve("orders_b").toString)
+    Maintenance.writeBucketed(
+      t.lineitem.select(col("l_orderkey"), col("l_quantity")),
+      "lineitem_b", "l_orderkey", 4, base.resolve("lineitem_b").toString)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join must pick a keyed strategy — the
+      // bucketed layout then satisfies both sides' distribution
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val jp = joined.queryExecution.executedPlan.toString
+      assert(jp.contains("SortMergeJoin"), s"expected SMJ:\n$jp")
+      assert(!jp.contains("Exchange"), s"bucketed join inputs shuffled:\n$jp")
+      // an aggregation on the bucket key is likewise exchange-free
+      val agg = spark.table("lineitem_b").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"), s"bucket-key agg shuffled:\n$ap")
+      // and values match the unbucketed join
+      val expect = t.lineitem.join(t.orders,
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
 }
