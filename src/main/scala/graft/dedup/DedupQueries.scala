@@ -527,10 +527,10 @@ object DedupQueries {
           val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](64)
           var curS = Long.MinValue
           var first = true
-          new Iterator[(Long, Long, Long, Long)] {
-            private var out: Iterator[(Long, Long, Long, Long)] =
+          new Iterator[(Long, Long)] {
+            private var out: Iterator[(Long, Long)] =
               Iterator.empty
-            private def emit(): Iterator[(Long, Long, Long, Long)] = {
+            private def emit(): Iterator[(Long, Long)] = {
               if (buf.length < 2 || buf.length > 50) return Iterator.empty
               val snap = buf.toArray // ≤50 entries → ≤1225 pairs
               snap.indices.iterator.flatMap { i =>
@@ -542,7 +542,12 @@ object DedupQueries {
                   // impossible when max > 2·min — drop those pairs
                   // BEFORE the shuffle; the declared output (pairs with
                   // jac ≥ 0.5) is untouched
-                  if (sb <= 2 * sa && sa <= 2 * sb) Iterator.single((da, sa, db, sb))
+                  // pack (id, sz) into one long each (sz < 2^20 —
+                  // shingle sets of ≤1000-char docs are far smaller):
+                  // halves the pair-shuffle width to 16 bytes/pair and
+                  // gives the count aggregation 2-long keys
+                  if (sb <= 2 * sa && sa <= 2 * sb)
+                    Iterator.single(((da << 20) | sa, (db << 20) | sb))
                   else Iterator.empty
                 }
               }
@@ -561,15 +566,21 @@ object DedupQueries {
               }
               out.hasNext
             }
-            def next(): (Long, Long, Long, Long) = out.next()
+            def next(): (Long, Long) = out.next()
           }
         }
-        .toDF("id_a", "sz_a", "id_b", "sz_b")
-      pairs.groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+        .toDF("ka", "kb")
+      pairs.groupBy(col("ka"), col("kb"))
         .agg(count(lit(1)).as("inter"))
+        .select(
+          shiftright(col("ka"), 20).as("id_a"),
+          shiftright(col("kb"), 20).as("id_b"),
+          (col("ka").bitwiseAND(lit((1L << 20) - 1)) +
+            col("kb").bitwiseAND(lit((1L << 20) - 1)) - col("inter"))
+            .as("un"),
+          col("inter"))
         .withColumn("jaccard",
-          round(col("inter").cast("double") /
-            (col("sz_a") + col("sz_b") - col("inter")), 4))
+          round(col("inter").cast("double") / col("un"), 4))
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -616,6 +627,40 @@ object DedupQueries {
       .join(known, Seq("h"), "left_anti")
       .drop("h")
   }
+
+  /** [[incremental]] as a declared query: the nightly-ingest CDC shape.
+    * The incoming batch replays the `src0` slice verbatim (must all be
+    * rejected — content already in the corpus) and brings modified
+    * `src1` docs (unseen content — admitted). One hash anti join; at
+    * 100 TB the `known` side shuffles as 16-byte hashes, never text.
+    */
+  val incrementalDedup = Query(
+    "dd_incremental",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val existing = d.select(col("doc_id"), col("text"))
+      val incoming = d.filter(col("source") === "src0")
+        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+        .unionAll(d.filter(col("source") === "src1")
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+      incremental(existing, incoming)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH existing AS (SELECT DISTINCT md5(text) AS h FROM documents),
+      incoming AS (
+        SELECT doc_id + 300000 AS doc_id, text FROM documents
+        WHERE source = 'src0'
+        UNION ALL
+        SELECT doc_id + 400000 AS doc_id, text || ' fresh' AS text
+        FROM documents WHERE source = 'src1')
+      SELECT doc_id FROM incoming
+      WHERE md5(text) NOT IN (SELECT h FROM existing)
+      ORDER BY doc_id
+    """),
+  )
 
   /** Composed corpus-cleaning pass — quality filter, then exact dedup
     * (keep lowest doc_id per hash), then TRANSITIVE near-dup drop:
@@ -794,5 +839,5 @@ object DedupQueries {
 
   def all: Seq[Query] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, cleanCorpus, dupPassages,
-      dupClusters, decontaminate)
+      dupClusters, decontaminate, incrementalDedup)
 }
