@@ -55,4 +55,41 @@ class SkewAndAggregatorSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    // the complement of the salting utilities: for plain sort-merge
+    // joins, AQE itself splits the straggler partition — this proves
+    // the config surface this engine relies on at 100 TB actually
+    // fires (thresholds scaled down to test-data size)
+    val tuned = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      import spark.implicits._
+      // one hot key carrying ~99% of 60k rows vs a 3-row dim
+      val big = spark.range(0, 60000).select(
+        when(col("id") % 100 =!= 0, lit("hot"))
+          .otherwise(concat(lit("k"), col("id") % 7)).as("key"),
+        col("id").as("payload"))
+      val dim = Seq("hot", "k0", "k3").toDF("key")
+        .withColumn("tag", lit(1))
+      val joined = big.join(dim, "key")
+      // materialize through the SAME QueryExecution (count() would plan
+      // its own) so executedPlan is the finalized adaptive plan
+      val n = joined.collect().length
+      assert(n > 59000, s"unexpected join size $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition skewed:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
