@@ -38,10 +38,13 @@ object Bench {
       }
     }
     // two measured passes, min per query: single-pass numbers on a
-    // shared box carry seconds of scheduler/GC noise. A failed pass
-    // records None — a query regressing to a hard failure must not
-    // make the benchmark look faster.
-    def measure(): Map[String, Option[Double]] = queries.map { q =>
+    // shared box carry seconds of scheduler/GC noise. The second pass
+    // runs in REVERSE order so an external contention window (minutes
+    // of host load) cannot hit the same queries at the same relative
+    // offset in both passes — the min then still sees one clean
+    // measurement. A failed pass records None — a query regressing to
+    // a hard failure must not make the benchmark look faster.
+    def measure(order: Seq[Query]): Map[String, Option[Double]] = order.map { q =>
       val t0 = System.nanoTime()
       val ok =
         try { exec(q.run(spark, sfDir)); true }
@@ -51,8 +54,8 @@ object Bench {
         }
       q.name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }.toMap
-    val m1 = measure()
-    val m2 = measure()
+    val m1 = measure(queries)
+    val m2 = measure(queries.reverse)
     val results: Seq[(String, Option[Double])] = queries.map { q =>
       q.name -> ((m1(q.name), m2(q.name)) match {
         case (Some(a), Some(b)) => Some(math.min(a, b))
