@@ -293,6 +293,42 @@ object Events {
     """),
   )
 
+  /** Cohort retention matrix: users grouped by first-seen day, activity
+    * counted per week offset — the product-analytics staple. Two
+    * aggregations plus one user-keyed join; the first-seen table is
+    * user-cardinality (shuffles as (user_id, date) pairs), the matrix
+    * itself is bounded by days × offsets.
+    */
+  val retention = Query(
+    "ev_retention",
+    (s, dir) => {
+      val d = Tables(s, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = d.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      d.join(first, "user_id")
+        .select(col("user_id"),
+          date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+          floor(datediff(col("d"), col("d0")) / lit(7)).as("week_offset"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("week_offset"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events
+      ), f AS (
+        SELECT user_id, min(d) AS d0 FROM d GROUP BY 1
+      ), a AS (
+        SELECT DISTINCT d.user_id,
+          strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+          (d.d - f.d0) // 7 AS week_offset
+        FROM d JOIN f USING (user_id))
+      SELECT cohort_day, week_offset, count(*) AS n_users
+      FROM a GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+  )
+
   def all: Seq[Query] = Seq(hourly, sessionize, dailyActive, funnel,
-    jsonProps, asofJoin, rangeJoin, sessionWindow)
+    jsonProps, asofJoin, rangeJoin, sessionWindow, retention)
 }

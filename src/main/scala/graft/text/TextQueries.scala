@@ -578,7 +578,49 @@ object TextQueries {
     """),
   )
 
+  /** Character-entropy quality signal: Shannon entropy (bits/char) of
+    * each document's character distribution — low entropy flags
+    * repetitive/boilerplate text, high entropy flags binary junk; a
+    * standard corpus-filter feature next to the token-band and
+    * repetition filters. Computed as H = log2(T) − Σ c·log2(c) / T
+    * over per-char counts (all-integer log inputs, so both engines
+    * evaluate identical terms; the rounded sum absorbs order effects).
+    * Same single-exchange shape as [[repetition]]: pre-partition on
+    * doc_id, explode chars, two doc_id-prefixed aggregations.
+    */
+  val entropy = Query(
+    "tx_entropy",
+    (s, dir) => {
+      graft.core.Par
+        .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
+          col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("total"),
+          sum(col("cnt") * log2(col("cnt"))).as("s"))
+        .select(col("doc_id"),
+          round(log2(col("total")) - col("s") / col("total"), 4)
+            .as("entropy_bits"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        FROM documents
+      ), c AS (
+        SELECT doc_id, ch, count(*) AS cnt FROM ch
+        WHERE ch <> '' GROUP BY 1, 2
+      ), t AS (
+        SELECT doc_id, sum(cnt) AS total, sum(cnt * log2(cnt)) AS s
+        FROM c GROUP BY 1)
+      SELECT doc_id, round(log2(total) - s / total, 4) AS entropy_bits
+      FROM t ORDER BY doc_id
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
-    repetition, piiRedact)
+    repetition, piiRedact, entropy)
 }
