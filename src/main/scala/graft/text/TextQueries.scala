@@ -620,7 +620,39 @@ object TextQueries {
     """),
   )
 
+  /** Deterministic stratified sampling as a declared query: per-source
+    * Bernoulli on an md5 hash bucket of (salt, doc_id) — 50% of `src0`,
+    * 10% of everything else. Same per-row hash-gate semantics as
+    * [[Mix]] (which uses xxhash64 — cheaper, but with no DuckDB
+    * counterpart; this md5 variant makes the sampling operator itself
+    * oracle-checkable). Replayable by construction: the salt pins the
+    * sample across runs and engines — no `rand()` anywhere.
+    */
+  val sample = Query(
+    "tx_sample",
+    (s, dir) => {
+      val bucket = conv(
+        substring(md5(concat(lit("smp1:"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") % 100
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), bucket.as("b"))
+        .filter((col("source") === "src0" && col("b") < 50) ||
+          (col("source") =!= "src0" && col("b") < 10))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          ('0x' || substr(md5('smp1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100
+            AS b
+        FROM documents)
+      WHERE (source = 'src0' AND b < 50) OR (source <> 'src0' AND b < 10)
+      ORDER BY doc_id
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
-    repetition, piiRedact, entropy)
+    repetition, piiRedact, entropy, sample)
 }
