@@ -80,6 +80,26 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Codegen entry point for [[ProfileOverlap]]: overlap counts of the
+    * (distinct) `grams` against each profile set, in profile order.
+    */
+  def profileOverlap(grams: ArrayData,
+      sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val out = new Array[Int](sets.length)
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      val g = grams.getUTF8String(i)
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(g)) out(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit SimHash of `text` (majority vote over per-token hashes;
     * duplicates count). 0 for token-less text.
     */
@@ -151,6 +171,42 @@ case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression
   override def prettyName: String = "shingle_hash32"
 }
 
+/** Overlap counts of a distinct-gram array column against a bounded
+  * set of literal profiles (one count per profile, in the given
+  * order) — the fused, codegen'd twin of one `size(array_intersect)`
+  * per profile, which runs interpreted and re-hashes the gram array
+  * once per profile. One pass over the grams, one hash probe per
+  * (gram, profile).
+  */
+case class ProfileOverlap(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    profiles.map { p =>
+      val s = new java.util.HashSet[UTF8String]()
+      p.foreach(x => s.add(UTF8String.fromString(x)))
+      s
+    }.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.profileOverlap(v.asInstanceOf[ArrayData], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("profileSets", sets,
+      "java.util.HashSet[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.profileOverlap($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ProfileOverlap =
+    copy(child = c)
+
+  override def prettyName: String = "profile_overlap"
+}
+
 /** 60-bit SimHash of a text column. */
 case class SimHash60(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {
@@ -181,4 +237,8 @@ object HashFunctions {
   /** Distinct character n-grams (native kernel). */
   def charNgrams(c: Column, n: Int): Column =
     Exprs.toColumn(CharNgrams(Exprs.toExpr(c), n))
+
+  /** Per-profile overlap counts of a gram array (native kernel). */
+  def profileOverlap(c: Column, profiles: Seq[Seq[String]]): Column =
+    Exprs.toColumn(ProfileOverlap(Exprs.toExpr(c), profiles))
 }

