@@ -44,6 +44,26 @@ object Maintenance {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Key-based upsert (MERGE) into a parquet directory: incoming rows
+    * replace existing rows with the same key, new keys append — the
+    * nightly-ingest primitive for a lake without a table format. The
+    * rewrite is an anti join (existing minus updated keys) + union,
+    * swapped in crash-safely via [[swapDirs]]. At scale this runs per
+    * partition-directory so only partitions containing updated keys
+    * rewrite; with a table format (Delta/Iceberg) the same logic is a
+    * metadata MERGE — this implements the storage-level semantics.
+    */
+  def upsertParquet(spark: SparkSession, dir: String, updates: DataFrame,
+      key: String): Unit = {
+    val existing = spark.read.parquet(dir)
+    val merged = existing
+      .join(updates.select(updates(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+    val tmp = dir + "__upserting"
+    merged.write.mode("overwrite").parquet(tmp)
+    swapDirs(spark, tmp, dir)
+  }
+
   /** Directory swap that never leaves a window without the data: the
     * original moves aside to a backup, the new directory renames into
     * place, then the backup is dropped. A crash at any point leaves

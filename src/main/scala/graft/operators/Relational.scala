@@ -227,6 +227,38 @@ object Relational {
     """),
   )
 
+  /** Arbitrary GROUPING SETS (the general form ROLLUP/CUBE specialize)
+    * via the Spark 4 `Dataset.groupingSets` API: detail, per-priority
+    * subtotal, and grand total in one pass — Catalyst plans a single
+    * Expand + aggregation, not three scans.
+    */
+  val qGroupingSets = Query(
+    "q_grouping_sets",
+    (s, dir) => {
+      Tables(s, dir).orders
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy(col("priority"), col("status"))
+    },
+    oracle = Some("""
+      SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                              (o_orderpriority), ())
+      ORDER BY priority, status
+    """),
+  )
+
   /** CUBE over returnflag × linestatus — all four grouping sets. */
   val qCube = Query(
     "q_cube",
@@ -688,8 +720,8 @@ object Relational {
   )
 
   def all: Seq[Query] = Seq(
-    q1, q3, q5, q4, q6, qRollup, qCube, qWindowTopk, qWindowRunning,
-    qWindowMisc, qDatetime, qStringFuncs, qDistinct, qSetOps, qAntiJoin, qSubquery,
-    qHaving, qFullOuter, qCorrelated, qPivot, qApproxDistinct, qProfile,
-    qPercentiles)
+    q1, q3, q5, q4, q6, qRollup, qCube, qGroupingSets, qWindowTopk,
+    qWindowRunning, qWindowMisc, qDatetime, qStringFuncs, qDistinct,
+    qSetOps, qAntiJoin, qSubquery, qHaving, qFullOuter, qCorrelated,
+    qPivot, qApproxDistinct, qProfile, qPercentiles)
 }

@@ -48,6 +48,30 @@ class MaintenanceSpec extends SparkSuite {
     assert(spark.read.parquet(dst).count() == t.nation.count())
   }
 
+  test("upsertParquet replaces matching keys and appends new ones") {
+    val dir = Files.createTempDirectory("upsert").resolve("nation").toString
+    val t   = Tables(spark, sf("sf0.001"))
+    t.nation.write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+
+    import org.apache.spark.sql.Row
+    val schema = spark.read.parquet(dir).schema
+    val updates = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0, "RENAMED", 0),
+        Row(990, "ATLANTIS", 0)),
+      schema)
+    Maintenance.upsertParquet(spark, dir, updates, "n_nationkey")
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() == before + 1) // one replaced, one appended
+    assert(after.filter(col("n_nationkey") === 0)
+      .head().getAs[String]("n_name") == "RENAMED")
+    assert(after.filter(col("n_nationkey") === 990).count() == 1)
+    // untouched keys survive byte-identically
+    assert(after.filter(col("n_nationkey") === 5).count() == 1)
+  }
+
   test("bucketed layout: co-located join and keyed agg plan NO exchange") {
     val t    = Tables(spark, sf("sf0.001"))
     val base = Files.createTempDirectory("bucketed")
