@@ -743,20 +743,25 @@ object DedupQueries {
     "dd_dup_passages",
     (s, dir) => {
       val t  = Tables(s, dir)
-      // kernel once; ONE aggregation materializes each passage's
-      // (distinct, by collect_set) document set, and the per-document
-      // rollup reads the exploded sets directly — no shared-passage
-      // rejoin against the posting stream (measured 1.05 s → 0.78 s vs
-      // the count_distinct + join formulation). Width pinned (see
-      // reuseByDoc) so the explode stage keeps parallelism.
-      val sh = spreadBy(spread(dupCorpus(t))
+      // Bounded two-pass shape: df = count(*) per passage hash (a
+      // constant-size aggregation buffer with map-side partial combine
+      // — a boilerplate passage in millions of docs costs one long, not
+      // a multi-million-element collect_set), then the postings rejoin
+      // the df > 1 passages and roll up per doc. The deliberate
+      // Exchange on `s` (spreadBy) is shared by the aggregation and the
+      // join side via ReuseExchange, so the corpus scans and the
+      // shingle kernel run ONCE and both consumers are co-partitioned
+      // on `s` — two shuffles of 8-byte keys total (s, then doc_id),
+      // no unbounded state anywhere. shingleHash32 emits distinct
+      // hashes per doc, so count(*) per s is the document frequency.
+      val postings = spreadBy(spread(dupCorpus(t))
         .select(col("doc_id"),
           explode(graft.functions.HashFunctions.shingleHash32(col("text"), 10))
             .as("s")), col("s"))
-      sh.groupBy(col("s"))
-        .agg(collect_set(col("doc_id")).as("ds"))
-        .filter(size(col("ds")) > 1)
-        .select(size(col("ds")).as("df"), explode(col("ds")).as("doc_id"))
+      val shared = postings.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1)
+      postings.join(shared, "s")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_passages"),
           max(col("df")).as("max_spread"))

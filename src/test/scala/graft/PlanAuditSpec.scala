@@ -27,5 +27,18 @@ class PlanAuditSpec extends SparkSuite {
           s"${q.name} plans an undeclared nested-loop join:\n$plan")
       }
     }
+
+    test(s"${q.name} plans no unbounded collect aggregate") {
+      // collect_set/collect_list buffers grow with group cardinality —
+      // a hot key (a boilerplate passage, a viral n-gram) materializes
+      // a multi-million-element array in ONE aggregation buffer. No
+      // registry query may plan one; bounded-set semantics must be
+      // expressed as count/min/max + rejoin (see dd_dup_passages).
+      val plan = q.run(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      Seq("collect_set", "collect_list").foreach { fn =>
+        assert(!plan.contains(fn),
+          s"${q.name} plans an unbounded $fn aggregate:\n$plan")
+      }
+    }
   }
 }
