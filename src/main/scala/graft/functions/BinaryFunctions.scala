@@ -5,10 +5,10 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
 
-/** Mean unsigned byte value of a binary column — the stub "signal
-  * level" feature for multimodal content, as a codegen'd expression
-  * (replaces a per-character split+ascii array pipeline that allocated
-  * one string per byte).
+/** Mean unsigned byte value of a binary column — a cheap whole-blob
+  * signal statistic (useful as a pre-decode sanity screen on media
+  * columns), as a codegen'd expression (replaces a per-character
+  * split+ascii array pipeline that allocated one string per byte).
   */
 case class ByteMean(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {

@@ -89,6 +89,9 @@ object BmpCodec {
     require(le32(30) == 0, s"unsupported compression ${le32(30)}")
     require(bpp == 24, s"unsupported bpp $bpp")
     require(height > 0, "top-down BMPs not supported")
+    require(width > 0, s"bad width $width")
+    require(offset >= 54 && offset <= bytes.length,
+      s"pixel-array offset $offset outside file (${bytes.length} bytes)")
     val rs = rowSize(width)
     require(bytes.length >= offset + rs * height,
       s"truncated pixel array: ${bytes.length} < ${offset + rs * height}")

@@ -8,21 +8,23 @@ import org.apache.spark.sql.functions._
   * columns plus a typed metadata struct, with decode / feature-extract
   * / resize / frame-sample stages.
   *
-  * Two decode tiers:
-  *  - AUDIO is decoded FOR REAL: [[WavCodec]] parses RIFF/WAVE PCM
-  *    byte-for-byte inside the batched per-partition seam
-  *    (`mm_wav_decode` below; golden-tested in MultimodalSpec).
-  *  - image/video remain a clearly-marked STUB (`StubDecoder`) — this
-  *    container has no image codecs — with the Spark-side plumbing
-  *    (binary + metadata schema, batched UDF shape, partitioning)
-  *    real and tested. Swapping `StubDecoder.decode` for a JNI/codec
-  *    call changes no plan shape.
+  * ALL three media tiers decode FOR REAL — no stub remains:
+  *  - image: [[BmpCodec]] parses 24bpp Windows DIB byte-for-byte
+  *    (row padding + bottom-up rows).
+  *  - audio: [[WavCodec]] walks the RIFF chunk list and parses
+  *    `fmt `/`data` PCM chunks.
+  *  - video: [[Y4mCodec]] parses the YUV4MPEG2 header line and walks
+  *    `FRAME` chunks — the container has no frame count, so a decoded
+  *    `nFrames` is proof of a real frame walk.
+  * Each parser is golden-tested against handcrafted container bytes in
+  * MultimodalSpec and oracle-checked end-to-end against closed-form
+  * synthesis parameters (`mm_features`, `mm_*_decode` below).
   *
   * Scale notes: media blobs are the widest column by far — every query
   * prunes to (id, meta) before any shuffle and touches `content` only
   * in the narrow per-partition decode pass; nothing ever shuffles raw
-  * bytes. Feature extraction is mapPartitions-batched so a real decoder
-  * can amortize model/codec init per partition (the JVM analog of a
+  * bytes. Feature extraction is mapPartitions-batched so a real codec
+  * can amortize decoder init per partition (the JVM analog of a
   * pandas-batched UDF).
   */
 object Multimodal {
@@ -40,57 +42,77 @@ object Multimodal {
       media_id: Long,
       media_type: String,
       n_bytes: Long,
-      checksum: String,
-      mean_level: Double) // stub for luma/loudness
+      /** decoded per-type level: image = mean grey over all pixels,
+        * audio = mean PCM sample, video = mean luma of the first frame
+        */
+      mean_level: Double)
 
-  /** STUB decoder — deterministic fake standing in for a codec.
-    * Real implementation would parse the container format; the stub
-    * computes byte statistics so tests have exact expectations.
+  /** Deterministic REAL-container corpus derived from `documents` (the
+    * test environment ships no binary table): every blob is genuine
+    * on-disk bytes of its format — BMP for image rows, RIFF/WAVE for
+    * audio, YUV4MPEG2 for video — with dimensions/rates/frame counts
+    * and pixel/sample values all pure functions of (doc_id, n_chars),
+    * so oracles can recompute every decoded field closed-form. Stands
+    * in for `spark.read.parquet` of a real media table with the same
+    * schema; synthesis+decode is one narrow per-partition pass.
     */
-  object StubDecoder {
-    def decode(r: MediaRecord): MediaFeatures = {
-      val bytes = r.content
-      var sum = 0L
-      var i = 0
-      while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-      val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-      MediaFeatures(
-        r.media_id, r.media_type, bytes.length.toLong,
-        java.security.MessageDigest.getInstance("MD5").digest(bytes)
-          .map("%02x".format(_)).mkString,
-        mean)
-    }
+  def mediaTable(t: Tables): DataFrame = {
+    val s = t.documents.sparkSession
+    import s.implicits._
+    t.documents.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) => synthRecord(id, nChars) })
+      .toDF()
   }
 
-  /** Deterministic binary corpus derived from `documents` (the test
-    * environment ships no binary table): content = UTF-8 bytes of the
-    * text; media_type round-robins image/audio/video; metadata derived
-    * from n_chars. Stands in for `spark.read.parquet` of a real media
-    * table with the same schema.
+  /** One synthesized media row; the closed-form parameter formulas here
+    * are mirrored verbatim in the `mm_*` oracles.
     */
-  def mediaTable(t: Tables): DataFrame =
-    t.documents.select(
-      col("doc_id").as("media_id"),
-      element_at(
-        array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("content"),
-      (col("n_chars") % 1920).cast("int").as("width"),
-      (col("n_chars") % 1080).cast("int").as("height"),
-      lit(16000).as("sample_rate"),
-      (col("n_chars") % 240 + 1).cast("int").as("n_frames"))
+  private[multimodal] def synthRecord(id: Long, nChars: Long): MediaRecord =
+    (id % 3) match {
+      case 0 => // image: 24bpp BMP, grey(i) = (id·7 + i·3) mod 256
+        val w = (id % 31 + 1).toInt
+        val h = (id % 17 + 1).toInt
+        val bytes = BmpCodec.encode(w, h,
+          (x, y) => ((id * 7 + (y.toLong * w + x) * 3) % 256).toInt)
+        MediaRecord(id, "image", bytes, w, h, 0, 1)
+      case 1 => // audio: mono 16-bit PCM WAV, sample(i) = (id·31+i·7) mod 2^16 − 2^15
+        val rate = 8000 + (id % 5).toInt * 2000
+        val n    = (nChars % 240 + 1).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 31 + i * 7) % 65536) - 32768).toShort)
+        MediaRecord(id, "audio", WavCodec.encode(rate, samples), 0, 0, rate, 0)
+      case _ => // video: C420jpeg Y4M, luma(f,i) = (id·11 + f·5 + i·3) mod 256
+        val w   = ((id % 8) + 1).toInt * 2
+        val h   = ((id % 4) + 1).toInt * 2
+        val fps = 24 + (id % 4).toInt * 6
+        val nf  = (nChars % 240 + 1).toInt
+        val bytes = Y4mCodec.encode(w, h, fps, 1, nf,
+          (f, i) => ((id * 11 + f * 5L + i * 3L) % 256).toInt)
+        MediaRecord(id, "video", bytes, w, h, 0, nf)
+    }
 
-  /** Batched per-partition decode — the real-decoder seam. */
+  /** Batched per-partition decode: dispatch on the media type and parse
+    * the container bytes with the real codec for that format.
+    */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      // per-partition init seam: a real decoder opens its codec here once
-      batch.map(StubDecoder.decode)
+      // per-partition init seam: a heavier codec opens its tables here once
+      batch.map { r =>
+        val mean = r.media_type match {
+          case "image" => BmpCodec.decode(r.content).meanLevel
+          case "audio" => WavCodec.decode(r.content).meanSample
+          case "video" => Y4mCodec.decode(r.content).firstFrameMean
+          case other =>
+            throw new IllegalArgumentException(s"unknown media type $other")
+        }
+        MediaFeatures(r.media_id, r.media_type, r.content.length.toLong, mean)
+      }
     }
   }
 
   /** Resize: pure metadata transform (a real impl also re-encodes
-    * `content`; the stub scales the declared dimensions only).
+    * `content`; this scales the declared dimensions only).
     */
   def resize(media: DataFrame, maxW: Int): DataFrame = {
     val scale = least(lit(1.0), lit(maxW) / greatest(col("width"), lit(1)))
@@ -100,43 +122,76 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows: one output row per kept frame,
-    * every `step`-th frame. Explode happens on (id, frame_no) only —
-    * content bytes are not duplicated per frame.
+    * every `step`-th frame. The frame count comes from DECODING the
+    * container (Y4M carries no frame-count field — [[Y4mCodec.decode]]
+    * walks the stream), not from trusting declared metadata; the walk
+    * happens in the narrow per-partition pass and only (id, frame_no)
+    * rows ever reach the explode — content bytes are not duplicated
+    * per frame and never shuffle.
     */
-  def frameSample(media: DataFrame, step: Int): DataFrame =
+  def frameSample(media: DataFrame, step: Int): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
     media.filter(col("media_type") === "video")
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, Y4mCodec.decode(bytes).nFrames)
+      })
+      .toDF("media_id", "n_frames")
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step)))
           .as("frame_no"))
+  }
 
-  /** Feature extraction as a declared query (columnar twin of
-    * [[extractFeatures]]; identical outputs, oracle-checkable).
+  /** Feature extraction as a declared query: synthesize the real
+    * container corpus, decode every blob with its format's parser, and
+    * emit the decoded statistics. The oracle recomputes byte sizes and
+    * per-type means closed-form from the synthesis parameters — a wrong
+    * encoder OR a wrong parser diverges.
     */
   val features = Query(
     "mm_features",
     (s, dir) => {
-      mediaTable(Tables(s, dir))
-        .select(
-          col("media_id"), col("media_type"),
-          length(col("content")).cast("long").as("n_bytes"),
-          md5(col("content")).as("checksum"),
-          round(graft.functions.BinaryFunctions.byteMean(col("content")), 4)
-            .as("mean_level"))
+      import s.implicits._
+      extractFeatures(mediaTable(Tables(s, dir)).as[MediaRecord])
+        .toDF()
+        .withColumn("mean_level", round(col("mean_level"), 4))
         .orderBy(col("media_id"))
     },
-    // text is ASCII, so bytes == codepoints and md5(blob) == md5(text)
     oracle = Some("""
       SELECT doc_id AS media_id,
         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
-        octet_length(encode(text)) AS n_bytes,
-        md5(text) AS checksum,
-        round(list_sum(list_transform(string_split_regex(text, ''),
-          c -> ord(c)))::DOUBLE / octet_length(encode(text)), 4) AS mean_level
+        (CASE doc_id % 3
+          WHEN 0 THEN 54 + ((3 * (doc_id % 31 + 1) + 3) // 4 * 4) * (doc_id % 17 + 1)
+          WHEN 1 THEN 44 + 2 * (n_chars % 240 + 1)
+          ELSE length('YUV4MPEG2 W' || ((doc_id % 8 + 1) * 2)::VARCHAR
+                 || ' H' || ((doc_id % 4 + 1) * 2)::VARCHAR
+                 || ' F' || (24 + (doc_id % 4) * 6)::VARCHAR
+                 || ':1 Ip A1:1 C420jpeg') + 1
+               + (n_chars % 240 + 1) * (6 + 6 * (doc_id % 8 + 1) * (doc_id % 4 + 1))
+        END)::BIGINT AS n_bytes,
+        CASE doc_id % 3
+          WHEN 0 THEN round(list_sum(list_transform(
+            range(0, ((doc_id % 31 + 1) * (doc_id % 17 + 1))::INT),
+            i -> (doc_id * 7 + i * 3) % 256))::DOUBLE
+            / ((doc_id % 31 + 1) * (doc_id % 17 + 1)), 4)
+          WHEN 1 THEN round(list_sum(list_transform(
+            range(0, (n_chars % 240 + 1)::INT),
+            i -> (doc_id * 31 + i * 7) % 65536 - 32768))::DOUBLE
+            / (n_chars % 240 + 1), 4)
+          ELSE round(list_sum(list_transform(
+            range(0, (4 * (doc_id % 8 + 1) * (doc_id % 4 + 1))::INT),
+            i -> (doc_id * 11 + i * 3) % 256))::DOUBLE
+            / (4 * (doc_id % 8 + 1) * (doc_id % 4 + 1)), 4)
+        END AS mean_level
       FROM documents ORDER BY media_id
     """),
   )
 
-  /** Frame sampling as a declared query: every 7th frame of each video. */
+  /** Frame sampling as a declared query: every 7th frame of each video,
+    * with the frame count discovered by the decoder's frame walk.
+    */
   val frames = Query(
     "mm_frame_sample",
     (s, dir) => {
@@ -251,5 +306,59 @@ object Multimodal {
     """),
   )
 
-  def all: Seq[Query] = Seq(features, frames, wavDecode, bmpDecode)
+  /** Real video decode, same contract as [[wavDecode]]/[[bmpDecode]]:
+    * a deterministic YUV4MPEG2 corpus is synthesized (dimensions, frame
+    * rate, frame count, and per-frame luma planes are pure functions of
+    * doc_id/n_chars), encoded to real Y4M bytes, and every output field
+    * is read back by PARSING those bytes with [[Y4mCodec.decode]]. The
+    * frame count is NOT in the container header — the decoder discovers
+    * it by walking `FRAME` chunks, and `last_top_left` (first luma byte
+    * of the final frame) only comes out right if every frame boundary
+    * landed exactly. The oracle recomputes all fields closed-form.
+    *
+    * Luma of frame f at raster index i is (doc_id·11 + f·5 + i·3) mod 256.
+    */
+  val videoDecode = Query(
+    "mm_video_decode",
+    (s, dir) => {
+      import s.implicits._
+      val params = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      val decoded = params.mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w   = ((id % 8) + 1).toInt * 2
+          val h   = ((id % 4) + 1).toInt * 2
+          val fps = 24 + (id % 4).toInt * 6
+          val nf  = (nChars % 240 + 1).toInt
+          val bytes = Y4mCodec.encode(w, h, fps, 1, nf,
+            (f, i) => ((id * 11 + f * 5L + i * 3L) % 256).toInt)
+          val d = Y4mCodec.decode(bytes)
+          (id, d.width, d.height, d.fpsNum, d.fpsDen, d.nFrames,
+            d.nFrames * 1000L * d.fpsDen / d.fpsNum,
+            d.firstFrameMean, d.lastTopLeft)
+        }
+      }.toDF("media_id", "width", "height", "fps_num", "fps_den",
+        "n_frames", "duration_ms", "first_frame_mean", "last_top_left")
+      decoded
+        .withColumn("first_frame_mean", round(col("first_frame_mean"), 4))
+        .orderBy(col("media_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id AS media_id,
+        ((doc_id % 8 + 1) * 2)::INT AS width,
+        ((doc_id % 4 + 1) * 2)::INT AS height,
+        (24 + (doc_id % 4) * 6)::INT AS fps_num,
+        1 AS fps_den,
+        (n_chars % 240 + 1)::INT AS n_frames,
+        (n_chars % 240 + 1) * 1000 // (24 + (doc_id % 4) * 6) AS duration_ms,
+        round(list_sum(list_transform(
+          range(0, (4 * (doc_id % 8 + 1) * (doc_id % 4 + 1))::INT),
+          i -> (doc_id * 11 + i * 3) % 256))::DOUBLE
+          / (4 * (doc_id % 8 + 1) * (doc_id % 4 + 1)), 4) AS first_frame_mean,
+        ((doc_id * 11 + (n_chars % 240) * 5) % 256)::INT AS last_top_left
+      FROM documents ORDER BY media_id
+    """),
+  )
+
+  def all: Seq[Query] = Seq(features, frames, wavDecode, bmpDecode, videoDecode)
 }

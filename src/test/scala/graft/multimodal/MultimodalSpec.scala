@@ -15,21 +15,27 @@ class MultimodalSpec extends SparkSuite {
       .forall(schema(_).dataType.typeName == "integer"))
   }
 
-  test("typed mapPartitions decode pipeline == columnar mm_features twin") {
+  test("every media blob decodes with its format's real parser") {
     import spark.implicits._
-    val typed = extractFeatures(media.as[MediaRecord])
-      .select(col("media_id"), col("n_bytes"), col("checksum"),
-        round(col("mean_level"), 4).as("mean_level"))
-    val columnar = graft.QueryRegistry.byName("mm_features")
-      .run(spark, sf("sf0.001"))
-      .select(col("media_id"), col("n_bytes"), col("checksum"), col("mean_level"))
-    assert(typed.exceptAll(columnar).count() == 0)
-    assert(columnar.exceptAll(typed).count() == 0)
+    val rows = extractFeatures(media.as[MediaRecord]).collect()
+    assert(rows.nonEmpty)
+    // a decoded mean is only produced after a successful parse; image
+    // and video means are byte levels in [0, 256), audio means are PCM
+    assert(rows.filter(r => r.media_type != "audio")
+      .forall(r => r.mean_level >= 0 && r.mean_level < 256))
+    assert(rows.forall(_.n_bytes > 0))
+    // spot-check one image row against the closed-form synthesis params
+    val img = rows.filter(_.media_type == "image").minBy(_.media_id)
+    val id  = img.media_id
+    val (w, h) = ((id % 31 + 1).toInt, (id % 17 + 1).toInt)
+    assert(img.n_bytes == 54L + ((3 * w + 3) / 4 * 4) * h)
+    val expMean = (0 until w * h).map(i => (id * 7 + i * 3) % 256).sum.toDouble / (w * h)
+    assert(math.abs(img.mean_level - expMean) < 1e-9)
   }
 
   test("resize clamps width to max and preserves aspect ratio direction") {
-    val out = resize(media.filter(col("width") > 100), maxW = 100)
-    assert(out.filter(col("width") > 100).count() == 0)
+    val out = resize(media.filter(col("width") > 16), maxW = 16)
+    assert(out.filter(col("width") > 16).count() == 0)
     assert(out.filter(col("height") < 0).count() == 0)
   }
 
@@ -81,6 +87,58 @@ class MultimodalSpec extends SparkSuite {
     intercept[IllegalArgumentException] { WavCodec.decode(bad) }
   }
 
+  test("Y4mCodec.decode parses hand-written golden Y4M bytes") {
+    // 2×2 C420jpeg at 30 fps, 2 frames — bytes written field by field,
+    // independent of Y4mCodec.encode. Frame = 4 luma + 2 chroma bytes.
+    val header = "YUV4MPEG2 W2 H2 F30:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val f0 = "FRAME\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40) ++ Array[Byte](99, 99)
+    // second frame marker carries per-frame params — must still parse
+    val f1 = "FRAME Xtest\n".getBytes("US-ASCII") ++
+      Array[Byte](50, 60, 70, 80) ++ Array[Byte](1, 2)
+    val d = Y4mCodec.decode(header ++ f0 ++ f1)
+    assert(d.width == 2 && d.height == 2 && d.fpsNum == 30 && d.fpsDen == 1)
+    assert(d.colorspace == "420jpeg" && d.nFrames == 2)
+    assert(math.abs(d.firstFrameMean - (10 + 20 + 30 + 40) / 4.0) < 1e-12)
+    assert(d.lastTopLeft == 50) // first luma byte of the LAST frame
+    // mono: frame = w*h bytes, no chroma
+    val mono = "YUV4MPEG2 W2 H1 Cmono\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ Array[Byte](7, 9)
+    val m = Y4mCodec.decode(mono)
+    assert(m.nFrames == 1 && m.firstFrameMean == 8.0 && m.fpsNum == 25)
+  }
+
+  test("Y4mCodec decode inverts encode; corrupt streams fail loudly") {
+    val bytes = Y4mCodec.encode(4, 2, 24, 1, 5, (f, i) => f * 10 + i)
+    val d = Y4mCodec.decode(bytes)
+    assert(d.width == 4 && d.height == 2 && d.fpsNum == 24 && d.nFrames == 5)
+    assert(math.abs(d.firstFrameMean - (0 until 8).sum / 8.0) < 1e-12)
+    assert(d.lastTopLeft == 40)
+    // zero-frame stream: header only, valid, walks to zero
+    val empty = Y4mCodec.decode(Y4mCodec.encode(2, 2, 25, 1, 0, (_, _) => 0))
+    assert(empty.nFrames == 0 && empty.firstFrameMean == 0.0)
+    // bad magic, truncated frame, and garbage marker must all throw
+    val bad = bytes.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException] { Y4mCodec.decode(bad) }
+    intercept[IllegalArgumentException] { Y4mCodec.decode(bytes.dropRight(3)) }
+    val garbage = "YUV4MPEG2 W2 H2 C420jpeg\n".getBytes("US-ASCII") ++
+      "NOTAFRAME\n".getBytes("US-ASCII") ++ new Array[Byte](6)
+    intercept[IllegalArgumentException] { Y4mCodec.decode(garbage) }
+  }
+
+  test("frameSample's decoded frame count agrees with declared metadata") {
+    import spark.implicits._
+    val decoded = media.filter(col("media_type") === "video")
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .map { case (id, bytes) => (id, Y4mCodec.decode(bytes).nFrames) }
+      .toDF("media_id", "decoded")
+    val declared = media.filter(col("media_type") === "video")
+      .select(col("media_id"), col("n_frames").as("declared"))
+    val joined = decoded.join(declared, "media_id")
+    assert(joined.filter(col("decoded") =!= col("declared")).count() == 0)
+    assert(joined.count() > 0)
+  }
+
   test("BmpCodec decode inverts encode incl. row padding and bottom-up order") {
     // 3×2: row stride = 12 (3·3=9 padded to 12) — padding bytes in play
     val levels = Map((0, 0) -> 10, (1, 0) -> 20, (2, 0) -> 30,
@@ -102,5 +160,13 @@ class MultimodalSpec extends SparkSuite {
     val bad = bytes.clone(); bad(0) = 'X'
     intercept[IllegalArgumentException] { BmpCodec.decode(bad) }
     intercept[IllegalArgumentException] { BmpCodec.decode(bytes.take(60)) }
+    // crafted non-positive width and out-of-file pixel offset must fail
+    // loudly too (not NaN means / arbitrary-offset reads)
+    val zeroW = bytes.clone()
+    zeroW(18) = 0; zeroW(19) = 0; zeroW(20) = 0; zeroW(21) = 0
+    intercept[IllegalArgumentException] { BmpCodec.decode(zeroW) }
+    val badOff = bytes.clone()
+    badOff(10) = 0xff.toByte; badOff(11) = 0xff.toByte
+    intercept[IllegalArgumentException] { BmpCodec.decode(badOff) }
   }
 }
