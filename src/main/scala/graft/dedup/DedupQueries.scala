@@ -281,11 +281,12 @@ object DedupQueries {
     * keeps it inside one task's memory comfortably.
     *
     * Above the threshold it falls back to iterative min-label
-    * propagation: rounds = component diameter (shallow for near-dup
-    * clusters), bounded at 16 with a fixpoint check; each round is one
-    * join + one groupBy on the edge list only — the standard
-    * iterative-graph pattern (at scale, checkpoint every few rounds to
-    * truncate lineage).
+    * propagation, run to FIXPOINT (rounds = component diameter —
+    * shallow for near-dup clusters, but a >16-diameter chain of
+    * templated text must converge too, never silently truncate); each
+    * round is one join + one groupBy on the edge list only — the
+    * standard iterative-graph pattern, with a localCheckpoint every 4
+    * rounds to keep plan lineage bounded.
     */
   private[dedup] def connectedComponents(
       edges: DataFrame,
@@ -334,17 +335,35 @@ object DedupQueries {
     var cached  = labels // the frame actually persisted this round
     var changed = 1L
     var rounds  = 0
-    while (changed > 0 && rounds < 16) {
+    // Loop to FIXPOINT — never exit with unconverged labels (a silent
+    // 16-round cap would emit WRONG cluster labels for any component of
+    // diameter > 16, e.g. a long chain of templated near-dups). The
+    // loop always terminates: labels decrease monotonically and stop
+    // changing after diameter(G) rounds ≤ #nodes. Every few rounds the
+    // label frame is localCheckpoint'ed so plan lineage stays bounded
+    // (each round otherwise stacks a join+agg on the previous plan).
+    // The node-count bound below is pure defense: hitting it means the
+    // monotone-convergence invariant itself broke, which must be loud.
+    val maxRounds = math.max(16L, 2L * n + 2)
+    while (changed > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $rounds rounds " +
+            s"($n edges) — monotone label propagation cannot legally " +
+            "take more rounds than nodes; aborting instead of emitting " +
+            "unconverged cluster labels")
       val nbrMin = bidir
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src")).agg(min(col("nlbl")).as("nbr"))
         .select(col("src").as("id"), col("nbr"))
       // carry the previous label through the round so the fixpoint
       // check is a filter on the materialized frame, not a second join
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
-        .persist()
+      val next =
+        if (rounds % 4 == 3) stepped.localCheckpoint() // truncates lineage
+        else stepped.persist()
       changed = next.filter(col("lbl") =!= col("prev")).count()
       cached.unpersist()
       cached = next
@@ -409,13 +428,12 @@ object DedupQueries {
     * Components are computed by iterative min-label propagation over
     * the edge list: each round every node takes the min of its own and
     * its neighbors' labels; rounds = component diameter (near-dup
-    * clusters are shallow — chains of near-identical docs), bounded at
-    * 16 with a fixpoint check per round. Each round is one join + one
-    * groupBy on the (tiny) edge list — the corpus itself is never
-    * touched after edge extraction. Labels persist between rounds
-    * (the standard iterative-graph pattern; at scale, checkpoint every
-    * few rounds to truncate lineage). Oracle: DuckDB recursive CTE
-    * computing min reachable id.
+    * clusters are shallow — chains of near-identical docs), run to
+    * fixpoint with periodic lineage checkpoints. Each round is one
+    * join + one groupBy on the (tiny) edge list — the corpus itself is
+    * never touched after edge extraction. Labels persist between
+    * rounds (the standard iterative-graph pattern). Oracle: DuckDB
+    * recursive CTE computing min reachable id.
     */
   val dupClusters = Query(
     "dd_dup_clusters",
@@ -557,6 +575,13 @@ object DedupQueries {
                 if (!it.hasNext) { out = emit(); buf.clear() }
                 else {
                   val (sv, d, z) = it.next()
+                  // the (id << 20 | sz) packing below is only lossless
+                  // inside these bounds (sz < 2^20 holds for any
+                  // ≤1000-char record's shingle set; id < 2^43 covers
+                  // 8T docs) — a violated assumption must fail loudly,
+                  // not corrupt Jaccard pairs
+                  require(z < (1L << 20) && d >= 0 && d < (1L << 43),
+                    s"pair-key packing overflow: doc_id=$d sz=$z")
                   if (first || sv == curS) {
                     buf += ((d, z)); curS = sv; first = false
                   } else {

@@ -121,6 +121,19 @@ class DedupSpec extends SparkSuite {
     assert(lp == expected)
   }
 
+  test("connectedComponents: label propagation converges past 16 rounds") {
+    import spark.implicits._
+    // a 21-node chain (diameter 20) with the min label at one END, so
+    // label 0 must walk the full diameter: >16 propagation rounds. The
+    // old 16-round cap silently emitted unconverged labels here;
+    // unionFindMaxEdges = 0 forces the propagation path.
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupQueries.connectedComponents(chain, unionFindMaxEdges = 0L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("lbl")).toMap
+    assert(labels == (0L to 20L).map(_ -> 0L).toMap,
+      s"chain did not fully converge: $labels")
+  }
+
   test("dd_simhash: equal texts hash equal; fingerprints fit in 60 bits") {
     val hashes = QueryRegistry.byName("dd_simhash").run(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
