@@ -44,24 +44,100 @@ object Maintenance {
       .sortBy(key)
       .saveAsTable(table)
 
+  private val BucketMarker = "_graft_buckets"
+
+  /** Lay a table out Hive-partitioned by a stable hash bucket of `key`
+    * (`bucket=<pmod(murmur3(key), nBuckets)>` subdirectories, plus a
+    * marker file recording the bucket count) — the lake layout that
+    * makes [[upsertParquet]] partition-pruned: a nightly batch touching
+    * 0.1% of keys rewrites only the bucket directories those keys hash
+    * into, not the lake. The `bucket` column surfaces as a normal
+    * partition column to readers, and filters on it prune at planning
+    * time. Bucket count is a capacity decision made once at layout
+    * time (≈ lake size / desired rewrite unit).
+    */
+  def writeKeyBucketed(df: DataFrame, dir: String, key: String,
+      nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    df.withColumn("bucket", pmod(hash(col(key)), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val spark = df.sparkSession
+    val p  = new org.apache.hadoop.fs.Path(dir, BucketMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Key-based upsert (MERGE) into a parquet directory: incoming rows
     * replace existing rows with the same key, new keys append — the
-    * nightly-ingest primitive for a lake without a table format. The
-    * rewrite is an anti join (existing minus updated keys) + union,
-    * swapped in crash-safely via [[swapDirs]]. At scale this runs per
-    * partition-directory so only partitions containing updated keys
-    * rewrite; with a table format (Delta/Iceberg) the same logic is a
-    * metadata MERGE — this implements the storage-level semantics.
+    * nightly-ingest primitive for a lake without a table format.
+    * MERGE semantics require at most one update row per key; duplicate
+    * keys in `updates` fail loudly (the SQL MERGE "multiple source rows
+    * match" error) instead of silently multiplying rows.
+    *
+    * On a [[writeKeyBucketed]] layout the rewrite is PARTITION-PRUNED:
+    * only the bucket directories whose hash range contains an updated
+    * key are read, merged (anti join + union), and swapped — untouched
+    * bucket directories keep their files byte-identical (asserted in
+    * MaintenanceSpec by mtime+size). Each bucket swaps crash-safely via
+    * [[swapDirs]]; a crash mid-batch leaves every bucket either old or
+    * fully merged, and re-running the same upsert is idempotent.
+    *
+    * On a flat directory (no bucket marker) the whole directory
+    * rewrites in one crash-safe swap — correct, but O(lake) per batch;
+    * bucket the layout when that matters. With a table format
+    * (Delta/Iceberg) the same logic is a metadata MERGE — this
+    * implements the storage-level semantics.
     */
   def upsertParquet(spark: SparkSession, dir: String, updates: DataFrame,
       key: String): Unit = {
-    val existing = spark.read.parquet(dir)
-    val merged = existing
-      .join(updates.select(updates(key)), Seq(key), "left_anti")
-      .unionByName(updates)
-    val tmp = dir + "__upserting"
-    merged.write.mode("overwrite").parquet(tmp)
-    swapDirs(spark, tmp, dir)
+    import org.apache.spark.sql.functions.{col, count, hash, lit, pmod}
+    val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsertParquet: duplicate key in updates batch " +
+          s"(${key}=${dup.head.get(0)}) — MERGE needs one row per key")
+    val markerPath = new org.apache.hadoop.fs.Path(dir, BucketMarker)
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(markerPath)) {
+      // flat layout: one whole-directory crash-safe rewrite
+      val existing = spark.read.parquet(dir)
+      val merged = existing
+        .join(updates.select(updates(key)), Seq(key), "left_anti")
+        .unionByName(updates)
+      val tmp = dir + "__upserting"
+      merged.write.mode("overwrite").parquet(tmp)
+      swapDirs(spark, tmp, dir)
+      return
+    }
+    val nBuckets = {
+      val in = fs.open(markerPath)
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt
+      finally in.close()
+    }
+    val bucketOf = pmod(hash(col(key)), lit(nBuckets))
+    val upd = updates.withColumn("bucket", bucketOf).persist()
+    val touched = upd.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by nBuckets
+    touched.foreach { b =>
+      val part    = s"$dir/bucket=$b"
+      val partUpd = upd.filter(col("bucket") === b).drop("bucket")
+      val partPath = new org.apache.hadoop.fs.Path(part)
+      val merged =
+        if (fs.exists(partPath))
+          spark.read.parquet(part)
+            .join(partUpd.select(partUpd(key)), Seq(key), "left_anti")
+            .unionByName(partUpd)
+        else partUpd // a new key hashed into a previously-empty bucket
+      val tmp = part + "__upserting"
+      merged.write.mode("overwrite").parquet(tmp)
+      if (fs.exists(partPath)) swapDirs(spark, tmp, part)
+      else if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), partPath))
+        throw new java.io.IOException(s"rename $tmp -> $part failed")
+    }
+    upd.unpersist()
   }
 
   /** Directory swap that never leaves a window without the data: the

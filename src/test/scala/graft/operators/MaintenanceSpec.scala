@@ -72,6 +72,70 @@ class MaintenanceSpec extends SparkSuite {
     assert(after.filter(col("n_nationkey") === 5).count() == 1)
   }
 
+  test("bucketed upsert rewrites only touched buckets, byte-identical rest") {
+    val dir = Files.createTempDirectory("kbupsert").resolve("orders").toString
+    val t   = Tables(spark, sf("sf0.001"))
+    Maintenance.writeKeyBucketed(
+      t.orders.select(col("o_orderkey"), col("o_totalprice")),
+      dir, "o_orderkey", nBuckets = 8)
+    val before = spark.read.parquet(dir)
+    val nBefore = before.count()
+
+    // one updated key + one brand-new key
+    val someKey = before.select(col("o_orderkey")).head().getLong(0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val updSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType)))
+    val updates = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(someKey, -1.0), Row(999999999L, -2.0)), updSchema)
+
+    // fingerprint every data file per bucket dir before the upsert
+    def fingerprint(): Map[String, Seq[(String, Long, Long)]] =
+      Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("bucket="))
+        .map { b =>
+          b.getFileName.toString ->
+            Files.list(b).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => (f.getFileName.toString, Files.size(f),
+                Files.getLastModifiedTime(f).toMillis)).toSeq.sortBy(_._1)
+        }.toMap
+    val fpBefore = fingerprint()
+
+    Maintenance.upsertParquet(spark, dir, updates, "o_orderkey")
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() == nBefore + 1)
+    assert(after.filter(col("o_orderkey") === someKey)
+      .head().getAs[Double]("o_totalprice") == -1.0)
+    assert(after.filter(col("o_orderkey") === 999999999L).count() == 1)
+
+    // ONLY the buckets the two keys hash into may differ
+    import org.apache.spark.sql.functions.{hash => h, pmod, lit}
+    val touched = updates
+      .select(pmod(h(col("o_orderkey")), lit(8)).as("b"))
+      .distinct().collect().map("bucket=" + _.getInt(0)).toSet
+    val fpAfter = fingerprint()
+    fpBefore.keys.foreach { b =>
+      if (touched(b))
+        assert(fpAfter(b) != fpBefore(b), s"$b should have been rewritten")
+      else
+        assert(fpAfter(b) == fpBefore(b),
+          s"untouched $b was rewritten (pruning failed)")
+    }
+    assert(fpBefore.keys.exists(b => !touched(b)),
+      "fixture degenerate: every bucket touched, pruning not exercised")
+
+    // MERGE semantics: duplicate keys in the batch must fail loudly
+    val dupBatch = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 1.0), Row(1L, 2.0)), updSchema)
+    intercept[IllegalArgumentException] {
+      Maintenance.upsertParquet(spark, dir, dupBatch, "o_orderkey")
+    }
+  }
+
   test("bucketed layout: co-located join and keyed agg plan NO exchange") {
     val t    = Tables(spark, sf("sf0.001"))
     val base = Files.createTempDirectory("bucketed")
