@@ -273,62 +273,86 @@ object SimilarityQueries {
     * `avg(element_at(...))` columns — one narrow shuffle of 16×64
     * partials, no 64-way posexplode row blowup.
     */
+  private val Dim = 64 // embeddings are 64-dim (TESTDATA.md; oracle range(1,65))
+
+  /** Per-cell (cosine, cid) score structs over literal centroids:
+    * lexicographic struct ordering = (ccos DESC, cid DESC) ranking.
+    */
+  private def scoreStructs(cents: Seq[(Int, Array[Float])]): Seq[Column] =
+    cents.map { case (cid, cv) =>
+      struct(
+        VectorFunctions.cosineSim(col("embedding"), typedLit(cv))
+          .as("ccos"),
+        lit(cid).as("cid"))
+    }
+
+  /** Codegen'd argmax: greatest over the k structs, ties to the higher
+    * cid — identical to the declared (ccos DESC, cid DESC).
+    */
+  private def argmaxCell(cents: Seq[(Int, Array[Float])]): Column =
+    greatest(scoreStructs(cents): _*).getField("cid")
+
+  /** The shared IVF train pass: seed centroids = first 16 vectors, one
+    * Lloyd step (component-wise cell means quantized to 3 dp floats so
+    * both engines agree bit-for-bit). The returned model is BOUNDED
+    * (16×64 floats) — the only thing collected.
+    */
+  private[similarity] def trainIvfCentroids(e: DataFrame): Seq[(Int, Array[Float])] = {
+    val seeds: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+      .sortBy(_._1)
+    val avgs = (1 to Dim).map(i =>
+      avg(element_at(col("embedding"), i)).as(s"m_$i"))
+    e.select(argmaxCell(seeds).as("cid"), col("embedding"))
+      .groupBy(col("cid"))
+      .agg(avgs.head, avgs.tail: _*)
+      .select(col("cid"), array((1 to Dim).map(i =>
+        round(col(s"m_$i"), 3).cast("float")): _*).as("cv"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+      .sortBy(_._1)
+  }
+
+  /** The probe side: queries explode to their top-`nprobe` cells
+    * (`sort_array` only ever runs on the ≤20 probe rows).
+    */
+  private def probesOf(e: DataFrame,
+      cents: Seq[(Int, Array[Float])]): DataFrame =
+    e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        explode(slice(sort_array(array(scoreStructs(cents): _*),
+          asc = false), 1, 2)).as("c"))
+      .select(col("qid"), col("qv"), col("c").getField("cid").as("cell"))
+
+  /** The shared probe→rank tail: join candidates on the cell key,
+    * exact cosine + per-query top-5.
+    */
+  private def rankTail(assigned: DataFrame, probes: DataFrame): DataFrame = {
+    val cand = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFunctions.cosineSim(col("qv"), col("embedding")).as("cos"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    cand
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val ivfTopk = Query(
     "ss_ivf_topk",
     (s, dir) => {
       val e = Tables(s, dir).embeddings
-      val Dim = 64 // embeddings are 64-dim (TESTDATA.md; oracle range(1,65))
-      // per-cell (cosine, cid) score structs over literal centroids:
-      // lexicographic struct ordering = (ccos DESC, cid DESC) ranking
-      def scoreStructs(cents: Seq[(Int, Array[Float])]): Seq[Column] =
-        cents.map { case (cid, cv) =>
-          struct(
-            VectorFunctions.cosineSim(col("embedding"), typedLit(cv))
-              .as("ccos"),
-            lit(cid).as("cid"))
-        }
-      // codegen'd argmax: greatest over the 16 structs, ties to the
-      // higher cid — identical to the declared (ccos DESC, cid DESC)
-      def argmaxCell(cents: Seq[(Int, Array[Float])]): Column =
-        greatest(scoreStructs(cents): _*).getField("cid")
-      val seeds: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").cast("int"), col("embedding"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
-        .sortBy(_._1)
-      // one Lloyd step: component-wise cell means, quantized for parity
-      val avgs = (1 to Dim).map(i =>
-        avg(element_at(col("embedding"), i)).as(s"m_$i"))
-      val cents: Seq[(Int, Array[Float])] = e
-        .select(argmaxCell(seeds).as("cid"), col("embedding"))
-        .groupBy(col("cid"))
-        .agg(avgs.head, avgs.tail: _*)
-        .select(col("cid"), array((1 to Dim).map(i =>
-          round(col(s"m_$i"), 3).cast("float")): _*).as("cv"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
-        .sortBy(_._1)
-      // apply: top-1 cell for corpus rows via codegen'd greatest; top-2
-      // (nprobe) via sort_array only for the ≤20 probe rows
+      val cents = trainIvfCentroids(e)
+      // apply: top-1 cell for corpus rows via codegen'd greatest
       val assigned = e
         .select(col("vec_id"), col("embedding"),
           argmaxCell(cents).as("cell"))
-      val probes = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          explode(slice(sort_array(array(scoreStructs(cents): _*),
-            asc = false), 1, 2)).as("c"))
-        .select(col("qid"), col("qv"), col("c").getField("cid").as("cell"))
-      val cand = assigned.join(probes, Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          VectorFunctions.cosineSim(col("qv"), col("embedding")).as("cos"))
-      val wRank = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nid"))
-      cand
-        .withColumn("rk", row_number().over(wRank))
-        .filter(col("rk") <= 5)
-        .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 4).as("cos"))
-        .orderBy(col("qid"), col("rk"))
+      rankTail(assigned, probesOf(e, cents))
     },
     oracle = Some(s"""
       WITH seeds AS (
@@ -379,6 +403,77 @@ object SimilarityQueries {
       SELECT qid, rk, nid, round(cos, 4) AS cos
       FROM ranked WHERE rk <= 5 ORDER BY qid, rk
     """),
+  )
+
+  /** Root for persisted ANN indexes, keyed by the data directory so
+    * every SF gets its own index (deterministic rebuild — same data,
+    * same 3dp-quantized model, same index bytes' values).
+    */
+  private def ivfIndexDir(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+
+  /** Build-and-persist the IVF index — the OFFLINE half of a real ANN
+    * tier (a 100 TB pipeline trains centroids nightly and serves probes
+    * against the materialized index, it never re-trains per query):
+    *  - `centroids/`: the 16×64-float learned model, plain parquet.
+    *  - `cells/`: every (vec_id, embedding) assigned to its argmax
+    *    cell, written Hive-partitioned BY CELL — a probe reading
+    *    nprobe=2 cells then partition-prunes to 2/16ths of the index at
+    *    planning time (asserted in SimilaritySpec), the disk analog of
+    *    the inverted file.
+    * Idempotent: a `_built` marker short-circuits rebuilds; the build
+    * itself is the [[trainIvfCentroids]] pass + one assignment scan.
+    */
+  def buildIvfIndex(s: SparkSession, dir: String): String = synchronized {
+    val idx    = ivfIndexDir(dir)
+    val conf   = s.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/_built")
+    val fs     = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return idx
+    val e     = Tables(s, dir).embeddings
+    val cents = trainIvfCentroids(e)
+    import s.implicits._
+    cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/centroids")
+    e.select(col("vec_id"), col("embedding"), argmaxCell(cents).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$idx/cells")
+    fs.create(marker, true).close()
+    idx
+  }
+
+  /** IVF probe against the PERSISTED index — identical ranking
+    * semantics to [[ivfTopk]] (same oracle), but the query itself runs
+    * NO train pass: centroids load from the index's model table (a
+    * bounded collect) and candidates come from the cell-partitioned
+    * assignment table, pruned to the probed cells. This is the shape a
+    * serving tier runs per query batch; `ss_ivf_topk` above is the
+    * train+serve pipeline run end-to-end.
+    */
+  val ivfProbe = Query(
+    "ss_ivf_probe",
+    (s, dir) => {
+      val idx = buildIvfIndex(s, dir)
+      val cents: Seq[(Int, Array[Float])] = s.read.parquet(s"$idx/centroids")
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+        .sortBy(_._1)
+      val probes = probesOf(Tables(s, dir).embeddings, cents)
+      // resolve the probed cells first (bounded: ≤ nprobe × |queries|
+      // values, via the same scoring kernel) so the index scan below
+      // carries a STATIC partition filter — the plan then reads only
+      // the probed cell directories, nprobe/k of the index
+      val cells = probes.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val assigned = s.read.parquet(s"$idx/cells")
+        .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      rankTail(assigned, probes)
+    },
+    // the persisted index encodes the same trained model, so the
+    // train+serve oracle applies verbatim
+    oracle = ivfTopk.oracle,
   )
 
   /** Embedding k-means clustering (k=8, cosine assignment, two seeded
@@ -497,5 +592,6 @@ object SimilarityQueries {
   )
 
   def all: Seq[Query] =
-    Seq(bruteTopk, lshTopk, ivfTopk, kmeans, cosineNearDup, vectorStats)
+    Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, kmeans, cosineNearDup,
+      vectorStats)
 }

@@ -87,6 +87,23 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.1, s"top-5 recall $recall")
   }
 
+  test("ss_ivf_probe answers from the persisted index with no train pass") {
+    val probe = QueryRegistry.byName("ss_ivf_probe").run(spark, sf("sf0.001"))
+    val plan  = probe.queryExecution.executedPlan.toString
+    // candidates come from the cell-partitioned index files with a
+    // static partition filter on the probed cells...
+    assert(plan.contains("graft_ivf_index"), s"no index scan in:\n$plan")
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"index scan not partition-pruned:\n$plan")
+    // ...and NO Lloyd/train aggregation appears anywhere in the plan
+    assert(!plan.contains("m_1") && !plan.contains("avg("),
+      s"train pass leaked into the probe plan:\n$plan")
+    // identical answers to the end-to-end train+serve pipeline
+    val topk = QueryRegistry.byName("ss_ivf_topk").run(spark, sf("sf0.001"))
+    assert(probe.exceptAll(topk).count() == 0)
+    assert(topk.exceptAll(probe).count() == 0)
+  }
+
   test("l2Normalize produces unit vectors; zero vectors pass through") {
     import spark.implicits._
     val n = emb.select(VectorFunctions
