@@ -827,12 +827,23 @@ object DedupQueries {
     * corpus side is one narrow scan + per-row n-gram kernel + broadcast
     * hash-join, then a doc_id-keyed count. No corpus-sized shuffle of
     * anything but (doc_id, hit) pairs.
+    *
+    * The synthetic corpus has no natural eval overlap, so (the way
+    * [[dupCorpus]] plants duplicates) CONTAMINATION IS PLANTED: each
+    * benchmark-slice document is re-inserted at doc_id + 200000 —
+    * 200000 ≡ 83 (mod 97), so every planted copy lands on the corpus
+    * side and must surface with all of its n-grams flagged. A broken
+    * gram hash, join key, or slice predicate now breaks the oracle
+    * match instead of passing vacuously on 0 rows.
     */
   val decontaminate = Query(
     "dd_decontaminate",
     (s, dir) => {
-      val grams = spread(
-        Tables(s, dir).documents.select(col("doc_id"), col("text")))
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(
+        d.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val grams = spread(corpus)
         .select(col("doc_id"),
           explode(graft.functions.HashFunctions.shingleHash32(col("text"), 8))
             .as("h"))
@@ -845,10 +856,15 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
     oracle = Some("""
-      WITH t AS (
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id, text FROM documents
+        WHERE doc_id % 97 = 0
+      ), t AS (
         SELECT doc_id,
           list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
-        FROM documents
+        FROM corpus
       ), g AS (
         SELECT doc_id,
           unnest(list_distinct(list_transform(

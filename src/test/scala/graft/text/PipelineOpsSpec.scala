@@ -75,11 +75,20 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kernel == composed)
   }
 
-  test("dd_decontaminate: benchmark docs never flagged; hits are positive") {
+  test("dd_decontaminate: planted contamination surfaces; bench never flagged") {
     val rows = run("dd_decontaminate").collect()
+    // the fixture plants every bench doc back as doc_id + 200000, so
+    // the result must be non-empty — a vacuous 0-row pass would hide a
+    // broken gram hash / join key / slice predicate
+    assert(rows.nonEmpty, "no contamination surfaced: fixture broken")
     rows.foreach { r =>
       assert(r.getLong(0) % 97 != 0, s"benchmark doc flagged: $r")
       assert(r.getLong(1) > 0)
     }
+    // every planted copy (id ≥ 200000, source id ≡ 0 mod 97) is flagged
+    val flagged = rows.map(_.getLong(0)).toSet
+    val planted = flagged.filter(_ >= 200000)
+    assert(planted.nonEmpty, "no planted copy flagged")
+    assert(planted.forall(id => (id - 200000) % 97 == 0))
   }
 }
