@@ -36,4 +36,54 @@ class SqlSurfaceSpec extends SparkSuite {
       assert(viaSql == viaDf, s"$name: SQL and DataFrame results differ")
     }
   }
+
+  /** Dedup/similarity queries re-expressed VERBATIM in pure Spark SQL
+    * through the kernels `GraftExtensions.register` injects — the
+    * cluster-config (`spark.sql.extensions`) surface: a SQL-only user
+    * gets the same native codegen'd kernels as the Column API.
+    */
+  private def sqlParity(name: String, sql: String): Unit =
+    test(s"$name: expressible in pure Spark SQL via registered kernels") {
+      viewsReady
+      GraftExtensions.register(spark)
+      val viaSql = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+      val viaDf = QueryRegistry.byName(name).run(spark, sf("sf0.001"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaSql.nonEmpty && viaSql == viaDf,
+        s"$name: SQL-surface and DataFrame results differ")
+    }
+
+  sqlParity("dd_dup_passages", """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE source = 'src0'
+    ), postings AS (
+      SELECT doc_id, explode(shingle_hash32(text, 10)) AS s FROM corpus
+    ), shared AS (
+      SELECT s, count(1) AS df FROM postings GROUP BY s HAVING count(1) > 1
+    )
+    SELECT doc_id, count(1) AS n_shared_passages, max(df) AS max_spread
+    FROM postings JOIN shared USING (s)
+    GROUP BY doc_id ORDER BY doc_id""")
+
+  sqlParity("dd_simhash", """
+    SELECT doc_id, simhash60(text) AS simhash
+    FROM documents
+    WHERE size(filter(split(text, ' '), t -> length(t) > 0)) > 0
+    ORDER BY doc_id""")
+
+  sqlParity("ss_cosine_topk", """
+    WITH queries AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+      SELECT qid, e.vec_id AS nid, cosine_similarity(qv, e.embedding) AS cos
+      FROM embeddings e JOIN queries ON e.vec_id <> qid
+    ), ranked AS (
+      SELECT qid, nid, cos,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      FROM scored)
+    SELECT qid, rk, nid, round(cos, 4) AS cos
+    FROM ranked WHERE rk <= 5 ORDER BY qid, rk""")
 }
