@@ -768,25 +768,26 @@ object DedupQueries {
     "dd_dup_passages",
     (s, dir) => {
       val t  = Tables(s, dir)
-      // Bounded two-pass shape: df = count(*) per passage hash (a
-      // constant-size aggregation buffer with map-side partial combine
-      // — a boilerplate passage in millions of docs costs one long, not
-      // a multi-million-element collect_set), then the postings rejoin
-      // the df > 1 passages and roll up per doc. The deliberate
-      // Exchange on `s` (spreadBy) is shared by the aggregation and the
-      // join side via ReuseExchange, so the corpus scans and the
-      // shingle kernel run ONCE and both consumers are co-partitioned
-      // on `s` — two shuffles of 8-byte keys total (s, then doc_id),
-      // no unbounded state anywhere. shingleHash32 emits distinct
-      // hashes per doc, so count(*) per s is the document frequency.
+      // Bounded single-pass shape: hash-partition the postings on the
+      // passage hash `s` (pinned width — the explode multiplies rows),
+      // then `df = count(*) over (partition by s)` gives each posting
+      // its document frequency IN PLACE — shingleHash32 emits distinct
+      // hashes per doc, so the per-s count is the document frequency.
+      // The window's aggregation state is one long per partition key
+      // (a boilerplate passage in millions of docs costs one counter,
+      // never a collected id set), and versus a df-aggregate + rejoin
+      // formulation there is no second corpus scan, no second kernel
+      // run, and no join — one corpus pass and two shuffles of 8-byte
+      // keys total (s for the window, doc_id for the rollup), no
+      // unbounded state anywhere.
       val postings = spreadBy(spread(dupCorpus(t))
         .select(col("doc_id"),
           explode(graft.functions.HashFunctions.shingleHash32(col("text"), 10))
             .as("s")), col("s"))
-      val shared = postings.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+      postings
+        .withColumn("df", count(lit(1)).over(w))
         .filter(col("df") > 1)
-      postings.join(shared, "s")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_passages"),
           max(col("df")).as("max_spread"))

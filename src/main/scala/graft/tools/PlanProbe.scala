@@ -32,7 +32,8 @@ object PlanProbe {
       if (sys.env.contains("PROBE_EXPLAIN")) {
         val df = q.run(spark, dir)
         df.collect()
-        println(df.queryExecution.executedPlan.toString.take(8000))
+        println(df.queryExecution.executedPlan.toString
+          .take(sys.env.getOrElse("PROBE_EXPLAIN_CHARS", "8000").toInt))
       }
     }
     spark.stop()
