@@ -661,7 +661,94 @@ object TextQueries {
     """),
   )
 
+  /** Sequence packing — the pretraining batching op: documents are
+    * greedily packed, in doc_id order WITHIN EACH SOURCE SHARD, into
+    * 256-token context windows (a doc starts in the window its running
+    * token offset falls in; boundary docs spill into the next window,
+    * the standard pack-then-split layout). Output: per (source, bin)
+    * document and token counts — the batch manifest a data loader
+    * consumes.
+    *
+    * Scale shape: the running offset is a windowed cumulative sum
+    * partitioned BY THE SHARD KEY (`source`) and ordered by doc_id —
+    * never a global-order window (one global sort partition cannot hold
+    * 100 TB; per-shard windows scale with shard count, and shards are
+    * how a real corpus arrives). One exchange on source, narrow window
+    * scan, then the (source, bin) rollup reuses the same partitioning.
+    */
+  val pack = Query(
+    "tx_pack",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir).documents
+        .select(col("source"), col("doc_id"),
+          size(toks(col("text"))).as("n_tokens"))
+        .withColumn("prior",
+          coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
+        .select(col("source"), floor(col("prior") / 256).as("bin"),
+          col("n_tokens"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .orderBy(col("source"), col("bin"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT source, doc_id,
+          len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+            AS n_tokens
+        FROM documents
+      ), c AS (
+        SELECT source, doc_id, n_tokens,
+          coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS prior
+        FROM d)
+      SELECT source, (prior // 256) AS bin, count(*) AS n_docs,
+        sum(n_tokens)::BIGINT AS n_tokens
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+  )
+
+  /** Fixed-window document chunking with overlap — the embedding/RAG
+    * ingestion op: each document splits into 32-token windows advancing
+    * by 24 (8-token overlap), chunk i covering tokens [24i, 24i+32).
+    * Emits the per-document chunk manifest (count + last-chunk fill);
+    * the chunk count is the closed form max(1, ⌈(n−8)/24⌉), zero for
+    * empty docs. Pure per-row arithmetic on the token count —
+    * embarrassingly parallel, no shuffle before the presentation sort.
+    */
+  val chunks = Query(
+    "tx_chunks",
+    (s, dir) => {
+      val n  = col("n_tokens")
+      val nc = greatest(lit(1),
+        floor((n + lit(15)) / lit(24)).cast("int"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"))
+        .select(col("doc_id"), n,
+          when(n === 0, 0).otherwise(nc).as("n_chunks"),
+          when(n === 0, 0).otherwise(n - lit(24) * (nc - lit(1)))
+            .as("last_chunk_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id, n_tokens::INT AS n_tokens,
+        (CASE WHEN n_tokens = 0 THEN 0
+              ELSE greatest(1, (n_tokens + 15) // 24) END)::INT AS n_chunks,
+        (CASE WHEN n_tokens = 0 THEN 0
+              ELSE n_tokens - 24 * (greatest(1, (n_tokens + 15) // 24) - 1)
+         END)::INT AS last_chunk_tokens
+      FROM (SELECT doc_id,
+              len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+                AS n_tokens
+            FROM documents)
+      ORDER BY doc_id
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
-    repetition, piiRedact, entropy, sample)
+    repetition, piiRedact, entropy, sample, pack, chunks)
 }

@@ -75,6 +75,37 @@ class PipelineOpsSpec extends SparkSuite {
     assert(kernel == composed)
   }
 
+  test("tx_pack conserves tokens per shard; tx_chunks covers every token") {
+    import org.apache.spark.sql.functions._
+    // packing moves every token into exactly one (source, bin) manifest
+    // row — totals per shard must match the raw corpus
+    val packed = run("tx_pack")
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("packed"))
+    val raw = graft.Tables(spark, sf("sf0.001")).documents
+      .select(col("source"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("raw"))
+    val joined = packed.join(raw, "source").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getAs[Long]("packed") == r.getAs[Long]("raw")))
+    // chunk windows advance by 24 over 32-token windows: the chunks of
+    // a doc must cover all its tokens, and the last chunk must not be
+    // wider than a full window
+    val ch = run("tx_chunks").collect()
+    assert(ch.exists(_.getAs[Int]("n_chunks") > 1), "no doc ever chunked")
+    ch.foreach { r =>
+      val (n, k, last) = (r.getAs[Int]("n_tokens"),
+        r.getAs[Int]("n_chunks"), r.getAs[Int]("last_chunk_tokens"))
+      if (n == 0) assert(k == 0)
+      else {
+        assert(24 * (k - 1) < n, s"empty trailing chunk: n=$n k=$k")
+        assert(24 * (k - 1) + 32 >= n, s"tokens uncovered: n=$n k=$k")
+        assert(last == n - 24 * (k - 1) && last <= 32,
+          s"bad last chunk: n=$n k=$k last=$last")
+      }
+    }
+  }
+
   test("dd_decontaminate: planted contamination surfaces; bench never flagged") {
     val rows = run("dd_decontaminate").collect()
     // the fixture plants every bench doc back as doc_id + 200000, so
