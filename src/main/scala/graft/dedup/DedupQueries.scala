@@ -182,8 +182,18 @@ object DedupQueries {
           (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)
             .cast("string")): _*)
       }: _*)
+      // band-frequency cap (≤50 docs per band, the LSH analog of the
+      // n-gram df cap): a boilerplate band shared by millions of docs
+      // would otherwise emit quadratic pairs from one bucket. The count
+      // is a window over the band key — one bounded counter per band,
+      // and the band shuffle it induces is the same exchange the
+      // self-join needs, reused on both sides. Part of the declared
+      // semantics, mirrored in the oracle.
+      val wBand = org.apache.spark.sql.expressions.Window.partitionBy(col("bh"))
       val bands = sh.withColumn("mh", mh)
         .select(col("doc_id"), explode(bandKeys).as("bh"))
+        .withColumn("bc", count(lit(1)).over(wBand))
+        .filter(col("bc") <= 50).drop("bc")
       val cands = bands.as("a")
         .join(bands.as("b"), col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -217,7 +227,13 @@ object DedupQueries {
         WHERE len(t) >= 3
       ),
       mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
-      bands AS (SELECT doc_id, unnest($bandList) AS bh FROM mh),
+      bands0 AS (SELECT doc_id, unnest($bandList) AS bh FROM mh),
+      bands AS (
+        SELECT doc_id, bh FROM (
+          SELECT doc_id, bh, count(*) OVER (PARTITION BY bh) AS bc
+          FROM bands0)
+        WHERE bc <= 50
+      ),
       cands AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
@@ -237,8 +253,9 @@ object DedupQueries {
 
   /** MinHash band-bucket candidate pairs for a `(doc_id, sh)` signature
     * frame: 16 affine min-hashes → 4 bands × 4 rows → band-key
-    * equi-join, `id_a < id_b`, deduplicated. The shared LSH front-end
-    * of [[minhashLsh]], [[cleanCorpus]] and [[dupClusters]].
+    * equi-join (bands capped at ≤50 docs — see the cap note in
+    * [[minhashLsh]]), `id_a < id_b`, deduplicated. The shared LSH
+    * front-end of [[minhashLsh]], [[cleanCorpus]] and [[dupClusters]].
     */
   private def bandPairs(sh: DataFrame): DataFrame = {
     val mh = array(hashParams.map { case (a, b) =>
@@ -249,8 +266,11 @@ object DedupQueries {
         (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)
           .cast("string")): _*)
     }: _*)
+    val wBand = org.apache.spark.sql.expressions.Window.partitionBy(col("bh"))
     val bands = sh.withColumn("mh", mh)
       .select(col("doc_id"), explode(bandKeys).as("bh"))
+      .withColumn("bc", count(lit(1)).over(wBand))
+      .filter(col("bc") <= 50).drop("bc")
     bands.as("a")
       .join(bands.as("b"), col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -411,7 +431,13 @@ object DedupQueries {
         WHERE len(t) >= 3
       ),
       mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
-      bands AS (SELECT doc_id, unnest($bandList) AS bh FROM mh),
+      bands0 AS (SELECT doc_id, unnest($bandList) AS bh FROM mh),
+      bands AS (
+        SELECT doc_id, bh FROM (
+          SELECT doc_id, bh, count(*) OVER (PARTITION BY bh) AS bc
+          FROM bands0)
+        WHERE bc <= 50
+      ),
       cands AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
