@@ -409,9 +409,13 @@ object SimilarityQueries {
     * every SF gets its own index (deterministic rebuild — same data,
     * same 3dp-quantized model, same index bytes' values).
     */
-  private def ivfIndexDir(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+  private def ivfIndexDir(sfDir: String): String = {
+    // sanitized path + hash: humanly readable AND collision-free across
+    // data directories that sanitize to the same token
+    val slug = sfDir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${slug}_" +
       java.lang.Integer.toHexString(sfDir.hashCode)
+  }
 
   /** Build-and-persist the IVF index — the OFFLINE half of a real ANN
     * tier (a 100 TB pipeline trains centroids nightly and serves probes
