@@ -112,14 +112,17 @@ object Multimodal {
   }
 
   /** Resize: pure metadata transform (a real impl also re-encodes
-    * `content`; this scales the declared dimensions only).
+    * `content`; this scales the declared dimensions only). The scale
+    * math is INTEGER: width clamps to `maxW` and height becomes
+    * `h·maxW div w` — exact in every engine, where a float scale
+    * factor would diverge on decimal-vs-double rounding.
     */
-  def resize(media: DataFrame, maxW: Int): DataFrame = {
-    val scale = least(lit(1.0), lit(maxW) / greatest(col("width"), lit(1)))
+  def resize(media: DataFrame, maxW: Int): DataFrame =
     media
-      .withColumn("width", (col("width") * scale).cast("int"))
-      .withColumn("height", (col("height") * scale).cast("int"))
-  }
+      .withColumn("height",
+        when(col("width") <= maxW, col("height"))
+          .otherwise(floor(col("height") * maxW / col("width")).cast("int")))
+      .withColumn("width", least(col("width"), lit(maxW)))
 
   /** Frame sampling for video rows: one output row per kept frame,
     * every `step`-th frame. The frame count comes from DECODING the
@@ -207,6 +210,41 @@ object Multimodal {
       FROM documents
       WHERE doc_id % 3 = 2  -- ['image','audio','video'][3] = 'video'
       ORDER BY media_id
+    """),
+  )
+
+  /** Resize as a declared query — the thumbnailing manifest: every
+    * image/video row's dimensions clamped to a 16-px-wide box,
+    * aspect-preserving, audio untouched (width 0). Pure per-row
+    * metadata math; the oracle recomputes the scale from the synthesis
+    * dimension formulas.
+    */
+  val resized = Query(
+    "mm_resize",
+    (s, dir) => {
+      resize(mediaTable(Tables(s, dir)), maxW = 16)
+        .select(col("media_id"), col("media_type"),
+          col("width"), col("height"))
+        .orderBy(col("media_id"))
+    },
+    oracle = Some("""
+      WITH dims AS (
+        SELECT doc_id AS media_id,
+          ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+          CASE doc_id % 3
+            WHEN 0 THEN doc_id % 31 + 1
+            WHEN 1 THEN 0
+            ELSE (doc_id % 8 + 1) * 2 END AS w,
+          CASE doc_id % 3
+            WHEN 0 THEN doc_id % 17 + 1
+            WHEN 1 THEN 0
+            ELSE (doc_id % 4 + 1) * 2 END AS h
+        FROM documents
+      )
+      SELECT media_id, media_type,
+        least(w, 16)::INT AS width,
+        (CASE WHEN w <= 16 THEN h ELSE h * 16 // w END)::INT AS height
+      FROM dims ORDER BY media_id
     """),
   )
 
@@ -360,5 +398,6 @@ object Multimodal {
     """),
   )
 
-  def all: Seq[Query] = Seq(features, frames, wavDecode, bmpDecode, videoDecode)
+  def all: Seq[Query] =
+    Seq(features, frames, resized, wavDecode, bmpDecode, videoDecode)
 }
