@@ -169,8 +169,11 @@ object DedupQueries {
       // beats chaining extra exchange barriers (measured 1.1 s vs
       // 1.9 s with a reuse exchange). At 100 TB, where re-scanning the
       // corpus dominates, insert the [[reuseByDoc]] exchange here —
-      // the AQE stage-reuse plumbing is proven by dd_ngram_jaccard,
-      // which keeps that shape.
+      // the AQE stage-reuse plumbing is proven by dd_clean_corpus
+      // (ReusedExchange ×6 in its final plan), whose consumers are all
+      // JOINS; beware mixing an aggregate consumer onto the same
+      // exchange, which breaks canonical matching (see dd_dup_passages'
+      // plan note in PLANS.md).
       val sh = spread(dupCorpus(t))
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
