@@ -35,7 +35,13 @@ object Y4mCodec {
 
   /** Bytes of chroma per frame for a colorspace tag, given w×h luma. */
   private def chromaBytes(cs: String, w: Int, h: Int): Int = cs match {
-    case s if s.startsWith("420") => (w / 2) * (h / 2) * 2
+    case s if s.startsWith("420") =>
+      // 2×2 chroma subsampling is undefined for odd dimensions — a
+      // crafted odd-width header would silently mis-stride the frame
+      // walk (wrong frame count + garbage stats), so fail loudly
+      require(w % 2 == 0 && h % 2 == 0,
+        s"C$cs requires even dimensions, got ${w}x$h")
+      (w / 2) * (h / 2) * 2
     case "444"                    => w * h * 2
     case "mono"                   => 0
     case other =>

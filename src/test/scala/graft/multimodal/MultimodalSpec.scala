@@ -124,6 +124,10 @@ class MultimodalSpec extends SparkSuite {
     val garbage = "YUV4MPEG2 W2 H2 C420jpeg\n".getBytes("US-ASCII") ++
       "NOTAFRAME\n".getBytes("US-ASCII") ++ new Array[Byte](6)
     intercept[IllegalArgumentException] { Y4mCodec.decode(garbage) }
+    // crafted odd-width C420 header would mis-stride the frame walk
+    val oddC420 = "YUV4MPEG2 W3 H2 C420jpeg\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ new Array[Byte](9)
+    intercept[IllegalArgumentException] { Y4mCodec.decode(oddC420) }
   }
 
   test("frameSample's decoded frame count agrees with declared metadata") {
