@@ -83,11 +83,36 @@ object Bench {
     val errors = results.collect { case (k, None) => k }
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val headlineNames = queries.filter(_.headline).map(_.name).toSet
+    val headlineNames = queries.filter(_.headline).map(_.name)
+    val headlineSet = headlineNames.toSet
     val headlineTotal = results.collect {
-      case (n, Some(v)) if headlineNames(n) => v
+      case (n, Some(v)) if headlineSet(n) => v
     }.sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"passes":$passJson,"headline_total":${r3(headlineTotal)},"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val headlineJson = headlineNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // 1-minute loadavg at report time: contention that inflates a pass
+    // is invisible after the fact without it (the round-3 record mixed
+    // 15 s first-pass values with sub-second re-measures of the same
+    // query and the artifact alone could not tell regression from load).
+    val loadAvg = {
+      val bean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val v = bean.getSystemLoadAverage
+      if (v < 0) "null" else r3(v)
+    }
+    // The per-pass arrays tripled the stdout line in round 3 and the
+    // driver's tail capture truncated 25 of 76 medians out of the
+    // artifact. Contract: stdout stays ONE compact line (medians only);
+    // the pass-level spread goes to a sidecar file the judge reads from
+    // the repo directly.
+    val passesOut = sys.env.getOrElse("SPARK_GRAFT_PASSES_OUT", "BENCH_PASSES.json")
+    val passesPayload =
+      s"""{"passes":$passJson,"headline_queries":$headlineJson,"loadavg_1m":$loadAvg,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(passesOut),
+      (passesPayload + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $passesOut: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"headline_total":${r3(headlineTotal)},"headline_queries":$headlineJson,"loadavg_1m":$loadAvg,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"passes_file":"$passesOut","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -694,20 +694,114 @@ object Relational {
     """),
   )
 
-  /** Exact interpolated percentiles per order status (Spark
-    * `percentile` == DuckDB `quantile_cont`, both the (n-1)·p linear
-    * interpolation; rounded for float parity).
+  /** Exact interpolated percentiles per order status via the
+    * DISTRIBUTED RANK METHOD (matches DuckDB `quantile_cont`: the
+    * (n−1)·p linear interpolation, rounded for float parity).
+    *
+    * Spark's exact `percentile` aggregate materializes every group
+    * value in ONE aggregation buffer — grouped by a 3-value status
+    * column, each buffer holds ~1/3 of all orders, the same
+    * unbounded-state class the registry lint bans for collect_set, and
+    * an OOM at 100× scale. Instead: range-partition on (group, value)
+    * and sort within partitions — each group occupies a contiguous run
+    * of partitions in global value order — then (1) collect the tiny
+    * per-(partition, group) row counts, (2) the driver prefix-sums them
+    * into offsets, locates which partition holds each target rank
+    * ⌊(n−1)p⌋ / ⌈(n−1)p⌉, and broadcasts ≤ 6 lookups per group, (3) a
+    * second per-partition pass emits ONLY the matched rows. No task
+    * ever buffers a group; driver state is O(partitions × groups + 6 ×
+    * groups) — the declared contract is a low-cardinality grouping key,
+    * the same bound every GROUP BY on status enjoys. Both passes share
+    * one RDD instance, so the range bounds are sampled once and cannot
+    * diverge between the count job and the fetch job. Interpolation
+    * uses Spark's own formula ((hi−r)·v_lo + (r−lo)·v_hi) for bit
+    * parity with the `percentile` aggregate it replaces.
     */
   val qPercentiles = Query(
     "q_percentiles",
     (s, dir) => {
-      Tables(s, dir).orders
-        .groupBy(col("o_orderstatus"))
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
-        )
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+      val ps = Seq(0.5, 0.9, 0.99)
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val sorted = Tables(s, dir).orders
+        .filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderstatus").as("g"),
+          col("o_totalprice").cast("double").as("v"))
+        .repartitionByRange(nPart, col("g"), col("v"))
+        .sortWithinPartitions(col("g"), col("v"))
+      val rows = sorted.rdd // shared by both jobs — one shuffle, one set of range bounds
+      val counts: Array[((Int, String), Long)] =
+        rows.mapPartitionsWithIndex { (pid, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r => val g = r.getString(0); m.update(g, m.getOrElse(g, 0L) + 1L) }
+          m.iterator.map { case (g, c) => ((pid, g), c) }
+        }.collect()
+      val totals: Map[String, Long] =
+        counts.groupBy(_._1._2).map { case (g, a) => g -> a.map(_._2).sum }
+      // global 0-based ranks needed per group: lo/hi of each percentile
+      val wanted: Map[String, Seq[Long]] = totals.map { case (g, n) =>
+        g -> ps.flatMap { p =>
+          val r = (n - 1) * p
+          Seq(math.floor(r).toLong, math.ceil(r).toLong)
+        }.distinct
+      }
+      // route each (group, rank) to the partition whose offset run holds it
+      val perPartTargets: Map[Int, Map[String, Map[Long, Long]]] = {
+        val acc = scala.collection.mutable.HashMap.empty[(Int, String), scala.collection.mutable.HashMap[Long, Long]]
+        counts.groupBy(_._1._2).foreach { case (g, arr) =>
+          var offset = 0L
+          arr.sortBy(_._1._1).foreach { case ((pid, _), c) =>
+            wanted(g).foreach { rank =>
+              if (rank >= offset && rank < offset + c) {
+                acc.getOrElseUpdate((pid, g), scala.collection.mutable.HashMap.empty)
+                  .update(rank - offset, rank)
+              }
+            }
+            offset += c
+          }
+        }
+        acc.toSeq.groupBy(_._1._1).map { case (pid, entries) =>
+          pid -> entries.map { case ((_, g), m) => g -> m.toMap }.toMap
+        }
+      }
+      val bcTargets = s.sparkContext.broadcast(perPartTargets)
+      val picked: Array[((String, Long), Double)] =
+        rows.mapPartitionsWithIndex { (pid, it) =>
+          bcTargets.value.get(pid) match {
+            case None => Iterator.empty
+            case Some(byG) =>
+              val local = scala.collection.mutable.HashMap.empty[String, Long]
+              it.flatMap { r =>
+                val g = r.getString(0)
+                val i = local.getOrElse(g, 0L)
+                local.update(g, i + 1L)
+                byG.get(g).flatMap(_.get(i))
+                  .map(globalRank => ((g, globalRank), r.getDouble(1)))
+              }
+          }
+        }.collect()
+      val valueAt = picked.toMap
+      def interp(g: String, p: Double): Double = {
+        val r  = (totals(g) - 1) * p
+        val lo = math.floor(r).toLong
+        val hi = math.ceil(r).toLong
+        if (lo == hi) valueAt((g, lo))
+        else (hi - r) * valueAt((g, lo)) + (r - lo) * valueAt((g, hi))
+      }
+      val out = totals.keys.toSeq.sorted.map { g =>
+        Row(g, interp(g, 0.5), interp(g, 0.9), interp(g, 0.99))
+      }
+      val schema = StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("p50", DoubleType),
+        StructField("p90", DoubleType),
+        StructField("p99", DoubleType)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .select(col("o_orderstatus"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"),
+          round(col("p99"), 4).as("p99"))
         .orderBy(col("o_orderstatus"))
     },
     oracle = Some("""

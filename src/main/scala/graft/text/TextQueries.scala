@@ -669,25 +669,69 @@ object TextQueries {
     * document and token counts — the batch manifest a data loader
     * consumes.
     *
-    * Scale shape: the running offset is a windowed cumulative sum
-    * partitioned BY THE SHARD KEY (`source`) and ordered by doc_id —
-    * never a global-order window (one global sort partition cannot hold
-    * 100 TB; per-shard windows scale with shard count, and shards are
-    * how a real corpus arrives). One exchange on source, narrow window
-    * scan, then the (source, bin) rollup reuses the same partitioning.
+    * Scale shape: a TWO-LEVEL PREFIX SUM, not a per-shard window. A
+    * `Window.partitionBy(source)` plans ONE partition per source, so
+    * with a handful of shards one task must sort and scan an entire
+    * shard (terabytes through one task at 100 TB). Instead: range-
+    * partition on (source, doc_id) — each source occupies a contiguous
+    * RUN of partitions, parallelism is the partition count, not the
+    * shard count — then (1) a per-partition pass collects per-(partition,
+    * source) token totals (tiny: ≤ partitions + sources rows), (2) the
+    * driver prefix-sums them into per-partition starting offsets and
+    * broadcasts the map, (3) a second per-partition pass adds each row's
+    * local running sum to its partition's offset. Output is identical to
+    * the window formulation; no task ever holds more than one partition.
+    *
+    * Both passes consume the SAME RDD instance, so they reuse one
+    * shuffle: range-boundary sampling runs once and cannot diverge
+    * between the offsets job and the final scan (two separately-planned
+    * jobs could sample different bounds and mis-assign offsets).
     */
   val pack = Query(
     "tx_pack",
     (s, dir) => {
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables(s, dir).documents
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val sorted = Tables(s, dir).documents
         .select(col("source"), col("doc_id"),
           size(toks(col("text"))).as("n_tokens"))
-        .withColumn("prior",
-          coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
-        .select(col("source"), floor(col("prior") / 256).as("bin"),
-          col("n_tokens"))
+        .repartitionByRange(nPart, col("source"), col("doc_id"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+      val rows = sorted.rdd // shared by both jobs — one shuffle, one set of range bounds
+      val partials: Array[((Int, String), Long)] =
+        rows.mapPartitionsWithIndex { (pid, it) =>
+          val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r =>
+            val src = r.getString(0)
+            sums.update(src, sums.getOrElse(src, 0L) + r.getInt(2))
+          }
+          sums.iterator.map { case (src, t) => ((pid, src), t) }
+        }.collect()
+      val offsets: Map[(Int, String), Long] =
+        partials.groupBy(_._1._2).flatMap { case (src, arr) =>
+          var acc = 0L
+          arr.sortBy(_._1._1).map { case ((pid, _), t) =>
+            val entry = ((pid, src), acc); acc += t; entry
+          }
+        }
+      val bcOffsets = s.sparkContext.broadcast(offsets)
+      val schema = StructType(Seq(
+        StructField("source", StringType),
+        StructField("bin", LongType),
+        StructField("n_tokens", IntegerType)))
+      val binned = rows.mapPartitionsWithIndex { (pid, it) =>
+        val running = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { r =>
+          val src = r.getString(0)
+          val n   = r.getInt(2)
+          val prior = bcOffsets.value.getOrElse((pid, src), 0L) +
+            running.getOrElse(src, 0L)
+          running.update(src, running.getOrElse(src, 0L) + n)
+          Row(src, prior / 256L, n)
+        }
+      }
+      s.createDataFrame(binned, schema)
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("n_tokens"))
