@@ -25,8 +25,19 @@ object Explain {
       case None    => QueryRegistry.all.filter(_.headline)
     }
     targets.foreach { q =>
-      println(s"\n===== ${q.name} =====")
-      println(q.run(spark, sfDir).queryExecution.explainString(
+      // Eager queries (two-level prefix sum, rank method) execute their
+      // real work inside `run` and return a driver-assembled tail whose
+      // plan is a trivial LocalTableScan — explain the declared lazily-
+      // planned intermediate instead, WITHOUT running the workload.
+      val (df, note) = q.eagerPlan match {
+        case Some(plan) =>
+          (plan(spark, sfDir),
+            " (eager pipeline: plan of the range-exchange/sort " +
+              "intermediate; the final result is driver-assembled)")
+        case None => (q.run(spark, sfDir), "")
+      }
+      println(s"\n===== ${q.name}$note =====")
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

@@ -18,6 +18,15 @@ final case class Query(
     oracle: Option[String] = None,
     /** headline queries are timed by Bench */
     headline: Boolean = false,
+    /** For queries whose `run` executes driver-coordinated RDD jobs
+      * EAGERLY (two-level prefix sum, distributed rank method): the
+      * returned DataFrame's plan is a trivial local/parallelized tail,
+      * so Explain and the plan lints audit THIS lazily-planned
+      * intermediate instead — the range exchange + sort stage carrying
+      * the query's real distributed work. None for ordinary queries,
+      * whose `run` result is itself the auditable plan.
+      */
+    eagerPlan: Option[(SparkSession, String) => DataFrame] = None,
 )
 
 /** Central inventory — every module contributes its queries here; the

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Query, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -716,27 +716,42 @@ object Relational {
     * diverge between the count job and the fetch job. Interpolation
     * uses Spark's own formula ((hi−r)·v_lo + (r−lo)·v_hi) for bit
     * parity with the `percentile` aggregate it replaces.
+    *
+    * The per-partition target map is BOUNDED (≤ 6 ranks × groups
+    * entries) so it ships in the task closure directly — no broadcast
+    * variable whose lifecycle would outlive the query.
     */
+  private[graft] def percentileSorted(s: SparkSession, dir: String): DataFrame = {
+    val nPart = s.sessionState.conf.numShufflePartitions
+    Tables(s, dir).orders
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_orderstatus").as("g"),
+        col("o_totalprice").cast("double").as("v"))
+      .repartitionByRange(nPart, col("g"), col("v"))
+      .sortWithinPartitions(col("g"), col("v"))
+  }
+
+  /** Pass 1 of the rank method: per-(partition, group) row counts —
+    * the bounded driver collect (≤ partitions × groups rows).
+    */
+  private[graft] def percentileCounts(
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])
+      : Array[((Int, String), Long)] =
+    rows.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r => val g = r.getString(0); m.update(g, m.getOrElse(g, 0L) + 1L) }
+      m.iterator.map { case (g, c) => ((pid, g), c) }
+    }.collect()
+
   val qPercentiles = Query(
     "q_percentiles",
     (s, dir) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
       val ps = Seq(0.5, 0.9, 0.99)
-      val nPart = s.sessionState.conf.numShufflePartitions
-      val sorted = Tables(s, dir).orders
-        .filter(col("o_totalprice").isNotNull)
-        .select(col("o_orderstatus").as("g"),
-          col("o_totalprice").cast("double").as("v"))
-        .repartitionByRange(nPart, col("g"), col("v"))
-        .sortWithinPartitions(col("g"), col("v"))
+      val sorted = percentileSorted(s, dir)
       val rows = sorted.rdd // shared by both jobs — one shuffle, one set of range bounds
-      val counts: Array[((Int, String), Long)] =
-        rows.mapPartitionsWithIndex { (pid, it) =>
-          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-          it.foreach { r => val g = r.getString(0); m.update(g, m.getOrElse(g, 0L) + 1L) }
-          m.iterator.map { case (g, c) => ((pid, g), c) }
-        }.collect()
+      val counts = percentileCounts(rows)
       val totals: Map[String, Long] =
         counts.groupBy(_._1._2).map { case (g, a) => g -> a.map(_._2).sum }
       // global 0-based ranks needed per group: lo/hi of each percentile
@@ -765,10 +780,9 @@ object Relational {
           pid -> entries.map { case ((_, g), m) => g -> m.toMap }.toMap
         }
       }
-      val bcTargets = s.sparkContext.broadcast(perPartTargets)
       val picked: Array[((String, Long), Double)] =
         rows.mapPartitionsWithIndex { (pid, it) =>
-          bcTargets.value.get(pid) match {
+          perPartTargets.get(pid) match {
             case None => Iterator.empty
             case Some(byG) =>
               val local = scala.collection.mutable.HashMap.empty[String, Long]
@@ -804,6 +818,7 @@ object Relational {
           round(col("p99"), 4).as("p99"))
         .orderBy(col("o_orderstatus"))
     },
+    eagerPlan = Some(percentileSorted),
     oracle = Some("""
       SELECT o_orderstatus,
         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

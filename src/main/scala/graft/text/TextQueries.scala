@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.{Query, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -686,28 +686,48 @@ object TextQueries {
     * shuffle: range-boundary sampling runs once and cannot diverge
     * between the offsets job and the final scan (two separately-planned
     * jobs could sample different bounds and mis-assign offsets).
+    *
+    * Null semantics match the SQL oracle's window sum: a null-text doc
+    * has NULL n_tokens — it advances the running offset by 0 (SQL SUM
+    * skips nulls), still counts in its bin's n_docs, and contributes
+    * nothing to the bin's token sum. The per-partition offset map is
+    * BOUNDED (≤ partitions × sources entries) so it ships in the task
+    * closure directly — no broadcast variable whose lifecycle would
+    * outlive the query (repeated bench runs would accumulate blocks).
     */
+  private[graft] def packSorted(s: SparkSession, dir: String): DataFrame = {
+    val nPart = s.sessionState.conf.numShufflePartitions
+    Tables(s, dir).documents
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).as("n_tokens"))
+      .repartitionByRange(nPart, col("source"), col("doc_id"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+  }
+
+  /** Pass 1 of the two-level prefix sum: per-(partition, source) token
+    * totals — the bounded driver collect (≤ partitions × sources rows).
+    */
+  private[graft] def packPartials(
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])
+      : Array[((Int, String), Long)] =
+    rows.mapPartitionsWithIndex { (pid, it) =>
+      val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val src = r.getString(0)
+        val n   = if (r.isNullAt(2)) 0 else r.getInt(2)
+        sums.update(src, sums.getOrElse(src, 0L) + n)
+      }
+      sums.iterator.map { case (src, t) => ((pid, src), t) }
+    }.collect()
+
   val pack = Query(
     "tx_pack",
     (s, dir) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
-      val nPart = s.sessionState.conf.numShufflePartitions
-      val sorted = Tables(s, dir).documents
-        .select(col("source"), col("doc_id"),
-          size(toks(col("text"))).as("n_tokens"))
-        .repartitionByRange(nPart, col("source"), col("doc_id"))
-        .sortWithinPartitions(col("source"), col("doc_id"))
+      val sorted = packSorted(s, dir)
       val rows = sorted.rdd // shared by both jobs — one shuffle, one set of range bounds
-      val partials: Array[((Int, String), Long)] =
-        rows.mapPartitionsWithIndex { (pid, it) =>
-          val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-          it.foreach { r =>
-            val src = r.getString(0)
-            sums.update(src, sums.getOrElse(src, 0L) + r.getInt(2))
-          }
-          sums.iterator.map { case (src, t) => ((pid, src), t) }
-        }.collect()
+      val partials = packPartials(rows)
       val offsets: Map[(Int, String), Long] =
         partials.groupBy(_._1._2).flatMap { case (src, arr) =>
           var acc = 0L
@@ -715,7 +735,6 @@ object TextQueries {
             val entry = ((pid, src), acc); acc += t; entry
           }
         }
-      val bcOffsets = s.sparkContext.broadcast(offsets)
       val schema = StructType(Seq(
         StructField("source", StringType),
         StructField("bin", LongType),
@@ -724,11 +743,12 @@ object TextQueries {
         val running = scala.collection.mutable.HashMap.empty[String, Long]
         it.map { r =>
           val src = r.getString(0)
-          val n   = r.getInt(2)
-          val prior = bcOffsets.value.getOrElse((pid, src), 0L) +
+          val nTok: Any = if (r.isNullAt(2)) null else r.getInt(2)
+          val n = if (r.isNullAt(2)) 0 else r.getInt(2)
+          val prior = offsets.getOrElse((pid, src), 0L) +
             running.getOrElse(src, 0L)
           running.update(src, running.getOrElse(src, 0L) + n)
-          Row(src, prior / 256L, n)
+          Row(src, prior / 256L, nTok)
         }
       }
       s.createDataFrame(binned, schema)
@@ -737,6 +757,7 @@ object TextQueries {
           sum(col("n_tokens")).cast("long").as("n_tokens"))
         .orderBy(col("source"), col("bin"))
     },
+    eagerPlan = Some(packSorted),
     oracle = Some("""
       WITH d AS (
         SELECT source, doc_id,

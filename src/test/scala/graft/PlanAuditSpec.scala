@@ -6,6 +6,15 @@ package graft
   * (BroadcastNestedLoopJoin) are permitted only for the queries that
   * declare a bounded small side (brute-force similarity baselines, the
   * 16-centroid IVF assignment).
+  *
+  * Queries that declare an `eagerPlan` (two-level prefix sum, rank
+  * method) execute their real work in driver-coordinated RDD jobs and
+  * return a trivial local tail — for those the lint audits the declared
+  * lazily-planned intermediate, which carries the actual exchange/sort
+  * work. The scan guard below closes the evasion hole: a query whose
+  * audited plan reads NONE of the input tables (no file scan anywhere)
+  * is doing its work somewhere the lint cannot see, and fails unless it
+  * declares the intermediate.
   */
 class PlanAuditSpec extends SparkSuite {
 
@@ -17,9 +26,20 @@ class PlanAuditSpec extends SparkSuite {
     "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery",
     "q_approx_distinct", "tx_tfidf")
 
+  /** The plan the lint audits: the query's own result plan, or the
+    * declared eager intermediate (which, unlike `run`, plans lazily —
+    * auditing it does not execute the workload).
+    */
+  private val planCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def auditedPlan(q: Query): String =
+    planCache.getOrElseUpdate(q.name, {
+      val df = q.eagerPlan.getOrElse(q.run)(spark, sf("sf0.001"))
+      df.queryExecution.executedPlan.toString
+    })
+
   QueryRegistry.all.foreach { q =>
     test(s"${q.name} plans no cartesian product") {
-      val plan = q.run(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      val plan = auditedPlan(q)
       assert(!plan.contains("CartesianProduct"),
         s"${q.name} plans a CartesianProduct:\n$plan")
       if (!broadcastLoopAllowed(q.name)) {
@@ -28,17 +48,37 @@ class PlanAuditSpec extends SparkSuite {
       }
     }
 
-    test(s"${q.name} plans no unbounded collect aggregate") {
+    test(s"${q.name} plans no unbounded-state aggregate") {
       // collect_set/collect_list buffers grow with group cardinality —
       // a hot key (a boilerplate passage, a viral n-gram) materializes
-      // a multi-million-element array in ONE aggregation buffer. No
-      // registry query may plan one; bounded-set semantics must be
-      // expressed as count/min/max + rejoin (see dd_dup_passages).
-      val plan = q.run(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      // a multi-million-element array in ONE aggregation buffer. The
+      // exact `percentile` aggregate is the same class: it buffers
+      // every group value (q_percentiles engineered it out in favor of
+      // the rank method — this lint keeps it out). `\bpercentile\(`
+      // deliberately does NOT match approx_percentile, whose sketch
+      // buffer is bounded. Bounded-set semantics must be expressed as
+      // count/min/max + rejoin (see dd_dup_passages).
+      val plan = auditedPlan(q)
       Seq("collect_set", "collect_list").foreach { fn =>
         assert(!plan.contains(fn),
           s"${q.name} plans an unbounded $fn aggregate:\n$plan")
       }
+      assert(!"""\bpercentile\(""".r.findFirstIn(plan).isDefined,
+        s"${q.name} plans the unbounded exact percentile aggregate " +
+          s"(use the rank method, see q_percentiles):\n$plan")
+    }
+
+    test(s"${q.name} audited plan scans the input tables") {
+      // Eager-computation guard: a registry query whose audited plan
+      // contains no file scan is computing its result outside the
+      // planned pipeline (a driver loop, a pre-collected local table) —
+      // every ban above would be vacuous for it. Queries with genuine
+      // eager shapes must declare `eagerPlan` so the real pipeline
+      // stays auditable; everything else must read its inputs in-plan.
+      val plan = auditedPlan(q)
+      assert(plan.contains("FileScan") || plan.contains("BatchScan"),
+        s"${q.name}'s audited plan reads no input table — declare " +
+          s"eagerPlan (see Query) if its work is genuinely eager:\n$plan")
     }
   }
 }
