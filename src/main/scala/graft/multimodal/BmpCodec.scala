@@ -29,7 +29,14 @@ object BmpCodec {
     * (written to all three channels) for image coordinates with y=0 at
     * the TOP.
     */
-  def encode(width: Int, height: Int, pix: (Int, Int) => Int): Array[Byte] = {
+  def encode(width: Int, height: Int, pix: (Int, Int) => Int): Array[Byte] =
+    encodeRgb(width, height, (x, y) => { val v = pix(x, y); (v, v, v) })
+
+  /** Full-color variant: `pix(x, y)` gives the (b, g, r) channel triple
+    * for image coordinates with y=0 at the TOP.
+    */
+  def encodeRgb(width: Int, height: Int,
+      pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
     val rs    = rowSize(width)
     val size  = 54 + rs * height
@@ -60,15 +67,40 @@ object BmpCodec {
       val off = 54 + fileRow * rs
       var x = 0
       while (x < width) {
-        val v = (pix(x, y) & 0xff).toByte
-        out(off + 3 * x) = v       // B
-        out(off + 3 * x + 1) = v   // G
-        out(off + 3 * x + 2) = v   // R
+        val (b, g, r) = pix(x, y)
+        out(off + 3 * x) = (b & 0xff).toByte
+        out(off + 3 * x + 1) = (g & 0xff).toByte
+        out(off + 3 * x + 2) = (r & 0xff).toByte
         x += 1
       }
       fileRow += 1
     }
     out
+  }
+
+  /** Nearest-neighbor resample to newW×newH: decode the source pixel
+    * array and re-encode a REAL 24bpp BMP (content, not metadata).
+    * Target pixel (x, y) copies source pixel (⌊x·w/newW⌋, ⌊y·h/newH⌋)
+    * — the integer floor mapping, exact in every engine — per channel,
+    * honoring the source's pixel-array offset, row padding, and
+    * bottom-up row order.
+    */
+  def resizeNearest(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+    require(newW > 0 && newH > 0, s"bad target dimensions ${newW}x$newH")
+    decode(bytes) // full container validation (magic, bpp, truncation)
+    def u8(off: Int): Int = bytes(off) & 0xff
+    def le32(off: Int): Int =
+      u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
+    val offset = le32(10)
+    val w      = le32(18)
+    val h      = le32(22)
+    val rs     = rowSize(w)
+    encodeRgb(newW, newH, (x, y) => {
+      val sx  = ((x.toLong * w) / newW).toInt
+      val sy  = ((y.toLong * h) / newH).toInt
+      val off = offset + (h - 1 - sy) * rs + 3 * sx // bottom-up source row
+      (u8(off), u8(off + 1), u8(off + 2))
+    })
   }
 
   /** Parse BMP bytes. Throws IllegalArgumentException on a bad magic,

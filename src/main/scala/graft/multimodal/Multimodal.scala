@@ -111,11 +111,11 @@ object Multimodal {
     }
   }
 
-  /** Resize: pure metadata transform (a real impl also re-encodes
-    * `content`; this scales the declared dimensions only). The scale
-    * math is INTEGER: width clamps to `maxW` and height becomes
-    * `h·maxW div w` — exact in every engine, where a float scale
-    * factor would diverge on decimal-vs-double rounding.
+  /** Resize manifest: the metadata half of the thumbnailing op (the
+    * pixel-content half — decode, resample, re-encode — is
+    * [[resizedPx]]). The scale math is INTEGER: width clamps to `maxW`
+    * and height becomes `h·maxW div w` — exact in every engine, where a
+    * float scale factor would diverge on decimal-vs-double rounding.
     */
   def resize(media: DataFrame, maxW: Int): DataFrame =
     media
@@ -245,6 +245,64 @@ object Multimodal {
         least(w, 16)::INT AS width,
         (CASE WHEN w <= 16 THEN h ELSE h * 16 // w END)::INT AS height
       FROM dims ORDER BY media_id
+    """),
+  )
+
+  /** PIXEL-CONTENT resize — the real thumbnailing op ([[resized]] above
+    * is the metadata manifest): every image row's BMP bytes are decoded,
+    * nearest-neighbor-resampled into the same 16-px-wide aspect box
+    * (height clamped to ≥1 — a 31×1 source must not produce a 0-height
+    * image), and RE-ENCODED through [[BmpCodec]]; the emitted fields
+    * come from decoding the RESIZED bytes back, so a malformed
+    * re-encode fails loudly. The oracle recomputes the resampled mean
+    * closed-form from the synthesis grey formula and the floor source
+    * mapping — a wrong resample kernel (wrong rounding, transposed
+    * axes, off-by-one row walk) diverges.
+    *
+    * Scale shape: decode→resample→re-encode is the same narrow
+    * per-partition pass as [[extractFeatures]]; blobs never shuffle
+    * (the only exchange is the presentation sort).
+    */
+  val resizedPx = Query(
+    "mm_resize_px",
+    (s, dir) => {
+      import s.implicits._
+      mediaTable(Tables(s, dir))
+        .filter(col("media_type") === "image")
+        .select(col("media_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val src = BmpCodec.decode(bytes)
+          val w2  = math.min(src.width, 16)
+          val h2  =
+            if (src.width <= 16) src.height
+            else math.max(1, src.height * 16 / src.width)
+          val out = BmpCodec.decode(BmpCodec.resizeNearest(bytes, w2, h2))
+          (id, out.width, out.height, out.fileSize, out.meanLevel)
+        })
+        .toDF("media_id", "width", "height", "file_size", "mean_level")
+        .withColumn("mean_level", round(col("mean_level"), 4))
+        .orderBy(col("media_id"))
+    },
+    oracle = Some("""
+      WITH img AS (
+        SELECT doc_id AS media_id,
+          (doc_id % 31 + 1) AS w,
+          (doc_id % 17 + 1) AS h
+        FROM documents WHERE doc_id % 3 = 0
+      ), t AS (
+        SELECT media_id, w, h,
+          least(w, 16) AS w2,
+          CASE WHEN w <= 16 THEN h ELSE greatest(1, h * 16 // w) END AS h2
+        FROM img
+      )
+      SELECT media_id, w2::INT AS width, h2::INT AS height,
+        (54 + ((3 * w2 + 3) // 4 * 4) * h2)::INT AS file_size,
+        round(list_sum(list_transform(range(0, (w2 * h2)::INT),
+          i -> (media_id * 7
+                + ((i // w2) * h // h2 * w + (i % w2) * w // w2) * 3) % 256))::DOUBLE
+          / (w2 * h2), 4) AS mean_level
+      FROM t ORDER BY media_id
     """),
   )
 
@@ -399,5 +457,6 @@ object Multimodal {
   )
 
   def all: Seq[Query] =
-    Seq(features, frames, resized, wavDecode, bmpDecode, videoDecode)
+    Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
+      videoDecode)
 }

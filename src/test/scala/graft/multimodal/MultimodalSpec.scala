@@ -173,4 +173,27 @@ class MultimodalSpec extends SparkSuite {
     badOff(10) = 0xff.toByte; badOff(11) = 0xff.toByte
     intercept[IllegalArgumentException] { BmpCodec.decode(badOff) }
   }
+
+  test("BmpCodec.resizeNearest resamples pixel content with floor mapping") {
+    // 4×2 source, grey(x, y) = 10·(y·4 + x) — distinct per pixel
+    val src = BmpCodec.encode(4, 2, (x, y) => 10 * (y * 4 + x))
+    // → 2×1: target (x, 0) samples source (⌊x·4/2⌋, ⌊0·2/1⌋) = (2x, 0)
+    val down = BmpCodec.decode(BmpCodec.resizeNearest(src, 2, 1))
+    assert(down.width == 2 && down.height == 1)
+    assert(down.topLeft == 0) // source (0,0)
+    assert(math.abs(down.meanLevel - (0 + 20) / 2.0) < 1e-12,
+      s"2×1 resample must pick source pixels (0,0) and (2,0): $down")
+    // upscale 4×2 → 8×2: each source pixel doubles horizontally
+    val up = BmpCodec.decode(BmpCodec.resizeNearest(src, 8, 2))
+    assert(up.width == 8 && up.height == 2)
+    assert(math.abs(up.meanLevel - (0 to 7).map(i => 10 * i).sum / 8.0) < 1e-12)
+    // identity resample reproduces the source stats byte-for-byte
+    val same = BmpCodec.decode(BmpCodec.resizeNearest(src, 4, 2))
+    val orig = BmpCodec.decode(src)
+    assert(same.meanLevel == orig.meanLevel && same.topLeft == orig.topLeft)
+    // invalid targets and malformed sources fail loudly
+    intercept[IllegalArgumentException] { BmpCodec.resizeNearest(src, 0, 1) }
+    val bad = src.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException] { BmpCodec.resizeNearest(bad, 2, 1) }
+  }
 }
