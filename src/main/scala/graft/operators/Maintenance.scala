@@ -147,7 +147,7 @@ object Maintenance {
     * the completed swap — never neither. The FS is resolved from the
     * path itself, not the default FS, so scheme-qualified dirs work.
     */
-  private[operators] def swapDirs(spark: SparkSession, tmp: String,
+  private[graft] def swapDirs(spark: SparkSession, tmp: String,
       dir: String): Unit = {
     val conf   = spark.sparkContext.hadoopConfiguration
     val src    = new org.apache.hadoop.fs.Path(tmp)

@@ -318,7 +318,7 @@ object SimilarityQueries {
   /** The probe side: queries explode to their top-`nprobe` cells
     * (`sort_array` only ever runs on the ≤20 probe rows).
     */
-  private def probesOf(e: DataFrame,
+  private[similarity] def probesOf(e: DataFrame,
       cents: Seq[(Int, Array[Float])]): DataFrame =
     e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
@@ -329,7 +329,7 @@ object SimilarityQueries {
   /** The shared probe→rank tail: join candidates on the cell key,
     * exact cosine + per-query top-5.
     */
-  private def rankTail(assigned: DataFrame, probes: DataFrame): DataFrame = {
+  private[similarity] def rankTail(assigned: DataFrame, probes: DataFrame): DataFrame = {
     val cand = assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -435,16 +435,99 @@ object SimilarityQueries {
     val marker = new org.apache.hadoop.fs.Path(s"$idx/_built")
     val fs     = marker.getFileSystem(conf)
     if (fs.exists(marker)) return idx
-    val e     = Tables(s, dir).embeddings
-    val cents = trainIvfCentroids(e)
+    val e = Tables(s, dir).embeddings
+    writeIvfIndex(s, e, trainIvfCentroids(e), idx)
+    fs.create(marker, true).close()
+    idx
+  }
+
+  /** Write the centroid model + cell-partitioned assignments for `e`
+    * under `idx` — shared by the from-scratch build and (with a FIXED
+    * model passed in) the incremental-rebuild oracle in SimilaritySpec.
+    */
+  private[similarity] def writeIvfIndex(s: SparkSession, e: DataFrame,
+      cents: Seq[(Int, Array[Float])], idx: String): Unit = {
     import s.implicits._
     cents.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$idx/centroids")
     e.select(col("vec_id"), col("embedding"), argmaxCell(cents).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$idx/cells")
-    fs.create(marker, true).close()
-    idx
+  }
+
+  /** The index's persisted centroid model — a bounded collect (k×dim
+    * floats), the serving tier's per-batch model load.
+    */
+  private[similarity] def loadCentroids(s: SparkSession,
+      idx: String): Seq[(Int, Array[Float])] =
+    s.read.parquet(s"$idx/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+      .sortBy(_._1)
+
+  /** Incremental index maintenance — the nightly-ingest path. A serving
+    * tier re-ingests embedding batches daily; [[ivfProbe]] exists to
+    * avoid re-TRAINING per query, and this avoids re-BUILDING per
+    * batch: the batch is upserted into the persisted index with the
+    * centroid model FIXED (drift is absorbed at the next full build).
+    *
+    * Batch rows are assigned to their argmax cell by the same codegen
+    * kernel as the build; only the TOUCHED cell directories — the
+    * batch's new cells plus every cell currently holding an updated
+    * vec_id (an update whose embedding moved across a cell boundary
+    * must not survive in its old cell) — are merged (anti join on
+    * vec_id + union) and crash-safely swapped via
+    * [[graft.operators.Maintenance.swapDirs]]. Untouched cell
+    * directories keep their files byte-identical (asserted in
+    * SimilaritySpec), so batch write cost is O(touched cells), not
+    * O(index). Locating updated ids' old cells reads only the
+    * (vec_id, cell) columns of the index — with a 64-float embedding
+    * column, parquet column pruning makes that a few percent of index
+    * bytes. MERGE semantics: duplicate vec_ids in one batch fail
+    * loudly, like [[graft.operators.Maintenance.upsertParquet]].
+    * Returns the touched cell ids (sorted).
+    */
+  def upsertIvfIndex(s: SparkSession, idx: String,
+      batch: DataFrame): Seq[Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val cellsRoot = new org.apache.hadoop.fs.Path(s"$idx/cells")
+    val fs = cellsRoot.getFileSystem(conf)
+    require(fs.exists(cellsRoot), s"no IVF index at $idx — build it first")
+    val dup = batch.groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsertIvfIndex: duplicate vec_id in batch (${dup.head.get(0)}) " +
+          "— MERGE needs one row per key")
+    val cents = loadCentroids(s, idx)
+    val assigned = batch
+      .select(col("vec_id"), col("embedding"), argmaxCell(cents).as("cell"))
+      .persist()
+    try {
+      val newCells = assigned.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet // bounded: ≤ k cells
+      val oldCells = s.read.parquet(s"$idx/cells")
+        .join(assigned.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet // bounded: ≤ k cells
+      val touched = (newCells ++ oldCells).toSeq.sorted
+      touched.foreach { c =>
+        val part     = s"$idx/cells/cell=$c"
+        val partPath = new org.apache.hadoop.fs.Path(part)
+        val partBatch = assigned.filter(col("cell") === c).drop("cell")
+        val merged =
+          if (fs.exists(partPath))
+            s.read.parquet(part)
+              .join(assigned.select(col("vec_id")), Seq("vec_id"), "left_anti")
+              .unionByName(partBatch)
+          else partBatch // first rows for a previously-empty cell
+        val tmp = part + "__upserting"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(partPath)) graft.operators.Maintenance.swapDirs(s, tmp, part)
+        else if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), partPath))
+          throw new java.io.IOException(s"rename $tmp -> $part failed")
+      }
+      touched
+    } finally assigned.unpersist()
   }
 
   /** IVF probe against the PERSISTED index — identical ranking
@@ -459,10 +542,7 @@ object SimilarityQueries {
     "ss_ivf_probe",
     (s, dir) => {
       val idx = buildIvfIndex(s, dir)
-      val cents: Seq[(Int, Array[Float])] = s.read.parquet(s"$idx/centroids")
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
-        .sortBy(_._1)
+      val cents = loadCentroids(s, idx)
       val probes = probesOf(Tables(s, dir).embeddings, cents)
       // resolve the probed cells first (bounded: ≤ nprobe × |queries|
       // values, via the same scoring kernel) so the index scan below

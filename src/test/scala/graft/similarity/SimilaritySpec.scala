@@ -104,6 +104,70 @@ class SimilaritySpec extends SparkSuite {
     assert(topk.exceptAll(probe).count() == 0)
   }
 
+  /** Incremental upsert contract: with the centroid model FIXED, the
+    * merged index is indistinguishable from a from-scratch build of the
+    * merged corpus — same cell contents, same probe answers — and cell
+    * directories the batch never touched keep their files
+    * byte-identical (name + length + mtime), proving batch cost is
+    * O(touched cells), not O(index).
+    */
+  test("IVF upsert == from-scratch rebuild with fixed centroids; untouched cells untouched") {
+    import org.apache.hadoop.fs.Path
+    val e     = emb.select(col("vec_id"), col("embedding"))
+    val base  = e.filter(col("vec_id") % 5 =!= 0)
+    // batch = held-out inserts + updates of existing ids whose REVERSED
+    // embeddings may cross cell boundaries (the stale-old-cell case)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+      .unionByName(e.filter(col("vec_id").isin(1, 2, 3))
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+    val cents = SimilarityQueries.trainIvfCentroids(base)
+    val root  = java.nio.file.Files.createTempDirectory("graft-ivf-upsert")
+    val dirA  = s"$root/upserted"
+    val dirB  = s"$root/rebuilt"
+    SimilarityQueries.writeIvfIndex(spark, base, cents, dirA)
+    def fileState(idx: String): Map[Int, Set[(String, Long, Long)]] = {
+      val fs   = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dirs = fs.listStatus(new Path(s"$idx/cells"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      dirs.map { d =>
+        d.getPath.getName.stripPrefix("cell=").toInt ->
+          fs.listStatus(d.getPath).map(f =>
+            (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+      }.toMap
+    }
+    val before  = fileState(dirA)
+    val touched = SimilarityQueries.upsertIvfIndex(spark, dirA, batch)
+    val after   = fileState(dirA)
+    assert(touched.nonEmpty)
+    before.keySet.filterNot(touched.toSet).foreach { c =>
+      assert(after(c) === before(c),
+        s"untouched cell $c was rewritten by the upsert")
+    }
+    // duplicate keys in one batch are a loud MERGE error
+    intercept[IllegalArgumentException] {
+      SimilarityQueries.upsertIvfIndex(spark, dirA,
+        batch.limit(1).unionByName(batch.limit(1)))
+    }
+    // from-scratch oracle: same merged corpus, same FIXED centroids
+    val merged = base
+      .join(batch.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(batch)
+    SimilarityQueries.writeIvfIndex(spark, merged, cents, dirB)
+    def cellRows(idx: String): Seq[(Long, Int, Seq[Float])] =
+      spark.read.parquet(s"$idx/cells").collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toSeq))
+        .toSeq.sortBy(t => (t._1, t._2))
+    assert(cellRows(dirA) === cellRows(dirB))
+    // and the serving query answers identically from both indexes
+    def probeAnswers(idx: String) = {
+      val assigned = spark.read.parquet(s"$idx/cells")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      SimilarityQueries.rankTail(assigned,
+        SimilarityQueries.probesOf(merged, cents)).collect().toSeq
+    }
+    assert(probeAnswers(dirA) === probeAnswers(dirB))
+  }
+
   test("l2Normalize produces unit vectors; zero vectors pass through") {
     import spark.implicits._
     val n = emb.select(VectorFunctions
