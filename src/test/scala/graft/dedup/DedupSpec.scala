@@ -33,6 +33,34 @@ class DedupSpec extends SparkSuite {
     assert(planted.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  /** Forces the ≤50-docs-per-band cap to fire: 60 copies of one
+    * boilerplate doc share every band, so an uncapped pipeline would
+    * emit C(60,2) = 1770 pairs from those buckets alone — the planted
+    * hot band must contribute ZERO pairs while an ordinary small bucket
+    * still surfaces its pair, and the cap's window count must keep
+    * riding the self-join's band exchange (ReusedExchange), not plan a
+    * second shuffle.
+    */
+  test("hot-band cap: a 60x boilerplate band emits zero pairs, exchange still reused") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hotband").toString
+    val boiler = (0L until 60L).map(i =>
+      (i, "buy now the best deal ever offered online today", "en", "boiler", 47L))
+    val good = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta", "en", "keep", 45L),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta", "en", "keep", 45L))
+    (boiler ++ good).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val df  = QueryRegistry.byName("dd_minhash_lsh").run(spark, tmp)
+    val got = df.collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 101L)),
+      s"hot band leaked pairs: ${got.take(5).mkString(", ")} (${got.length} rows)")
+    assert(got.head.getAs[Double]("jaccard") == 1.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"band-cap window must reuse the self-join's band exchange:\n$plan")
+  }
+
   test("native kernels == composition on generated text incl. unicode and edge shapes") {
     import org.apache.spark.sql.functions.{col, array_sort}
     import org.scalacheck.Gen
