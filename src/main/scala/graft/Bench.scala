@@ -5,10 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Per-round throughput harness (driver contract: prints ONE JSON
   * line). Each registry query runs once to warm JIT/parquet footers/
   * broadcast relations, then THREE measured passes through a `noop`
-  * sink; the reported value is the per-query median and every per-pass
-  * value is recorded alongside it. The noop sink forces full
-  * materialization of every operator without paying file-write cost
-  * (a bare `count()` would let Catalyst prune whole subtrees).
+  * sink — plus one extra pass when a pass's loadavg marks it as
+  * externally contended; the reported value is the per-query
+  * (lower-)median and every per-pass value and per-pass loadavg is
+  * recorded in the sidecar. The noop sink forces full materialization
+  * of every operator without paying file-write cost (a bare `count()`
+  * would let Catalyst prune whole subtrees).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,29 +51,59 @@ object Bench {
     // resolution) to keep the JSON line small enough that nothing
     // truncates. A failed pass records null — a query regressing to a
     // hard failure must not make the benchmark look faster.
-    def measure(order: Seq[Query]): Map[String, Option[Double]] = order.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { exec(q.run(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          false
-        }
-      q.name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
-    }.toMap
-    val passes = Seq(measure(queries), measure(queries.reverse), measure(queries))
+    def loadavg1m(): Double = {
+      val v = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (v < 0) -1.0 else v
+    }
+    // loadavg is sampled BEFORE and AFTER each pass (an end-of-run
+    // sample cannot attribute contention to a specific pass — round 4
+    // recorded a 7.5 s median for a 0.54 s query and only the final
+    // 2.406 loadavg hinted why).
+    def measure(order: Seq[Query])
+        : (Map[String, Option[Double]], Double, Double) = {
+      val before = loadavg1m()
+      val timed = order.map { q =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { exec(q.run(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+          }
+        q.name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      }.toMap
+      (timed, before, loadavg1m())
+    }
+    val basePasses = Seq(measure(queries), measure(queries.reverse), measure(queries))
+    // Contention guard: the quietest pass's loadavg approximates the
+    // bench's OWN steady load (the box runs nothing else when idle);
+    // a pass clearly above that baseline was hit by an external window
+    // and its times are suspect. One extra pass then buys a clean
+    // median (3 quiet of 4 beats 2 of 3 under one bad window) while
+    // keeping runtime bounded; the sidecar records every pass's load
+    // either way, so a still-contended artifact shows it.
+    val passLoads = basePasses.map { case (_, b, a) => math.max(b, a) }
+    val loadBaseline = passLoads.filter(_ >= 0) match {
+      case Seq() => -1.0
+      case ls    => ls.min
+    }
+    val loadDelta = sys.env.get("SPARK_GRAFT_LOAD_DELTA")
+      .map(_.toDouble).getOrElse(2.0)
+    val loadedIdx = passLoads.zipWithIndex.collect {
+      case (l, i) if loadBaseline >= 0 && l > loadBaseline + loadDelta => i
+    }
+    val allPasses =
+      if (loadedIdx.nonEmpty) basePasses :+ measure(queries) else basePasses
+    val passes = allPasses.map(_._1)
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // median of the successful passes; with two survivors take the
-    // lower (a mean would average contention back in), one → itself
+    // lower-median of the successful passes: for 3 the true median; for
+    // an even count the lower middle (a mean — or the upper middle —
+    // would average contention back in), one → itself
     val results: Seq[(String, Option[Double])] = queries.map { q =>
       val ok = passes.flatMap(_(q.name)).sorted
-      q.name -> (ok.length match {
-        case 0 => None
-        case 1 => Some(ok.head)
-        case 2 => Some(ok.head)
-        case _ => Some(ok(1))
-      })
+      q.name -> (if (ok.isEmpty) None else Some(ok((ok.length - 1) / 2)))
     }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("null")(r3)
@@ -89,15 +121,15 @@ object Bench {
       case (n, Some(v)) if headlineSet(n) => v
     }.sum
     val headlineJson = headlineNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // 1-minute loadavg at report time: contention that inflates a pass
-    // is invisible after the fact without it (the round-3 record mixed
-    // 15 s first-pass values with sub-second re-measures of the same
-    // query and the artifact alone could not tell regression from load).
-    val loadAvg = {
-      val bean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      val v = bean.getSystemLoadAverage
-      if (v < 0) "null" else r3(v)
-    }
+    // end-of-run 1-minute loadavg stays in the stdout line (driver
+    // contract); the per-pass before/after samples in the sidecar are
+    // what actually attribute contention to a pass.
+    val loadAvg = { val v = loadavg1m(); if (v < 0) "null" else r3(v) }
+    def jLoad(v: Double): String = if (v < 0) "null" else r3(v)
+    val passLoadJson = allPasses
+      .map { case (_, b, a) => s"[${jLoad(b)},${jLoad(a)}]" }
+      .mkString("[", ",", "]")
+    val loadedJson = loadedIdx.mkString("[", ",", "]")
     // The per-pass arrays tripled the stdout line in round 3 and the
     // driver's tail capture truncated 25 of 76 medians out of the
     // artifact. Contract: stdout stays ONE compact line (medians only);
@@ -105,7 +137,10 @@ object Bench {
     // the repo directly.
     val passesOut = sys.env.getOrElse("SPARK_GRAFT_PASSES_OUT", "BENCH_PASSES.json")
     val passesPayload =
-      s"""{"passes":$passJson,"headline_queries":$headlineJson,"loadavg_1m":$loadAvg,"sf":"$sfDir"}"""
+      s"""{"passes":$passJson,"pass_loadavg":$passLoadJson,""" +
+        s""""loaded_passes":$loadedJson,"load_baseline":${jLoad(loadBaseline)},""" +
+        s""""load_delta":${r3(loadDelta)},"n_passes":${allPasses.size},""" +
+        s""""headline_queries":$headlineJson,"loadavg_1m":$loadAvg,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(passesOut),
       (passesPayload + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
