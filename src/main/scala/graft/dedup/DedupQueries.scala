@@ -72,7 +72,7 @@ object DedupQueries {
     * under 2^63 in both engines. One md5 per shingle; the 16 minhash
     * passes are pure integer math.
     */
-  private val hashParams: Seq[(Long, Long)] = Seq(
+  private[graft] val hashParams: Seq[(Long, Long)] = Seq(
     (114060685L, 287214675L), (658016613L, 1798685852L),
     (1761721497L, 1276361822L), (516347111L, 173320195L),
     (1034123049L, 781389125L), (1490082987L, 1994458317L),
@@ -82,7 +82,7 @@ object DedupQueries {
     (1509779901L, 770577552L), (1001072045L, 274222389L),
     (1024637813L, 989941651L), (731651807L, 1986382793L))
 
-  private val MinhashP = 4294967311L
+  private[graft] val MinhashP = 4294967311L
 
   private def dupCorpus(t: Tables): DataFrame =
     t.documents.select(col("doc_id"), col("text"))

@@ -15,7 +15,8 @@ class SqlSurfaceSpec extends SparkSuite {
     "q1_pricing_summary", "q6_forecast_revenue", "q_distinct",
     "q_having", "q_set_ops", "q_pivot", "q_anti_join",
     "q_scalar_subquery", "q_correlated_min", "q_window_topk",
-    "q_window_running", "q_cube") // q_percentiles: quantile_cont is DuckDB-only
+    "q_window_running", "q_cube", // q_percentiles: quantile_cont is DuckDB-only
+    "dd_exact") // md5 + GROUP BY ordinal run identically on both engines
 
   private lazy val viewsReady: Unit = {
     val t = Tables(spark, sf("sf0.001"))
@@ -73,6 +74,61 @@ class SqlSurfaceSpec extends SparkSuite {
     FROM documents
     WHERE size(filter(split(text, ' '), t -> length(t) > 0)) > 0
     ORDER BY doc_id""")
+
+  /** The full MinHash+LSH band pipeline, end-to-end in SQL: the
+    * shingle kernel comes from the extension registry; the 16 affine
+    * rehashes, band keys, the ≤50-docs-per-band cap, the band
+    * self-join, and the candidate Jaccard are all plain Spark SQL —
+    * built from the SAME hashParams the DataFrame pipeline uses, so
+    * the two cannot drift.
+    */
+  private val minhashSql: String = {
+    val P = dedup.DedupQueries.MinhashP
+    val mhList = dedup.DedupQueries.hashParams.map { case (a, b) =>
+      s"array_min(transform(sh, h -> (h * $a + $b) % $P))"
+    }.mkString("array(", ", ", ")")
+    val bandList = (0 until 4).map { bnd =>
+      val rows = (0 until 4)
+        .map(r => s"CAST(element_at(mh, ${bnd * 4 + r + 1}) AS STRING)")
+      s"concat_ws(':', '$bnd', ${rows.mkString(", ")})"
+    }.mkString("array(", ", ", ")")
+    s"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE source = 'src0'
+    ), sh AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, shingle_hash32(text, 3) AS sh FROM corpus)
+      WHERE size(sh) > 0
+    ), mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
+    bands0 AS (SELECT doc_id, explode($bandList) AS bh FROM mh),
+    bands AS (
+      SELECT doc_id, bh FROM (
+        SELECT doc_id, bh, count(1) OVER (PARTITION BY bh) AS bc
+        FROM bands0)
+      WHERE bc <= 50
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+      round(CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        (size(sa.sh) + size(sb.sh) - size(array_intersect(sa.sh, sb.sh))), 4)
+        AS jaccard
+    FROM cands
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    ORDER BY id_a, id_b"""
+  }
+  sqlParity("dd_minhash_lsh", minhashSql)
+
+  sqlParity("tx_fingerprint", """
+    SELECT doc_id,
+      md5(concat_ws(' ', array_sort(array_distinct(
+        filter(split(text, ' '), x -> length(x) > 0))))) AS fp
+    FROM documents ORDER BY doc_id""")
 
   sqlParity("ss_cosine_topk", """
     WITH queries AS (
