@@ -486,6 +486,28 @@ object SimilarityQueries {
     * loudly, like [[graft.operators.Maintenance.upsertParquet]].
     * Returns the touched cell ids (sorted).
     */
+  /** Centroid-drift monitor for the incremental path: per cell, how
+    * well the incoming batch coheres to the FIXED model — count and
+    * mean cosine of batch rows to their assigned centroid. A cell
+    * whose batches cohere progressively worse is drifting away from
+    * its centroid; this is the bounded (≤ k rows) nightly signal that
+    * schedules the next full re-train, turning "centroids fixed until
+    * rebuild" from a hope into a monitored contract. One narrow pass
+    * over the batch with the same codegen'd argmax as assignment — the
+    * struct max carries (cosine, cell) together, so no re-scoring.
+    */
+  def centroidDrift(s: SparkSession, idx: String,
+      batch: DataFrame): DataFrame = {
+    val cents = loadCentroids(s, idx)
+    batch
+      .select(greatest(scoreStructs(cents): _*).as("best"))
+      .select(col("best").getField("cid").as("cell"),
+        col("best").getField("ccos").as("cos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), round(avg(col("cos")), 4).as("mean_cos"))
+      .orderBy(col("cell"))
+  }
+
   def upsertIvfIndex(s: SparkSession, idx: String,
       batch: DataFrame): Seq[Int] = {
     val conf = s.sparkContext.hadoopConfiguration

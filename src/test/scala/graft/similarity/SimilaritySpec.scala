@@ -168,6 +168,31 @@ class SimilaritySpec extends SparkSuite {
     assert(probeAnswers(dirA) === probeAnswers(dirB))
   }
 
+  /** The drift monitor must read a batch of the model's own centroids
+    * as perfectly coherent (each assigns to its own cell at cos ~1.0)
+    * and stay bounded at ≤ k rows for any batch.
+    */
+  test("centroidDrift: centroid-valued batch coheres at ~1.0, one row per cell") {
+    import spark.implicits._
+    val e     = emb.select(col("vec_id"), col("embedding"))
+    val cents = SimilarityQueries.trainIvfCentroids(e)
+    val root  = java.nio.file.Files.createTempDirectory("graft-ivf-drift")
+    val idx   = s"$root/idx"
+    SimilarityQueries.writeIvfIndex(spark, e, cents, idx)
+    val batch = cents.map { case (cid, cv) => (9000L + cid, cv.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val drift = SimilarityQueries.centroidDrift(spark, idx, batch).collect()
+    assert(drift.length == cents.length, s"expected one row per cell: ${drift.length}")
+    assert(drift.map(_.getLong(1)).sum == cents.length) // every batch row counted
+    assert(drift.forall(_.getDouble(2) >= 0.999),
+      s"a centroid-valued batch must cohere at ~1.0: ${drift.mkString(", ")}")
+    // and an ordinary corpus batch still yields ≤ k bounded rows
+    val corpusDrift = SimilarityQueries.centroidDrift(spark, idx, e.limit(100))
+    assert(corpusDrift.count() <= cents.length)
+  }
+
   test("l2Normalize produces unit vectors; zero vectors pass through") {
     import spark.implicits._
     val n = emb.select(VectorFunctions
