@@ -150,6 +150,52 @@ object DedupQueries {
     headline = true,
   )
 
+  /** Per-source duplication profile — the corpus-health report a
+    * pipeline publishes before/after a dedup pass: for every source,
+    * how many documents it ships, how many distinct texts that is,
+    * what fraction is redundant, and the worst clone count. Runs over
+    * the same planted corpus as [[exact]] (a full `src0` replica),
+    * so `src0` reports dup_rate = 0.5 with every text cloned twice
+    * while every other source reports 0 — non-vacuous by construction.
+    *
+    * Scale shape: two hash aggregations — (source, md5) partial agg
+    * rides the scan so only 16-byte hashes cross the wire (same
+    * cheapest-possible-dedup shape as [[exact]]), then a per-source
+    * rollup of ≤ sources×uniques → ≤ sources rows.
+    */
+  val dupStats = Query(
+    "dd_dup_stats",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      docs.select(col("source"), col("text"))
+        .unionAll(docs.filter(col("source") === "src0")
+          .select(col("source"), col("text")))
+        .groupBy(col("source"), md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_uniq"),
+          round(lit(1.0) - count(lit(1)).cast("double") / sum(col("cnt")), 4)
+            .as("dup_rate"),
+          max(col("cnt")).cast("long").as("max_clone"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH c AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT source, text FROM documents WHERE source = 'src0'
+      ), g AS (
+        SELECT source, md5(text) AS h, count(*) AS cnt
+        FROM c GROUP BY 1, 2
+      )
+      SELECT source, sum(cnt)::BIGINT AS n_docs, count(*)::BIGINT AS n_uniq,
+        round(1.0 - count(*)::DOUBLE / sum(cnt), 4) AS dup_rate,
+        max(cnt)::BIGINT AS max_clone
+      FROM g GROUP BY 1 ORDER BY 1
+    """),
+  )
+
   /** MinHash + LSH near-dup: 16 affine min-hashes per doc over the
     * 32-bit shingle base hashes (4 bands × 4 rows), band-bucket join
     * for candidates, exact hashed-shingle Jaccard on candidates only.
@@ -914,6 +960,6 @@ object DedupQueries {
   )
 
   def all: Seq[Query] =
-    Seq(exact, minhashLsh, simhash, ngramJaccard, cleanCorpus, dupPassages,
-      dupClusters, decontaminate, incrementalDedup)
+    Seq(exact, dupStats, minhashLsh, simhash, ngramJaccard, cleanCorpus,
+      dupPassages, dupClusters, decontaminate, incrementalDedup)
 }

@@ -776,6 +776,155 @@ object TextQueries {
     """),
   )
 
+  /** Deterministic train/val/test split manifest — the corpus-planning
+    * op every pretraining run starts from: each document is assigned a
+    * split by a salted md5 hash bucket of its doc_id (2% test, 3% val,
+    * 95% train), so the assignment is replayable across runs, engines,
+    * and data re-orderings — no `rand()`, and a document can never
+    * migrate between splits when the corpus is re-ingested. Emits the
+    * per-(source, split) document/token counts a run manifest records.
+    *
+    * Scale shape: scan → per-row hash + token count → map-side partial
+    * agg → one exchange of ≤ sources×3 groups. The hash gate is the
+    * same md5-bucket construction as [[sample]], proven bit-identical
+    * to the DuckDB oracle's.
+    */
+  val trainSplit = Query(
+    "tx_split",
+    (s, dir) => {
+      val b = conv(
+        substring(md5(concat(lit("split1:"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") % 100
+      val sp = when(b < 2, "test").when(b < 5, "val").otherwise("train")
+      Tables(s, dir).documents
+        .select(col("source"), sp.as("split"),
+          size(toks(col("text"))).as("n"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("long").as("n_tokens"))
+        .orderBy(col("source"), col("split"))
+    },
+    oracle = Some("""
+      SELECT source, split, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens
+      FROM (
+        SELECT source,
+          CASE WHEN b < 2 THEN 'test' WHEN b < 5 THEN 'val'
+               ELSE 'train' END AS split,
+          len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n
+        FROM (SELECT source, text,
+                ('0x' || substr(md5('split1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 100 AS b
+              FROM documents))
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+  )
+
+  /** Deterministic global-shuffle shard manifest — the data-loader
+    * layout op: documents are scattered into 16 shards by a salted
+    * hash (the distributed equivalent of "shuffle the corpus and cut
+    * it into files"), and the manifest reports each shard's size plus
+    * its mixing quality (`top_source_share` — the largest single-source
+    * fraction; a correct scatter pushes every shard toward 1/sources).
+    * Training-order determinism matters: re-running the pipeline must
+    * yield byte-identical shards, which hash assignment guarantees and
+    * `rand()` does not.
+    *
+    * Scale shape: two bounded aggregations — per-(shard, source)
+    * partial agg rides the scan (≤ 16×sources groups on the wire), the
+    * per-shard rollup is 16 rows. No row-level shuffle of document
+    * content happens here at all: the manifest is computed from counts,
+    * and the actual shard WRITE at 100 TB would be
+    * `df.repartition(16, hash).write` driven by the same gate.
+    */
+  val shards = Query(
+    "tx_shards",
+    (s, dir) => {
+      val shard = conv(
+        substring(md5(concat(lit("shard1:"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") % 16
+      Tables(s, dir).documents
+        .select(shard.as("shard"), col("source"),
+          size(toks(col("text"))).as("n"))
+        .groupBy(col("shard"), col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n")).as("tok"))
+        .groupBy(col("shard"))
+        .agg(sum(col("cnt")).cast("long").as("n_docs"),
+          sum(col("tok")).cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_sources"),
+          round(max(col("cnt")).cast("double") / sum(col("cnt")), 4)
+            .as("top_source_share"))
+        .orderBy(col("shard"))
+    },
+    oracle = Some("""
+      WITH p AS (
+        SELECT ('0x' || substr(md5('shard1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 % 16 AS shard,
+          source,
+          len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS n
+        FROM documents
+      ), g AS (
+        SELECT shard, source, count(*) AS cnt, sum(n) AS tok
+        FROM p GROUP BY 1, 2
+      )
+      SELECT shard, sum(cnt)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens,
+        count(*)::BIGINT AS n_sources,
+        round(max(cnt)::DOUBLE / sum(cnt), 4) AS top_source_share
+      FROM g GROUP BY 1 ORDER BY 1
+    """),
+  )
+
+  /** Source-mixture rebalancing — the recipe op that turns raw corpus
+    * proportions into sampling weights: given a uniform target mixture
+    * (1/sources of the token budget each), every source gets
+    * `weight = min(1, target/actual)` — oversized sources are
+    * downsampled, undersized ones pass through whole (upsampling is a
+    * training-loop concern, not a data op). `planned_tokens` is the
+    * post-sampling token count the recipe would yield; feeding `weight`
+    * into the [[sample]]/[[Mix]] hash gate materializes it.
+    *
+    * Scale shape: ONE pass over the big table into a per-source partial
+    * agg (≤ sources rows cross the wire), then a whole-frame window
+    * over that ≤ sources-row aggregate — the single-partition window is
+    * bounded by the source count, never by data volume (same bounded-
+    * rollup pattern the plan lint allows on 1-row aggregates).
+    */
+  val mixRebalance = Query(
+    "tx_mix_rebalance",
+    (s, dir) => {
+      val whole = Window.partitionBy()
+      val total = sum(col("n_tokens")).over(whole)
+      val nSrc  = count(lit(1)).over(whole)
+      Tables(s, dir).documents
+        .groupBy(col("source"))
+        .agg(sum(size(toks(col("text")))).cast("long").as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / total, 4).as("share"),
+          least(lit(1.0),
+            round(total.cast("double") / (nSrc * col("n_tokens")), 4))
+            .as("weight"))
+        .withColumn("planned_tokens",
+          floor(col("weight") * col("n_tokens")).cast("long"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH g AS (
+        SELECT source,
+          sum(len(list_filter(string_split(text, ' '), x -> length(x) > 0)))::BIGINT
+            AS n_tokens
+        FROM documents GROUP BY 1
+      ), w AS (
+        SELECT source, n_tokens,
+          round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 4) AS share,
+          least(1.0, round(sum(n_tokens) OVER ()::DOUBLE
+            / (count(*) OVER () * n_tokens), 4)) AS weight
+        FROM g
+      )
+      SELECT source, n_tokens, share, weight,
+        floor(weight * n_tokens)::BIGINT AS planned_tokens
+      FROM w ORDER BY source
+    """),
+  )
+
   /** Fixed-window document chunking with overlap — the embedding/RAG
     * ingestion op: each document splits into 32-token windows advancing
     * by 24 (8-token overlap), chunk i covering tokens [24i, 24i+32).
@@ -815,5 +964,6 @@ object TextQueries {
 
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
-    repetition, piiRedact, entropy, sample, pack, chunks)
+    repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
+    pack, chunks)
 }

@@ -17,6 +17,25 @@ class DedupSpec extends SparkSuite {
     assert(got.forall(_.getAs[Long]("n") == 2))
   }
 
+  test("dd_dup_stats: src0 reports the planted 2x replica, others run clean") {
+    val rows = QueryRegistry.byName("dd_dup_stats").run(spark, dir).collect()
+    val src0Docs = spark.read.parquet(dir + "/documents.parquet")
+      .filter(col("source") === "src0").count()
+    rows.foreach { r =>
+      val (src, nDocs, nUniq, rate, clone) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getLong(4))
+      if (src == "src0") {
+        assert(nDocs == 2 * src0Docs)
+        assert(nUniq == src0Docs, "src0 texts not internally unique")
+        assert(rate == 0.5 && clone == 2)
+      } else {
+        // dd_exact proves the raw corpus has no natural exact dups
+        assert(nUniq == nDocs && rate == 0.0 && clone == 1,
+          s"unexpected duplication in $src")
+      }
+    }
+  }
+
   test("dd_minhash_lsh candidates include all planted pairs at jaccard 1.0") {
     val got = QueryRegistry.byName("dd_minhash_lsh").run(spark, dir).collect()
     val planted = got.filter(r =>

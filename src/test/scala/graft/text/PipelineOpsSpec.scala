@@ -106,6 +106,56 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("tx_split: partitions the corpus exactly, deterministically, ~2/3/95") {
+    val rows = run("tx_split").collect()
+    val splits = rows.map(_.getString(1)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // every document lands in exactly one split: totals reconcile
+    val total = rows.map(_.getLong(2)).sum
+    val nDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").count()
+    assert(total == nDocs, s"split manifest lost docs: $total != $nDocs")
+    // hash gate, not rand(): a second run is byte-identical
+    assert(run("tx_split").collect().toSeq == rows.toSeq)
+    // the bucket thresholds hold corpus-wide (2% test / 3% val target;
+    // wide tolerance — 500 docs at sf0.001)
+    val byS = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(byS.getOrElse("train", 0L) > (nDocs * 8) / 10)
+    assert(byS.getOrElse("test", 0L) + byS.getOrElse("val", 0L) < nDocs / 5)
+  }
+
+  test("tx_shards: 16 shards, every doc placed, hash actually mixes sources") {
+    val rows = run("tx_shards").collect()
+    assert(rows.length == 16)
+    assert(rows.map(_.getLong(0)).toSet == (0L until 16L).toSet)
+    val nDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    rows.foreach { r =>
+      val nSources = r.getLong(3); val topShare = r.getDouble(4)
+      // scatter quality: no shard is a single-source run; the top
+      // source never dominates a shard outright
+      assert(nSources > 1, s"shard ${r.getLong(0)} is single-source")
+      assert(topShare < 0.5, s"shard ${r.getLong(0)} dominated: $topShare")
+      assert(topShare >= 1.0 / nSources - 1e-9)
+    }
+  }
+
+  test("tx_mix_rebalance: weights cap at 1 and planned tokens never grow") {
+    val rows = run("tx_mix_rebalance").collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(2))
+    assert(math.abs(shares.sum - 1.0) < 0.01, s"shares sum ${shares.sum}")
+    rows.foreach { r =>
+      val (tok, w, planned) =
+        (r.getLong(1), r.getDouble(3), r.getLong(4))
+      assert(w > 0 && w <= 1.0)
+      assert(planned <= tok, s"rebalance grew ${r.getString(0)}")
+      assert(planned == math.floor(w * tok).toLong)
+    }
+    // an under-represented source passes through whole (weight 1)
+    assert(rows.exists(_.getDouble(3) == 1.0),
+      "no source at weight 1 — target mixture unreachable for all?")
+  }
+
   test("dd_decontaminate: planted contamination surfaces; bench never flagged") {
     val rows = run("dd_decontaminate").collect()
     // the fixture plants every bench doc back as doc_id + 200000, so
