@@ -697,7 +697,65 @@ object SimilarityQueries {
     """),
   )
 
+  /** Embedding coverage audit — the docs↔vectors reconciliation every
+    * RAG / near-dup pipeline runs after an embedding job: join the
+    * document table to its embedding table on the id and report, per
+    * source, how many documents actually have a vector, how many are
+    * missing, and the norm range of what arrived (a norm of 0 or ∞ is
+    * a corrupt batch). A failed embedding batch is simulated in-query
+    * (every 97th vector withheld) so the report is non-vacuous at any
+    * SF — the planted-fixture pattern of [[graft.dedup.DedupQueries]].
+    *
+    * Scale shape: the registry's one genuinely big-big equi-join —
+    * neither side of a 100 TB corpus↔vector join is broadcastable, so
+    * both sides shuffle once on the 8-byte id (sort-merge at scale).
+    * The 256-byte embedding payload is reduced to its scalar norm
+    * BEFORE the join, so 16 bytes per vector cross the wire, not the
+    * vector; the rollup on top is ≤ sources rows. Norm aggregates are
+    * min/max (order-independent), never a float sum, so the values are
+    * reproducible under any shuffle order.
+    */
+  val coverage = Query(
+    "ss_coverage",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("source"))
+      val vecs = t.embeddings
+        .filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id"),
+          VectorFunctions.l2Norm(col("embedding")).as("norm"))
+      docs.join(vecs, docs("doc_id") === vecs("vec_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          count(col("vec_id")).cast("long").as("n_with_vec"),
+          (count(lit(1)) - count(col("vec_id"))).cast("long").as("n_missing"),
+          round(count(col("vec_id")).cast("double") / count(lit(1)), 4)
+            .as("coverage"),
+          round(min(col("norm")), 4).as("min_norm"),
+          round(max(col("norm")), 4).as("max_norm"),
+        )
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH v AS (
+        SELECT vec_id,
+          sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+        FROM embeddings WHERE vec_id % 97 <> 0
+      )
+      SELECT source, count(*)::BIGINT AS n_docs,
+        count(vec_id)::BIGINT AS n_with_vec,
+        (count(*) - count(vec_id))::BIGINT AS n_missing,
+        round(count(vec_id)::DOUBLE / count(*), 4) AS coverage,
+        round(min(nrm), 4) AS min_norm,
+        round(max(nrm), 4) AS max_norm
+      FROM documents d LEFT JOIN v ON d.doc_id = v.vec_id
+      GROUP BY 1 ORDER BY 1
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, kmeans, cosineNearDup,
-      vectorStats)
+      vectorStats, coverage)
 }

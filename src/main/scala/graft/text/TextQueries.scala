@@ -925,6 +925,92 @@ object TextQueries {
     """),
   )
 
+  /** Quality-filter funnel — the attribution report behind a composed
+    * corpus clean: every document is charged to the FIRST gate that
+    * rejects it (cheap structural gates before ratio gates, the order a
+    * real pipeline applies them in), then rolled up per (source,
+    * reason) with each reason's share of its source. This is the
+    * "where did my corpus go" table a filtering run publishes — without
+    * it, a keep-rate drop is undebuggable.
+    *
+    * The ratio gates are guarded behind token-count minimums on BOTH
+    * engines so no branch ever divides by zero; empty/absent text falls
+    * to the structural gates first. The repetition gate is the
+    * dup-trigram ratio at [[repetition]]'s 0.95 threshold — a
+    * dup-TOKEN ratio would flag most natural prose (function words
+    * always repeat).
+    *
+    * Scale shape: scan → per-row gate chain (all codegen'd collection
+    * expressions) → map-side partial agg to ≤ sources×6 groups → a
+    * per-source window over that bounded rollup. One exchange of group
+    * rows; document text never shuffles.
+    */
+  val filterFunnel = Query(
+    "tx_filter_funnel",
+    (s, dir) => {
+      val t = toks(col("text"))
+      val nTok = size(t)
+      val stopRatio = when(nTok > 0,
+        size(filter(t, x => x.isInCollection(stopwords))).cast("double") / nTok)
+      val dupTrigram = when(nTok >= 3,
+        lit(1.0) - size(array_distinct(transform(sequence(lit(1), nTok - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2))))).cast("double") / (nTok - 2))
+      val reason = when(col("text").isNull, "empty")
+        .when(nTok < 10, "too_short")
+        .when(nTok > 2000, "too_long")
+        .when(stopRatio < 0.01, "low_stopword")
+        .when(stopRatio > 0.6, "high_stopword")
+        .when(dupTrigram > 0.95, "repetitive")
+        .otherwise("keep")
+      val g = Tables(s, dir).documents
+        .groupBy(col("source"), reason.as("reason"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      g.withColumn("pct",
+          round(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(Window.partitionBy(col("source"))), 4))
+        .orderBy(col("source"), col("reason"))
+    },
+    oracle = Some("""
+      WITH m AS (
+        SELECT source,
+          len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+            AS n_tokens,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS t,
+          text
+        FROM documents
+      ), r AS (
+        SELECT source,
+          CASE WHEN text IS NULL THEN 'empty'
+               WHEN n_tokens < 10 THEN 'too_short'
+               WHEN n_tokens > 2000 THEN 'too_long'
+               WHEN (CASE WHEN n_tokens > 0 THEN
+                 len(list_filter(t, x -> x IN
+                   ('the','a','and','of','or','is','in')))::DOUBLE / n_tokens
+                 END) < 0.01 THEN 'low_stopword'
+               WHEN (CASE WHEN n_tokens > 0 THEN
+                 len(list_filter(t, x -> x IN
+                   ('the','a','and','of','or','is','in')))::DOUBLE / n_tokens
+                 END) > 0.6 THEN 'high_stopword'
+               WHEN (CASE WHEN n_tokens >= 3 THEN
+                 1.0 - len(list_distinct(list_transform(
+                   range(1, n_tokens - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))::DOUBLE
+                   / (n_tokens - 2)
+                 END) > 0.95 THEN 'repetitive'
+               ELSE 'keep' END AS reason
+        FROM m
+      ), g AS (
+        SELECT source, reason, count(*)::BIGINT AS n_docs
+        FROM r GROUP BY 1, 2
+      )
+      SELECT source, reason, n_docs,
+        round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY source), 4)
+          AS pct
+      FROM g ORDER BY 1, 2
+    """),
+  )
+
   /** Fixed-window document chunking with overlap — the embedding/RAG
     * ingestion op: each document splits into 32-token windows advancing
     * by 24 (8-token overlap), chunk i covering tokens [24i, 24i+32).
@@ -965,5 +1051,5 @@ object TextQueries {
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
-    pack, chunks)
+    filterFunnel, pack, chunks)
 }

@@ -210,4 +210,27 @@ class SimilaritySpec extends SparkSuite {
       .distinct().collect().map(_.getString(0))
     assert(buckets.forall(b => b.length == 8 && b.forall(c => c == '0' || c == '1')))
   }
+
+  test("ss_coverage: planted failed batch surfaces; totals reconcile") {
+    val rows = QueryRegistry.byName("ss_coverage")
+      .run(spark, sf("sf0.001")).collect()
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val nDocs = docs.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_with_vec") + r.getAs[Long]("n_missing") ==
+        r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("min_norm") > 0.0, "zero-norm vector slipped in")
+    }
+    // the withheld vec_ids (multiples of 97 within the corpus) must be
+    // reported missing — exactly, attributed to the right sources
+    val missingIds = (0L until nDocs by 97L).toSet
+    val expect = docs.filter(col("doc_id").isInCollection(missingIds))
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_missing") ==
+        expect.getOrElse(r.getAs[String]("source"), 0L))
+    }
+  }
 }

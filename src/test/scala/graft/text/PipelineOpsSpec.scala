@@ -156,6 +156,23 @@ class PipelineOpsSpec extends SparkSuite {
       "no source at weight 1 — target mixture unreachable for all?")
   }
 
+  test("tx_filter_funnel: one reason per doc, shares sum to 1 per source") {
+    val rows = run("tx_filter_funnel").collect()
+    val reasons = Set("empty", "too_short", "too_long", "low_stopword",
+      "high_stopword", "repetitive", "keep")
+    assert(rows.map(_.getString(1)).toSet.subsetOf(reasons))
+    // first-failing-gate attribution: every doc charged exactly once
+    val nDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val pctSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pctSum - 1.0) < 0.005, s"$src pct sum $pctSum")
+    }
+    // the synthetic corpus is mostly clean prose: keep dominates
+    val kept = rows.filter(_.getString(1) == "keep").map(_.getLong(2)).sum
+    assert(kept > nDocs / 2, s"keep rate collapsed: $kept/$nDocs")
+  }
+
   test("dd_decontaminate: planted contamination surfaces; bench never flagged") {
     val rows = run("dd_decontaminate").collect()
     // the fixture plants every bench doc back as doc_id + 200000, so
