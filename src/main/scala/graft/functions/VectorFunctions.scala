@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -72,6 +73,70 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 }
 
+/** L2 norm of a float-array column as a native codegen'd expression:
+  * one fused self-dot loop, no per-row array allocation. Accumulation
+  * is pinned to [[CosineSimilarity]]'s parity formula — index order,
+  * each float widened to double before multiply, sqrt at the end — so
+  * values are bit-identical to the `sqrt(aggregate(zip_with(...)))`
+  * composition (kept as [[VectorFunctions.l2NormComposed]] for the
+  * cross-check) and to the DuckDB oracle's `sqrt(list_sum(...))`.
+  */
+case class L2Norm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  // float AND double element types are accepted (normalized vectors
+  // are array<double>); the accessor is picked from the resolved type
+  // because `ArrayData.getFloat` misreads double-backed arrays.
+  // (`TypeCollection` is private[sql], so the check is hand-rolled.)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"l2_norm requires array<float> or array<double>, got ${other.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val f = isFloat
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+      acc += xi * xi
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n   = ctx.freshName("n")
+      val i   = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x   = ctx.freshName("x")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $get;
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+
+  override def prettyName: String = "l2_norm"
+}
+
 object VectorFunctions {
 
   /** Native codegen'd cosine similarity (the hot-path form). */
@@ -103,8 +168,14 @@ object VectorFunctions {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, p) => acc + p)
 
-  /** L2 norm (sqrt of self-dot, same accumulation order as the oracle). */
-  def l2Norm(v: Column): Column = sqrt(dotProduct(v, v))
+  /** Native codegen'd L2 norm (the hot-path form). */
+  def l2Norm(v: Column): Column =
+    Exprs.toColumn(L2Norm(Exprs.toExpr(v)))
+
+  /** Same computation composed from built-ins only (sqrt of self-dot,
+    * same accumulation order) — the cross-check / oracle-parity form.
+    */
+  def l2NormComposed(v: Column): Column = sqrt(dotProduct(v, v))
 
   /** Unit-normalize a vector; zero vectors pass through unchanged. */
   def l2Normalize(v: Column): Column = {

@@ -18,6 +18,14 @@ class SimilaritySpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("native L2Norm == built-ins composition, bit for bit") {
+    val diff = emb.select(
+      VectorFunctions.l2Norm(col("embedding")).as("native"),
+      VectorFunctions.l2NormComposed(col("embedding")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.count() == 0)
+  }
+
   test("cosine of a vector with itself is 1.0") {
     val selfs = emb.select(
       VectorFunctions.cosineSim(col("embedding"), col("embedding")).as("c"))
