@@ -137,6 +137,68 @@ case class L2Norm(child: Expression)
   override def prettyName: String = "l2_norm"
 }
 
+/** Squared L2 distance between a fixed window of a float-array column
+  * and a literal codebook centroid — the product-quantization kernel:
+  * `sum_i (v[start+i] - cent[i])^2` over `cent.length` components, no
+  * per-row `slice` allocation. Accumulation is index-order with each
+  * float widened to double before subtract, mirroring the DuckDB
+  * oracle's `list_sum(list_transform(...))` on the same slice so
+  * values match bit-for-bit.
+  *
+  * `start` is a 0-based offset into the vector; the centroid rides the
+  * generated code as a codegen reference object (one `float[]` per
+  * expression instance, not per row).
+  */
+case class SubvecSqDist(child: Expression, start: Int, centroid: Array[Float])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    while (i < centroid.length) {
+      val d = x.getFloat(start + i).toDouble - centroid(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cent = ctx.addReferenceObj("centroid", centroid, "float[]")
+      val i    = ctx.freshName("i")
+      val acc  = ctx.freshName("acc")
+      val d    = ctx.freshName("d")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < ${centroid.length}; $i++) {
+         |  double $d = (double) $a.getFloat($start + $i) - (double) $cent[$i];
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  // Array[Float] breaks case-class equals; compare contents so plan
+  // canonicalization (and expression dedup) sees identical kernels.
+  override def equals(other: Any): Boolean = other match {
+    case SubvecSqDist(c, s, v) =>
+      c == child && s == start && java.util.Arrays.equals(v, centroid)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (child, start, java.util.Arrays.hashCode(centroid)).hashCode()
+
+  override protected def withNewChildInternal(newChild: Expression): SubvecSqDist =
+    copy(child = newChild)
+
+  override def prettyName: String = "subvec_sqdist"
+}
+
 object VectorFunctions {
 
   /** Native codegen'd cosine similarity (the hot-path form). */
@@ -176,6 +238,22 @@ object VectorFunctions {
     * same accumulation order) — the cross-check / oracle-parity form.
     */
   def l2NormComposed(v: Column): Column = sqrt(dotProduct(v, v))
+
+  /** Native codegen'd subvector squared-L2 distance to a literal
+    * centroid (the product-quantization kernel). `start` is 0-based.
+    */
+  def subvecSqDist(v: Column, start: Int, centroid: Array[Float]): Column =
+    Exprs.toColumn(SubvecSqDist(Exprs.toExpr(v), start, centroid))
+
+  /** Same computation composed from built-ins only (slice + zip_with +
+    * aggregate) — the cross-check / oracle-parity form. `start` 0-based.
+    */
+  def subvecSqDistComposed(v: Column, start: Int, centroid: Array[Float]): Column =
+    aggregate(
+      zip_with(slice(v, start + 1, centroid.length), typedlit(centroid),
+        (x, c) => (x.cast("double") - c.cast("double")) *
+          (x.cast("double") - c.cast("double"))),
+      lit(0.0), (acc, p) => acc + p)
 
   /** Unit-normalize a vector; zero vectors pass through unchanged. */
   def l2Normalize(v: Column): Column = {

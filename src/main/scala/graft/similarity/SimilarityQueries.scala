@@ -755,7 +755,177 @@ object SimilarityQueries {
     """),
   )
 
+  private def sqdistSqlExpr(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))"
+
+  /** Product-quantization ANN — the third ANN family next to the
+    * sign-bucket LSH ([[lshTopk]]) and the IVF cell index
+    * ([[ivfTopk]]), and the one that wins when the INDEX must fit in
+    * memory: each 64-dim vector is encoded as M=4 one-byte codes (one
+    * per 16-dim subspace, codebook of K=8 centroids each), a 64×
+    * compression of the corpus representation. Serving is classic ADC
+    * (asymmetric distance computation): per query, a LUT of
+    * K×M = 32 exact subspace distances is built once, and each corpus
+    * vector's approximate distance is just M table lookups + adds —
+    * no full-dimension arithmetic on the big side at all.
+    *
+    * Deterministic end-to-end, same recipe as [[ivfTopk]]: per-subspace
+    * seeds = the first K vectors' subvectors, one Lloyd step with
+    * means quantized to 3 dp floats (absorbing cross-engine
+    * double-summation order), argmin = squared-L2 with ties to the
+    * lower code id. The oracle replays every step in SQL; the subspace
+    * kernel is the native codegen'd
+    * [[graft.functions.SubvecSqDist]] (index-order accumulation,
+    * float→double widening) so distances match bit-for-bit, and the
+    * query-side LUT is computed on the driver with the identical
+    * pinned-order loop.
+    *
+    * Scale shape: training is two corpus scans (argmin assignment
+    * rides the scan; the melted (s, cid) partial agg puts only
+    * 32×16 running sums per partition on the wire) and collects only
+    * the 4×8×16-float model. Serving is ONE corpus scan — encode (32
+    * codegen'd subspace distances/row), explode over the bounded query
+    * batch with literal-array LUT lookups, then the per-query top-5
+    * window on the (qid, adist) pairs; the full-width vector never
+    * crosses the wire. At 100 TB the encoded corpus (4 bytes/vector)
+    * is what persists and shuffles — the [[ivfProbe]] persisted-index
+    * pattern applies to it verbatim.
+    */
+  val pqTopk = Query(
+    "ss_pq_topk",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val M = 4; val SubDim = 16; val K = 8
+
+      // codegen'd argmin code for one subspace: least() over
+      // (d, cid) structs — ties to the lower code id
+      def argminCode(sub: Int, cb: Seq[(Int, Array[Float])]): Column =
+        least(cb.map { case (cid, cv) =>
+          struct(
+            VectorFunctions.subvecSqDist(col("embedding"), sub * SubDim, cv)
+              .as("d"),
+            lit(cid).as("cid"))
+        }: _*).getField("cid")
+
+      val seedRows = e.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq.sortBy(_._1)
+      def seedsOf(sub: Int): Seq[(Int, Array[Float])] =
+        seedRows.map { case (cid, v) =>
+          cid -> v.slice(sub * SubDim, (sub + 1) * SubDim) }
+
+      // one Lloyd step, all 4 subspaces in one melted pass
+      val melted = e.select(col("embedding"),
+        explode(array((0 until M).map(sub =>
+          struct(lit(sub).as("s"),
+            argminCode(sub, seedsOf(sub)).as("cid"))): _*)).as("a"))
+        .select(col("a.s").as("s"), col("a.cid").as("cid"), col("embedding"))
+      val avgs = (1 to SubDim).map(i =>
+        avg(element_at(col("embedding"), col("s") * SubDim + lit(i)))
+          .as(s"m_$i"))
+      val codebook: Map[Int, Seq[(Int, Array[Float])]] = melted
+        .groupBy(col("s"), col("cid"))
+        .agg(avgs.head, avgs.tail: _*)
+        .select(col("s"), col("cid"), array((1 to SubDim).map(i =>
+          round(col(s"m_$i"), 3).cast("float")): _*).as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => t._2 -> t._3).toSeq.sortBy(_._1)).toMap
+
+      // per-query ADC LUTs from the bounded probe batch, pinned-order
+      // driver loop (bit-parity with SubvecSqDist and the oracle)
+      val probeRows = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq.sortBy(_._1)
+      def sq(q: Array[Float], sub: Int, cv: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < SubDim) {
+          val d = q(sub * SubDim + i).toDouble - cv(i).toDouble
+          acc += d * d; i += 1
+        }
+        acc
+      }
+      val luts: Seq[(Int, IndexedSeq[Array[Double]])] =
+        probeRows.map { case (qid, q) =>
+          qid -> (0 until M).map { sub =>
+            val arr = Array.fill(K)(Double.PositiveInfinity)
+            codebook(sub).foreach { case (cid, cv) => arr(cid) = sq(q, sub, cv) }
+            arr
+          }
+        }
+
+      // serve: encode once, ADC per query via literal-array lookups
+      val encoded = e.select(col("vec_id").as("nid") +:
+        (0 until M).map(sub => argminCode(sub, codebook(sub)).as(s"c$sub")): _*)
+      val qCols = luts.map { case (qid, lut) =>
+        struct(lit(qid).cast("long").as("qid"),
+          (0 until M).map(sub =>
+            element_at(typedlit(lut(sub).toSeq), col(s"c$sub") + 1))
+            .reduce(_ + _).as("adist"))
+      }
+      val adist = encoded
+        .select(col("nid"), explode(array(qCols: _*)).as("q"))
+        .select(col("q.qid").as("qid"), col("nid"), col("q.adist").as("adist"))
+        .filter(col("nid") =!= col("qid"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adist").asc, col("nid"))
+      adist.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"),
+          round(col("adist"), 4).as("adist"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    oracle = Some(s"""
+      WITH sub AS (
+        SELECT vec_id, s.s AS s,
+          list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS v
+        FROM embeddings, (SELECT unnest(range(0, 4)) AS s) s
+      ), seeds AS (
+        SELECT vec_id::INT AS cid, s, v AS cv FROM sub WHERE vec_id < 8
+      ), a0 AS (
+        SELECT s, v, cid FROM (
+          SELECT e.s, e.v, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id, e.s
+              ORDER BY ${sqdistSqlExpr("e.v", "c.cv")} ASC, c.cid ASC) AS rk
+          FROM sub e JOIN seeds c ON c.s = e.s) WHERE rk = 1
+      ), cb AS (
+        SELECT s, cid,
+          list_transform(list(round(m, 3) ORDER BY pos), x -> x::FLOAT) AS cv
+        FROM (
+          SELECT s, cid, i.pos, avg(v[i.pos]) AS m
+          FROM a0 CROSS JOIN (SELECT unnest(range(1, 17)) AS pos) i
+          GROUP BY 1, 2, 3)
+        GROUP BY s, cid
+      ), codes AS (
+        SELECT vec_id, s, cid FROM (
+          SELECT e.vec_id, e.s, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id, e.s
+              ORDER BY ${sqdistSqlExpr("e.v", "c.cv")} ASC, c.cid ASC) AS rk
+          FROM sub e JOIN cb c ON c.s = e.s) WHERE rk = 1
+      ), lut AS (
+        SELECT q.vec_id AS qid, c.s, c.cid,
+          ${sqdistSqlExpr("q.v", "c.cv")} AS d
+        FROM sub q JOIN cb c ON c.s = q.s WHERE q.vec_id < 20
+      ), adist AS (
+        SELECT l.qid, e.vec_id AS nid,
+          list_sum(list(l.d ORDER BY l.s)) AS adist
+        FROM codes e JOIN lut l ON l.s = e.s AND l.cid = e.cid
+        WHERE e.vec_id <> l.qid
+        GROUP BY 1, 2
+      ), ranked AS (
+        SELECT qid, nid, adist,
+          row_number() OVER (PARTITION BY qid
+                             ORDER BY adist ASC, nid) AS rk
+        FROM adist)
+      SELECT qid, rk, nid, round(adist, 4) AS adist
+      FROM ranked WHERE rk <= 5 ORDER BY qid, rk
+    """),
+  )
+
   def all: Seq[Query] =
-    Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, kmeans, cosineNearDup,
+    Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, pqTopk, kmeans, cosineNearDup,
       vectorStats, coverage)
 }

@@ -26,6 +26,30 @@ class SimilaritySpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("native SubvecSqDist == built-ins composition, bit for bit") {
+    // probe several windows, incl. the 4 PQ subspace offsets
+    val cent = Array.tabulate(16)(i => 0.01f * i - 0.05f)
+    val diffs = Seq(0, 16, 32, 48).map { off =>
+      emb.select(
+        VectorFunctions.subvecSqDist(col("embedding"), off, cent).as("native"),
+        VectorFunctions.subvecSqDistComposed(col("embedding"), off, cent)
+          .as("composed"))
+        .filter(col("native") =!= col("composed"))
+        .count()
+    }
+    assert(diffs.forall(_ == 0), s"mismatches per offset: $diffs")
+  }
+
+  test("SubvecSqDist of a vector window against itself is 0") {
+    val self = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val zero = emb.filter(col("vec_id") === 0)
+      .select(VectorFunctions.subvecSqDist(col("embedding"), 16,
+        self.slice(16, 32)).as("d"))
+      .collect()(0).getDouble(0)
+    assert(zero == 0.0)
+  }
+
   test("cosine of a vector with itself is 1.0") {
     val selfs = emb.select(
       VectorFunctions.cosineSim(col("embedding"), col("embedding")).as("c"))
@@ -93,6 +117,28 @@ class SimilaritySpec extends SparkSuite {
     // 2 of 16 random seed cells probed on isotropic vectors: modest by
     // design; guards against broken assignment, not tuning
     assert(recall >= 0.1, s"top-5 recall $recall")
+  }
+
+  test("PQ/ADC search returns some true top-5 neighbors, deterministically") {
+    val brute = QueryRegistry.byName("ss_cosine_topk").run(spark, sf("sf0.001"))
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = QueryRegistry.byName("ss_pq_topk").run(spark, sf("sf0.001"))
+      .collect()
+    val pq = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq.nonEmpty)
+    // every query answered with a full top-5; distances non-negative
+    assert(rows.length == 20 * 5)
+    assert(rows.forall(_.getDouble(3) >= 0.0))
+    // 4×16 PQ at 8 codes/subspace over isotropic random vectors is
+    // coarse by design (measured ≈0.13 vs both cosine and true-L2
+    // brute top-5); the floor guards broken encode/LUT, not tuning
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.05, s"PQ top-5 recall $recall")
+    // codebooks, codes, and LUTs are all deterministic: bit-identical rerun
+    val again = QueryRegistry.byName("ss_pq_topk").run(spark, sf("sf0.001"))
+      .collect()
+    assert(again.toSeq == rows.toSeq)
   }
 
   test("ss_ivf_probe answers from the persisted index with no train pass") {
