@@ -828,9 +828,55 @@ object Relational {
     """),
   )
 
+  /** Fixed-width histogram of lineitem extended price — the data-
+    * profiling op next to [[qProfile]]'s min/max summary: 10 buckets of
+    * 11,000 over [0, 110,000) (covers TPC-H's ~[900, 105,000) price
+    * domain), each with its bounds, row count, and share. Bucketing is
+    * plain `floor(x / width)` integer arithmetic — deterministic on
+    * both engines, no percentile/statistics state — and the rollup is
+    * counts only, so results are shuffle-order independent.
+    *
+    * Scale shape: the bucket id computes in the scan projection; one
+    * partial-agg exchange of ≤ 10 groups. The 1-row total for shares
+    * rides a broadcast crossJoin (the allowed 1-row-aggregate form).
+    */
+  val qHistogram = Query(
+    "q_histogram",
+    (s, dir) => {
+      val width = 11000.0
+      val b = floor(col("l_extendedprice").cast("double") / width)
+        .cast("long")
+      val g = Tables(s, dir).lineitem
+        .select(b.as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      // total via a whole-frame window over the ≤10-row aggregate —
+      // bounded by the bucket count, no join (the tx_mix_rebalance shape)
+      val total = sum(col("n")).over(Window.partitionBy()).cast("double")
+      g.select(
+          col("bucket"),
+          (col("bucket") * width).as("lo"),
+          ((col("bucket") + 1) * width).as("hi"),
+          col("n"),
+          round(col("n") / total, 4).as("share"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some("""
+      WITH g AS (
+        SELECT CAST(floor(l_extendedprice::DOUBLE / 11000.0) AS BIGINT)
+                 AS bucket,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+      ), tot AS (SELECT sum(n)::DOUBLE AS total FROM g)
+      SELECT bucket, bucket * 11000.0 AS lo, (bucket + 1) * 11000.0 AS hi,
+        n::BIGINT AS n, round(n / total, 4) AS share
+      FROM g, tot ORDER BY bucket
+    """),
+  )
+
   def all: Seq[Query] = Seq(
     q1, q3, q5, q4, q6, qRollup, qCube, qGroupingSets, qWindowTopk,
     qWindowRunning, qWindowMisc, qDatetime, qStringFuncs, qDistinct,
     qSetOps, qAntiJoin, qSubquery, qHaving, qFullOuter, qCorrelated,
-    qPivot, qApproxDistinct, qProfile, qPercentiles)
+    qPivot, qApproxDistinct, qProfile, qHistogram, qPercentiles)
 }

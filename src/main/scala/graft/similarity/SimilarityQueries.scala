@@ -925,7 +925,80 @@ object SimilarityQueries {
     """),
   )
 
+  /** Int8 embedding quantization audit — the pre-flight check before a
+    * serving tier ships int8 vectors: symmetric per-vector quantization
+    * (scale = max|v_i| / 127, q_i = ⌊v_i/scale + 0.5⌋, so q_i ∈
+    * [-127, 127] with no clamp needed) and the relative L2
+    * reconstruction error ‖v − q·scale‖ / ‖v‖ it would cost. Reported
+    * per label as count + min/max error and scale bands.
+    *
+    * Rounding is pinned to `floor(x + 0.5)` ON BOTH ENGINES — never
+    * `round()`, whose half-way tie rule differs across engines — and
+    * the rollup uses only min/max aggregates (never a float sum), so
+    * results are bit-reproducible under any shuffle order, the same
+    * invariant as [[vectorStats]].
+    *
+    * Scale shape: pure per-row compute riding the scan + one bounded
+    * per-label rollup. A real pipeline would emit the quantized codes
+    * with `transform(...)` in the same projection; the audit keeps just
+    * the scalars so nothing wide shuffles.
+    */
+  val quantize = Query(
+    "ss_quantize",
+    (s, dir) => {
+      val v = col("embedding")
+      def d(c: Column): Column = c.cast("double")
+      val maxAbs = array_max(transform(v, x => abs(d(x))))
+      val scale = maxAbs / 127.0
+      val err2 = aggregate(
+        transform(v, x => {
+          val q = floor(d(x) / scale + 0.5)
+          val diff = d(x) - q * scale
+          diff * diff
+        }),
+        lit(0.0), (acc, e) => acc + e)
+      val norm2 = aggregate(
+        transform(v, x => d(x) * d(x)), lit(0.0), (acc, e) => acc + e)
+      val relErr = when(norm2 === 0.0, 0.0).otherwise(sqrt(err2 / norm2))
+      Tables(s, dir).embeddings
+        .select(col("label"), scale.as("scale"), relErr.as("rel_err"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          round(min(col("rel_err")), 4).as("min_err"),
+          round(max(col("rel_err")), 4).as("max_err"),
+          round(min(col("scale")), 6).as("min_scale"),
+          round(max(col("scale")), 6).as("max_scale"))
+        .orderBy(col("label"))
+    },
+    oracle = Some("""
+      WITH s AS (
+        SELECT label, embedding,
+          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+            AS scale
+        FROM embeddings
+      ), p AS (
+        SELECT label, scale,
+          list_sum(list_transform(embedding, x ->
+            (x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale)
+            * (x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale)))
+            AS err2,
+          list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))
+            AS norm2
+        FROM s
+      )
+      SELECT label, count(*)::BIGINT AS n,
+        round(min(CASE WHEN norm2 = 0 THEN 0 ELSE sqrt(err2 / norm2) END), 4)
+          AS min_err,
+        round(max(CASE WHEN norm2 = 0 THEN 0 ELSE sqrt(err2 / norm2) END), 4)
+          AS max_err,
+        round(min(scale), 6) AS min_scale,
+        round(max(scale), 6) AS max_scale
+      FROM p GROUP BY 1 ORDER BY 1
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, pqTopk, kmeans, cosineNearDup,
-      vectorStats, coverage)
+      vectorStats, quantize, coverage)
 }

@@ -1048,8 +1048,61 @@ object TextQueries {
     """),
   )
 
+  /** Corpus vocabulary coverage — the tokenizer-prep op: the top-25
+    * terms by frequency with each term's corpus share and the running
+    * cumulative coverage (how much of all token mass the top-k covers).
+    * This is the curve a tokenizer/vocab build reads to size its vocab
+    * and the quickest boilerplate detector (a term covering >5% of a
+    * web corpus is markup, not language).
+    *
+    * Scale shape: explode → one term-count exchange with map-side
+    * partial agg (the word-count shape), then `TakeOrderedAndProject`
+    * for the global top-25 — a bounded per-partition heap, never a full
+    * sort — and the share/cumulative windows run on the 25-row result.
+    * The 1-row total rides a broadcast crossJoin.
+    */
+  val vocab = Query(
+    "tx_vocab",
+    (s, dir) => {
+      val terms = Tables(s, dir).documents
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = terms.agg(sum(col("cnt")).cast("double").as("total"))
+      val top = terms.orderBy(col("cnt").desc, col("term")).limit(25)
+      val ord = Window.orderBy(col("cnt").desc, col("term"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(total))
+        .select(
+          row_number().over(ord).as("rk"),
+          col("term"),
+          col("cnt").cast("long").as("cnt"),
+          round(col("cnt") / col("total"), 4).as("share"),
+          round(sum(col("cnt")).over(cum) / col("total"), 4).as("cum_share"))
+        .orderBy(col("rk"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT unnest(list_filter(string_split(text, ' '),
+                      x -> length(x) > 0)) AS term
+        FROM documents
+      ), g AS (
+        SELECT term, count(*) AS cnt FROM t GROUP BY 1
+      ), tot AS (SELECT sum(cnt)::DOUBLE AS total FROM g),
+      top AS (
+        SELECT term, cnt FROM g ORDER BY cnt DESC, term LIMIT 25
+      )
+      SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rk,
+        term, cnt::BIGINT AS cnt,
+        round(cnt / total, 4) AS share,
+        round(sum(cnt) OVER (ORDER BY cnt DESC, term
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total, 4)
+          AS cum_share
+      FROM top, tot ORDER BY rk
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
-    filterFunnel, pack, chunks)
+    filterFunnel, vocab, pack, chunks)
 }

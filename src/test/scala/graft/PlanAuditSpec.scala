@@ -22,9 +22,13 @@ class PlanAuditSpec extends SparkSuite {
     * side is their documented contract. q_approx_distinct's entry is a
     * 1-row × 1-row cross of two global aggregates, not a data join.
     */
+  /** tx_vocab's entry is the top-25 rows × a broadcast 1-row total —
+    * the corpus-wide token sum cannot come from a window over the
+    * bounded side (it spans every term, not just the kept 25).
+    */
   private val broadcastLoopAllowed = Set(
     "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery",
-    "q_approx_distinct", "tx_tfidf")
+    "q_approx_distinct", "tx_tfidf", "tx_vocab")
 
   /** The plan the lint audits: the query's own result plan, or the
     * declared eager intermediate (which, unlike `run`, plans lazily —

@@ -141,6 +141,31 @@ class SimilaritySpec extends SparkSuite {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("ss_quantize: int8 codes stay in range, errors bounded, totals exact") {
+    val rows = QueryRegistry.byName("ss_quantize").run(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == emb.count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_scale") > 0.0)
+      assert(r.getAs[Double]("max_scale") >= r.getAs[Double]("min_scale"))
+      assert(r.getAs[Double]("min_err") >= 0.0)
+      // int8 at 64 dims: relative L2 error well under 1 for any real vector
+      assert(r.getAs[Double]("max_err") < 0.1,
+        s"label ${r.get(0)} max_err ${r.getAs[Double]("max_err")}")
+    }
+    // the quantization property itself: codes from the declared formula
+    // land in [-127, 127] (no clamp needed) for every vector
+    val outOfRange = emb.select(
+      expr("""aggregate(transform(embedding, x ->
+        CAST(abs(floor(CAST(x AS DOUBLE)
+          / (array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+          + 0.5)) > 127 AS INT)), 0, (a, b) -> a + b)""").as("bad"))
+      .filter(col("bad") > 0).count()
+    assert(outOfRange == 0)
+  }
+
   test("ss_ivf_probe answers from the persisted index with no train pass") {
     val probe = QueryRegistry.byName("ss_ivf_probe").run(spark, sf("sf0.001"))
     val plan  = probe.queryExecution.executedPlan.toString

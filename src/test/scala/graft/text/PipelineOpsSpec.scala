@@ -13,6 +13,27 @@ class PipelineOpsSpec extends SparkSuite {
   private def run(name: String) =
     QueryRegistry.byName(name).run(spark, sf("sf0.001"))
 
+  test("tx_vocab: top-25 by count, monotone coverage curve") {
+    val rows = run("tx_vocab").collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 25))
+    // counts non-increasing in rank; ties broken by term ascending
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getLong(2) == b.getLong(2) =>
+        assert(a.getString(1) < b.getString(1))
+      case _ =>
+    }
+    // cumulative share is monotone, consistent with shares, and ≤ 1
+    val cums = rows.map(_.getDouble(4))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last <= 1.0)
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(cums.last - shareSum) < 0.01,
+      s"cum ${cums.last} vs share-sum $shareSum")
+  }
+
   test("tx_tfidf: exactly 5 terms per document, ranked by (tf, rarity)") {
     val rows = run("tx_tfidf").collect()
     val perDoc = rows.groupBy(_.getLong(0))
