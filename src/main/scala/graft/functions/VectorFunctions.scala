@@ -199,6 +199,129 @@ case class SubvecSqDist(child: Expression, start: Int, centroid: Array[Float])
   override def prettyName: String = "subvec_sqdist"
 }
 
+/** Max absolute component of a float-array column — the symmetric-
+  * quantization scale numerator, as a native codegen'd loop (the
+  * `array_max(transform(abs...))` composition runs interpreted).
+  * Index-order scan, floats widened to double, so it is bit-identical
+  * to the composed form and the DuckDB oracle's `list_max`.
+  */
+case class MaxAbs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > m) m = v
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
+         |  if ($v > $m) $m = $v;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MaxAbs =
+    copy(child = newChild)
+
+  override def prettyName: String = "max_abs"
+}
+
+/** Relative L2 error of symmetric int8 quantization, fused in one
+  * codegen'd loop: with scale = max|v_i| / 127 and
+  * q_i = ⌊v_i/scale + 0.5⌋, returns ‖v − q·scale‖ / ‖v‖ (0.0 for a
+  * zero vector). Replaces three interpreted HOF passes
+  * (max-abs, err², norm²) with a single two-pass native kernel;
+  * accumulation is index-order with float→double widening and the
+  * rounding is pinned `floor(x + 0.5)`, so values are bit-identical
+  * to the composed form and the DuckDB oracle.
+  */
+case class QuantRelErr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > m) m = v
+      i += 1
+    }
+    val scale = m / 127.0
+    var err2 = 0.0
+    var norm2 = 0.0
+    i = 0
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      val d = v - math.floor(v / scale + 0.5) * scale
+      err2 += d * d
+      norm2 += v * v
+      i += 1
+    }
+    if (norm2 == 0.0) 0.0 else math.sqrt(err2 / norm2)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n     = ctx.freshName("n")
+      val i     = ctx.freshName("i")
+      val m     = ctx.freshName("m")
+      val v     = ctx.freshName("v")
+      val scale = ctx.freshName("scale")
+      val err2  = ctx.freshName("err2")
+      val norm2 = ctx.freshName("norm2")
+      val d     = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
+         |  if ($v > $m) $m = $v;
+         |}
+         |double $scale = $m / 127.0;
+         |double $err2 = 0.0, $norm2 = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  double $d = $v - java.lang.Math.floor($v / $scale + 0.5) * $scale;
+         |  $err2 += $d * $d;
+         |  $norm2 += $v * $v;
+         |}
+         |${ev.value} = ($norm2 == 0.0) ? 0.0
+         |  : java.lang.Math.sqrt($err2 / $norm2);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantRelErr =
+    copy(child = newChild)
+
+  override def prettyName: String = "quant_rel_err"
+}
+
 object VectorFunctions {
 
   /** Native codegen'd cosine similarity (the hot-path form). */
@@ -238,6 +361,39 @@ object VectorFunctions {
     * same accumulation order) — the cross-check / oracle-parity form.
     */
   def l2NormComposed(v: Column): Column = sqrt(dotProduct(v, v))
+
+  /** Native codegen'd max absolute component (the int8 scale kernel). */
+  def maxAbs(v: Column): Column =
+    Exprs.toColumn(MaxAbs(Exprs.toExpr(v)))
+
+  /** Same computation composed from built-ins only — the cross-check /
+    * oracle-parity form.
+    */
+  def maxAbsComposed(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+
+  /** Native codegen'd relative L2 error of symmetric int8 quantization
+    * (scale = max|v|/127, pinned floor(x+0.5) rounding).
+    */
+  def quantRelErr(v: Column): Column =
+    Exprs.toColumn(QuantRelErr(Exprs.toExpr(v)))
+
+  /** Same computation composed from built-ins only — the cross-check /
+    * oracle-parity form.
+    */
+  def quantRelErrComposed(v: Column): Column = {
+    val scale = maxAbsComposed(v) / 127.0
+    def d(c: Column): Column = c.cast("double")
+    val err2 = aggregate(
+      transform(v, x => {
+        val diff = d(x) - floor(d(x) / scale + 0.5) * scale
+        diff * diff
+      }),
+      lit(0.0), (acc, e) => acc + e)
+    val norm2 = aggregate(
+      transform(v, x => d(x) * d(x)), lit(0.0), (acc, e) => acc + e)
+    when(norm2 === 0.0, 0.0).otherwise(sqrt(err2 / norm2))
+  }
 
   /** Native codegen'd subvector squared-L2 distance to a literal
     * centroid (the product-quantization kernel). `start` is 0-based.

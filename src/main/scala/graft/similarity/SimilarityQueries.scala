@@ -947,19 +947,10 @@ object SimilarityQueries {
     "ss_quantize",
     (s, dir) => {
       val v = col("embedding")
-      def d(c: Column): Column = c.cast("double")
-      val maxAbs = array_max(transform(v, x => abs(d(x))))
-      val scale = maxAbs / 127.0
-      val err2 = aggregate(
-        transform(v, x => {
-          val q = floor(d(x) / scale + 0.5)
-          val diff = d(x) - q * scale
-          diff * diff
-        }),
-        lit(0.0), (acc, e) => acc + e)
-      val norm2 = aggregate(
-        transform(v, x => d(x) * d(x)), lit(0.0), (acc, e) => acc + e)
-      val relErr = when(norm2 === 0.0, 0.0).otherwise(sqrt(err2 / norm2))
+      // both kernels are native codegen'd single-loop expressions
+      // (SimilaritySpec proves bit-parity with the HOF compositions)
+      val scale = VectorFunctions.maxAbs(v) / 127.0
+      val relErr = VectorFunctions.quantRelErr(v)
       Tables(s, dir).embeddings
         .select(col("label"), scale.as("scale"), relErr.as("rel_err"))
         .groupBy(col("label"))

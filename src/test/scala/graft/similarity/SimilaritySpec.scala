@@ -26,6 +26,16 @@ class SimilaritySpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("native MaxAbs / QuantRelErr == built-ins compositions, bit for bit") {
+    val diff = emb.select(
+      VectorFunctions.maxAbs(col("embedding")).as("ma_n"),
+      VectorFunctions.maxAbsComposed(col("embedding")).as("ma_c"),
+      VectorFunctions.quantRelErr(col("embedding")).as("qe_n"),
+      VectorFunctions.quantRelErrComposed(col("embedding")).as("qe_c"))
+      .filter(col("ma_n") =!= col("ma_c") || col("qe_n") =!= col("qe_c"))
+    assert(diff.count() == 0)
+  }
+
   test("native SubvecSqDist == built-ins composition, bit for bit") {
     // probe several windows, incl. the 4 PQ subspace offsets
     val cent = Array.tabulate(16)(i => 0.01f * i - 0.05f)
