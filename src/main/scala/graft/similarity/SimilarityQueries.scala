@@ -791,106 +791,103 @@ object SimilarityQueries {
     * is what persists and shuffles — the [[ivfProbe]] persisted-index
     * pattern applies to it verbatim.
     */
-  val pqTopk = Query(
-    "ss_pq_topk",
-    (s, dir) => {
-      val e = Tables(s, dir).embeddings
-      val M = 4; val SubDim = 16; val K = 8
+  // product-quantization geometry: 4 subspaces × 16 dims, 8 codes each
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 8
 
-      // codegen'd argmin code for one subspace: least() over
-      // (d, cid) structs — ties to the lower code id
-      def argminCode(sub: Int, cb: Seq[(Int, Array[Float])]): Column =
-        least(cb.map { case (cid, cv) =>
-          struct(
-            VectorFunctions.subvecSqDist(col("embedding"), sub * SubDim, cv)
-              .as("d"),
-            lit(cid).as("cid"))
-        }: _*).getField("cid")
+  /** Codegen'd argmin code for one PQ subspace: least() over (d, cid)
+    * structs — ties to the lower code id.
+    */
+  private def pqArgminCode(sub: Int, cb: Seq[(Int, Array[Float])]): Column =
+    least(cb.map { case (cid, cv) =>
+      struct(
+        VectorFunctions.subvecSqDist(col("embedding"), sub * PqSubDim, cv)
+          .as("d"),
+        lit(cid).as("cid"))
+    }: _*).getField("cid")
 
-      val seedRows = e.filter(col("vec_id") < K)
-        .select(col("vec_id").cast("int"), col("embedding"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq.sortBy(_._1)
-      def seedsOf(sub: Int): Seq[(Int, Array[Float])] =
-        seedRows.map { case (cid, v) =>
-          cid -> v.slice(sub * SubDim, (sub + 1) * SubDim) }
+  /** PQ training: per-subspace seeds = the first K vectors'
+    * subvectors, one Lloyd step (all 4 subspaces in one melted pass,
+    * means rounded to 3 dp floats); collects only the 4×8×16-float
+    * codebook.
+    */
+  private[similarity] def trainPqCodebooks(
+      e: DataFrame): Map[Int, Seq[(Int, Array[Float])]] = {
+    val seedRows = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq.sortBy(_._1)
+    def seedsOf(sub: Int): Seq[(Int, Array[Float])] =
+      seedRows.map { case (cid, v) =>
+        cid -> v.slice(sub * PqSubDim, (sub + 1) * PqSubDim) }
 
-      // one Lloyd step, all 4 subspaces in one melted pass
-      val melted = e.select(col("embedding"),
-        explode(array((0 until M).map(sub =>
-          struct(lit(sub).as("s"),
-            argminCode(sub, seedsOf(sub)).as("cid"))): _*)).as("a"))
-        .select(col("a.s").as("s"), col("a.cid").as("cid"), col("embedding"))
-      val avgs = (1 to SubDim).map(i =>
-        avg(element_at(col("embedding"), col("s") * SubDim + lit(i)))
-          .as(s"m_$i"))
-      val codebook: Map[Int, Seq[(Int, Array[Float])]] = melted
-        .groupBy(col("s"), col("cid"))
-        .agg(avgs.head, avgs.tail: _*)
-        .select(col("s"), col("cid"), array((1 to SubDim).map(i =>
-          round(col(s"m_$i"), 3).cast("float")): _*).as("cv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-        .groupBy(_._1).view
-        .mapValues(_.map(t => t._2 -> t._3).toSeq.sortBy(_._1)).toMap
+    val melted = e.select(col("embedding"),
+      explode(array((0 until PqM).map(sub =>
+        struct(lit(sub).as("s"),
+          pqArgminCode(sub, seedsOf(sub)).as("cid"))): _*)).as("a"))
+      .select(col("a.s").as("s"), col("a.cid").as("cid"), col("embedding"))
+    val avgs = (1 to PqSubDim).map(i =>
+      avg(element_at(col("embedding"), col("s") * PqSubDim + lit(i)))
+        .as(s"m_$i"))
+    melted
+      .groupBy(col("s"), col("cid"))
+      .agg(avgs.head, avgs.tail: _*)
+      .select(col("s"), col("cid"), array((1 to PqSubDim).map(i =>
+        round(col(s"m_$i"), 3).cast("float")): _*).as("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toSeq.sortBy(_._1)).toMap
+  }
 
-      // per-query ADC LUTs from the bounded probe batch, pinned-order
-      // driver loop (bit-parity with SubvecSqDist and the oracle)
-      val probeRows = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").cast("int"), col("embedding"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq.sortBy(_._1)
-      def sq(q: Array[Float], sub: Int, cv: Array[Float]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < SubDim) {
-          val d = q(sub * SubDim + i).toDouble - cv(i).toDouble
-          acc += d * d; i += 1
-        }
-        acc
+  /** Per-query ADC LUTs from the bounded probe batch: for each
+    * (query, subspace) an array over code ids of the exact subspace
+    * distance, computed on the driver with the pinned-order loop
+    * (bit-parity with [[graft.functions.SubvecSqDist]] and the
+    * oracle). Missing code ids (empty Lloyd cells) get +∞ — the
+    * encoder can never emit them.
+    */
+  private[similarity] def pqLuts(e: DataFrame,
+      codebook: Map[Int, Seq[(Int, Array[Float])]])
+      : Seq[(Int, IndexedSeq[Array[Double]])] = {
+    val probeRows = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq.sortBy(_._1)
+    def sq(q: Array[Float], sub: Int, cv: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < PqSubDim) {
+        val d = q(sub * PqSubDim + i).toDouble - cv(i).toDouble
+        acc += d * d; i += 1
       }
-      val luts: Seq[(Int, IndexedSeq[Array[Double]])] =
-        probeRows.map { case (qid, q) =>
-          qid -> (0 until M).map { sub =>
-            val arr = Array.fill(K)(Double.PositiveInfinity)
-            codebook(sub).foreach { case (cid, cv) => arr(cid) = sq(q, sub, cv) }
-            arr
-          }
-        }
-
-      // serve: encode once, ADC per query via literal-array lookups
-      val encoded = e.select(col("vec_id").as("nid") +:
-        (0 until M).map(sub => argminCode(sub, codebook(sub)).as(s"c$sub")): _*)
-      val qCols = luts.map { case (qid, lut) =>
-        struct(lit(qid).cast("long").as("qid"),
-          (0 until M).map(sub =>
-            element_at(typedlit(lut(sub).toSeq), col(s"c$sub") + 1))
-            .reduce(_ + _).as("adist"))
+      acc
+    }
+    probeRows.map { case (qid, q) =>
+      qid -> (0 until PqM).map { sub =>
+        val arr = Array.fill(PqK)(Double.PositiveInfinity)
+        codebook(sub).foreach { case (cid, cv) => arr(cid) = sq(q, sub, cv) }
+        arr
       }
-      val adist = encoded
-        .select(col("nid"), explode(array(qCols: _*)).as("q"))
-        .select(col("q.qid").as("qid"), col("nid"), col("q.adist").as("adist"))
-        .filter(col("nid") =!= col("qid"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("adist").asc, col("nid"))
-      adist.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("qid"), col("rk"), col("nid"),
-          round(col("adist"), 4).as("adist"))
-        .orderBy(col("qid"), col("rk"))
-    },
-    oracle = Some(s"""
-      WITH sub AS (
+    }
+  }
+
+  /** The shared PQ oracle chain (subspace melt → seed assignment →
+    * one Lloyd step → codebook → per-vector codes → per-query LUT),
+    * replayed identically by the [[pqTopk]] and [[ivfPqTopk]] oracles.
+    */
+  private def pqOracleCtes: String = s"""sub AS (
         SELECT vec_id, s.s AS s,
           list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS v
         FROM embeddings, (SELECT unnest(range(0, 4)) AS s) s
-      ), seeds AS (
+      ), pseeds AS (
         SELECT vec_id::INT AS cid, s, v AS cv FROM sub WHERE vec_id < 8
       ), a0 AS (
         SELECT s, v, cid FROM (
           SELECT e.s, e.v, c.cid,
             row_number() OVER (PARTITION BY e.vec_id, e.s
               ORDER BY ${sqdistSqlExpr("e.v", "c.cv")} ASC, c.cid ASC) AS rk
-          FROM sub e JOIN seeds c ON c.s = e.s) WHERE rk = 1
+          FROM sub e JOIN pseeds c ON c.s = e.s) WHERE rk = 1
       ), cb AS (
         SELECT s, cid,
           list_transform(list(round(m, 3) ORDER BY pos), x -> x::FLOAT) AS cv
@@ -909,11 +906,157 @@ object SimilarityQueries {
         SELECT q.vec_id AS qid, c.s, c.cid,
           ${sqdistSqlExpr("q.v", "c.cv")} AS d
         FROM sub q JOIN cb c ON c.s = q.s WHERE q.vec_id < 20
-      ), adist AS (
+      )"""
+
+  /** The shared PQ rank tail: top-5 per query by (adist ASC, nid). */
+  private def pqRankTail(adist: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("nid"))
+    adist.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("nid"),
+        round(col("adist"), 4).as("adist"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val pqTopk = Query(
+    "ss_pq_topk",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val codebook = trainPqCodebooks(e)
+      val luts = pqLuts(e, codebook)
+
+      // serve: encode once, ADC per query via literal-array lookups
+      val encoded = e.select(col("vec_id").as("nid") +:
+        (0 until PqM).map(sub =>
+          pqArgminCode(sub, codebook(sub)).as(s"c$sub")): _*)
+      val qCols = luts.map { case (qid, lut) =>
+        struct(lit(qid).cast("long").as("qid"),
+          (0 until PqM).map(sub =>
+            element_at(typedlit(lut(sub).toSeq), col(s"c$sub") + 1))
+            .reduce(_ + _).as("adist"))
+      }
+      val adist = encoded
+        .select(col("nid"), explode(array(qCols: _*)).as("q"))
+        .select(col("q.qid").as("qid"), col("nid"), col("q.adist").as("adist"))
+        .filter(col("nid") =!= col("qid"))
+      pqRankTail(adist)
+    },
+    oracle = Some(s"""
+      WITH $pqOracleCtes, adist AS (
         SELECT l.qid, e.vec_id AS nid,
           list_sum(list(l.d ORDER BY l.s)) AS adist
         FROM codes e JOIN lut l ON l.s = e.s AND l.cid = e.cid
         WHERE e.vec_id <> l.qid
+        GROUP BY 1, 2
+      ), ranked AS (
+        SELECT qid, nid, adist,
+          row_number() OVER (PARTITION BY qid
+                             ORDER BY adist ASC, nid) AS rk
+        FROM adist)
+      SELECT qid, rk, nid, round(adist, 4) AS adist
+      FROM ranked WHERE rk <= 5 ORDER BY qid, rk
+    """),
+  )
+
+  /** IVF-PQ — the two index families composed, exactly as a production
+    * ANN tier ships them (FAISS's IVFPQ): the IVF coarse index routes
+    * each query to its nprobe=2 cells, and within the probed cells
+    * ranking is PQ/ADC — 4 LUT lookups per candidate instead of
+    * full-dimension arithmetic. Candidates drop from N (the [[pqTopk]]
+    * whole-corpus scan) to ≈ nprobe·N/16, and the per-candidate cost
+    * stays O(M); neither full vector side ever joins.
+    *
+    * Codebooks quantize raw vectors (shared with [[pqTopk]], proven by
+    * the shared train helpers); production IVF-PQ would quantize
+    * per-cell RESIDUALS v − centroid for tighter codebooks — same
+    * shape, one extra subtraction in encode/LUT, noted as the
+    * refinement rather than implemented so the oracle stays a pure
+    * composition of the two audited chains.
+    *
+    * Scale shape: ONE corpus projection computes the cell assignment
+    * (codegen'd `greatest()` argmax) AND the 4 PQ codes (32
+    * `SubvecSqDist` kernels); the bounded (qid, cell) probe set
+    * broadcasts onto it (no corpus shuffle), ADC distances come from
+    * literal qid→LUT map lookups, and only (qid, nid, adist) triples
+    * reach the top-5 window.
+    */
+  val ivfPqTopk = Query(
+    "ss_ivfpq_topk",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cents = trainIvfCentroids(e)
+      val codebook = trainPqCodebooks(e)
+      val luts = pqLuts(e, codebook)
+
+      // corpus pass: coarse cell + PQ codes in one projection
+      val encoded = e.select(Seq(
+        col("vec_id").as("nid"),
+        argmaxCell(cents).as("cell")) ++
+        (0 until PqM).map(sub =>
+          pqArgminCode(sub, codebook(sub)).as(s"c$sub")): _*)
+      val probes = probesOf(e, cents).select(col("qid"), col("cell"))
+
+      // per-subspace literal qid→LUT maps; both element_at lookups are
+      // codegen'd (GetMapValue + GetArrayItem)
+      val lutMaps = (0 until PqM).map { sub =>
+        typedlit(luts.map { case (qid, l) =>
+          qid.toLong -> l(sub).toSeq }.toMap)
+      }
+      val adistCol = (0 until PqM).map(sub =>
+        element_at(element_at(lutMaps(sub), col("qid")), col(s"c$sub") + 1))
+        .reduce(_ + _)
+      val adist = encoded.join(broadcast(probes), Seq("cell"))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"), adistCol.as("adist"))
+      pqRankTail(adist)
+    },
+    oracle = Some(s"""
+      WITH $pqOracleCtes, iseeds AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id < 16
+      ), iseed_scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos
+        FROM embeddings e, iseeds c
+      ), iseed_ranked AS (
+        SELECT vec_id, embedding, cid,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid DESC) AS rk
+        FROM iseed_scored
+      ), iassigned0 AS (
+        SELECT embedding, cid FROM iseed_ranked WHERE rk = 1
+      ), icomp AS (
+        SELECT cid, i.pos, avg(embedding[i.pos]) AS m
+        FROM iassigned0
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) i
+        GROUP BY 1, 2
+      ), icents AS (
+        SELECT cid, list_transform(list(round(m, 3) ORDER BY pos),
+                                   x -> x::FLOAT) AS cv
+        FROM icomp GROUP BY cid
+      ), iscored AS (
+        SELECT e.vec_id, c.cid,
+               ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos
+        FROM embeddings e, icents c
+      ), iranked AS (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid DESC) AS rk
+        FROM iscored
+      ), iassigned AS (
+        SELECT vec_id, cid AS cell FROM iranked WHERE rk = 1
+      ), iprobes AS (
+        SELECT vec_id AS qid, cid AS cell
+        FROM iranked WHERE rk <= 2 AND vec_id < 20
+      ), adist AS (
+        SELECT p.qid, a.vec_id AS nid,
+          list_sum(list(l.d ORDER BY l.s)) AS adist
+        FROM iassigned a
+          JOIN iprobes p ON p.cell = a.cell
+          JOIN codes e ON e.vec_id = a.vec_id
+          JOIN lut l ON l.qid = p.qid AND l.s = e.s AND l.cid = e.cid
+        WHERE a.vec_id <> p.qid
         GROUP BY 1, 2
       ), ranked AS (
         SELECT qid, nid, adist,
@@ -990,6 +1133,6 @@ object SimilarityQueries {
   )
 
   def all: Seq[Query] =
-    Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, pqTopk, kmeans, cosineNearDup,
-      vectorStats, quantize, coverage)
+    Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, pqTopk, ivfPqTopk, kmeans,
+      cosineNearDup, vectorStats, quantize, coverage)
 }

@@ -151,6 +151,34 @@ class SimilaritySpec extends SparkSuite {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("ss_ivfpq_topk: consistent with full-scan PQ, never beats it") {
+    val pq = QueryRegistry.byName("ss_pq_topk").run(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val ivfpq = QueryRegistry.byName("ss_ivfpq_topk").run(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(ivfpq.nonEmpty)
+    // every query answers with a full top-5 at this SF (≈2×30 candidates
+    // per probed pair of cells)
+    assert(ivfpq.length == 20 * 5)
+    // shared codebooks/LUTs: a pair appearing in both outputs carries
+    // the identical ADC distance (measured overlap ≈1/3 at sf0.001)
+    val pqD = pq.map(t => (t._1, t._3) -> t._4).toMap
+    ivfpq.foreach { case (qid, _, nid, d) =>
+      pqD.get((qid, nid)).foreach(pd => assert(pd == d,
+        s"adist mismatch for ($qid,$nid): pq=$pd ivfpq=$d"))
+    }
+    // cell routing can only SHRINK the candidate set: rank-for-rank,
+    // the full-scan PQ distance lower-bounds the IVF-PQ one (4 dp
+    // rounding on both sides, so exact <= holds)
+    val pqByRank = pq.map(t => (t._1, t._2) -> t._4).toMap
+    ivfpq.foreach { case (qid, rk, _, d) =>
+      assert(pqByRank((qid, rk)) <= d,
+        s"ivfpq rank $rk for query $qid beats the full scan")
+    }
+  }
+
   test("ss_quantize: int8 codes stay in range, errors bounded, totals exact") {
     val rows = QueryRegistry.byName("ss_quantize").run(spark, sf("sf0.001"))
       .collect()
