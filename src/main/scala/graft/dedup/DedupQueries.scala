@@ -762,6 +762,146 @@ object DedupQueries {
     """),
   )
 
+  /** Incremental NEAR-dup admission — the nightly-ingest companion of
+    * [[incrementalDedup]] (which is exact-hash only): a new batch is
+    * screened against the EXISTING corpus through the MinHash band
+    * index before it may enter. Every incoming document reports
+    * `status` ('dup' if any corpus doc matches at Jaccard ≥ 0.8, else
+    * 'new') and its best corpus Jaccard. The batch is simulated
+    * in-query: the `src0` slice re-submitted verbatim under new ids
+    * (must flag 'dup' at 1.0) plus genuinely fresh synthetic texts
+    * under `src1` ids (must pass 'new') — non-vacuous at any SF.
+    *
+    * Scale shape: the corpus side computes signatures + band keys in
+    * one pass and pays ONE shuffle on the band key (the ≤50-docs cap
+    * window — same exchange [[minhashLsh]] uses); the bounded batch's
+    * bands BROADCAST onto it, so candidate generation never shuffles
+    * the corpus again. At 100 TB the corpus band table would persist
+    * like the IVF index ([[graft.similarity.SimilarityQueries]]) and
+    * amortize across batches; the verdict rollup is
+    * max-only (order-independent) per incoming doc.
+    */
+  val minhashCdc = Query(
+    "dd_minhash_cdc",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val existing = spread(d.select(col("doc_id"), col("text")))
+      val incoming = d.filter(col("source") === "src0")
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+        .unionAll(d.filter(col("source") === "src1")
+          .select((col("doc_id") + 600000).as("doc_id"),
+            concat(lit("fresh content row "), col("doc_id").cast("string"),
+              lit(" batch nightly ingest")).as("text")))
+      val shE = existing
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val shI = incoming
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val mhCol = array(hashParams.map { case (a, b) =>
+        array_min(transform(col("sh"), h => (h * a + b) % MinhashP))
+      }: _*)
+      val bandKeys = array((0 until 4).map { b =>
+        concat_ws(":", lit(b.toString) +:
+          (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)
+            .cast("string")): _*)
+      }: _*)
+      def bandsOf(sh: DataFrame): DataFrame =
+        sh.withColumn("mh", mhCol)
+          .select(col("doc_id"), explode(bandKeys).as("bh"))
+      val wBand = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bh"))
+      val bandsE = bandsOf(shE)
+        .withColumn("bc", count(lit(1)).over(wBand))
+        .filter(col("bc") <= 50).drop("bc")
+      val cands = bandsE.as("e")
+        .join(broadcast(bandsOf(shI).as("i")), col("e.bh") === col("i.bh"))
+        .select(col("i.doc_id").as("new_id"), col("e.doc_id").as("old_id"))
+        .distinct()
+      val jac = cands
+        .join(broadcast(shI.select(col("doc_id").as("new_id"),
+          col("sh").as("sh_n"))), "new_id")
+        .join(shE.select(col("doc_id").as("old_id"),
+          col("sh").as("sh_o")), "old_id")
+        .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_o"))))
+        .select(col("new_id"),
+          (col("inter").cast("double") /
+            (size(col("sh_n")) + size(col("sh_o")) - col("inter"))).as("jac"))
+      val flags = jac.groupBy(col("new_id"))
+        .agg(max(col("jac")).as("best"))
+        .withColumnRenamed("new_id", "doc_id")
+      incoming.select(col("doc_id"))
+        .join(broadcast(flags), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("best") >= 0.8, "dup").otherwise("new").as("status"),
+          round(coalesce(col("best"), lit(0.0)), 4).as("best_jac"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = {
+      val mhList = hashParams.map { case (a, b) =>
+        s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashP))"
+      }.mkString("[", ", ", "]")
+      val bandList = (0 until 4).map { b =>
+        val parts = (0 until 4).map(r => s"mh[${b * 4 + r + 1}]::VARCHAR")
+        s"'$b:' || " + parts.mkString(" || ':' || ")
+      }.mkString("[", ", ", "]")
+      Some(s"""
+      WITH existing AS (SELECT doc_id, text FROM documents),
+      incoming AS (
+        SELECT doc_id + 500000 AS doc_id, text FROM documents
+        WHERE source = 'src0'
+        UNION ALL
+        SELECT doc_id + 600000 AS doc_id,
+          'fresh content row ' || doc_id::VARCHAR || ' batch nightly ingest'
+            AS text
+        FROM documents WHERE source = 'src1'),
+      she AS (
+        SELECT doc_id, $shingleHashSql AS sh
+        FROM (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+              FROM existing)
+        WHERE len(t) >= 3
+      ),
+      shi AS (
+        SELECT doc_id, $shingleHashSql AS sh
+        FROM (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+              FROM incoming)
+        WHERE len(t) >= 3
+      ),
+      mhe AS (SELECT doc_id, $mhList AS mh FROM she),
+      mhi AS (SELECT doc_id, $mhList AS mh FROM shi),
+      bande0 AS (SELECT doc_id, unnest($bandList) AS bh FROM mhe),
+      bande AS (
+        SELECT doc_id, bh FROM (
+          SELECT doc_id, bh, count(*) OVER (PARTITION BY bh) AS bc
+          FROM bande0)
+        WHERE bc <= 50
+      ),
+      bandi AS (SELECT doc_id, unnest($bandList) AS bh FROM mhi),
+      cands AS (
+        SELECT DISTINCT i.doc_id AS new_id, e.doc_id AS old_id
+        FROM bandi i JOIN bande e ON e.bh = i.bh
+      ),
+      jac AS (
+        SELECT new_id,
+          CAST(len(list_intersect(si.sh, se.sh)) AS DOUBLE) /
+            (len(si.sh) + len(se.sh) - len(list_intersect(si.sh, se.sh)))
+            AS jac
+        FROM cands
+          JOIN shi si ON si.doc_id = new_id
+          JOIN she se ON se.doc_id = old_id
+      ),
+      flags AS (SELECT new_id, max(jac) AS best FROM jac GROUP BY 1)
+      SELECT i.doc_id,
+        CASE WHEN f.best >= 0.8 THEN 'dup' ELSE 'new' END AS status,
+        round(coalesce(f.best, 0.0), 4) AS best_jac
+      FROM incoming i LEFT JOIN flags f ON f.new_id = i.doc_id
+      ORDER BY i.doc_id
+    """)
+    },
+  )
+
   /** Composed corpus-cleaning pass — quality filter, then exact dedup
     * (keep lowest doc_id per hash), then TRANSITIVE near-dup drop:
     * connected components over the MinHash candidate pairs with
@@ -960,6 +1100,6 @@ object DedupQueries {
   )
 
   def all: Seq[Query] =
-    Seq(exact, dupStats, minhashLsh, simhash, ngramJaccard, cleanCorpus,
-      dupPassages, dupClusters, decontaminate, incrementalDedup)
+    Seq(exact, dupStats, minhashLsh, minhashCdc, simhash, ngramJaccard,
+      cleanCorpus, dupPassages, dupClusters, decontaminate, incrementalDedup)
 }

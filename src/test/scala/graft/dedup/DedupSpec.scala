@@ -36,6 +36,24 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("dd_minhash_cdc: resubmitted docs flagged dup at 1.0, fresh pass new") {
+    val rows = QueryRegistry.byName("dd_minhash_cdc").run(spark, dir).collect()
+    val bySrc = rows.partition(_.getLong(0) < 600000)
+    // the src0 replica half must ALL flag as near-dups of their corpus
+    // originals at exact jaccard 1.0
+    assert(bySrc._1.nonEmpty)
+    bySrc._1.foreach { r =>
+      assert(r.getString(1) == "dup" && r.getDouble(2) == 1.0,
+        s"replica ${r.getLong(0)} not flagged: ${r.getString(1)} @ ${r.getDouble(2)}")
+    }
+    // the synthetic fresh half must ALL be admitted
+    assert(bySrc._2.nonEmpty)
+    bySrc._2.foreach { r =>
+      assert(r.getString(1) == "new",
+        s"fresh ${r.getLong(0)} wrongly flagged dup @ ${r.getDouble(2)}")
+    }
+  }
+
   test("dd_minhash_lsh candidates include all planted pairs at jaccard 1.0") {
     val got = QueryRegistry.byName("dd_minhash_lsh").run(spark, dir).collect()
     val planted = got.filter(r =>
