@@ -52,6 +52,39 @@ object GraftExtensions {
     ("byte_mean",
       new ExpressionInfo(classOf[ByteMean].getName, "byte_mean"),
       exprs => ByteMean(exprs.head)),
+    ("l2_norm",
+      new ExpressionInfo(classOf[L2Norm].getName, "l2_norm"),
+      exprs => L2Norm(exprs.head)),
+    ("max_abs",
+      new ExpressionInfo(classOf[MaxAbs].getName, "max_abs"),
+      exprs => MaxAbs(exprs.head)),
+    ("quant_rel_err",
+      new ExpressionInfo(classOf[QuantRelErr].getName, "quant_rel_err"),
+      exprs => QuantRelErr(exprs.head)),
+    // subvec_sqdist(vec, start, centroid...) — start and the centroid
+    // components must be literals (the codebook is a model, not data)
+    ("subvec_sqdist",
+      new ExpressionInfo(classOf[SubvecSqDist].getName, "subvec_sqdist"),
+      exprs => {
+        require(exprs.length >= 3,
+          "subvec_sqdist(vec, start, c0, c1, ...) needs a vector, a " +
+            "start offset, and at least one centroid component")
+        // evaluated at registration, so casts of literals fold too
+        val cent = exprs.drop(2).map { e =>
+          require(e.foldable,
+            s"centroid components must be literal values, got: $e")
+          e.eval() match {
+            case f: Float  => f
+            case d: Double => d.toFloat
+            case i: Int    => i.toFloat
+            case l: Long   => l.toFloat
+            case dec: org.apache.spark.sql.types.Decimal => dec.toFloat
+            case other => throw new IllegalArgumentException(
+              s"centroid components must be numeric literals, got: $other")
+          }
+        }.toArray
+        SubvecSqDist(exprs.head, intArg(exprs(1), "start offset"), cent)
+      }),
   )
 
   /** Register all graft functions on a live session (idempotent). */

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** The engine's raw-SQL surface: for dialect-neutral queries, the very
   * SQL text shipped as the DuckDB oracle must also run on Spark SQL
   * over temp views of the same tables and produce the DataFrame
@@ -142,4 +144,42 @@ class SqlSurfaceSpec extends SparkSuite {
       FROM scored)
     SELECT qid, rk, nid, round(cos, 4) AS cos
     FROM ranked WHERE rk <= 5 ORDER BY qid, rk""")
+
+  sqlParity("ss_vector_stats", """
+    SELECT label, count(1) AS n,
+      round(min(norm), 4) AS min_norm, round(max(norm), 4) AS max_norm
+    FROM (SELECT label, l2_norm(embedding) AS norm FROM embeddings)
+    GROUP BY label ORDER BY label""")
+
+  sqlParity("ss_quantize", """
+    SELECT label, CAST(count(1) AS BIGINT) AS n,
+      round(min(rel_err), 4) AS min_err, round(max(rel_err), 4) AS max_err,
+      round(min(scale), 6) AS min_scale, round(max(scale), 6) AS max_scale
+    FROM (SELECT label, max_abs(embedding) / 127.0 AS scale,
+            quant_rel_err(embedding) AS rel_err FROM embeddings)
+    GROUP BY label ORDER BY label""")
+
+  test("subvec_sqdist: SQL function matches the Column API, literals enforced") {
+    viewsReady
+    GraftExtensions.register(spark)
+    val cent = Array(0.5f, -0.25f)
+    val viaSql = spark.sql(
+      "SELECT vec_id, subvec_sqdist(embedding, 16, CAST(0.5 AS FLOAT), " +
+        "CAST(-0.25 AS FLOAT)) AS d FROM embeddings ORDER BY vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaDf = Tables(spark, sf("sf0.001")).embeddings
+      .select(col("vec_id"),
+        functions.VectorFunctions.subvecSqDist(col("embedding"), 16, cent)
+          .as("d"))
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaDf)
+    // a non-literal centroid component must be rejected at analysis
+    val err = intercept[Exception] {
+      spark.sql("SELECT subvec_sqdist(embedding, 0, l2_norm(embedding)) " +
+        "FROM embeddings").collect()
+    }
+    assert(err.getMessage.contains("literal"),
+      s"unexpected rejection message: ${err.getMessage}")
+  }
 }
