@@ -13,6 +13,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * would let Catalyst prune whole subtrees).
   */
 object Bench {
+  private[graft] def r3(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The ONE stdout JSON line the driver parses. Round 5 lesson: the
+    * driver keeps only the LAST 2000 chars of stdout (sbt's trailing
+    * "[success] Total time" line included) and with 89 registry
+    * queries the full per-query median map pushed the line past the
+    * window — the round's bench artifact parsed as null. Contract now:
+    * stdout carries ONLY the headline per-query medians (a pinned
+    * 13-name list — bounded forever) plus scalar roll-ups; the full
+    * median map, pass spread, and full error list live in the sidecar
+    * file committed to the repo. BenchLineSpec bounds the worst case.
+    */
+  private[graft] def stdoutLine(
+      results: Seq[(String, Option[Double])],
+      headlineSet: Set[String],
+      loadAvgJson: String,
+      passesOut: String,
+      sfDir: String,
+      epochMs: Long): String = {
+    val total = results.flatMap(_._2).sum
+    val headlineTotal = results.collect {
+      case (n, Some(v)) if headlineSet(n) => v
+    }.sum
+    val headlineQs = results.collect {
+      case (n, v) if headlineSet(n) => "\"" + n + "\":" + v.fold("null")(r3)
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, None) => k }
+    // Cap the stdout error list: 89 names would alone overflow the
+    // driver's tail window; the sidecar carries the full list.
+    val errJson = errors.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headlineQs,"headline_total":${r3(headlineTotal)},"loadavg_1m":$loadAvgJson,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"passes_file":"$passesOut","sf":"$sfDir","epoch_ms":$epochMs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -96,8 +130,6 @@ object Bench {
     val allPasses =
       if (loadedIdx.nonEmpty) basePasses :+ measure(queries) else basePasses
     val passes = allPasses.map(_._1)
-    def r3(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // lower-median of the successful passes: for 3 the true median; for
     // an even count the lower middle (a mean — or the upper middle —
     // would average contention back in), one → itself
@@ -105,7 +137,7 @@ object Bench {
       val ok = passes.flatMap(_(q.name)).sorted
       q.name -> (if (ok.isEmpty) None else Some(ok((ok.length - 1) / 2)))
     }
-    val qs = results.map { case (k, v) =>
+    val medianJson = results.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("null")(r3)
     }.mkString("{", ",", "}")
     val passJson = queries.map { q =>
@@ -113,14 +145,11 @@ object Bench {
         passes.map(_(q.name).fold("null")(r3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, None) => k }
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val headlineNames = queries.filter(_.headline).map(_.name)
-    val headlineSet = headlineNames.toSet
+    val headlineSet = queries.filter(_.headline).map(_.name).toSet
     val headlineTotal = results.collect {
       case (n, Some(v)) if headlineSet(n) => v
     }.sum
-    val headlineJson = headlineNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // end-of-run 1-minute loadavg stays in the stdout line (driver
     // contract); the per-pass before/after samples in the sidecar are
     // what actually attribute contention to a pass.
@@ -136,18 +165,33 @@ object Bench {
     // the pass-level spread goes to a sidecar file the judge reads from
     // the repo directly.
     val passesOut = sys.env.getOrElse("SPARK_GRAFT_PASSES_OUT", "BENCH_PASSES.json")
+    // epoch_ms ties the sidecar to its stdout line: round 5's committed
+    // sidecar came from a DIFFERENT run than the recorded tail (the two
+    // disagreed on medians), and nothing in either file could prove it.
+    val fullErrJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val passesPayload =
-      s"""{"passes":$passJson,"pass_loadavg":$passLoadJson,""" +
+      s"""{"epoch_ms":${System.currentTimeMillis()},""" +
+        s""""medians":$medianJson,"total":${r3(total)},""" +
+        s""""errors":$fullErrJson,""" +
+        s""""passes":$passJson,"pass_loadavg":$passLoadJson,""" +
         s""""loaded_passes":$loadedJson,"load_baseline":${jLoad(loadBaseline)},""" +
         s""""load_delta":${r3(loadDelta)},"n_passes":${allPasses.size},""" +
-        s""""headline_queries":$headlineJson,"loadavg_1m":$loadAvg,"sf":"$sfDir"}"""
+        s""""headline_total":${r3(headlineTotal)},""" +
+        s""""loadavg_1m":$loadAvg,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(passesOut),
       (passesPayload + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $passesOut: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"headline_total":${r3(headlineTotal)},"headline_queries":$headlineJson,"loadavg_1m":$loadAvg,"n_queries":${results.size},"errors":$errJson,"n_errors":${errors.size},"passes_file":"$passesOut","sf":"$sfDir"}""")
+    val line = stdoutLine(results, headlineSet, loadAvg, passesOut, sfDir,
+      System.currentTimeMillis())
+    // Hard guard on the tail-window contract (2000 chars, minus sbt's
+    // trailing "[success]" line). BenchLineSpec bounds the worst case
+    // statically; this catches anything a future edit sneaks past it.
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING stdout line ${line.length} chars exceeds tail budget")
+    println(line)
     spark.stop()
   }
 }

@@ -940,30 +940,50 @@ object TextQueries {
     * dup-TOKEN ratio would flag most natural prose (function words
     * always repeat).
     *
-    * Scale shape: scan → per-row gate chain (all codegen'd collection
-    * expressions) → map-side partial agg to ≤ sources×6 groups → a
+    * Scale shape: scan (spread to cluster width — the gate kernel is
+    * the cost, not the read) → per-row gate chain over a MATERIALIZED
+    * token array → map-side partial agg to ≤ sources×6 groups → a
     * per-source window over that bounded rollup. One exchange of group
-    * rows; document text never shuffles.
+    * rows. The token array is aliased in its own projection and every
+    * downstream expression references the attribute: inlining `toks()`
+    * into the trigram lambda re-tokenizes the document at every element
+    * position (O(n²) splits per doc — measured 9 s vs 0.5 s at sf0.1).
+    * CollapseProject keeps the alias because a non-cheap expression
+    * referenced more than once is not inlined. The trigram ratio is
+    * additionally gated behind the structural/stopword outcomes so
+    * rejected documents never pay the O(n) trigram build.
     */
   val filterFunnel = Query(
     "tx_filter_funnel",
     (s, dir) => {
-      val t = toks(col("text"))
-      val nTok = size(t)
-      val stopRatio = when(nTok > 0,
-        size(filter(t, x => x.isInCollection(stopwords))).cast("double") / nTok)
-      val dupTrigram = when(nTok >= 3,
-        lit(1.0) - size(array_distinct(transform(sequence(lit(1), nTok - 2),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-            element_at(t, i + 2))))).cast("double") / (nTok - 2))
+      val stopRatio = when(col("n_tok") > 0,
+        size(filter(col("t"), x => x.isInCollection(stopwords)))
+          .cast("double") / col("n_tok"))
+      val structuralPass = col("text").isNotNull &&
+        col("n_tok") >= 10 && col("n_tok") <= 2000 &&
+        col("stop_ratio") >= 0.01 && col("stop_ratio") <= 0.6
+      val dupTrigram = when(structuralPass && col("n_tok") >= 3,
+        lit(1.0) - size(array_distinct(transform(
+          sequence(lit(1), col("n_tok") - 2),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
+          .cast("double") / (col("n_tok") - 2))
       val reason = when(col("text").isNull, "empty")
-        .when(nTok < 10, "too_short")
-        .when(nTok > 2000, "too_long")
-        .when(stopRatio < 0.01, "low_stopword")
-        .when(stopRatio > 0.6, "high_stopword")
-        .when(dupTrigram > 0.95, "repetitive")
+        .when(col("n_tok") < 10, "too_short")
+        .when(col("n_tok") > 2000, "too_long")
+        .when(col("stop_ratio") < 0.01, "low_stopword")
+        .when(col("stop_ratio") > 0.6, "high_stopword")
+        .when(col("dup_trigram") > 0.95, "repetitive")
         .otherwise("keep")
-      val g = Tables(s, dir).documents
+      val g = graft.core.Par
+        .spread(Tables(s, dir).documents.select(col("source"), col("text")))
+        .select(col("source"), col("text"), toks(col("text")).as("t"))
+        .select(col("source"), col("text"), col("t"),
+          size(col("t")).as("n_tok"))
+        .select(col("source"), col("text"), col("t"), col("n_tok"),
+          stopRatio.as("stop_ratio"))
+        .select(col("source"), col("text"), col("n_tok"),
+          col("stop_ratio"), dupTrigram.as("dup_trigram"))
         .groupBy(col("source"), reason.as("reason"))
         .agg(count(lit(1)).cast("long").as("n_docs"))
       g.withColumn("pct",

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver captures only the LAST 2000 characters of Bench stdout
+  * (sbt's trailing "[success] Total time" line included) and parses the
+  * JSON line out of that tail. Round 5's full per-query median map grew
+  * past the window with 89 registry queries and the round's bench
+  * artifact recorded `parsed: null` — a whole round of timings lost.
+  * This spec statically bounds the line for the CURRENT registry, in
+  * the worst case (every query failed: longest names in the error list,
+  * every headline median printed as null), so registry growth can never
+  * silently re-break the contract.
+  */
+class BenchLineSpec extends AnyFunSuite {
+  private val budget = 1800 // 2000-char tail minus sbt's trailing lines
+
+  private def line(results: Seq[(String, Option[Double])]): String =
+    Bench.stdoutLine(
+      results,
+      headlineSet = QueryRegistry.all.filter(_.headline).map(_.name).toSet,
+      loadAvgJson = "31.999",
+      passesOut = "BENCH_PASSES.json",
+      sfDir = "/root/testdata/sf0.1",
+      epochMs = 4102444800000L)
+
+  test("worst case (all queries failed) fits the driver's tail window") {
+    val allFailed = QueryRegistry.all.map(_.name -> (None: Option[Double]))
+    val l = line(allFailed)
+    assert(l.length <= budget, s"stdout line ${l.length} chars > $budget")
+  }
+
+  test("all-success with wide medians fits the tail window") {
+    val wide = QueryRegistry.all.map(_.name -> Option(8888.888))
+    val l = line(wide)
+    assert(l.length <= budget, s"stdout line ${l.length} chars > $budget")
+  }
+
+  test("the line is valid JSON with the contract fields") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val l = line(QueryRegistry.all.map(_.name -> Option(1.234)))
+    val j = JsonMethods.parse(l).asInstanceOf[JObject].obj.toMap
+    Seq("metric", "value", "unit", "queries", "sf").foreach(k =>
+      assert(j.contains(k), s"stdout line lost contract field $k"))
+    val qs = j("queries").asInstanceOf[JObject].obj.map(_._1).toSet
+    assert(qs == QueryRegistry.all.filter(_.headline).map(_.name).toSet,
+      "stdout queries map must carry exactly the headline set")
+  }
+
+  test("headline set stays bounded so the line can never outgrow the window") {
+    val n = QueryRegistry.all.count(_.headline)
+    assert(n >= 10 && n <= 20, s"headline set drifted to $n queries")
+  }
+}
