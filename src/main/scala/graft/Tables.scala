@@ -21,19 +21,40 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = load("part")
   def orders: DataFrame     = load("orders")
   def lineitem: DataFrame   = load("lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native
-    * type for — read the raw INT64 nanos and truncate to microseconds
-    * (exactly what DuckDB's µs timestamps do), via integer division so
-    * no precision is lost through doubles. `nanosAsLong` is a session
-    * conf with no reader-option twin, so the read goes through a child
-    * session (graft.core.Sessions) instead of mutating the shared one.
+  /** events.ts has shipped in two physical layouts — INT64
+    * TIMESTAMP(NANOS) (rounds ≤5) and plain timestamp[us] (the driver
+    * regenerated the fixtures mid-round-6) — so the loader probes the
+    * file's footer schema instead of assuming either. Both layouts
+    * normalize to a session-TZ TimestampType at microsecond precision
+    * (what DuckDB's µs timestamps hold, and what downstream
+    * `unix_micros` calls require):
+    *   - INT64 nanos: Spark has no nanos type, so read the raw longs
+    *     via `nanosAsLong` and truncate with integer division — no
+    *     precision loss through doubles. The conf has no reader-option
+    *     twin, so the read goes through a child session
+    *     (graft.core.Sessions) instead of mutating the shared one.
+    *     (The probe reads through the same child: without the conf a
+    *     nanos footer fails schema conversion outright.)
+    *   - timestamp[us]: arrives as TIMESTAMP_NTZ (no UTC adjustment in
+    *     the footer); cast to TimestampType — instant-preserving under
+    *     the UTC session timezone every entrypoint pins.
+    * EventsSchemaSpec pins both layouts with committed fixture files.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val reader = graft.core.Sessions.withConf(spark,
       "spark.sql.legacy.parquet.nanosAsLong" -> "true")
-    reader.read.parquet(s"$dir/events.parquet").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = reader.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other (expected INT64 nanos or timestamp)")
+    }
   }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")

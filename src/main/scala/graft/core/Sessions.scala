@@ -22,11 +22,24 @@ object Sessions {
     */
   def withConf(spark: SparkSession, kv: (String, String)*): SparkSession = {
     val child = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try child.conf.set(k, v)
-      catch { case _: Exception => () }
+    val skipped = spark.conf.getAll.flatMap { case (k, v) =>
+      try { child.conf.set(k, v); None }
+      catch { case _: Exception => Some(k) }
+    }
+    // Static/core confs are expected to fail here (they're inherited via
+    // the shared SparkConf anyway), but a genuinely failed set must not
+    // vanish silently: log each distinct skipped-key set once per JVM —
+    // withConf runs on every events read and the skip list is stable.
+    if (skipped.nonEmpty) {
+      val sig = skipped.toSeq.sorted.mkString(",")
+      if (loggedSkipSets.add(sig))
+        System.err.println(
+          s"[graft.Sessions] child session skipped non-runtime conf keys: $sig")
     }
     kv.foreach { case (k, v) => child.conf.set(k, v) }
     child
   }
+
+  private val loggedSkipSets =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

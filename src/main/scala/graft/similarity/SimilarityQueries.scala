@@ -1132,7 +1132,72 @@ object SimilarityQueries {
     """),
   )
 
+  /** Recall-at-k of every approximate family against the brute-force
+    * cosine truth — the observability dial a 100 TB ANN tier runs
+    * nightly: approximation quality as a TESTED number, not a comment.
+    *
+    * Each family's candidate set is its own (already oracle-verified)
+    * query output over the shared qid<20 probe set; truth is
+    * [[bruteTopk]]'s exact top-5 (top-3 for the LSH family, whose
+    * query emits k=3). recall@k = |approx ∩ truth_k| / |truth_k|,
+    * pooled over all 20 queries, so one row per family.
+    *
+    * The oracle replays the SAME composition: each family's existing
+    * oracle SQL is nested verbatim as a subquery (nested WITH scopes
+    * locally in DuckDB, so the five chains cannot collide), which
+    * means the recall numbers are checked end-to-end against an
+    * engine-independent recomputation — not against Spark itself.
+    *
+    * Scale shape: the component queries are the scalable ones; this
+    * adds two semi-joins and a global count over ≤ 20×k rows.
+    */
+  val recall = Query(
+    "ss_recall",
+    (s, dir) => {
+      val truth = bruteTopk.run(s, dir)
+        .select(col("qid"), col("rk"), col("nid"))
+      def methodRecall(method: String, approx: DataFrame, k: Int): DataFrame = {
+        val t = truth.filter(col("rk") <= k).select(col("qid"), col("nid"))
+        val a = approx.filter(col("qid") < 20)
+          .select(col("qid"), col("nid"))
+        a.join(t, Seq("qid", "nid"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(t.agg(count(lit(1)).as("denom")))
+          .select(lit(method).as("method"), lit(k).as("k"),
+            col("hits"), col("denom"),
+            round(col("hits") / col("denom"), 4).as("recall"))
+      }
+      methodRecall("ivf", ivfTopk.run(s, dir), 5)
+        .unionByName(methodRecall("ivfpq", ivfPqTopk.run(s, dir), 5))
+        .unionByName(methodRecall("lsh", lshTopk.run(s, dir), 3))
+        .unionByName(methodRecall("pq", pqTopk.run(s, dir), 5))
+        .orderBy(col("method"))
+    },
+    oracle = Some {
+      def nest(o: String) = s"(${o.trim.stripSuffix(";")})"
+      def m(method: String, familyOracle: String, k: Int) = s"""
+        SELECT '$method' AS method, $k AS k,
+          (SELECT count(*) FROM ${nest(familyOracle)} a
+           WHERE a.qid < 20 AND EXISTS (
+             SELECT 1 FROM ${nest(bruteTopk.oracle.get)} t
+             WHERE t.rk <= $k AND t.qid = a.qid AND t.nid = a.nid))
+            AS hits,
+          (SELECT count(*) FROM ${nest(bruteTopk.oracle.get)} t
+           WHERE t.rk <= $k) AS denom"""
+      s"""
+      WITH per_method AS (
+        ${m("ivf", ivfTopk.oracle.get, 5)}
+        UNION ALL ${m("ivfpq", ivfPqTopk.oracle.get, 5)}
+        UNION ALL ${m("lsh", lshTopk.oracle.get, 3)}
+        UNION ALL ${m("pq", pqTopk.oracle.get, 5)}
+      )
+      SELECT method, k, hits, denom, round(hits / denom, 4) AS recall
+      FROM per_method ORDER BY method
+      """
+    },
+  )
+
   def all: Seq[Query] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, pqTopk, ivfPqTopk, kmeans,
-      cosineNearDup, vectorStats, quantize, coverage)
+      cosineNearDup, vectorStats, quantize, coverage, recall)
 }

@@ -48,6 +48,23 @@ class BenchLineSpec extends AnyFunSuite {
       "stdout queries map must carry exactly the headline set")
   }
 
+  test("errors_truncated flag appears exactly when the 8-item cap bites") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val names = QueryRegistry.all.map(_.name)
+    val manyFailed = line(names.map(_ -> (None: Option[Double])))
+    val jm = JsonMethods.parse(manyFailed).asInstanceOf[JObject].obj.toMap
+    assert(jm("errors").asInstanceOf[JArray].arr.size == 8)
+    assert(jm("errors_truncated") == JBool(true),
+      "capped error list must carry the in-band truncation flag")
+    assert(jm("n_errors") == JInt(names.size))
+    val fewFailed = line(names.map(n =>
+      n -> (if (n == names.head) None else Option(1.0))))
+    val jf = JsonMethods.parse(fewFailed).asInstanceOf[JObject].obj.toMap
+    assert(!jf.contains("errors_truncated"),
+      "flag must be absent when the error list is complete")
+  }
+
   test("headline set stays bounded so the line can never outgrow the window") {
     val n = QueryRegistry.all.count(_.headline)
     assert(n >= 10 && n <= 20, s"headline set drifted to $n queries")

@@ -126,6 +126,39 @@ class SqlSurfaceSpec extends SparkSuite {
   }
   sqlParity("dd_minhash_lsh", minhashSql)
 
+  /** dd_ngram_jaccard's DECLARED semantics (shared-shingle pairs with
+    * df ∈ [2,50] and rounded Jaccard ≥ 0.5) in pure Spark SQL. The
+    * DataFrame pipeline runs a sorted adjacent-group pair scan with a
+    * PPJoin length filter (a pure optimization: pairs it drops cannot
+    * reach 0.5); this join formulation is the semantics stated
+    * directly — the two must agree row-for-row.
+    */
+  sqlParity("dd_ngram_jaccard", """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE source = 'src0'
+    ), sh AS (
+      SELECT doc_id, shingle_hash32(text, 3) AS sh FROM corpus
+    ), postings AS (
+      SELECT doc_id, size(sh) AS sz, explode(sh) AS s FROM sh
+    ), capped AS (
+      SELECT s FROM postings GROUP BY s HAVING count(1) BETWEEN 2 AND 50
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sz AS sa, b.sz AS sb, count(1) AS inter
+      FROM postings a
+        JOIN capped USING (s)
+        JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+      round(CAST(inter AS DOUBLE) / (sa + sb - inter), 4) AS jaccard
+    FROM pairs
+    WHERE round(CAST(inter AS DOUBLE) / (sa + sb - inter), 4) >= 0.5
+    ORDER BY id_a, id_b""")
+
   sqlParity("tx_fingerprint", """
     SELECT doc_id,
       md5(concat_ws(' ', array_sort(array_distinct(
