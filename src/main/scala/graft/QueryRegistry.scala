@@ -40,7 +40,8 @@ object QueryRegistry {
       text.TextQueries.all ++
       dedup.DedupQueries.all ++
       similarity.SimilarityQueries.all ++
-      multimodal.Multimodal.all
+      multimodal.Multimodal.all ++
+      streaming.StreamingQueries.all
 
   lazy val byName: Map[String, Query] = {
     val qs = all

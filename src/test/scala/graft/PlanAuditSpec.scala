@@ -26,9 +26,14 @@ class PlanAuditSpec extends SparkSuite {
     * the corpus-wide token sum cannot come from a window over the
     * bounded side (it spans every term, not just the kept 25).
     */
+  /** ss_recall composes the declared baselines above (it re-runs
+    * ss_cosine_topk and ss_ivf_topk verbatim as its truth/candidate
+    * sides) and crosses two 1-row aggregates (hits × denom) — every
+    * nested-loop in its plan is one of those declared-bounded shapes.
+    */
   private val broadcastLoopAllowed = Set(
     "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery",
-    "q_approx_distinct", "tx_tfidf", "tx_vocab")
+    "q_approx_distinct", "tx_tfidf", "tx_vocab", "ss_recall")
 
   /** The plan the lint audits: the query's own result plan, or the
     * declared eager intermediate (which, unlike `run`, plans lazily —

@@ -116,6 +116,19 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ev_stream_hourly (file source → AvailableNow → memory sink) " +
+      "matches the batch rollup") {
+    val streamed = graft.QueryRegistry.byName("ev_stream_hourly")
+      .run(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = graft.QueryRegistry.byName("ev_hourly_agg")
+      .run(spark, sf("sf0.001"))
+      .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      "registered streaming query must equal the batch hourly rollup")
+  }
+
   test("stream-static broadcast enrichment joins every event to its dim row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
