@@ -15,7 +15,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermark bounds total state, so a 1000-executor deployment holds
   * state shards in the state store with no driver involvement.
   */
-object EventStreams {
+object EventStreams extends Serializable {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -25,8 +25,24 @@ object EventStreams {
 
   /** Internal accumulator persisted in the state store (public: the
     * state encoder's generated code must reach the constructor).
+    * Times are epoch MICROS — `Timestamp.getTime` is millisecond
+    * resolution and events carry microsecond timestamps; a state
+    * accumulator that truncates to ms emits session bounds that no
+    * longer match the batch twin (caught by the ev_stream_sessions
+    * oracle).
     */
-  case class SessionState(startMs: Long, lastMs: Long, n: Int, total: Double)
+  case class SessionState(startUs: Long, lastUs: Long, n: Int, total: Double)
+
+  private def micros(t: java.sql.Timestamp): Long = {
+    val msFraction = t.getNanos / 1000000L
+    (t.getTime - msFraction) * 1000L + t.getNanos / 1000L
+  }
+
+  private def toTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Tumbling 1-hour windows per event type; watermark tolerates
     * 10 minutes of disorder, after which windows finalize and state is
@@ -115,11 +131,11 @@ object EventStreams {
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)
       : Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
 
     def toSession(uid: Long, st: SessionState): Session =
-      Session(uid, new java.sql.Timestamp(st.startMs),
-        new java.sql.Timestamp(st.lastMs), st.n, st.total)
+      Session(uid, toTimestamp(st.startUs), toTimestamp(st.lastUs),
+        st.n, st.total)
 
     events
       .withWatermark("ts", "10 minutes")
@@ -132,14 +148,14 @@ object EventStreams {
             state.remove()
             out.iterator
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             val closed = Seq.newBuilder[Session]
             var cur    = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(st) if t - st.lastMs <= gapMs =>
-                  cur = Some(st.copy(lastMs = math.max(st.lastMs, t),
+                case Some(st) if t - st.lastUs <= gapUs =>
+                  cur = Some(st.copy(lastUs = math.max(st.lastUs, t),
                     n = st.n + 1, total = st.total + e.value))
                 case Some(st) =>
                   closed += toSession(uid, st)
@@ -150,7 +166,10 @@ object EventStreams {
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.lastMs + gapMs)
+              // timeout registration is ms-resolution (GroupState API);
+              // rounding UP keeps "timeout strictly after last+gap"
+              state.setTimeoutTimestamp(
+                Math.floorDiv(st.lastUs + gapUs + 999L, 1000L))
             }
             closed.result().iterator
           }

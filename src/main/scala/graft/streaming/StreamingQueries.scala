@@ -65,13 +65,13 @@ object StreamingQueries {
     * table and return it (complete mode; unique sink name per run so
     * bench passes don't collide).
     */
-  private def runToTable(agg: DataFrame): DataFrame = {
+  private def runToTable(agg: DataFrame, mode: String = "complete"): DataFrame = {
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_stream_ckpt").toString
     val q = agg.writeStream
       .format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -110,5 +110,85 @@ object StreamingQueries {
           round(sum(col("value")), 2).as("total_value"))),
   )
 
-  def all: Seq[Query] = Seq(streamHourly)
+  /** [[EventStreams.sessionize]] (stateful `flatMapGroupsWithState`)
+    * over the events backlog — the hardest streaming surface
+    * (user-managed state + event-time timeouts) under the driver's
+    * hash gate. Append mode: a session row emits when the SAME user's
+    * later event arrives past the 30-minute gap, or when the
+    * event-time watermark (max ts − 10 min at end of backlog) passes
+    * the session's timeout (last event + gap). Both closure paths are
+    * deterministic on a finite backlog, and both are stated in the
+    * oracle: a session emits iff the user returns later, OR it is the
+    * user's last session and its timeout precedes the final
+    * watermark. Sessions still open at final watermark stay in state —
+    * exactly what a live deployment would hold.
+    */
+  val streamSessions = Query(
+    "ev_stream_sessions",
+    (s, dir) => {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val result = runToTable(EventStreams.sessionize(ev).toDF(), "append")
+      result.select(
+        col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_end"),
+        col("n_events").cast("long").as("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    oracle = Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sess AS (
+        SELECT user_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+      ), per AS (
+        SELECT user_id, sid,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+          strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+          max(ts) AS last_ts,
+          count(*) AS n_events, round(sum(value), 2) AS total_value,
+          max(sid) OVER (PARTITION BY user_id) AS max_sid
+        FROM sess GROUP BY user_id, sid
+      )
+      SELECT user_id, session_start, session_end, n_events, total_value
+      FROM per
+      WHERE sid < max_sid
+         OR epoch(last_ts) + 1800 <
+            (SELECT epoch(max(ts)) FROM events) - 600
+      ORDER BY user_id, session_start
+    """),
+    eagerPlan = Some((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+  )
+
+  def all: Seq[Query] = Seq(streamHourly, streamSessions)
 }
