@@ -762,10 +762,10 @@ object SimilarityQueries {
     * sign-bucket LSH ([[lshTopk]]) and the IVF cell index
     * ([[ivfTopk]]), and the one that wins when the INDEX must fit in
     * memory: each 64-dim vector is encoded as M=4 one-byte codes (one
-    * per 16-dim subspace, codebook of K=8 centroids each), a 64×
+    * per 16-dim subspace, codebook of K=16 centroids each), a 64×
     * compression of the corpus representation. Serving is classic ADC
     * (asymmetric distance computation): per query, a LUT of
-    * K×M = 32 exact subspace distances is built once, and each corpus
+    * K×M = 64 exact subspace distances is built once, and each corpus
     * vector's approximate distance is just M table lookups + adds —
     * no full-dimension arithmetic on the big side at all.
     *
@@ -782,8 +782,8 @@ object SimilarityQueries {
     *
     * Scale shape: training is two corpus scans (argmin assignment
     * rides the scan; the melted (s, cid) partial agg puts only
-    * 32×16 running sums per partition on the wire) and collects only
-    * the 4×8×16-float model. Serving is ONE corpus scan — encode (32
+    * 64×16 running sums per partition on the wire) and collects only
+    * the 4×16×16-float model. Serving is ONE corpus scan — encode (64
     * codegen'd subspace distances/row), explode over the bounded query
     * batch with literal-array LUT lookups, then the per-query top-5
     * window on the (qid, adist) pairs; the full-width vector never
@@ -791,10 +791,12 @@ object SimilarityQueries {
     * is what persists and shuffles — the [[ivfProbe]] persisted-index
     * pattern applies to it verbatim.
     */
-  // product-quantization geometry: 4 subspaces × 16 dims, 8 codes each
+  // product-quantization geometry: 4 subspaces × 16 dims, 16 codes
+  // each (codes still fit one byte; K=16 over K=8 doubled measured
+  // recall@5 on the isotropic fixtures at ~2× encode kernels/row)
   private val PqM = 4
   private val PqSubDim = 16
-  private val PqK = 8
+  private val PqK = 16
 
   /** Codegen'd argmin code for one PQ subspace: least() over (d, cid)
     * structs — ties to the lower code id.
@@ -809,7 +811,7 @@ object SimilarityQueries {
 
   /** PQ training: per-subspace seeds = the first K vectors'
     * subvectors, one Lloyd step (all 4 subspaces in one melted pass,
-    * means rounded to 3 dp floats); collects only the 4×8×16-float
+    * means rounded to 3 dp floats); collects only the 4×16×16-float
     * codebook.
     */
   private[similarity] def trainPqCodebooks(
@@ -881,7 +883,7 @@ object SimilarityQueries {
           list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS v
         FROM embeddings, (SELECT unnest(range(0, 4)) AS s) s
       ), pseeds AS (
-        SELECT vec_id::INT AS cid, s, v AS cv FROM sub WHERE vec_id < 8
+        SELECT vec_id::INT AS cid, s, v AS cv FROM sub WHERE vec_id < $PqK
       ), a0 AS (
         SELECT s, v, cid FROM (
           SELECT e.s, e.v, c.cid,
@@ -975,7 +977,7 @@ object SimilarityQueries {
     * composition of the two audited chains.
     *
     * Scale shape: ONE corpus projection computes the cell assignment
-    * (codegen'd `greatest()` argmax) AND the 4 PQ codes (32
+    * (codegen'd `greatest()` argmax) AND the 4 PQ codes (64
     * `SubvecSqDist` kernels); the bounded (qid, cell) probe set
     * broadcasts onto it (no corpus shuffle), ADC distances come from
     * literal qid→LUT map lookups, and only (qid, nid, adist) triples

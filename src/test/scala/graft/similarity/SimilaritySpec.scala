@@ -140,9 +140,9 @@ class SimilaritySpec extends SparkSuite {
     // every query answered with a full top-5; distances non-negative
     assert(rows.length == 20 * 5)
     assert(rows.forall(_.getDouble(3) >= 0.0))
-    // 4×16 PQ at 8 codes/subspace over isotropic random vectors is
-    // coarse by design (measured ≈0.13 vs both cosine and true-L2
-    // brute top-5); the floor guards broken encode/LUT, not tuning
+    // 4×16 PQ over isotropic random vectors is coarse by design
+    // (measured ≈0.13 at 8 codes/subspace, ≈0.3 at the current 16);
+    // the floor guards broken encode/LUT, not tuning
     val recall = brute.intersect(pq).size.toDouble / brute.size
     assert(recall >= 0.05, s"PQ top-5 recall $recall")
     // codebooks, codes, and LUTs are all deterministic: bit-identical rerun
