@@ -190,5 +190,37 @@ object StreamingQueries {
     }),
   )
 
-  def all: Seq[Query] = Seq(streamHourly, streamSessions)
+  /** [[EventStreams.viewPurchaseJoin]] (stream-stream interval join)
+    * over the events backlog — the third streaming join class under
+    * the gate. Inner-join matches emit in the micro-batch where both
+    * sides are present (watermarks only bound state retention, they
+    * gate nothing an inner join emits), so the finite-backlog output
+    * IS the batch theta-join semantics: every same-user (purchase,
+    * view) pair within ±5 minutes — the same declared semantics
+    * `ev_range_join` states, so the oracle is that query's naive
+    * theta join verbatim (without the bucketing, which is the batch
+    * plan's scale shape, not part of the semantics).
+    */
+  val streamRangeJoin = Query(
+    "ev_stream_range_join",
+    (s, dir) => {
+      val joined = EventStreams.viewPurchaseJoin(eventsStream(s, dir))
+      runToTable(joined, "append")
+        .select(col("p_id"), col("v_id"), col("user_id"), col("gap_us"))
+        .orderBy(col("p_id"), col("v_id"))
+    },
+    oracle = Some("""
+      SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id,
+             epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id
+       AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 300000000
+      ORDER BY p_id, v_id
+    """),
+    eagerPlan = Some((s, dir) =>
+      graft.operators.Events.rangeJoin.run(s, dir)),
+  )
+
+  def all: Seq[Query] = Seq(streamHourly, streamSessions, streamRangeJoin)
 }
