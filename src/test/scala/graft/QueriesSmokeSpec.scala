@@ -13,7 +13,10 @@ class QueriesSmokeSpec extends SparkSuite {
       // queries over these fixtures are expected to be non-degenerate,
       // except the two that are legitimately selective at the tiny SF
       // (few customers lack 1995 orders / few nations have >=3 suppliers)
-      val mayBeEmpty = Set("q_anti_join", "q_having", "ev_range_join")
+      // ev_stream_range_join shares ev_range_join's semantics, so it
+      // is empty at exactly the same SFs
+      val mayBeEmpty = Set("q_anti_join", "q_having", "ev_range_join",
+        "ev_stream_range_join")
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
     }
   }
