@@ -319,11 +319,11 @@ object SimilarityQueries {
     * (`sort_array` only ever runs on the ≤20 probe rows).
     */
   private[similarity] def probesOf(e: DataFrame,
-      cents: Seq[(Int, Array[Float])]): DataFrame =
+      cents: Seq[(Int, Array[Float])], nprobe: Int = 2): DataFrame =
     e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         explode(slice(sort_array(array(scoreStructs(cents): _*),
-          asc = false), 1, 2)).as("c"))
+          asc = false), 1, nprobe)).as("c"))
       .select(col("qid"), col("qv"), col("c").getField("cid").as("cell"))
 
   /** The shared probe→rank tail: join candidates on the cell key,
@@ -343,18 +343,22 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
-  val ivfTopk = Query(
-    "ss_ivf_topk",
-    (s, dir) => {
-      val e = Tables(s, dir).embeddings
-      val cents = trainIvfCentroids(e)
-      // apply: top-1 cell for corpus rows via codegen'd greatest
-      val assigned = e
-        .select(col("vec_id"), col("embedding"),
-          argmaxCell(cents).as("cell"))
-      rankTail(assigned, probesOf(e, cents))
-    },
-    oracle = Some(s"""
+  /** The full IVF train+serve pipeline at a given probe width —
+    * `ss_ivf_topk` is nprobe=2; `ss_recall` sweeps 1/2/4 for the
+    * recall-vs-cost curve.
+    */
+  private[similarity] def ivfTopkRun(nprobe: Int)(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val cents = trainIvfCentroids(e)
+    // apply: top-1 cell for corpus rows via codegen'd greatest
+    val assigned = e
+      .select(col("vec_id"), col("embedding"),
+        argmaxCell(cents).as("cell"))
+    rankTail(assigned, probesOf(e, cents, nprobe))
+  }
+
+  private[similarity] def ivfOracleSql(nprobe: Int): String = s"""
       WITH seeds AS (
         SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
       ), seed_scored AS (
@@ -390,7 +394,7 @@ object SimilarityQueries {
         SELECT vec_id, embedding, cid AS cell FROM ranked_cells WHERE rk = 1
       ), probes AS (
         SELECT vec_id AS qid, embedding AS qv, cid AS cell
-        FROM ranked_cells WHERE rk <= 2 AND vec_id < 20
+        FROM ranked_cells WHERE rk <= $nprobe AND vec_id < 20
       ), cand AS (
         SELECT p.qid, a.vec_id AS nid,
                ${cosineSqlExpr2("p.qv", "a.embedding")} AS cos
@@ -402,7 +406,12 @@ object SimilarityQueries {
         FROM cand)
       SELECT qid, rk, nid, round(cos, 4) AS cos
       FROM ranked WHERE rk <= 5 ORDER BY qid, rk
-    """),
+    """
+
+  val ivfTopk = Query(
+    "ss_ivf_topk",
+    ivfTopkRun(2),
+    oracle = Some(ivfOracleSql(2)),
   )
 
   /** Root for persisted ANN indexes, keyed by the data directory so
@@ -1137,6 +1146,9 @@ object SimilarityQueries {
   /** Recall-at-k of every approximate family against the brute-force
     * cosine truth — the observability dial a 100 TB ANN tier runs
     * nightly: approximation quality as a TESTED number, not a comment.
+    * The IVF family is additionally swept at nprobe = 1/2/4 (rows
+    * `ivf_np1`, `ivf`, `ivf_np4`) — the recall-vs-cost tuning curve
+    * that decides how many cells a production deployment probes.
     *
     * Each family's candidate set is its own (already oracle-verified)
     * query output over the shared qid<20 probe set; truth is
@@ -1170,6 +1182,8 @@ object SimilarityQueries {
             round(col("hits") / col("denom"), 4).as("recall"))
       }
       methodRecall("ivf", ivfTopk.run(s, dir), 5)
+        .unionByName(methodRecall("ivf_np1", ivfTopkRun(1)(s, dir), 5))
+        .unionByName(methodRecall("ivf_np4", ivfTopkRun(4)(s, dir), 5))
         .unionByName(methodRecall("ivfpq", ivfPqTopk.run(s, dir), 5))
         .unionByName(methodRecall("lsh", lshTopk.run(s, dir), 3))
         .unionByName(methodRecall("pq", pqTopk.run(s, dir), 5))
@@ -1189,6 +1203,8 @@ object SimilarityQueries {
       s"""
       WITH per_method AS (
         ${m("ivf", ivfTopk.oracle.get, 5)}
+        UNION ALL ${m("ivf_np1", ivfOracleSql(1), 5)}
+        UNION ALL ${m("ivf_np4", ivfOracleSql(4), 5)}
         UNION ALL ${m("ivfpq", ivfPqTopk.oracle.get, 5)}
         UNION ALL ${m("lsh", lshTopk.oracle.get, 3)}
         UNION ALL ${m("pq", pqTopk.oracle.get, 5)}
