@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output normally routes through sbt's logger, which
+// prefixes every stdout line with "[info] " — a downstream per-line
+// json.loads of the bench tail then fails on the one JSON line it
+// wants. StdoutOutput hands the forked JVM the parent process's streams
+// unmediated, so graft.Bench's contract line reaches stdout bare.
+// (Scoped to run only: forked TESTS keep the logger so test reporting
+// stays interleaved correctly.)
+// (runMain shares run's runner, so the one setting covers both —
+// verified: `sbt "runMain ..."` now emits the probe line bare.)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -11,22 +11,28 @@ import org.scalatest.funsuite.AnyFunSuite
   * the worst case (every query failed: longest names in the error list,
   * every headline median printed as null), so registry growth can never
   * silently re-break the contract.
+  *
+  * Parsing uses [[TinyJson]], not json4s: json4s is present only via
+  * Spark's unmanaged jar directory, and a test must not depend on an
+  * undeclared artifact of the Spark image (ADVICE r7 #1).
   */
 class BenchLineSpec extends AnyFunSuite {
   private val budget = 1800 // 2000-char tail minus sbt's trailing lines
 
-  private def line(results: Seq[(String, Option[Double])]): String =
+  private def line(results: Seq[(String, Option[Double])],
+      contended: Boolean = false): String =
     Bench.stdoutLine(
       results,
       headlineSet = QueryRegistry.all.filter(_.headline).map(_.name).toSet,
       loadAvgJson = "31.999",
       passesOut = "BENCH_PASSES.json",
       sfDir = "/root/testdata/sf0.1",
-      epochMs = 4102444800000L)
+      epochMs = 4102444800000L,
+      contended = contended)
 
-  test("worst case (all queries failed) fits the driver's tail window") {
+  test("worst case (all queries failed, contended) fits the driver's tail window") {
     val allFailed = QueryRegistry.all.map(_.name -> (None: Option[Double]))
-    val l = line(allFailed)
+    val l = line(allFailed, contended = true)
     assert(l.length <= budget, s"stdout line ${l.length} chars > $budget")
   }
 
@@ -37,32 +43,37 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("the line is valid JSON with the contract fields") {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
     val l = line(QueryRegistry.all.map(_.name -> Option(1.234)))
-    val j = JsonMethods.parse(l).asInstanceOf[JObject].obj.toMap
+    val j = TinyJson.parse(l).obj
     Seq("metric", "value", "unit", "queries", "sf").foreach(k =>
       assert(j.contains(k), s"stdout line lost contract field $k"))
-    val qs = j("queries").asInstanceOf[JObject].obj.map(_._1).toSet
+    val qs = j("queries").obj.keySet
     assert(qs == QueryRegistry.all.filter(_.headline).map(_.name).toSet,
       "stdout queries map must carry exactly the headline set")
   }
 
   test("errors_truncated flag appears exactly when the 8-item cap bites") {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
     val names = QueryRegistry.all.map(_.name)
     val manyFailed = line(names.map(_ -> (None: Option[Double])))
-    val jm = JsonMethods.parse(manyFailed).asInstanceOf[JObject].obj.toMap
-    assert(jm("errors").asInstanceOf[JArray].arr.size == 8)
-    assert(jm("errors_truncated") == JBool(true),
+    val jm = TinyJson.parse(manyFailed).obj
+    assert(jm("errors").arr.size == 8)
+    assert(jm("errors_truncated") == TinyJson.JBool(true),
       "capped error list must carry the in-band truncation flag")
-    assert(jm("n_errors") == JInt(names.size))
+    assert(jm("n_errors").num == names.size.toDouble)
     val fewFailed = line(names.map(n =>
       n -> (if (n == names.head) None else Option(1.0))))
-    val jf = JsonMethods.parse(fewFailed).asInstanceOf[JObject].obj.toMap
+    val jf = TinyJson.parse(fewFailed).obj
     assert(!jf.contains("errors_truncated"),
       "flag must be absent when the error list is complete")
+  }
+
+  test("contended flag is in-band only when set") {
+    val ok = QueryRegistry.all.map(_.name -> Option(1.0))
+    assert(!TinyJson.parse(line(ok)).obj.contains("contended"),
+      "quiet-box line must not carry the flag")
+    assert(TinyJson.parse(line(ok, contended = true))
+      .obj("contended") == TinyJson.JBool(true),
+      "mostly-contended run must flag the artifact in-band")
   }
 
   test("headline set stays bounded so the line can never outgrow the window") {
