@@ -41,11 +41,25 @@ final case class Tables(spark: SparkSession, dir: String) {
     * EventsSchemaSpec pins both layouts with committed fixture files.
     */
   def events: DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val reader = graft.core.Sessions.withConf(spark,
       "spark.sql.legacy.parquet.nanosAsLong" -> "true")
-    val raw = reader.read.parquet(s"$dir/events.parquet")
+    Tables.normalizeEventsTs(reader.read.parquet(s"$dir/events.parquet"))
+  }
+  def documents: DataFrame  = load("documents")
+  def embeddings: DataFrame = load("embeddings")
+}
+
+object Tables {
+  /** Normalize a probed `events` frame's `ts` column to session-TZ
+    * TimestampType at microsecond precision, whatever physical layout
+    * the file carries. Shared by the batch loader above and the
+    * streaming source (graft.streaming.StreamingQueries) so a third
+    * parquet layout is handled in exactly ONE place — the two copies
+    * had already started to diverge once (ADVICE r7).
+    */
+  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -56,6 +70,4 @@ final case class Tables(spark: SparkSession, dir: String) {
         s"events.ts: unsupported parquet type $other (expected INT64 nanos or timestamp)")
     }
   }
-  def documents: DataFrame  = load("documents")
-  def embeddings: DataFrame = load("embeddings")
 }

@@ -66,10 +66,20 @@ object EventStreams extends Serializable {
   def streamingWordCount(spark: org.apache.spark.sql.SparkSession,
       inputDir: String): DataFrame = {
     import spark.implicits._
-    spark.readStream
+    wordCount(spark.readStream
       .option("lineSep", " ")
       .text(inputDir)
-      .as[String]
+      .as[String])
+  }
+
+  /** The tokenize→parse→count core of [[streamingWordCount]], factored
+    * over any text source (streaming or batch) so the file-source
+    * pipeline above and the oracle-gated `mr_stream_wordcount` entry
+    * share one definition of the reference job's semantics.
+    */
+  def wordCount(text: Dataset[String]): DataFrame = {
+    import text.sparkSession.implicits._
+    text
       .flatMap(rec => graft.core.TokenFormat.tokenize(rec)
         .map(graft.core.TokenFormat.parse))
       .toDF("key", "word")

@@ -19,11 +19,23 @@ import org.apache.spark.sql.streaming.Trigger
   * the watermark has closed, and a finite file backlog never closes
   * the last window).
   *
-  * The memory sink materializes on the driver, so these entries are
-  * only registered for BOUNDED aggregates (hour×type cardinality —
-  * ~3.4k rows at sf0.1), the same bounded-collect contract as the ANN
-  * model aggregates (SCALE.md). A production deployment writes to a
-  * real sink; the memory sink is the oracle-comparison seam.
+  * The memory sink materializes on the driver. For `ev_stream_hourly`
+  * that is a bounded aggregate (hour×type cardinality — ~3.4k rows at
+  * sf0.1, the same bounded-collect contract as the ANN model
+  * aggregates, SCALE.md); the sessions and range-join outputs scale
+  * with the data, so for THOSE the memory sink is strictly the
+  * oracle-comparison seam at test SF — a production deployment writes
+  * every one of these to a real sink (Kafka/Delta/parquet), and
+  * EventStreamsSpec asserts a row cap so the seam cannot silently
+  * grow past what a driver can hold.
+  *
+  * State-store sizing: each stateful operator keeps one state store
+  * per shuffle partition per micro-batch. The backlog at test SF holds
+  * kilobytes of state, so the session-default 32 partitions buy
+  * nothing but fixed store-commit overhead (~7.6 s of the r7 bench was
+  * exactly this); the streaming entries therefore run through a child
+  * session with shuffle partitions sized to the backlog. A production
+  * deployment sizes this to rate × window the same way.
   *
   * Plan-lint note: `run` executes the stream eagerly and returns the
   * sink table (a local relation), so the query declares `eagerPlan` —
@@ -41,24 +53,23 @@ object StreamingQueries {
     * stream must tolerate both physical layouts for the same reason
     * the batch loader does — a lake holds mixed writer generations).
     */
+  /** Shuffle partitions (= state stores per stateful operator) for the
+    * streaming entries, sized to the test backlog; overridable for a
+    * deployment-scale run.
+    */
+  private def streamPartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val reader = graft.core.Sessions.withConf(s,
-      "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.shuffle.partitions" -> streamPartitions)
     val rawSchema = reader.read.parquet(s"$dir/events.parquet").schema
     val raw = reader.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    rawSchema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case TimestampType => raw
-      case other => throw new IllegalStateException(
-        s"events.ts: unsupported parquet type $other")
-    }
+    Tables.normalizeEventsTs(raw)
   }
 
   /** Run a streaming DataFrame to completion into a fresh memory-sink
@@ -67,18 +78,37 @@ object StreamingQueries {
     */
   private def runToTable(agg: DataFrame, mode: String = "complete"): DataFrame = {
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt").toString
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // the sink's temp view registers in the session that started the
-    // query — agg's (child) session, not necessarily the caller's
-    agg.sparkSession.table(name)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    try {
+      val q = agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // The sink's temp view registers in the session that started the
+      // query — agg's (child) session, not necessarily the caller's.
+      // Dataset construction analyzes eagerly, so the returned frame
+      // resolves to the sink's in-memory plan NOW; dropping the temp
+      // view right after keeps repeated bench passes (4-5 runs per
+      // query per round) from accumulating driver-pinned sink tables —
+      // the rows are freed with the returned DataFrame instead of
+      // living in the catalog forever.
+      val session = agg.sparkSession
+      val result = session.table(name)
+      session.catalog.dropTempView(name)
+      result
+    } finally {
+      // AvailableNow terminated above (or start failed): the
+      // checkpoint has no further reader, so a bench run must not
+      // litter one tmp dir per pass.
+      try {
+        import java.nio.file.Files
+        Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** [[EventStreams.hourlyAgg]] over the events backlog; oracle =
@@ -164,11 +194,20 @@ object StreamingQueries {
           max(sid) OVER (PARTITION BY user_id) AS max_sid
         FROM sess GROUP BY user_id, sid
       )
+      -- The timeout boundary is decided at MILLISECOND precision on
+      -- both sides, exactly as the engine decides it: the timeout
+      -- registers ceil'd to ms (sessionize sets
+      -- floorDiv(last_us+gap_us+999, 1000) — GroupState's API is
+      -- ms-resolution) and the event-time watermark floors to ms
+      -- (EventTimeStatsAccum collects max event time in ms) minus the
+      -- 10-minute delay; emission is strict `timeout < watermark`. An
+      -- oracle comparing at µs precision instead would disagree with
+      -- the engine for boundaries landing within 1 ms (ADVICE r7).
       SELECT user_id, session_start, session_end, n_events, total_value
       FROM per
       WHERE sid < max_sid
-         OR epoch(last_ts) + 1800 <
-            (SELECT epoch(max(ts)) FROM events) - 600
+         OR (epoch_us(last_ts) + 1800000000 + 999) // 1000 <
+            (SELECT epoch_us(max(ts)) FROM events) // 1000 - 600000
       ORDER BY user_id, session_start
     """),
     eagerPlan = Some((s, dir) => {
@@ -222,5 +261,55 @@ object StreamingQueries {
       graft.operators.Events.rangeJoin.run(s, dir)),
   )
 
-  def all: Seq[Query] = Seq(streamHourly, streamSessions, streamRangeJoin)
+  /** The reference's ONE shipped job — word count
+    * (`user/WordMapperServant.java:24-37`,
+    * `user/WordReducerServant.java:24-40`) — as an incremental stream
+    * under the oracle gate: the documents backlog arrives through a
+    * file source, each record runs the exact TokenFormat
+    * tokenize→parse semantics, and running counts fold in complete
+    * mode (per-micro-batch partial aggregation IS the reference's
+    * combiner, state = one long per word). This was the last streaming
+    * surface with only a parity spec and no CORRECTNESS row.
+    *
+    * The oracle replicates tokenize (split on space/newline runs) and
+    * the Java `String.split("\\|")` k|v parse — same clauses as
+    * `mr_tokenize`'s oracle, counted by parsed VALUE, which for the
+    * pipe-free documents corpus is the token itself.
+    */
+  val streamWordcount = Query(
+    "mr_stream_wordcount",
+    (s, dir) => {
+      val reader = graft.core.Sessions.withConf(s,
+        "spark.sql.shuffle.partitions" -> streamPartitions)
+      import reader.implicits._
+      val schema = reader.read.parquet(s"$dir/documents.parquet").schema
+      val docs = reader.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val counted = EventStreams.wordCount(docs.select(col("text")).as[String])
+      runToTable(counted).orderBy(col("word"))
+    },
+    oracle = Some("""
+      WITH parsed AS (
+        SELECT tok,
+          contains(tok, '|')
+            AND NOT regexp_matches(tok, '^[^|]*\|+$') AS is_kv
+        FROM (SELECT unnest(string_split_regex(text, '[ \n\r]+')) AS tok
+              FROM documents)
+        WHERE length(tok) > 0
+      )
+      SELECT CASE WHEN is_kv THEN split_part(tok, '|', 2) ELSE tok END AS word,
+             count(*) AS cnt
+      FROM parsed GROUP BY 1 ORDER BY 1
+    """),
+    eagerPlan = Some((s, dir) => {
+      import s.implicits._
+      EventStreams.wordCount(
+        Tables(s, dir).documents.select(col("text")).as[String])
+    }),
+  )
+
+  def all: Seq[Query] =
+    Seq(streamHourly, streamSessions, streamRangeJoin, streamWordcount)
 }

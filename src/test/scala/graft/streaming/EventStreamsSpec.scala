@@ -255,4 +255,22 @@ class EventStreamsSpec extends SparkSuite {
         s"session-count mismatch for users: ${mismatches.take(5)}")
     } finally q.stop()
   }
+
+  test("memory-sink seam stays driver-safe: unbounded-output streams honor a row cap") {
+    // StreamingQueries' contract: ev_stream_hourly is a bounded
+    // aggregate, but the sessions / range-join / wordcount outputs
+    // SCALE WITH DATA and use the memory sink only as the
+    // oracle-comparison seam at test SF (production writes to a real
+    // sink). This cap is the tripwire that keeps a testdata
+    // regeneration from silently turning the seam into a driver-OOM
+    // path: sf0.001 outputs sit orders of magnitude below it, so
+    // tripping it means the data's shape changed out from under the
+    // contract and the seam needs rethinking, not raising the cap.
+    val cap = 200000L
+    for (name <- Seq("ev_stream_sessions", "ev_stream_range_join",
+        "mr_stream_wordcount")) {
+      val n = graft.QueryRegistry.byName(name).run(spark, sf("sf0.001")).count()
+      assert(n < cap, s"$name memory-sink seam grew to $n rows (cap $cap)")
+    }
+  }
 }
