@@ -52,6 +52,15 @@ object GraftExtensions {
     ("byte_mean",
       new ExpressionInfo(classOf[ByteMean].getName, "byte_mean"),
       exprs => ByteMean(exprs.head)),
+    // aggregate: the analyzer wraps a bare AggregateFunction in
+    // AggregateExpression during resolution, same as built-in aggs
+    ("space_saving_topk",
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "space_saving_topk"),
+      exprs => {
+        require(exprs.length == 2,
+          "space_saving_topk(term, capacity) takes 2 arguments")
+        SpaceSavingTopK(exprs.head, intArg(exprs(1), "capacity"))
+      }),
     ("l2_norm",
       new ExpressionInfo(classOf[L2Norm].getName, "l2_norm"),
       exprs => L2Norm(exprs.head)),

@@ -1099,7 +1099,64 @@ object DedupQueries {
     headline = true,
   )
 
+  /** Decontamination at the scale where the eval-gram set no longer
+    * broadcasts as an exact set: [[decontaminate]] ships every distinct
+    * benchmark gram to every task, which works while benchmarks are
+    * MBs; a contaminated-crawl sweep against a large eval suite is
+    * GBs of grams. This variant broadcasts a BITSET instead — a Bloom
+    * filter built over `xxhash64(gram)` (built distributedly by
+    * `DataFrameStatFunctions.bloomFilter`'s tree aggregation) — and
+    * wires Spark's own codegen'd runtime-filter probe
+    * ([[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]],
+    * the expression AQE injects for runtime shuffle pruning) into the
+    * corpus-side scan as a static pre-filter. False positives are then
+    * removed by the SAME exact join as [[decontaminate]], but over the
+    * pruned candidate stream (≈ hit rate + 1% fpp of corpus grams, not
+    * all of them); false negatives don't exist, so the result — and
+    * the oracle — are IDENTICAL to the exact variant. The join side
+    * stays un-hinted: at test SF AQE broadcasts it; at 100 TB it
+    * becomes a shuffle join whose left input the bloom already cut by
+    * ~99%.
+    */
+  val bloomDecontaminate = Query(
+    "dd_bloom_decontaminate",
+    (s, dir) => {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(
+        d.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val grams = spread(corpus)
+        .select(col("doc_id"),
+          explode(graft.functions.HashFunctions.shingleHash32(col("text"), 8))
+            .as("h"))
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("h")).distinct()
+      val nBench = bench.count() // bounded: a count, sizes the filter
+      val bf = bench.select(xxhash64(col("h")).as("x"))
+        .stat.bloomFilter("x", math.max(nBench, 1L), 0.01)
+      val bfBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos); bos.toByteArray
+      }
+      val mightContain = graft.functions.Exprs.toColumn(
+        BloomFilterMightContain(
+          Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
+          // seed 42 = functions.xxhash64's, matching the build side
+          XxHash64(Seq(graft.functions.Exprs.toExpr(col("h"))), 42L)))
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .filter(mightContain) // bitset probe rides the scan, codegen'd
+        .join(bench, "h") // exact confirm over survivors only
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    // no false negatives + exact confirm ⇒ the exact variant's oracle
+    oracle = decontaminate.oracle,
+  )
+
   def all: Seq[Query] =
     Seq(exact, dupStats, minhashLsh, minhashCdc, simhash, ngramJaccard,
-      cleanCorpus, dupPassages, dupClusters, decontaminate, incrementalDedup)
+      cleanCorpus, dupPassages, dupClusters, decontaminate,
+      bloomDecontaminate, incrementalDedup)
 }

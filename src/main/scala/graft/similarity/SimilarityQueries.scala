@@ -591,6 +591,69 @@ object SimilarityQueries {
     oracle = ivfTopk.oracle,
   )
 
+  /** The shared deterministic k-means-8 trainer (seeds = first k
+    * vectors, two Lloyd iterations, centroid components quantized to
+    * 3 dp floats so both engines agree bit-for-bit) — the model behind
+    * [[kmeans]] and [[semanticDedup]]. Each Lloyd pass is one narrow
+    * corpus scan with the `greatest()`-codegen'd argmax over literal
+    * centroids ([[scoreStructs]]) + a k×dim partial-agg shuffle; the
+    * model (k×dim floats) is the only thing ever collected.
+    */
+  private[similarity] def trainKmeans8(e: DataFrame): Seq[(Int, Array[Float])] = {
+    val K = 8
+    def lloyd(cents: Seq[(Int, Array[Float])]): Seq[(Int, Array[Float])] = {
+      val avgs = (1 to Dim).map(i =>
+        avg(element_at(col("embedding"), i)).as(s"m_$i"))
+      e.select(argmaxCell(cents).as("cid"), col("embedding"))
+        .groupBy(col("cid"))
+        .agg(avgs.head, avgs.tail: _*)
+        .select(col("cid"), array((1 to Dim).map(i =>
+          round(col(s"m_$i"), 3).cast("float")): _*).as("cv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+        .sortBy(_._1)
+    }
+    val seeds: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+      .sortBy(_._1)
+    lloyd(lloyd(seeds))
+  }
+
+  /** The oracle-side twin of [[trainKmeans8]]: DuckDB CTE prefix
+    * `seeds, a1, c1, a2, c2` where `c2` is the trained (cid, cv) model
+    * — shared verbatim by the `ss_kmeans` and `dd_semantic` oracles so
+    * one SQL text trains the one model.
+    */
+  private[similarity] def kmeansAssignSql(rel: String, centsRel: String,
+      n: Int): String = s"""
+        SELECT vec_id, embedding, cid, ccos FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+            ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos,
+            row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY ${cosineSqlExpr2("e.embedding", "c.cv")} DESC,
+                                        c.cid DESC) AS rk
+          FROM $rel e, $centsRel c) a$n WHERE rk = 1"""
+
+  private[similarity] def kmeansMeansSql(assignRel: String): String = s"""
+        SELECT cid, list_transform(list(round(m, 3) ORDER BY pos),
+                                   x -> x::FLOAT) AS cv
+        FROM (
+          SELECT cid, i.pos, avg(embedding[i.pos]) AS m
+          FROM $assignRel CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) i
+          GROUP BY 1, 2)
+        GROUP BY cid"""
+
+  private[similarity] def kmeansModelCtes: String = s"""
+      seeds AS (
+        SELECT vec_id::INT AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id < 8
+      ), a1 AS (${kmeansAssignSql("embeddings", "seeds", 1)}),
+      c1 AS (${kmeansMeansSql("a1")}),
+      a2 AS (${kmeansAssignSql("embeddings", "c1", 2)}),
+      c2 AS (${kmeansMeansSql("a2")})"""
+
   /** Embedding k-means clustering (k=8, cosine assignment, two seeded
     * Lloyd iterations) — the clustering stage of semantic dedup / domain
     * discovery over a training corpus. Deterministic end-to-end: seeds
@@ -600,78 +663,96 @@ object SimilarityQueries {
     * with ties to the higher cell id. Output: per-cluster membership
     * count and mean cosine-to-centroid (cohesion).
     *
-    * Same scale/codegen shape as [[ivfTopk]]: each Lloyd pass is one
-    * narrow corpus scan with a `greatest()`-codegen'd argmax over
-    * literal centroids + a k×dim partial-agg shuffle; the model (k×dim
-    * floats) is the only thing ever collected.
+    * Same scale/codegen shape as [[ivfTopk]] — see [[trainKmeans8]].
     */
   val kmeans = Query(
     "ss_kmeans",
     (s, dir) => {
       val e = Tables(s, dir).embeddings
-      val Dim = 64
-      val K = 8
       def bestCell(cents: Seq[(Int, Array[Float])]): Column =
-        greatest(cents.map { case (cid, cv) =>
-          struct(
-            VectorFunctions.cosineSim(col("embedding"), typedLit(cv))
-              .as("ccos"),
-            lit(cid).as("cid"))
-        }: _*)
-      def lloyd(cents: Seq[(Int, Array[Float])]): Seq[(Int, Array[Float])] = {
-        val avgs = (1 to Dim).map(i =>
-          avg(element_at(col("embedding"), i)).as(s"m_$i"))
-        e.select(bestCell(cents).getField("cid").as("cid"), col("embedding"))
-          .groupBy(col("cid"))
-          .agg(avgs.head, avgs.tail: _*)
-          .select(col("cid"), array((1 to Dim).map(i =>
-            round(col(s"m_$i"), 3).cast("float")): _*).as("cv"))
-          .collect()
-          .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
-          .sortBy(_._1)
-      }
-      val seeds: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < K)
-        .select(col("vec_id").cast("int"), col("embedding"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
-        .sortBy(_._1)
-      val model = lloyd(lloyd(seeds))
+        greatest(scoreStructs(cents): _*)
+      val model = trainKmeans8(e)
       e.select(bestCell(model).as("best"))
         .select(col("best.cid").as("cluster"), col("best.ccos").as("ccos"))
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"), round(avg(col("ccos")), 4).as("avg_cos"))
         .orderBy(col("cluster"))
     },
-    oracle = Some {
-      def assignSql(centsRel: String, n: Int) = s"""
-        SELECT vec_id, embedding, cid, ccos FROM (
-          SELECT e.vec_id, e.embedding, c.cid,
-            ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos,
-            row_number() OVER (PARTITION BY e.vec_id
-                               ORDER BY ${cosineSqlExpr2("e.embedding", "c.cv")} DESC,
-                                        c.cid DESC) AS rk
-          FROM embeddings e, $centsRel c) a$n WHERE rk = 1"""
-      def meansSql(assignRel: String) = s"""
-        SELECT cid, list_transform(list(round(m, 3) ORDER BY pos),
-                                   x -> x::FLOAT) AS cv
-        FROM (
-          SELECT cid, i.pos, avg(embedding[i.pos]) AS m
-          FROM $assignRel CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) i
-          GROUP BY 1, 2)
-        GROUP BY cid"""
-      s"""
-      WITH seeds AS (
-        SELECT vec_id::INT AS cid, embedding AS cv FROM embeddings
-        WHERE vec_id < 8
-      ), a1 AS (${assignSql("seeds", 1)}),
-      c1 AS (${meansSql("a1")}),
-      a2 AS (${assignSql("c1", 2)}),
-      c2 AS (${meansSql("a2")}),
-      a3 AS (${assignSql("c2", 3)})
+    oracle = Some(s"""
+      WITH ${kmeansModelCtes},
+      a3 AS (${kmeansAssignSql("embeddings", "c2", 3)})
       SELECT cid AS cluster, count(*) AS n, round(avg(ccos), 4) AS avg_cos
       FROM a3 GROUP BY 1 ORDER BY 1
-      """
+      """),
+  )
+
+  /** Semantic (SemDeDup-style) near-duplicate pruning: cluster the
+    * corpus with the SAME deterministic k-means-8 model as
+    * [[kmeans]], then drop any document whose embedding has cosine
+    * ≥ 0.9 to a LOWER-id document in the same cell — pairwise cosine
+    * runs only WITHIN a cell, never across the corpus. Output: one row
+    * per dropped id with its cell, the kept representative it matched
+    * best (ties to the lower keeper id), and that cosine. On the
+    * planted-duplicate corpus ([[nearDupCorpus]]) every planted copy
+    * lands in its original's cell (identical vectors assign
+    * identically) and surfaces at cos = 1.
+    *
+    * This is the cluster-then-prune scale shape of SemDeDup
+    * (Abbas et al., 2023): at 100 TB, k grows with the corpus so cell
+    * populations stay bounded (k ≈ N/target-cell-size), making the
+    * within-cell pairing cost O(N × cell) rather than O(N²); the model
+    * stays a bounded k×dim literal set riding the scan, and the only
+    * shuffle is the equi-join on the cell key. The adversarial-skew
+    * variant of the same idea — a hot-bucket cap forced by spec — is
+    * [[graft.dedup.DedupQueries]]'s LSH band cap; kept distinct here
+    * because SemDeDup's contract is "k absorbs the mass", not "drop
+    * the hot cell".
+    */
+  val semanticDedup = Query(
+    "dd_semantic",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val model = trainKmeans8(t.embeddings)
+      val corpus = nearDupCorpus(t)
+      val assigned = corpus.select(col("vec_id"), col("embedding"),
+        argmaxCell(model).as("cell"))
+      val pairs = assigned.as("a")
+        .join(assigned.as("b"), col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"), col("a.cell").as("cell"),
+          col("a.vec_id").as("keep_id"),
+          VectorFunctions.cosineSim(col("a.embedding"), col("b.embedding"))
+            .as("cs"))
+        .filter(col("cs") >= 0.9) // only survivors reach the window
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("keep_id"))
+      pairs
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell"), col("keep_id").as("kept_by"),
+          round(col("cs"), 4).as("cos"))
+        .orderBy(col("vec_id"))
     },
+    oracle = Some(s"""
+      WITH ${kmeansModelCtes},
+      corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        WHERE vec_id < 25
+      ), a3 AS (${kmeansAssignSql("corpus", "c2", 3)}),
+      pairs AS (
+        SELECT a.vec_id AS keep_id, b.vec_id AS vec_id, a.cid AS cell,
+               ${cosineSqlExpr2("a.embedding", "b.embedding")} AS cs
+        FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      ), hits AS (
+        SELECT vec_id, cell, keep_id, cs,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cs DESC, keep_id) AS rk
+        FROM pairs WHERE cs >= 0.9)
+      SELECT vec_id, cell, keep_id AS kept_by, round(cs, 4) AS cos
+      FROM hits WHERE rk = 1 ORDER BY vec_id
+      """),
   )
 
   /** Per-label vector statistics: counts, norm ranges, and the norm of
@@ -1334,5 +1415,5 @@ object SimilarityQueries {
 
   def all: Seq[Query] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, pqTopk, ivfPqTopk, kmeans,
-      cosineNearDup, vectorStats, quantize, coverage, recall)
+      cosineNearDup, semanticDedup, vectorStats, quantize, coverage, recall)
 }

@@ -1121,8 +1121,52 @@ object TextQueries {
     """),
   )
 
+  /** Corpus heavy hitters via the [[graft.functions.SpaceSavingTopK]]
+    * mergeable sketch — the bounded-memory twin of [[vocab]]. The
+    * exact top-25 ([[vocab]]) must shuffle every distinct token to
+    * rank it; this folds each partition's tokens into a 64-entry
+    * Space-Saving summary (map-side, inside partial aggregation),
+    * shuffles only `64 × tasks` summary rows to a single merge, and
+    * reports the top 10 with per-entry overestimate bounds. At 100 TB
+    * with a real (billions-distinct) vocabulary the group-by's shuffle
+    * is the bottleneck and the sketch's N/capacity error is the price;
+    * on the test corpus the vocabulary (31 terms) fits the summary, so
+    * no eviction ever fires, counts are EXACT and err = 0 — which is
+    * precisely what the oracle pins (an `err ≠ 0` regression means the
+    * sketch evicted when it must not have). The eviction regime's
+    * guarantees are asserted in SketchSpec.
+    */
+  val heavyHitters = Query(
+    "tx_heavy_hitters",
+    (s, dir) => {
+      val sk = Tables(s, dir).documents
+        .select(explode(toks(col("text"))).as("term"))
+        .agg(graft.functions.SketchFunctions.spaceSavingTopK(col("term"), 64)
+          .as("sk"))
+      // ≤ capacity rows from here on — the window is bounded by construction
+      val ord = Window.orderBy(col("cnt").desc, col("term"))
+      sk.select(explode(col("sk")).as("e"))
+        .select(col("e.term").as("term"), col("e.cnt").as("cnt"),
+          col("e.err").as("err"))
+        .withColumn("rk", row_number().over(ord))
+        .filter(col("rk") <= 10)
+        .select(col("rk"), col("term"), col("cnt"), col("err"))
+        .orderBy(col("rk"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT unnest(list_filter(string_split(text, ' '),
+                      x -> length(x) > 0)) AS term
+        FROM documents
+      ), g AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+      SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rk,
+             term, cnt::BIGINT AS cnt, 0::BIGINT AS err
+      FROM g ORDER BY cnt DESC, term LIMIT 10
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
-    filterFunnel, vocab, pack, chunks)
+    filterFunnel, vocab, pack, chunks, heavyHitters)
 }

@@ -75,6 +75,19 @@ class SimilaritySpec extends SparkSuite {
     assert(planted.forall(r => math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9))
   }
 
+  test("dd_semantic drops exactly the planted duplicates, co-located with their originals") {
+    val got = QueryRegistry.byName("dd_semantic")
+      .run(spark, sf("sf0.001")).collect()
+    // every planted copy (vec_id+100000) shares its original's learned
+    // cell (identical vectors assign identically) and matches it at
+    // cos=1; the synthetic corpus has no other within-cell pair ≥ 0.9
+    assert(got.length == 25, s"expected the 25 planted dups, got ${got.length}")
+    assert(got.forall(r =>
+      r.getAs[Long]("kept_by") == r.getAs[Long]("vec_id") - 100000L),
+      "a planted dup was kept by something other than its original")
+    assert(got.forall(r => math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9))
+  }
+
   test("bucketed near-dup recall vs the brute-force baseline") {
     val t = graft.Tables(spark, sf("sf0.001"))
     // brute pairs is the spec-only O(n²) baseline; the registered query

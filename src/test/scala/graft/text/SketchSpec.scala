@@ -1,0 +1,82 @@
+package graft.text
+
+import graft.{QueryRegistry, SparkSuite, Tables}
+import graft.functions.SketchFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** [[graft.functions.SpaceSavingTopK]] — both regimes:
+  *
+  *  - exact (capacity ≥ distinct terms): the registered
+  *    `tx_heavy_hitters` must agree with the exact group-by, err = 0;
+  *  - eviction (capacity < distinct terms): the Space-Saving
+  *    guarantees must hold through DISTRIBUTED partial/merge — every
+  *    reported count sandwiches the true count
+  *    (cnt − err ≤ true ≤ cnt) and the corpus's true top term
+  *    survives in the summary.
+  */
+class SketchSpec extends SparkSuite {
+
+  private def terms = Tables(spark, sf("sf0.001")).documents
+    .select(explode(filter(split(col("text"), " "),
+      t => length(t) > 0)).as("term"))
+
+  private def trueCounts: Map[String, Long] =
+    terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("tx_heavy_hitters == exact top-10 with err = 0 (capacity ≥ vocab)") {
+    val got = QueryRegistry.byName("tx_heavy_hitters")
+      .run(spark, sf("sf0.001")).collect()
+    val exact = trueCounts.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+    assert(got.length == exact.length)
+    got.zip(exact).zipWithIndex.foreach { case ((row, (t, c)), i) =>
+      assert(row.getAs[Int]("rk") == i + 1)
+      assert(row.getAs[String]("term") == t, s"rank ${i + 1}")
+      assert(row.getAs[Long]("cnt") == c, s"term $t")
+      assert(row.getAs[Long]("err") == 0L, s"term $t evicted unexpectedly")
+    }
+  }
+
+  test("eviction regime: sandwich bound + heavy-hitter retention across a forced merge") {
+    // the doc corpus's 31 terms are near-uniform (none exceeds the
+    // N/capacity retention threshold), so plant one true heavy hitter
+    // on top: Space-Saving only GUARANTEES retention above N/m
+    val stream = terms.unionAll(
+      spark.range(10000).select(lit("hot_term").as("term")))
+    val truth = stream.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(truth.size > 8, "test needs vocabulary > capacity")
+    val summary = stream.repartition(8) // force 8 partials + a real merge
+      .agg(SketchFunctions.spaceSavingTopK(col("term"), 8).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(summary.length == 8, "saturated summary must hold exactly capacity entries")
+    summary.foreach { case (t, cnt, err) =>
+      val tr = truth.getOrElse(t, 0L)
+      assert(tr <= cnt, s"$t: reported $cnt underestimates true $tr")
+      assert(cnt - err <= tr, s"$t: lower bound ${cnt - err} exceeds true $tr")
+    }
+    val n = truth.valuesIterator.sum
+    assert(truth("hot_term") > n / 8, "planted hitter must clear N/m")
+    assert(summary.exists(_._1 == "hot_term"),
+      "true heavy hitter hot_term lost by the sketch")
+  }
+
+  test("SQL surface: space_saving_topk agrees with the Column API") {
+    graft.GraftExtensions.register(spark)
+    terms.createOrReplaceTempView("sketch_terms")
+    try {
+      val viaSql = spark.sql(
+        "SELECT space_saving_topk(term, 64) AS sk FROM sketch_terms")
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term"), col("e.cnt"), col("e.err")).collect().toSeq
+      val viaCol = terms
+        .agg(SketchFunctions.spaceSavingTopK(col("term"), 64).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term"), col("e.cnt"), col("e.err")).collect().toSeq
+      assert(viaSql == viaCol)
+    } finally spark.catalog.dropTempView("sketch_terms")
+  }
+}
