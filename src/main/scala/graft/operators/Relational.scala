@@ -874,9 +874,56 @@ object Relational {
     """),
   )
 
+  /** Z-order (Morton) multi-dimensional clustering audit — the
+    * data-skipping layout op for the lake: interleave the bits of two
+    * query dimensions (customer, order day) so that CONTIGUOUS ranges
+    * of the z-value map to small rectangles in (customer × day) space,
+    * then report per-z-range occupancy and the min/max envelope of
+    * BOTH dimensions. A single-dimension sort bounds one dimension per
+    * file and leaves the other spanning the full domain; the z-curve
+    * bounds both at once (~255 of 1,500 customers AND ~255 of ~2,400
+    * days per 2^16 z-range at sf0.01), which is what lets a scan over
+    * files laid out in z-order prune on EITHER predicate — see
+    * [[ZOrder.writeZOrdered]] for the write side and ZOrderSpec for
+    * the measured skipping effect. The bit-spread is the classic
+    * shift-or-mask Morton spread, identical integer ops on both
+    * engines, so the oracle is exact.
+    */
+  val qZorderLayout = Query(
+    "q_zorder_layout",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      val z = ZOrder.zval2(col("o_custkey"), day)
+      o.select(col("o_custkey"), col("o_orderdate"), z.as("zval"))
+        .groupBy(shiftright(col("zval"), 16).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_ck"),
+          max(col("o_custkey")).as("max_ck"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_d"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_d"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some(s"""
+      WITH z AS (
+        SELECT o_custkey, o_orderdate,
+          (${ZOrder.spread16Sql("o_custkey")} |
+           (${ZOrder.spread16Sql(
+      "datediff('day', DATE '1992-01-01', o_orderdate)")} << 1)) AS zval
+        FROM orders)
+      SELECT (zval >> 16) AS bucket, count(*) AS n,
+        min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+        strftime(min(o_orderdate), '%Y-%m-%d') AS min_d,
+        strftime(max(o_orderdate), '%Y-%m-%d') AS max_d
+      FROM z GROUP BY 1 ORDER BY 1
+    """),
+  )
+
   def all: Seq[Query] = Seq(
     q1, q3, q5, q4, q6, qRollup, qCube, qGroupingSets, qWindowTopk,
     qWindowRunning, qWindowMisc, qDatetime, qStringFuncs, qDistinct,
     qSetOps, qAntiJoin, qSubquery, qHaving, qFullOuter, qCorrelated,
-    qPivot, qApproxDistinct, qProfile, qHistogram, qPercentiles)
+    qPivot, qApproxDistinct, qProfile, qHistogram, qPercentiles,
+    qZorderLayout)
 }

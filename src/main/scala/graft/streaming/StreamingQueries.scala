@@ -310,6 +310,71 @@ object StreamingQueries {
     }),
   )
 
+  /** [[DocumentStreams.cleanStream]] — ingestion-time corpus hygiene
+    * (quality gate + exact content dedup within the watermark) — under
+    * the oracle gate, over the documents backlog with planted
+    * duplicate arrivals (every 13th doc re-arrives under a shifted
+    * id). Determinism through the gate despite racy intra-batch
+    * arrival order: `dropDuplicatesWithinWatermark` keeps the first
+    * PROCESSED copy, which is not deterministic across partitions —
+    * but the emitted columns (content_md5, n_tokens) are
+    * content-derived and therefore identical across copies, so WHICH
+    * copy survived cannot change the output. Ingest timestamps are
+    * synthesized as base + (doc_id mod 300) seconds so the whole
+    * backlog sits inside the 10-minute horizon at every SF — dedup is
+    * total, matching the batch oracle; a live deployment's horizon
+    * bounds state by rate × window exactly as documented on
+    * [[DocumentStreams]].
+    */
+  val streamClean = Query(
+    "dd_stream_clean",
+    (s, dir) => {
+      val reader = graft.core.Sessions.withConf(s,
+        "spark.sql.shuffle.partitions" -> streamPartitions)
+      val schema = reader.read.parquet(s"$dir/documents.parquet").schema
+      val docs = reader.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val arrivals = docs.unionAll(
+        docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .withColumn("ingest_ts", expr(
+          "timestamp'2026-01-01 00:00:00' + " +
+            "make_interval(0, 0, 0, 0, 0, 0, doc_id % 300)"))
+      runToTable(DocumentStreams.cleanStream(arrivals), "append")
+        .select(col("content_md5"), col("n_tokens"))
+        .orderBy(col("content_md5"))
+    },
+    oracle = Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id % 13 = 0
+      ), gated AS (
+        SELECT md5(text) AS content_md5,
+          len(list_filter(string_split(text, ' '),
+              x -> length(x) > 0)) AS n_tokens
+        FROM corpus)
+      SELECT DISTINCT content_md5, n_tokens
+      FROM gated WHERE n_tokens BETWEEN 10 AND 2000
+      ORDER BY content_md5
+    """),
+    eagerPlan = Some((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val toksC = filter(split(col("text"), " "), t => length(t) > 0)
+      d.unionAll(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .withColumn("n_tokens", size(toksC))
+        .filter(col("n_tokens").between(10, 2000))
+        .withColumn("content_md5", md5(col("text")))
+        .dropDuplicates("content_md5")
+    }),
+  )
+
   def all: Seq[Query] =
-    Seq(streamHourly, streamSessions, streamRangeJoin, streamWordcount)
+    Seq(streamHourly, streamSessions, streamRangeJoin, streamWordcount,
+      streamClean)
 }
