@@ -16,10 +16,12 @@ import graft.functions._
   *    session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -97,9 +99,22 @@ object GraftExtensions {
   )
 
   /** Register all graft functions on a live session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    ensureStrategies(spark)
+  }
+
+  /** Plan graft's custom logical operators ([[graft.plans.TopKStrategy]])
+    * on a live session — `experimental.extraStrategies` is the
+    * documented runtime seam; the config path is
+    * `injectPlannerStrategy` in [[GraftExtensions]]. Idempotent.
+    */
+  def ensureStrategies(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies = cur :+ graft.plans.TopKStrategy
+  }
 }

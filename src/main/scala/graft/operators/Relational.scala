@@ -920,10 +920,48 @@ object Relational {
     """),
   )
 
+  /** Top-3 orders per customer through the CUSTOM [[graft.plans.TopKPerGroup]]
+    * operator (logical node + strategy + two-phase physical heaps) —
+    * same declared semantics as the `row_number ≤ k` window pattern
+    * ([[qWindowTopk]] et al.) but without shuffling or sorting
+    * non-survivors: each scan partition forwards at most k rows per
+    * group, the exchange moves only those, the final heaps merge per
+    * group. The rank column is assigned AFTER the operator by a window
+    * over ≤ k rows per group — partitioned, bounded by construction.
+    * Ordering (o_totalprice DESC, o_orderkey ASC) is total, so the
+    * result is deterministic and the oracle exact; TopKSpec proves
+    * row-parity with the window formulation and pins the plan (no
+    * WindowExec / SortExec below the final operator).
+    */
+  val qGroupTopk = Query(
+    "q_group_topk",
+    (s, dir) => {
+      val top = graft.plans.TopK.perGroup(
+        Tables(s, dir).orders,
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      top.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rk"))
+    },
+    oracle = Some("""
+      SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders) WHERE rk <= 3
+      ORDER BY o_custkey, rk
+    """),
+  )
+
   def all: Seq[Query] = Seq(
     q1, q3, q5, q4, q6, qRollup, qCube, qGroupingSets, qWindowTopk,
     qWindowRunning, qWindowMisc, qDatetime, qStringFuncs, qDistinct,
     qSetOps, qAntiJoin, qSubquery, qHaving, qFullOuter, qCorrelated,
     qPivot, qApproxDistinct, qProfile, qHistogram, qPercentiles,
-    qZorderLayout)
+    qZorderLayout, qGroupTopk)
 }
