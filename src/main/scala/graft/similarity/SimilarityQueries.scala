@@ -51,13 +51,10 @@ object SimilarityQueries {
         .join(broadcast(queries), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
           VectorFunctions.cosineSim(col("qv"), col("embedding")).as("cos"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nid"))
-      scored
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 4).as("cos"))
-        .orderBy(col("qid"), col("rk"))
+      // "brute" = every pair is scored; the RANKING tail still has no
+      // business sorting corpus×queries rows — bounded heaps forward
+      // only the per-partition top-5 (see topKRankTail)
+      topKRankTail(scored)
     },
     oracle = Some(s"""
       WITH scored AS (
@@ -334,11 +331,29 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         VectorFunctions.cosineSim(col("qv"), col("embedding")).as("cos"))
+    topKRankTail(cand)
+  }
+
+  /** The shared ranking tail: top-5 per query through the custom
+    * [[graft.plans.TopKPerGroup]] operator — the scored stream is
+    * corpus-shaped (all pairs for the brute baseline, probed-cells ×
+    * queries for IVF), and the window formulation would shuffle and
+    * fully sort ALL of it per query partition before discarding
+    * everything past rank 5. The operator forwards ≤ 5 rows per
+    * (query, partition) from bounded heaps, so the exchange carries
+    * only survivors; rank assignment afterwards is a window over ≤ 5
+    * rows per query — bounded by construction. (cos DESC, nid ASC) is
+    * a total order, so rows and ranks are identical to the window
+    * formulation (TopKSpec proves the general parity; the gate hashes
+    * pin these queries specifically).
+    */
+  private[similarity] def topKRankTail(cand: DataFrame): DataFrame = {
+    val top = graft.plans.TopK.perGroup(cand, Seq("qid"),
+      Seq("cos" -> false, "nid" -> true), 5)
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
-    cand
+    top
       .withColumn("rk", row_number().over(wRank))
-      .filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("nid"), round(col("cos"), 4).as("cos"))
       .orderBy(col("qid"), col("rk"))
   }
