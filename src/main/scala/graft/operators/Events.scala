@@ -329,6 +329,43 @@ object Events {
     """),
   )
 
+  /** [[Skew.saltedJoin]] under the oracle gate: events (big side,
+    * skewed — a handful of hot `event_type` keys carry everything)
+    * joined to a per-type dimension through the deterministic salt
+    * protocol, then rolled up. At 100 TB a plain shuffle join on a
+    * 5-value key sends each hot key to ONE reducer; the salt spreads
+    * every hot key over `nSalts` tasks at the cost of replicating the
+    * (tiny) dim side nSalts×. The oracle is the UNSALTED join — the
+    * gate proves the protocol is invisible to semantics. The dim-
+    * derived column flows through the aggregate so a broken join
+    * cannot hash-pass; `avg_value` is the type's dim value (one dim
+    * row per type joined to every event of the type).
+    */
+  val skewJoin = Query(
+    "ev_skew_join",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val dim = e.groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 4).as("type_avg"))
+      Skew.saltedJoin(e, dim, "event_type", col("event_id"), nSalts = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") * col("type_avg")), 2).as("weighted"),
+          min(col("type_avg")).as("avg_value"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      WITH dim AS (
+        SELECT event_type, round(avg(value), 4) AS type_avg
+        FROM events GROUP BY 1)
+      SELECT e.event_type, count(*) AS n,
+             round(sum(e.value * d.type_avg), 2) AS weighted,
+             min(d.type_avg) AS avg_value
+      FROM events e JOIN dim d USING (event_type)
+      GROUP BY 1 ORDER BY 1
+    """),
+  )
+
   def all: Seq[Query] = Seq(hourly, sessionize, dailyActive, funnel,
-    jsonProps, asofJoin, rangeJoin, sessionWindow, retention)
+    jsonProps, asofJoin, rangeJoin, sessionWindow, retention, skewJoin)
 }

@@ -310,6 +310,54 @@ object StreamingQueries {
     }),
   )
 
+  /** [[EventStreams.enrich]] — stream–static broadcast join under the
+    * oracle gate: the events stream joins the static customer→nation
+    * dimension (re-resolved per micro-batch, broadcast, zero stream
+    * state) and rolls up per nation. This was the last join class
+    * (batch, stream-stream, stream-static) without a CORRECTNESS row.
+    *
+    * The dimension sits in the same child session as the stream so the
+    * per-batch join plans locally; output is bounded (≤ nations), so
+    * the memory sink holds a true aggregate, like `ev_stream_hourly`.
+    */
+  val streamEnrich = Query(
+    "ev_stream_enrich",
+    (s, dir) => {
+      val ev = eventsStream(s, dir)
+      val child = ev.sparkSession
+      val t = Tables(child, dir)
+      val dim = t.customer
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+        .join(t.nation.select(col("n_nationkey").as("c_nationkey"),
+          col("n_name")), "c_nationkey")
+        .select(col("user_id"), col("n_name"))
+      val agg = EventStreams.enrich(ev, dim, "user_id")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+      runToTable(agg).orderBy(col("n_name"))
+    },
+    oracle = Some("""
+      SELECT n.n_name, count(*) AS n, round(sum(e.value), 2) AS total_value
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1 ORDER BY 1
+    """),
+    eagerPlan = Some((s, dir) => {
+      val t = Tables(s, dir)
+      val dim = t.customer
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+        .join(t.nation.select(col("n_nationkey").as("c_nationkey"),
+          col("n_name")), "c_nationkey")
+        .select(col("user_id"), col("n_name"))
+      t.events.join(broadcast(dim), "user_id")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+  )
+
   /** [[DocumentStreams.cleanStream]] — ingestion-time corpus hygiene
     * (quality gate + exact content dedup within the watermark) — under
     * the oracle gate, over the documents backlog with planted
@@ -376,5 +424,5 @@ object StreamingQueries {
 
   def all: Seq[Query] =
     Seq(streamHourly, streamSessions, streamRangeJoin, streamWordcount,
-      streamClean)
+      streamEnrich, streamClean)
 }
