@@ -69,12 +69,37 @@ object Maintenance {
     try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Reduce to one row per `key`, keeping the row with the LARGEST
+    * `newestBy` tuple (lexicographic) — `max_by` over structs, a plain
+    * hash aggregate, no window/sort. `newestBy` must totally order rows
+    * within a key (include a unique tie-break) or the winner is
+    * nondeterministic.
+    */
+  private def keepNewest(df: DataFrame, key: String,
+      newestBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    val cols = df.columns.toSeq
+    df.groupBy(col(key))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(newestBy.map(col): _*)).as("__w"))
+      .select(cols.map(c => col("__w." + c).as(c)): _*)
+  }
+
   /** Key-based upsert (MERGE) into a parquet directory: incoming rows
     * replace existing rows with the same key, new keys append — the
     * nightly-ingest primitive for a lake without a table format.
     * MERGE semantics require at most one update row per key; duplicate
     * keys in `updates` fail loudly (the SQL MERGE "multiple source rows
     * match" error) instead of silently multiplying rows.
+    *
+    * With `newestBy` non-empty the MERGE becomes conditional
+    * (keep-newest): within each key the row with the largest `newestBy`
+    * tuple wins — across the existing rows AND the update batch — so
+    * applying batches out of order converges to the same state as
+    * in-order application (last-WRITTEN-wins would not), and in-batch
+    * duplicate keys reduce instead of erroring. This is the CDC
+    * materialization contract: `newestBy` is the source's event-time +
+    * unique tie-break, and replayed/reordered batches are idempotent.
     *
     * On a [[writeKeyBucketed]] layout the rewrite is PARTITION-PRUNED:
     * only the bucket directories whose hash range contains an updated
@@ -90,23 +115,29 @@ object Maintenance {
     * (Delta/Iceberg) the same logic is a metadata MERGE — this
     * implements the storage-level semantics.
     */
-  def upsertParquet(spark: SparkSession, dir: String, updates: DataFrame,
-      key: String): Unit = {
+  def upsertParquet(spark: SparkSession, dir: String, updates0: DataFrame,
+      key: String, newestBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{col, count, hash, lit, pmod}
-    val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).collect()
-    if (dup.nonEmpty)
-      throw new IllegalArgumentException(
-        s"upsertParquet: duplicate key in updates batch " +
-          s"(${key}=${dup.head.get(0)}) — MERGE needs one row per key")
+    val updates =
+      if (newestBy.isEmpty) updates0 else keepNewest(updates0, key, newestBy)
+    if (newestBy.isEmpty) {
+      val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"upsertParquet: duplicate key in updates batch " +
+            s"(${key}=${dup.head.get(0)}) — MERGE needs one row per key")
+    }
+    def merge(existing: DataFrame, upd: DataFrame): DataFrame =
+      if (newestBy.isEmpty)
+        existing.join(upd.select(upd(key)), Seq(key), "left_anti")
+          .unionByName(upd)
+      else keepNewest(existing.unionByName(upd), key, newestBy)
     val markerPath = new org.apache.hadoop.fs.Path(dir, BucketMarker)
     val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(markerPath)) {
       // flat layout: one whole-directory crash-safe rewrite
-      val existing = spark.read.parquet(dir)
-      val merged = existing
-        .join(updates.select(updates(key)), Seq(key), "left_anti")
-        .unionByName(updates)
+      val merged = merge(spark.read.parquet(dir), updates)
       val tmp = dir + "__upserting"
       merged.write.mode("overwrite").parquet(tmp)
       swapDirs(spark, tmp, dir)
@@ -126,10 +157,7 @@ object Maintenance {
       val partUpd = upd.filter(col("bucket") === b).drop("bucket")
       val partPath = new org.apache.hadoop.fs.Path(part)
       val merged =
-        if (fs.exists(partPath))
-          spark.read.parquet(part)
-            .join(partUpd.select(partUpd(key)), Seq(key), "left_anti")
-            .unionByName(partUpd)
+        if (fs.exists(partPath)) merge(spark.read.parquet(part), partUpd)
         else partUpd // a new key hashed into a previously-empty bucket
       val tmp = part + "__upserting"
       merged.write.mode("overwrite").parquet(tmp)

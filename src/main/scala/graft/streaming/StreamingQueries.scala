@@ -358,6 +358,70 @@ object StreamingQueries {
     }),
   )
 
+  /** Streaming CDC materialization under the oracle gate: the events
+    * stream upserts into a key-bucketed parquet lake layout via
+    * `foreachBatch` + [[graft.operators.Maintenance.upsertParquet]]
+    * with keep-newest MERGE semantics (`newestBy = (ts, event_id)`, a
+    * total order), leaving one row per user — the latest event. The
+    * final state directory IS the query result; the oracle is the
+    * batch argmax.
+    *
+    * Scale shape: each micro-batch reduces to one winner per key (hash
+    * aggregate, no sort), then rewrites ONLY the bucket directories its
+    * keys hash into — per-batch work is O(batch + touched buckets),
+    * not O(lake). Keep-newest (not blind replace) makes replayed or
+    * reordered batches converge to the same state — the property that
+    * lets a checkpoint-recovered foreachBatch (at-least-once) still
+    * produce exactly-once state. Output is bounded by key cardinality
+    * (a state table, not an event log); `localCheckpoint` pins it
+    * before the temp layout is deleted.
+    */
+  val streamUpsert = Query(
+    "ev_stream_upsert",
+    (s, dir) => {
+      val ev = eventsStream(s, dir)
+      val child = ev.sparkSession
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
+      val stateDir = root.resolve("state").toString
+      try {
+        graft.operators.Maintenance.writeKeyBucketed(
+          Tables(child, dir).events.limit(0), stateDir, "user_id",
+          nBuckets = 8)
+        val q = ev.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.operators.Maintenance.upsertParquet(child, stateDir,
+              batch, "user_id", newestBy = Seq("ts", "event_id"))
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        child.read.parquet(stateDir)
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("last_ts"),
+            col("event_type"), col("value"))
+          .orderBy(col("user_id"))
+          .localCheckpoint(true)
+      } finally {
+        import java.nio.file.Files
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    },
+    oracle = Some("""
+      SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+             event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 ORDER BY user_id
+    """),
+    eagerPlan = Some((s, dir) =>
+      graft.plans.TopK.perGroup(Tables(s, dir).events, Seq("user_id"),
+        Seq(("ts", false), ("event_id", false)), 1)),
+  )
+
   /** [[DocumentStreams.cleanStream]] — ingestion-time corpus hygiene
     * (quality gate + exact content dedup within the watermark) — under
     * the oracle gate, over the documents backlog with planted
@@ -424,5 +488,5 @@ object StreamingQueries {
 
   def all: Seq[Query] =
     Seq(streamHourly, streamSessions, streamRangeJoin, streamWordcount,
-      streamEnrich, streamClean)
+      streamEnrich, streamUpsert, streamClean)
 }

@@ -72,6 +72,40 @@ class MaintenanceSpec extends SparkSuite {
     assert(after.filter(col("n_nationkey") === 5).count() == 1)
   }
 
+  test("keep-newest upsert: out-of-order and duplicate batches converge") {
+    val dir = Files.createTempDirectory("cdc").resolve("state").toString
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("ver", IntegerType),
+      StructField("v", StringType)))
+    def batch(rows: Row*) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+    Maintenance.writeKeyBucketed(batch(), dir, "k", nBuckets = 4)
+    // newer batch first, older second — older must NOT overwrite
+    Maintenance.upsertParquet(spark, dir,
+      batch(Row(1, 5, "new"), Row(2, 1, "only")), "k", newestBy = Seq("ver"))
+    Maintenance.upsertParquet(spark, dir,
+      batch(Row(1, 3, "stale")), "k", newestBy = Seq("ver"))
+    // in-batch duplicate keys reduce by newestBy instead of erroring,
+    // and replaying an already-applied batch is a no-op
+    Maintenance.upsertParquet(spark, dir,
+      batch(Row(3, 1, "a"), Row(3, 2, "b"), Row(1, 5, "new")), "k",
+      newestBy = Seq("ver"))
+
+    val state = spark.read.parquet(dir)
+      .select(col("k"), col("ver"), col("v")).collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(state == Map(1 -> ((5, "new")), 2 -> ((1, "only")),
+      3 -> ((2, "b"))))
+    // blind-replace mode still rejects duplicate update keys
+    intercept[IllegalArgumentException] {
+      Maintenance.upsertParquet(spark, dir,
+        batch(Row(9, 1, "x"), Row(9, 2, "y")), "k")
+    }
+  }
+
   test("bucketed upsert rewrites only touched buckets, byte-identical rest") {
     val dir = Files.createTempDirectory("kbupsert").resolve("orders").toString
     val t   = Tables(spark, sf("sf0.001"))
