@@ -366,6 +366,85 @@ object Events {
     """),
   )
 
+  /** Slowly-changing-dimension type-2 history build (the warehouse op
+    * that turns an event/CDC feed into versioned dimension rows):
+    * consecutive runs of the same `event_type` per user collapse into
+    * one version row carrying `valid_from` / `valid_to` / `is_current`
+    * — the gaps-and-islands pattern (run boundaries via `lag`, version
+    * numbers via a running sum of boundary flags, one row per island).
+    *
+    * Plan shape (pinned in PLANS.md): everything clusters on
+    * `user_id` — the lag + running-sum windows share one
+    * sort+exchange; the island `groupBy(user_id, ver)` and the
+    * `lead(ver)` window are both satisfied by the SAME HashPartitioning
+    * (user_id ⊆ the clustering keys), so the whole history build is ONE
+    * hash exchange on a high-cardinality skew-free key plus the final
+    * presentation sort. At 100 TB: state per user is one row per
+    * version (not per event) after the map-side-combinable island
+    * aggregate, and no global window ever appears.
+    */
+  val scd2 = Query(
+    "ev_scd2",
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val prev = lag(col("event_type"), 1).over(byUser)
+      val runs = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("chg",
+          when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+        .withColumn("ver", sum(col("chg"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("ver"))
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("ts")).as("from_ts"), count(lit(1)).as("n_events"))
+      val byVer = Window.partitionBy(col("user_id")).orderBy(col("ver"))
+      val nextFrom = lead(col("from_ts"), 1).over(byVer)
+      runs
+        .withColumn("valid_to_ts", nextFrom)
+        .select(col("user_id"), col("ver"), col("event_type"),
+          date_format(col("from_ts"), fmt).as("valid_from"),
+          coalesce(date_format(col("valid_to_ts"), fmt), lit("current"))
+            .as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("ver"))
+    },
+    oracle = Some("""
+      WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_type
+        FROM events
+      ), flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+          CASE WHEN prev_type IS NULL OR prev_type <> event_type
+               THEN 1 ELSE 0 END AS chg
+        FROM ordered
+      ), versioned AS (
+        SELECT user_id, event_type, ts,
+          sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+        FROM flagged
+      ), runs AS (
+        SELECT user_id, CAST(ver AS BIGINT) AS ver,
+          min(event_type) AS event_type, min(ts) AS from_ts,
+          count(*) AS n_events
+        FROM versioned GROUP BY user_id, ver
+      )
+      SELECT user_id, ver, event_type,
+        strftime(from_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        coalesce(strftime(lead(from_ts) OVER (PARTITION BY user_id
+          ORDER BY ver), '%Y-%m-%d %H:%M:%S.%f'), 'current') AS valid_to,
+        (lead(from_ts) OVER (PARTITION BY user_id ORDER BY ver) IS NULL)
+          AS is_current,
+        n_events
+      FROM runs ORDER BY user_id, ver
+    """),
+  )
+
   def all: Seq[Query] = Seq(hourly, sessionize, dailyActive, funnel,
-    jsonProps, asofJoin, rangeJoin, sessionWindow, retention, skewJoin)
+    jsonProps, asofJoin, rangeJoin, sessionWindow, retention, skewJoin,
+    scd2)
 }

@@ -619,6 +619,56 @@ object Relational {
     """),
   )
 
+  /** The inverse reshape of [[qPivot]]: melt the wide per-flag revenue
+    * columns back to long (l_linestatus, returnflag, revenue) rows via
+    * `Dataset.unpivot` — Catalyst's `Expand` node, a map-side row
+    * multiplier with NO shuffle of its own. The only exchange in the
+    * plan is the partial-agg shuffle that builds the wide input; the
+    * melt then triples six rows. At 100 TB the same holds structurally:
+    * unpivot cost is #rows × #value-columns emitted locally inside the
+    * scan/agg stage, never a join or an exchange — the reshape every
+    * feature-table→long-format training-data export needs. Value
+    * columns are named `A`/`N`/`R` so the variable column carries the
+    * return flag directly; the oracle reshapes with a UNION ALL (the
+    * portable UNPIVOT spelling) over the identical wide CTE.
+    */
+  val qUnpivot = Query(
+    "q_unpivot",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+      def rev(flag: String) = round(sum(
+        when(col("l_returnflag") === flag,
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(0.0)), 2)
+      li.groupBy(col("l_linestatus"))
+        .agg(rev("A").as("A"), rev("N").as("N"), rev("R").as("R"))
+        .unpivot(
+          ids = Array(col("l_linestatus")),
+          values = Array(col("A"), col("N"), col("R")),
+          variableColumnName = "returnflag",
+          valueColumnName = "revenue")
+        .orderBy(col("l_linestatus"), col("returnflag"))
+    },
+    oracle = Some("""
+      WITH wide AS (
+        SELECT l_linestatus,
+          round(sum(CASE WHEN l_returnflag = 'A'
+            THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS a,
+          round(sum(CASE WHEN l_returnflag = 'N'
+            THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS n,
+          round(sum(CASE WHEN l_returnflag = 'R'
+            THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS r
+        FROM lineitem GROUP BY 1)
+      SELECT l_linestatus, returnflag, revenue FROM (
+        SELECT l_linestatus, 'A' AS returnflag, a AS revenue FROM wide
+        UNION ALL
+        SELECT l_linestatus, 'N' AS returnflag, n AS revenue FROM wide
+        UNION ALL
+        SELECT l_linestatus, 'R' AS returnflag, r AS revenue FROM wide)
+      ORDER BY l_linestatus, returnflag
+    """),
+  )
+
   /** HLL approximate distinct counts, oracle-checked via error bounds.
     * The sketch value itself can't cross engines (DuckDB's approx
     * sketch differs by construction), so the query outputs the exact
@@ -962,6 +1012,6 @@ object Relational {
     q1, q3, q5, q4, q6, qRollup, qCube, qGroupingSets, qWindowTopk,
     qWindowRunning, qWindowMisc, qDatetime, qStringFuncs, qDistinct,
     qSetOps, qAntiJoin, qSubquery, qHaving, qFullOuter, qCorrelated,
-    qPivot, qApproxDistinct, qProfile, qHistogram, qPercentiles,
+    qPivot, qUnpivot, qApproxDistinct, qProfile, qHistogram, qPercentiles,
     qZorderLayout, qGroupTopk)
 }

@@ -1428,7 +1428,78 @@ object SimilarityQueries {
     },
   )
 
+  /** Late-interaction (ColBERT-style MaxSim) retrieval over MULTI-VECTOR
+    * documents: every 10 consecutive embeddings form one document
+    * (`vec_id div 10`), the first 5 documents are the queries, and a
+    * document's score for a query is Σ over the query's vectors of the
+    * max cosine to ANY of the document's vectors — the scoring model
+    * every late-interaction retriever (token-level embeddings) runs at
+    * corpus scale.
+    *
+    * Shape: the query side is a BOUNDED broadcast (5 docs × 10 vecs —
+    * declared in PlanAuditSpec like the other brute baselines), so the
+    * corpus streams once through a broadcast nested-loop, and BOTH
+    * reductions are map-side-combinable hash aggregates: max per
+    * (query-vec, doc) then sum per (query-doc, doc). Nothing shuffles
+    * but the (docs × 50)-row partial-agg stream; the ranking tail is
+    * the bounded-heap [[graft.plans.TopKPerGroup]] operator, never a
+    * corpus-wide sort. At 100 TB the corpus-side routing would first
+    * prune candidates through the IVF cells ([[ivfTopk]]) and run this
+    * same scoring only on survivors — the scoring pipeline is identical.
+    * Scores are rounded to 4 dp BEFORE ranking on both sides so the
+    * (order-sensitive) float sum can never rank-flip across engines;
+    * ties break on doc id.
+    */
+  val maxsim = Query(
+    "ss_maxsim",
+    (s, dir) => {
+      val v = Tables(s, dir).embeddings
+        .select(expr("vec_id div 10").as("did"), col("vec_id"),
+          col("embedding"))
+      val qv = v.filter(col("did") < 5)
+        .select(col("did").as("qdoc"), col("vec_id").as("qvec"),
+          col("embedding").as("qemb"))
+      val scored = v.join(broadcast(qv), col("did") =!= col("qdoc"))
+        .select(col("qdoc"), col("did").as("ddoc"), col("qvec"),
+          VectorFunctions.cosineSim(col("qemb"), col("embedding")).as("cos"))
+        .groupBy(col("qdoc"), col("ddoc"), col("qvec"))
+        .agg(max(col("cos")).as("mx"))
+        .groupBy(col("qdoc"), col("ddoc"))
+        .agg(round(sum(col("mx")), 4).as("score"))
+      val top = graft.plans.TopK.perGroup(scored, Seq("qdoc"),
+        Seq("score" -> false, "ddoc" -> true), 3)
+      val w = Window.partitionBy(col("qdoc"))
+        .orderBy(col("score").desc, col("ddoc"))
+      top.withColumn("rk", row_number().over(w))
+        .select(col("qdoc"), col("rk"), col("ddoc"), col("score"))
+        .orderBy(col("qdoc"), col("rk"))
+    },
+    oracle = Some(s"""
+      WITH v AS (
+        SELECT vec_id // 10 AS did, vec_id, embedding FROM embeddings
+      ), q AS (
+        SELECT did AS qdoc, vec_id AS qvec, embedding AS qemb
+        FROM v WHERE did < 5
+      ), pm AS (
+        SELECT q.qdoc, v.did AS ddoc, q.qvec,
+          max(${cosineSqlExpr2("q.qemb", "v.embedding")}) AS mx
+        FROM v JOIN q ON v.did <> q.qdoc
+        GROUP BY 1, 2, 3
+      ), sc AS (
+        SELECT qdoc, ddoc, round(sum(mx), 4) AS score
+        FROM pm GROUP BY 1, 2
+      ), ranked AS (
+        SELECT qdoc, ddoc, score,
+          row_number() OVER (PARTITION BY qdoc
+            ORDER BY score DESC, ddoc) AS rk
+        FROM sc)
+      SELECT qdoc, rk, ddoc, score FROM ranked
+      WHERE rk <= 3 ORDER BY qdoc, rk
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, pqTopk, ivfPqTopk, kmeans,
-      cosineNearDup, semanticDedup, vectorStats, quantize, coverage, recall)
+      cosineNearDup, semanticDedup, vectorStats, quantize, coverage, recall,
+      maxsim)
 }

@@ -31,9 +31,13 @@ class PlanAuditSpec extends SparkSuite {
     * sides) and crosses two 1-row aggregates (hits × denom) — every
     * nested-loop in its plan is one of those declared-bounded shapes.
     */
+  /** ss_maxsim's nested-loop side is the declared-bounded query set
+    * (5 docs × 10 vecs) — the same contract as ss_cosine_topk's.
+    */
   private val broadcastLoopAllowed = Set(
     "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery",
-    "q_approx_distinct", "tx_tfidf", "tx_vocab", "ss_recall")
+    "q_approx_distinct", "tx_tfidf", "tx_vocab", "ss_recall",
+    "ss_maxsim")
 
   /** The plan the lint audits: the query's own result plan, or the
     * declared eager intermediate (which, unlike `run`, plans lazily —
