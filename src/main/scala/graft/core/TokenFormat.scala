@@ -58,12 +58,17 @@ object TokenFormat extends Serializable {
     chunk.split("[ \n\r]+").iterator.filter(_.nonEmpty)
       .flatMap(_.grouped(MaxTokenLen))
 
-  /** Parse one token into a (key, value) record — exact replica of
-    * `TokenRecordReader.next` (`user/TokenRecordReader.java:156-165`).
+  /** Parse one token into a (key, value) record — replica of
+    * `TokenRecordReader.next` (`user/TokenRecordReader.java:156-165`),
+    * with one defined-behavior extension: a token of ONLY pipes (`|`,
+    * `||`, …) makes Java's `split("\\|")` return a length-0 array
+    * (every field is a trailing empty), which would throw in the
+    * reference; we treat it as a none-token — the semantics the
+    * mr_tokenize oracle (`NOT regexp '^[^|]*\|+$'`) already declares.
     */
   def parse(token: String): (String, String) = {
     val split = token.split("\\|")
-    if (split.length == 1) (KeyNone, token)
+    if (split.length <= 1) (KeyNone, token)
     else (split(0), split(1))
   }
 

@@ -220,6 +220,67 @@ object MapReduceQueries {
     """),
   )
 
+  /** The reference's token format through the [[graft.sources.v2.TokenDataSource]]
+    * DataSource V2 — the format as a first-class Spark table rather
+    * than a `spark.read.text` wrapper. The query materializes a
+    * `lang|n_chars` token corpus, reads it back through
+    * `format("graft-token")`, and counts values for ONE key — the
+    * `EqualTo(key, 'es')` predicate is pushed INTO the scan (rows of
+    * other languages are dropped before they are ever materialized,
+    * TokenSourceV2Spec pins `PushedFilters` on the BatchScan node), and
+    * column pruning drops `key` from the produced rows. The byte-range
+    * split planner gives the scan parquet-like parallelism at 100 TB
+    * (`maxSplitBytes` = the reference's `mapred.Input.split-size`);
+    * boundary ownership is proven byte-exact for every split size ≥ 1
+    * in TokenSourceV2Spec. Oracle: the same corpus derivation straight
+    * from `documents`.
+    */
+  val mrV2Wordcount = Query(
+    "mr_v2_wordcount",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-v2-corpus")
+      try {
+        Tables(s, dir).documents
+          .select(concat_ws("|", col("lang"), col("n_chars")))
+          .write.mode("overwrite").text(tmp.toString)
+        s.read.format("graft-token")
+          .option("maxSplitBytes", (1L << 20).toString)
+          .load(tmp.toString)
+          .filter(col("key") === "es")
+          .groupBy(col("value"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("value"))
+          .localCheckpoint(true)
+      } finally {
+        import java.nio.file.Files
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    },
+    oracle = Some("""
+      SELECT CAST(n_chars AS VARCHAR) AS value, count(*) AS n
+      FROM documents WHERE lang = 'es'
+      GROUP BY 1 ORDER BY 1
+    """),
+    eagerPlan = Some((s, dir) => {
+      // the auditable pipeline: the V2 scan with the pushed filter —
+      // the registered run checkpoints eagerly (its temp corpus is
+      // deleted on exit), so the lint audits this equivalent shape.
+      // Fixed per-sf path, overwritten each audit: no tmp-dir litter.
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-v2-audit-${new java.io.File(dir).getName}")
+      Tables(s, dir).documents
+        .select(concat_ws("|", col("lang"), col("n_chars")))
+        .write.mode("overwrite").text(tmp.toString)
+      s.read.format("graft-token").load(tmp.toString)
+        .filter(col("key") === "es")
+        .groupBy(col("value")).agg(count(lit(1)).as("n"))
+        .orderBy(col("value"))
+    }),
+  )
+
   def all: Seq[Query] =
-    Seq(mrTokenize, mrWordcount, mrMapOnly, mrSort, mrConcat, mrPartition)
+    Seq(mrTokenize, mrWordcount, mrMapOnly, mrSort, mrConcat, mrPartition,
+      mrV2Wordcount)
 }
