@@ -713,6 +713,53 @@ object Relational {
     """),
   )
 
+  /** Mergeable quantile SKETCH, oracle-checked via its rank guarantee —
+    * the bounded-memory counterpart of [[qPercentiles]]' exact rank
+    * method (the same split [[qApproxDistinct]] makes for distinct
+    * counts). `percentile_approx` runs Spark's Greenwald–Khanna-style
+    * summary as a partial-aggregable sketch: O(accuracy·log n) memory
+    * per partition regardless of group size, merged map-side — at
+    * 100 TB it is one scan + a constant-size merge, where any exact
+    * method must either buffer values (banned by the plan lint) or
+    * take a second coordinated pass.
+    *
+    * The sketch value itself can't cross engines, so the contract under
+    * the gate is the GUARANTEE, not the value: for each p the returned
+    * value's rank interval (count<, count≤] must intersect
+    * [p−1/acc, p+1/acc]. Both rank fractions come from one conditional
+    * aggregation over the base crossed with the 1-row sketch aggregate
+    * (the sanctioned broadcast 1-row cross); DuckDB recomputes the
+    * exact count and asserts the flags.
+    */
+  val qApproxQuantiles = Query(
+    "q_approx_quantiles",
+    (s, dir) => {
+      val acc = 1000
+      val eps = 1.0 / acc + 1e-9
+      val li = Tables(s, dir).lineitem.select(col("l_extendedprice").as("x"))
+      val sk = li.agg(
+        percentile_approx(col("x"), lit(0.5), lit(acc)).as("a50"),
+        percentile_approx(col("x"), lit(0.9), lit(acc)).as("a90"),
+        percentile_approx(col("x"), lit(0.99), lit(acc)).as("a99"),
+        count(lit(1)).as("n"))
+      def ok(ap: String, p: Double) = {
+        val lt = sum((col("x") < col(ap)).cast("long")) / first(col("n"))
+        val le = sum((col("x") <= col(ap)).cast("long")) / first(col("n"))
+        (lt <= p + eps) && (le >= p - eps)
+      }
+      li.crossJoin(broadcast(sk))
+        .agg(
+          first(col("n")).as("n"),
+          ok("a50", 0.5).as("p50_ok"),
+          ok("a90", 0.9).as("p90_ok"),
+          ok("a99", 0.99).as("p99_ok"))
+    },
+    oracle = Some("""
+      SELECT count(*) AS n, true AS p50_ok, true AS p90_ok, true AS p99_ok
+      FROM lineitem
+    """),
+  )
+
   /** Column profiling sweep (data-quality pass a pipeline runs before
     * training): per-column null counts, distincts, ranges — one scan,
     * one partial-agg shuffle.
@@ -1012,6 +1059,6 @@ object Relational {
     q1, q3, q5, q4, q6, qRollup, qCube, qGroupingSets, qWindowTopk,
     qWindowRunning, qWindowMisc, qDatetime, qStringFuncs, qDistinct,
     qSetOps, qAntiJoin, qSubquery, qHaving, qFullOuter, qCorrelated,
-    qPivot, qUnpivot, qApproxDistinct, qProfile, qHistogram, qPercentiles,
+    qPivot, qUnpivot, qApproxDistinct, qApproxQuantiles, qProfile, qHistogram, qPercentiles,
     qZorderLayout, qGroupTopk)
 }

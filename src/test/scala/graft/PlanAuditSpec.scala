@@ -36,7 +36,7 @@ class PlanAuditSpec extends SparkSuite {
     */
   private val broadcastLoopAllowed = Set(
     "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery",
-    "q_approx_distinct", "tx_tfidf", "tx_vocab", "ss_recall",
+    "q_approx_distinct", "q_approx_quantiles", "tx_tfidf", "tx_vocab", "ss_recall",
     "ss_maxsim")
 
   /** The plan the lint audits: the query's own result plan, or the
