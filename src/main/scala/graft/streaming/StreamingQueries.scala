@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.{Query, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -486,7 +487,66 @@ object StreamingQueries {
     }),
   )
 
+  /** The Space-Saving heavy-hitters sketch RUNNING INCREMENTALLY: the
+    * documents backlog streams through the same `space_saving_topk`
+    * TypedImperativeAggregate as batch [[graft.text.TextQueries]]'
+    * `tx_heavy_hitters`, as a streaming global aggregation — the state
+    * store holds exactly ONE serialized sketch buffer per state
+    * partition (bounded by capacity, not by vocabulary), merged across
+    * micro-batches by the aggregate's own merge. This is the streaming
+    * top-k shape that scales: a per-term streaming count would keep one
+    * state row per distinct term forever; the sketch keeps 64 entries
+    * total. Exactness for the gate: capacity ≥ the corpus vocabulary,
+    * so every merge order (including the incremental cross-batch one)
+    * yields exact counts with err=0 — the identical oracle as the
+    * batch twin, which is also the declared eager plan for the lints.
+    */
+  val streamHeavyHitters = Query(
+    "tx_stream_heavy_hitters",
+    (s, dir) => {
+      val reader = graft.core.Sessions.withConf(s,
+        "spark.sql.shuffle.partitions" -> streamPartitions)
+      val schema = reader.read.parquet(s"$dir/documents.parquet").schema
+      val docs = reader.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val sk = docs
+        .select(explode(graft.text.TextQueries.toks(col("text"))).as("term"))
+        .agg(graft.functions.SketchFunctions.spaceSavingTopK(col("term"), 64)
+          .as("sk"))
+      val tbl = runToTable(sk)
+      // ≤ capacity rows from here on — bounded by construction
+      val ord = Window.orderBy(col("cnt").desc, col("term"))
+      tbl.select(explode(col("sk")).as("e"))
+        .select(col("e.term").as("term"), col("e.cnt").as("cnt"),
+          col("e.err").as("err"))
+        .withColumn("rk", row_number().over(ord))
+        .filter(col("rk") <= 10)
+        .select(col("rk"), col("term"), col("cnt"), col("err"))
+        .orderBy(col("rk"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT unnest(list_filter(string_split(text, ' '),
+                      x -> length(x) > 0)) AS term
+        FROM documents
+      ), g AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+      SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rk,
+             term, cnt::BIGINT AS cnt, 0::BIGINT AS err
+      FROM g ORDER BY cnt DESC, term LIMIT 10
+    """),
+    eagerPlan = Some((s, dir) => {
+      val sk = graft.Tables(s, dir).documents
+        .select(explode(graft.text.TextQueries.toks(col("text"))).as("term"))
+        .agg(graft.functions.SketchFunctions.spaceSavingTopK(col("term"), 64)
+          .as("sk"))
+      sk.select(explode(col("sk")).as("e"))
+        .select(col("e.term").as("term"), col("e.cnt").as("cnt"))
+    }),
+  )
+
   def all: Seq[Query] =
     Seq(streamHourly, streamSessions, streamRangeJoin, streamWordcount,
-      streamEnrich, streamUpsert, streamClean)
+      streamEnrich, streamUpsert, streamClean, streamHeavyHitters)
 }

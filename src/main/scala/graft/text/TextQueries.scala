@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  private def toks(c: Column): Column =
+  /** private[graft]: the streaming heavy-hitters twin reuses the
+    * exact same tokenizer kernel (one definition, ADVICE r7 precedent).
+    */
+  private[graft] def toks(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
   /** Per-document token statistics. */
