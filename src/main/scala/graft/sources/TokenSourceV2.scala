@@ -66,17 +66,23 @@ object TokenTable {
 }
 
 final class TokenTable(properties: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val path = properties.getOrElse("path",
     throw new IllegalArgumentException("graft-token: missing path"))
   override def name(): String = s"graft-token:$path"
   override def schema(): StructType = TokenTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TokenScanBuilder(path,
       Option(options.get("maxSplitBytes")).map(_.toLong)
         .getOrElse(TokenTable.DefaultMaxSplitBytes))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TokenWriteBuilder(path, info)
 }
 
 final class TokenScanBuilder(path: String, maxSplitBytes: Long)
@@ -256,4 +262,119 @@ final class TokenPartitionReader(part: TokenInputPartition,
   }
 
   override def close(): Unit = in.close()
+}
+
+// ───────────────────────── write path ─────────────────────────
+
+/** Golden-format write side of the V2 table: each input partition
+  * becomes one `key|value ` token file (the reference's per-reducer
+  * `reduced<index>` artifacts, byte format
+  * `user/TokenRecordWriter.java:85` — space-terminated tokens, one
+  * line, no trailing newline).
+  *
+  * Commit protocol = the reference's R6 fix done the Spark way: the
+  * reference recreates a failed task "with a new id and new output
+  * files" so two attempts never write one file
+  * (`schedule/WorkerInitializer.java:434-469`). Here every task
+  * attempt writes to an attempt-unique temp file
+  * (`_temporary/part-<partition>-<taskId>`); only the DRIVER's
+  * `BatchWrite.commit` — which Spark calls with exactly one commit
+  * message per partition — renames the winners into place. A
+  * speculative duplicate or zombie attempt leaves only an orphan temp
+  * file, removed with the temp dir; `abort` deletes everything.
+  * TokenSourceV2Spec drives commit and duplicate-attempt cleanup.
+  */
+final class TokenWriteBuilder(path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  require(info.schema().fieldNames.sameElements(Array("key", "value")),
+    s"graft-token write expects (key, value), got ${info.schema().catalogString}")
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new TokenBatchWrite(path, doTruncate,
+          TokenScan.confToMap(org.apache.spark.sql.SparkSession.active
+            .sparkContext.hadoopConfiguration))
+    }
+}
+
+final class TokenBatchWrite(path: String, truncate: Boolean,
+    confMap: Map[String, String])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private def fs() = {
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    val p = new Path(path)
+    (p.getFileSystem(conf), p)
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val (f, p) = fs()
+    if (truncate && f.exists(p)) f.delete(p, true)
+    f.mkdirs(new Path(p, "_temporary"))
+    TokenWriterFactory(path, confMap)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (f, p) = fs()
+    messages.foreach { case TokenCommit(temp, fin) =>
+      f.rename(new Path(temp), new Path(p, fin))
+    }
+    f.delete(new Path(p, "_temporary"), true) // drops orphan attempts
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (f, p) = fs()
+    f.delete(new Path(p, "_temporary"), true)
+  }
+}
+
+final case class TokenCommit(tempFile: String, finalName: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final case class TokenWriterFactory(path: String, confMap: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TokenDataWriter(path, confMap, partitionId, taskId)
+}
+
+final class TokenDataWriter(path: String, confMap: Map[String, String],
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val conf = {
+    val c = new Configuration(false)
+    confMap.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val temp = new Path(path,
+    f"_temporary/part-$partitionId%05d-$taskId")
+  private val out = temp.getFileSystem(conf).create(temp, true)
+  private var any = false
+
+  override def write(row: InternalRow): Unit = {
+    val tok = TokenFormat.format(row.getUTF8String(0).toString,
+      row.getUTF8String(1).toString) + " "
+    out.write(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    any = true
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    TokenCommit(temp.toString, f"part-$partitionId%05d.txt")
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    temp.getFileSystem(conf).delete(temp, false)
+  }
+
+  override def close(): Unit = ()
 }

@@ -83,4 +83,42 @@ class TokenSourceV2Spec extends SparkSuite {
     assert(df.collect().map(_.getString(0)).sorted.toSeq ==
       truth(content).map(_._2).sorted)
   }
+
+  test("write path: V2 round-trip, one file per partition, temp dir cleaned") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-token-v2-w").toString + "/out"
+    val pairs = (1 to 300).map(i => (s"k${i % 7}", s"v$i"))
+    pairs.toDF("key", "value").repartition(3)
+      .write.format("graft-token").mode("append").save(out)
+    val files = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(files.count(_.startsWith("part-")) == 3, files.mkString(","))
+    assert(!files.exists(_.startsWith("_")), "temp dir must be cleaned up")
+    val back = spark.read.format("graft-token").load(out)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(back.sorted == pairs.sorted)
+  }
+
+  test("write path: golden byte format (space-terminated tokens, no newline)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-token-v2-g").toString + "/out"
+    Seq(("sao", "2881"), ("rio", "17")).toDF("key", "value")
+      .coalesce(1).sortWithinPartitions("key")
+      .write.format("graft-token").mode("append").save(out)
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val bytes = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+    assert(bytes == "rio|17 sao|2881 ", s"golden bytes mismatch: '$bytes'")
+  }
+
+  test("write path: overwrite truncates the previous contents") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-token-v2-o").toString + "/out"
+    Seq(("a", "1"), ("b", "2")).toDF("key", "value")
+      .write.format("graft-token").mode("append").save(out)
+    Seq(("c", "3")).toDF("key", "value")
+      .write.format("graft-token").mode("overwrite").save(out)
+    val back = spark.read.format("graft-token").load(out)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(back == Seq(("c", "3")))
+  }
 }
