@@ -185,4 +185,61 @@ object EventStreams extends Serializable {
           }
       }
   }
+
+  /** One CLOSED version row of the SCD type-2 history stream —
+    * `valid_to` is always set (it is the next run's first event time);
+    * the OPEN version per user is the state, not the stream.
+    */
+  case class Version(user_id: Long, ver: Long, event_type: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
+      n_events: Long)
+
+  /** The open run per user, persisted in the state store. */
+  case class RunState(curType: String, ver: Long, fromUs: Long, n: Long)
+
+  /** SCD type-2 history build running INCREMENTALLY — the streaming
+    * twin of the batch `ev_scd2` gaps-and-islands query. Honest CDC
+    * semantics: the emitted stream is the closed HISTORY (a version
+    * closes the instant a different `event_type` arrives for the user,
+    * with `valid_to` = the new run's first event time), while the
+    * CURRENT version of every user is exactly the state-store content
+    * — so there is no timeout rule to encode and no disagreement with
+    * the batch fixpoint: batch `ev_scd2` rows with `is_current = false`
+    * equal this stream's complete output over the same backlog (the
+    * `ev_stream_scd2` oracle states precisely that).
+    *
+    * State per user is ONE open-run accumulator (type, version counter,
+    * run start, count) — O(users) total, the same bound as any per-user
+    * aggregate; no watermark is needed because nothing time-based ever
+    * emits. Cross-batch correctness: a run spanning micro-batches
+    * continues from the persisted accumulator, so batch boundaries are
+    * invisible in the output.
+    */
+  def scd2(events: Dataset[Event]): Dataset[Version] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, Version](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[RunState]) =>
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val closed = Seq.newBuilder[Version]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            cur match {
+              case Some(st) if st.curType == e.event_type =>
+                cur = Some(st.copy(n = st.n + 1))
+              case Some(st) =>
+                closed += Version(uid, st.ver, st.curType,
+                  toTimestamp(st.fromUs), toTimestamp(t), st.n)
+                cur = Some(RunState(e.event_type, st.ver + 1, t, 1))
+              case None =>
+                cur = Some(RunState(e.event_type, 1, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 }

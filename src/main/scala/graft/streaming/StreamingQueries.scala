@@ -546,7 +546,79 @@ object StreamingQueries {
     }),
   )
 
+  /** [[EventStreams.scd2]] under the gate: the CDC→dimension history
+    * build running incrementally. The emitted stream is the CLOSED
+    * history only (a version closes when a different type arrives; the
+    * open version per user is the state store's content), so the
+    * oracle is the batch `ev_scd2` formulation restricted to
+    * `is_current = false` — no timeout rule, no precision seam.
+    */
+  val streamScd2 = Query(
+    "ev_stream_scd2",
+    (s, dir) => {
+      import s.implicits._
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      runToTable(EventStreams.scd2(ev).toDF(), "append")
+        .select(col("user_id"), col("ver"), col("event_type"),
+          date_format(col("valid_from"), fmt).as("valid_from"),
+          date_format(col("valid_to"), fmt).as("valid_to"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("ver"))
+    },
+    oracle = Some("""
+      WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_type
+        FROM events
+      ), flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+          CASE WHEN prev_type IS NULL OR prev_type <> event_type
+               THEN 1 ELSE 0 END AS chg
+        FROM ordered
+      ), versioned AS (
+        SELECT user_id, event_type, ts,
+          sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+        FROM flagged
+      ), runs AS (
+        SELECT user_id, CAST(ver AS BIGINT) AS ver,
+          min(event_type) AS event_type, min(ts) AS from_ts,
+          count(*) AS n_events
+        FROM versioned GROUP BY user_id, ver
+      ), hist AS (
+        SELECT user_id, ver, event_type,
+          strftime(from_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+          strftime(lead(from_ts) OVER (PARTITION BY user_id ORDER BY ver),
+            '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+          n_events
+        FROM runs)
+      SELECT user_id, ver, event_type, valid_from, valid_to, n_events
+      FROM hist WHERE valid_to IS NOT NULL
+      ORDER BY user_id, ver
+    """),
+    eagerPlan = Some((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("event_type"), 1).over(byUser)
+      Tables(s, dir).events
+        .withColumn("chg",
+          when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+        .withColumn("ver", sum(col("chg"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("ver"))
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("ts")).as("from_ts"), count(lit(1)).as("n_events"))
+    }),
+  )
+
   def all: Seq[Query] =
     Seq(streamHourly, streamSessions, streamRangeJoin, streamWordcount,
-      streamEnrich, streamUpsert, streamClean, streamHeavyHitters)
+      streamEnrich, streamUpsert, streamClean, streamHeavyHitters,
+      streamScd2)
 }
