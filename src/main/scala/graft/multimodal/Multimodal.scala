@@ -456,7 +456,60 @@ object Multimodal {
     """),
   )
 
+  /** Windowed audio feature extraction over REAL decoded PCM: each
+    * audio blob's samples (parsed back out of the RIFF bytes by
+    * [[WavCodec.decodeSamples]] — not taken from the synthesis
+    * formula) are chunked into fixed 64-sample windows and each window
+    * reduces to its RMS level — the per-segment loudness profile an
+    * audio-training pipeline computes before silence trimming /
+    * segment filtering. Decode and windowing happen in ONE narrow
+    * per-partition pass; only (id, window_no, n, rms) rows — never
+    * sample arrays — leave it, so nothing sample-sized shuffles. The
+    * oracle recomputes every window closed-form from the synthesis
+    * parameters; the sum-of-squares fits a double exactly
+    * (≤ 64·2¹⁵² < 2⁵³), so sqrt+round agree bit-for-bit.
+    */
+  val audioRms = Query(
+    "mm_audio_rms",
+    (s, dir) => {
+      import s.implicits._
+      val params = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      val rows = params.mapPartitions { it =>
+        it.flatMap { case (id, nChars) =>
+          val rate = 8000 + (id % 5).toInt * 2000
+          val n    = (nChars % 240 + 1).toInt
+          val synth = Array.tabulate(n)(i =>
+            (((id * 31 + i * 7) % 65536) - 32768).toShort)
+          val samples = WavCodec.decodeSamples(WavCodec.encode(rate, synth))
+          samples.grouped(64).zipWithIndex.map { case (w, wi) =>
+            val ss = w.foldLeft(0L)((a, v) => a + v.toLong * v)
+            (id, wi, w.length, math.sqrt(ss.toDouble / w.length))
+          }
+        }
+      }.toDF("media_id", "window_no", "n_samples", "rms")
+      rows
+        .withColumn("rms", round(col("rms"), 4))
+        .orderBy(col("media_id"), col("window_no"))
+    },
+    oracle = Some("""
+      WITH p AS (
+        SELECT doc_id, (n_chars % 240 + 1)::INT AS n FROM documents
+      ), w AS (
+        SELECT doc_id, n, unnest(range(0, (n + 63) // 64)) AS win FROM p
+      )
+      SELECT doc_id AS media_id, win::INT AS window_no,
+        least(64, n - win * 64)::INT AS n_samples,
+        round(sqrt(list_sum(list_transform(
+            range(win * 64, least(n::BIGINT, win * 64 + 64)),
+            i -> ((doc_id * 31 + i * 7) % 65536 - 32768)
+               * ((doc_id * 31 + i * 7) % 65536 - 32768)))::DOUBLE
+          / least(64, n - win * 64)), 4) AS rms
+      FROM w ORDER BY media_id, window_no
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
-      videoDecode)
+      videoDecode, audioRms)
 }

@@ -86,6 +86,42 @@ object WavCodec {
     WavInfo(sampleRate, nChannels, bits, nSamples, mean)
   }
 
+  /** Parse WAV bytes and return the raw PCM samples — the decode path
+    * for sample-level features (e.g. windowed RMS, mm_audio_rms); the
+    * same RIFF chunk walk and validation as [[decode]], but the data
+    * chunk is materialized instead of reduced.
+    */
+  def decodeSamples(bytes: Array[Byte]): Array[Short] = {
+    require(bytes.length >= 12, s"truncated WAV: ${bytes.length} bytes")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(fourCC(bb) == "RIFF", "missing RIFF magic")
+    bb.getInt
+    require(fourCC(bb) == "WAVE", "missing WAVE magic")
+    var bits = -1
+    var out: Array[Short] = null
+    while (bb.remaining() >= 8) {
+      val id   = fourCC(bb)
+      val size = bb.getInt
+      require(size >= 0 && size <= bb.remaining(),
+        s"chunk $id overruns buffer ($size > ${bb.remaining()})")
+      val next = bb.position() + size + (size & 1)
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too small: $size")
+          require(bb.getShort == 1, "not PCM")
+          bb.getShort; bb.getInt; bb.getInt; bb.getShort
+          bits = bb.getShort.toInt
+        case "data" =>
+          require(bits == 16, "data chunk before 16-bit fmt chunk")
+          out = Array.fill(size / 2)(bb.getShort)
+        case _ => ()
+      }
+      bb.position(next)
+    }
+    require(out != null, "no data chunk")
+    out
+  }
+
   private def fourCC(bb: ByteBuffer): String = {
     val b = new Array[Byte](4)
     bb.get(b)

@@ -1168,8 +1168,41 @@ object TextQueries {
     """),
   )
 
+  /** Per-source admission cap — the "no domain may dominate the
+    * corpus" rule every web-scale ingest applies (cap each
+    * domain/source at K documents, keeping the longest). Runs through
+    * the custom [[graft.plans.TopKPerGroup]] operator: per-partition
+    * bounded heaps forward at most K docs per source, the exchange
+    * moves only survivors, and no corpus-wide window/sort ever plans —
+    * at 100 TB the cap costs one scan plus a K×#sources-row shuffle.
+    * Deterministic keep rule (n_chars DESC, doc_id ASC) makes the
+    * oracle exact.
+    */
+  val sourceCap = Query(
+    "tx_source_cap",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val kept = graft.plans.TopK.perGroup(docs, Seq("source"),
+        Seq("n_chars" -> false, "doc_id" -> true), 10)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      kept.withColumn("rk", row_number().over(w))
+        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("rk"))
+    },
+    oracle = Some("""
+      SELECT source, rk, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 10 ORDER BY source, rk
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
-    filterFunnel, vocab, pack, chunks, heavyHitters)
+    filterFunnel, vocab, pack, chunks, heavyHitters, sourceCap)
 }

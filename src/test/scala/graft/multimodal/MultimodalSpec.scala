@@ -196,4 +196,23 @@ class MultimodalSpec extends SparkSuite {
     val bad = src.clone(); bad(0) = 'X'
     intercept[IllegalArgumentException] { BmpCodec.resizeNearest(bad, 2, 1) }
   }
+
+  test("mm_audio_rms: windows tile every blob's sample count; decodeSamples round-trips") {
+    val rows = graft.QueryRegistry.byName("mm_audio_rms")
+      .run(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("media_id")).foreach { case (_, ws) =>
+      val sorted = ws.sortBy(_.getAs[Int]("window_no"))
+      // contiguous window numbers; all full except possibly the last
+      assert(sorted.map(_.getAs[Int]("window_no")).toSeq ==
+        sorted.indices.map(identity))
+      sorted.init.foreach(w => assert(w.getAs[Int]("n_samples") == 64))
+      assert(sorted.last.getAs[Int]("n_samples") > 0)
+      ws.foreach(w => assert(w.getAs[Double]("rms") >= 0.0))
+    }
+    // decodeSamples inverts encode exactly
+    val samples = Array.tabulate(100)(i => (i * 321 - 16000).toShort)
+    assert(graft.multimodal.WavCodec.decodeSamples(
+      graft.multimodal.WavCodec.encode(8000, samples)).sameElements(samples))
+  }
 }
