@@ -103,6 +103,35 @@ object BmpCodec {
     })
   }
 
+  /** Grey level of every image pixel, row-major TOP-DOWN (the storage
+    * is bottom-up; this walks it in image order) — the pixel source
+    * for perceptual hashing (mm_image_dhash). Full [[decode]]
+    * validation first.
+    */
+  def decodeGrey(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    decode(bytes)
+    def u8(off: Int): Int = bytes(off) & 0xff
+    def le32(off: Int): Int =
+      u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
+    val offset = le32(10)
+    val w      = le32(18)
+    val h      = le32(22)
+    val rs     = rowSize(w)
+    val out    = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val off = offset + (h - 1 - y) * rs
+      var x = 0
+      while (x < w) {
+        out(y * w + x) =
+          (u8(off + 3 * x) + u8(off + 3 * x + 1) + u8(off + 3 * x + 2)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
   /** Parse BMP bytes. Throws IllegalArgumentException on a bad magic,
     * unsupported bpp/compression, or truncated pixel array.
     */

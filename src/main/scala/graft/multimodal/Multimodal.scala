@@ -509,7 +509,75 @@ object Multimodal {
     """),
   )
 
+  /** 60-bit difference hash of a BMP blob: sample an 11×6
+    * nearest-neighbor grid of decoded grey levels, bit b = 1 iff
+    * grey(x,y) < grey(x+1,y). Exposed for the locality spec.
+    */
+  private[multimodal] def dhash60(bytes: Array[Byte]): Long = {
+    val (dw, dh, grey) = BmpCodec.decodeGrey(bytes)
+    var hash = 0L
+    var b = 0
+    while (b < 60) {
+      val gx = b % 10
+      val gy = b / 10
+      val sy  = gy * dh / 6
+      val sx1 = gx * dw / 11
+      val sx2 = (gx + 1) * dw / 11
+      if (grey(sy * dw + sx1) < grey(sy * dw + sx2)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Perceptual image fingerprint (difference hash): the image-side
+    * near-duplicate primitive, bridging the multimodal tier into the
+    * dedup family the way [[graft.dedup.DedupQueries]]' SimHash does
+    * for text. Pixels come from DECODING the real BMP bytes
+    * ([[BmpCodec.decodeGrey]] walks the padded bottom-up rows back
+    * into image order — the formula is only the corpus generator);
+    * the hash samples an 11×6 nearest-neighbor grid and sets bit
+    * b = 1 iff grey(x,y) < grey(x+1,y) — 60 bits so the value stays
+    * in a signed BIGINT on both engines (the dd_simhash precedent).
+    * Near-identical images differ in a few gradient comparisons →
+    * small Hamming distance; pair search over the fingerprints is a
+    * bit_count(xor) join or banded buckets, independent of image
+    * size. Per-row compute, no shuffle beyond the presentation sort.
+    */
+  val imageDhash = Query(
+    "mm_image_dhash",
+    (s, dir) => {
+      import s.implicits._
+      val params = Tables(s, dir).documents
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+      val rows = params.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 31 + 1).toInt
+          val h = (id % 17 + 1).toInt
+          val bytes = BmpCodec.encode(w, h,
+            (x, y) => ((id * 7 + (y.toLong * w + x) * 3) % 256).toInt)
+          (id, dhash60(bytes))
+        }
+      }.toDF("media_id", "dhash")
+      rows.orderBy(col("media_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id AS media_id,
+        list_sum(list_transform(range(0, 60), b ->
+          CASE WHEN
+            (doc_id * 7 + ((((b // 10) * ((doc_id % 17) + 1)) // 6)
+               * ((doc_id % 31) + 1)
+               + ((b % 10) * ((doc_id % 31) + 1)) // 11) * 3) % 256
+            <
+            (doc_id * 7 + ((((b // 10) * ((doc_id % 17) + 1)) // 6)
+               * ((doc_id % 31) + 1)
+               + (((b % 10) + 1) * ((doc_id % 31) + 1)) // 11) * 3) % 256
+          THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS dhash
+      FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
-      videoDecode, audioRms)
+      videoDecode, audioRms, imageDhash)
 }

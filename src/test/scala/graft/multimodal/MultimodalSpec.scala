@@ -215,4 +215,22 @@ class MultimodalSpec extends SparkSuite {
     assert(graft.multimodal.WavCodec.decodeSamples(
       graft.multimodal.WavCodec.encode(8000, samples)).sameElements(samples))
   }
+
+  test("mm_image_dhash: locality — a tiny perturbation moves few bits, a different image many") {
+    import graft.multimodal.{BmpCodec, Multimodal}
+    def img(step: Long, tweakAt: Int = -1): Array[Byte] =
+      BmpCodec.encode(22, 12, (x, y) => {
+        val i = y * 22 + x
+        val g = ((35 + i * step) % 256).toInt
+        if (i == tweakAt) ((g + 40) % 256) else g
+      })
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base  = Multimodal.dhash60(img(3))
+    // pixel 98 = (y=4, x=10) IS on the 11×6 sample grid — the
+    // perturbation can touch at most the two comparisons that read it
+    val tweak = Multimodal.dhash60(img(3, tweakAt = 98))
+    val other = Multimodal.dhash60(img(97)) // different gradient structure
+    assert(ham(base, tweak) <= 2, s"near-dup moved ${ham(base, tweak)} bits")
+    assert(ham(base, other) >= 8, s"distinct image only ${ham(base, other)} bits apart")
+  }
 }

@@ -110,6 +110,24 @@ class TokenSourceV2Spec extends SparkSuite {
     assert(bytes == "rio|17 sao|2881 ", s"golden bytes mismatch: '$bytes'")
   }
 
+  test("property: random corpora × random split sizes parse identically") {
+    val rnd = new scala.util.Random(42)
+    // separators, pipes, multibyte UTF-8, and long runs all in play
+    val alphabet = "ab|é ||\n x".toCharArray
+    (1 to 8).foreach { trial =>
+      val content = (0 until rnd.nextInt(3000))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString +
+        ("z" * (if (trial % 3 == 0) 1500 else 0)) // >1000-char run piece-split
+      val dir = writeTemp(content)
+      val want = truth(content).sorted
+      val sz = 1 + rnd.nextInt(999)
+      val got = spark.read.format("graft-token")
+        .option("maxSplitBytes", sz.toString).load(dir)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got.sorted == want, s"trial=$trial maxSplitBytes=$sz diverged")
+    }
+  }
+
   test("write path: overwrite truncates the previous contents") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-token-v2-o").toString + "/out"
