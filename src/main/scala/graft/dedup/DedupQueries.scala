@@ -306,13 +306,21 @@ object DedupQueries {
     * [[minhashLsh]]), `id_a < id_b`, deduplicated. The shared LSH
     * front-end of [[minhashLsh]], [[cleanCorpus]] and [[dupClusters]].
     */
-  private def bandPairs(sh: DataFrame): DataFrame = {
+  private def bandPairs(sh: DataFrame): DataFrame = bandPairsCfg(sh, 4, 4)
+
+  /** [[bandPairs]] generalized over the banding shape: `nBands` bands
+    * of `rowsPer` consecutive min-hashes each (nBands·rowsPer ≤ 16 —
+    * the shared signature is reused, no re-hash per config). The
+    * tuning dial [[lshTuning]] sweeps this.
+    */
+  private def bandPairsCfg(sh: DataFrame, nBands: Int, rowsPer: Int): DataFrame = {
+    require(nBands * rowsPer <= hashParams.length, "not enough min-hashes")
     val mh = array(hashParams.map { case (a, b) =>
       array_min(transform(col("sh"), h => (h * a + b) % MinhashP))
     }: _*)
-    val bandKeys = array((0 until 4).map { b =>
+    val bandKeys = array((0 until nBands).map { b =>
       concat_ws(":", lit(b.toString) +:
-        (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)
+        (0 until rowsPer).map(r => element_at(col("mh"), b * rowsPer + r + 1)
           .cast("string")): _*)
     }: _*)
     val wBand = org.apache.spark.sql.expressions.Window.partitionBy(col("bh"))
@@ -1155,8 +1163,91 @@ object DedupQueries {
     oracle = decontaminate.oracle,
   )
 
+  /** The LSH tuning dial — the dedup-family counterpart of
+    * `ss_recall`: sweep the banding shape over the SAME 16-min-hash
+    * signature (2×8, 4×4, 8×2) and report, per configuration, how many
+    * candidate pairs the band join generates and how many survive the
+    * exact Jaccard ≥ 0.5 verify — the candidates-vs-yield curve that
+    * picks bands/rows for a corpus (more, narrower bands → more
+    * candidates, higher recall, more verify cost; fewer, wider bands →
+    * the opposite). The signature computes ONCE (shared exchange, like
+    * every band consumer); each config adds only its band explode +
+    * equi-join + the exact verify on ITS candidates — still bucketed,
+    * never all-pairs, hot-band-capped like the production path. The
+    * oracle recomputes all three configurations end-to-end in DuckDB.
+    */
+  val lshTuning = Query(
+    "dd_lsh_tuning",
+    (s, dir) => {
+      val sh = reuseByDoc(
+        spread(dupCorpus(Tables(s, dir)))
+          .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+          .filter(size(col("sh")) > 0))
+      val cfgs = Seq((2, 8), (4, 4), (8, 2))
+      cfgs.map { case (bN, rN) =>
+        withJaccard(bandPairsCfg(sh, bN, rN), sh)
+          .agg(count(lit(1)).as("n_cands"),
+            sum((col("jac") >= 0.5).cast("long")).as("n_found"))
+          .select(lit(bN).as("bands"), lit(rN).as("rows_per_band"),
+            col("n_cands"), col("n_found"))
+      }.reduce(_ unionAll _).orderBy(col("bands"))
+    },
+    oracle = {
+      val mhList = hashParams.map { case (a, b) =>
+        s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashP))"
+      }.mkString("[", ", ", "]")
+      def cfgSql(bN: Int, rN: Int): String = {
+        val bandList = (0 until bN).map { b =>
+          val parts = (0 until rN).map(r => s"mh[${b * rN + r + 1}]::VARCHAR")
+          s"'$b:' || " + parts.mkString(" || ':' || ")
+        }.mkString("[", ", ", "]")
+        s"""
+        SELECT $bN AS bands, $rN AS rows_per_band,
+               count(*) AS n_cands,
+               CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_found
+        FROM (
+          SELECT CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                 AS jac
+          FROM (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM (SELECT doc_id, bh FROM (
+                    SELECT doc_id, bh, count(*) OVER (PARTITION BY bh) AS bc
+                    FROM (SELECT doc_id, unnest($bandList) AS bh FROM mh))
+                  WHERE bc <= 50) a
+            JOIN (SELECT doc_id, bh FROM (
+                    SELECT doc_id, bh, count(*) OVER (PARTITION BY bh) AS bc
+                    FROM (SELECT doc_id, unnest($bandList) AS bh FROM mh))
+                  WHERE bc <= 50) b
+              ON a.bh = b.bh AND a.doc_id < b.doc_id
+          ) c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b
+        )"""
+      }
+      Some(s"""
+      WITH corpus AS ($dupCorpusSql),
+      sh AS (
+        SELECT doc_id, $shingleHashSql AS sh
+        FROM (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+              FROM corpus)
+        WHERE len(t) >= 3
+      ),
+      mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh)
+      ${cfgSql(2, 8)}
+      UNION ALL
+      ${cfgSql(4, 4)}
+      UNION ALL
+      ${cfgSql(8, 2)}
+      ORDER BY bands
+      """)
+    },
+  )
+
   def all: Seq[Query] =
     Seq(exact, dupStats, minhashLsh, minhashCdc, simhash, ngramJaccard,
       cleanCorpus, dupPassages, dupClusters, decontaminate,
-      bloomDecontaminate, incrementalDedup)
+      bloomDecontaminate, incrementalDedup, lshTuning)
 }
