@@ -119,13 +119,37 @@ final class TokenScanBuilder(path: String, maxSplitBytes: Long)
 }
 
 final class TokenScan(path: String, maxSplitBytes: Long,
-    pushed: Array[Filter], required: StructType) extends Scan with Batch {
+    pushed: Array[Filter], required: StructType) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-token $path, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
+
+  /** Report the on-disk byte size so Catalyst's join planning sees a
+    * small token table as broadcastable WITHOUT a hint — the same
+    * statistics seam the file sources use. (Conservative: raw file
+    * bytes, not filtered selectivity.)
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = {
+      val conf = org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(_.isFile)
+        else Array(fs.getFileStatus(p))
+      files.map(_.getLen).sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active

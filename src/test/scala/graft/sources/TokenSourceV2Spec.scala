@@ -84,6 +84,19 @@ class TokenSourceV2Spec extends SparkSuite {
       truth(content).map(_._2).sorted)
   }
 
+  test("reported statistics let Catalyst auto-broadcast a small token table") {
+    import spark.implicits._
+    val dir = writeTemp(content)
+    val small = spark.read.format("graft-token").load(dir)
+    val big = spark.range(0, 5000)
+      .select(when(col("id") % 2 === 0, "alpha").otherwise("beta").as("key"),
+        col("id"))
+    val joined = big.join(small, Seq("key"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a KB-scale token table should broadcast without a hint:\n$plan")
+  }
+
   test("write path: V2 round-trip, one file per partition, temp dir cleaned") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-token-v2-w").toString + "/out"
