@@ -1055,10 +1055,96 @@ object Relational {
     """),
   )
 
+  /** 2-D skyline (Pareto frontier): the parts no other part beats on
+    * BOTH price (lower-is-better) and size (higher-is-better) — the
+    * multi-criteria shortlist operator (Börzsönyi et al., ICDE'01
+    * "The Skyline Operator"). A part survives iff no part is
+    * ≤-price AND ≥-size with at least one strict.
+    *
+    * The naive formulation is a quadratic NOT EXISTS self-join (the
+    * oracle states it that way). The engine instead decomposes by the
+    * sort dimension, all-distributed:
+    *   1. price-level aggregate: `grp_max(price) = max(size)` — a plain
+    *      groupBy (same-price dominance needs only this: a row survives
+    *      its own price level iff its size equals the level max; exact
+    *      ties dominate nobody, so ALL rows at the level max survive);
+    *   2. strictly-cheaper dominance needs the PREFIX max of grp_max in
+    *      price order, computed two-level so no corpus-wide window ever
+    *      plans: bucket the level table by VALUE (a deterministic
+    *      min/max-scaled bucket id — not spark_partition_id over a
+    *      repartitionByRange, whose sampled bounds could differ between
+    *      the two consuming subplans if the exchange were not reused),
+    *      running max per bucket (window PARTITIONED by bucket id),
+    *      then a per-bucket max table — ≤ bucket-count rows, the
+    *      bounded-window class — prefix-maxed across buckets and
+    *      joined back;
+    *   3. one equi-join of the base against its level verdicts.
+    * At 100 TB: two shuffles of the (distinct-price)-sized level table
+    * + one key-partitioned join — no window or sort over the data, no
+    * quadratic pair expansion. Same protocol shape as q_percentiles'
+    * rank method, but expressed fully declaratively (the bounded
+    * per-bucket table stays in-plan; nothing collects). Value buckets
+    * can skew with the price distribution — a performance, never a
+    * correctness, concern (each bucket's window is still
+    * level-cardinality-bounded). The min/max bounds ride in as the
+    * sanctioned broadcast 1-row cross.
+    */
+  val qSkyline = Query(
+    "q_skyline",
+    (s, dir) => {
+      val p = Tables(s, dir).part
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val nB = 32
+      val lvl = p.groupBy(col("p_retailprice"))
+        .agg(max(col("p_size")).as("grp_max"))
+      val bounds = lvl.agg(min(col("p_retailprice")).as("lo"),
+        max(col("p_retailprice")).as("hi"))
+      // deterministic, price-monotone bucket id: floor of the min/max-
+      // scaled position, clamped into [0, nB)
+      val bucketed = lvl.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          when(col("hi") === col("lo"), lit(0)).otherwise(
+            least(floor((col("p_retailprice") - col("lo")) /
+              (col("hi") - col("lo")) * nB), lit(nB - 1))).cast("int"))
+        .select(col("p_retailprice"), col("grp_max"), col("bucket"))
+      val wLocal = Window.partitionBy(col("bucket"))
+        .orderBy(col("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = bucketed
+        .withColumn("local_prev", max(col("grp_max")).over(wLocal))
+      val wBucket = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // ≤ nB rows from here on — bounded by construction
+      val bucketPrev = bucketed.groupBy(col("bucket"))
+        .agg(max(col("grp_max")).as("pmax"))
+        .withColumn("bucket_prev", max(col("pmax")).over(wBucket))
+        .select(col("bucket"), col("bucket_prev"))
+      val verdicts = local.join(broadcast(bucketPrev), "bucket")
+        .withColumn("prev_max", greatest(col("local_prev"), col("bucket_prev")))
+        .select(col("p_retailprice"), col("grp_max"), col("prev_max"))
+      p.join(verdicts, "p_retailprice")
+        .filter(col("p_size") === col("grp_max") &&
+          (col("prev_max").isNull || col("p_size") > col("prev_max")))
+        .select(col("p_partkey"),
+          round(col("p_retailprice"), 2).as("p_retailprice"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+    oracle = Some("""
+      SELECT p_partkey, round(p_retailprice, 2) AS p_retailprice, p_size
+      FROM part a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      ORDER BY p_partkey
+    """),
+  )
+
   def all: Seq[Query] = Seq(
     q1, q3, q5, q4, q6, qRollup, qCube, qGroupingSets, qWindowTopk,
     qWindowRunning, qWindowMisc, qDatetime, qStringFuncs, qDistinct,
     qSetOps, qAntiJoin, qSubquery, qHaving, qFullOuter, qCorrelated,
     qPivot, qUnpivot, qApproxDistinct, qApproxQuantiles, qProfile, qHistogram, qPercentiles,
-    qZorderLayout, qGroupTopk)
+    qZorderLayout, qGroupTopk, qSkyline)
 }

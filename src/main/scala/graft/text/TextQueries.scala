@@ -1201,8 +1201,162 @@ object TextQueries {
     """),
   )
 
+  /** Okapi BM25 retrieval scoring (k1 = 1.2, b = 0.75) of every
+    * document against a fixed query-term set — the ranking function a
+    * retrieval-augmented pipeline runs over its corpus index, and the
+    * length-normalized upgrade of [[tfidf]]. idf is the
+    * non-negative BM25+ variant ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Shape: one token explode filtered DOWN TO THE QUERY TERMS before
+    * any shuffle (the tf aggregation moves only matching-term rows —
+    * at 100 TB the post-filter volume is corpus-hits, not corpus);
+    * df (≤ |q| rows) and the N/avgdl stats (1 row) ride in as
+    * broadcasts, the same pattern as [[tfidf]]. Ranking ties break on
+    * doc_id over the ROUNDED score so both engines order identically.
+    */
+  val bm25 = Query(
+    "tx_bm25",
+    (s, dir) => {
+      val qTerms = Seq("join", "vector", "window", "stream")
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+      val stats = d.agg(count(lit(1)).as("n_docs"),
+        avg(size(col("t"))).as("avgdl"))
+      val tf = graft.core.Par.spreadBy(d, col("doc_id"))
+        .select(col("doc_id"), size(col("t")).as("dl"),
+          explode(col("t")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+      val contrib =
+        log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+      val scored = tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(contrib), 4).as("bm25"))
+      // global top-25 via sort-limit (TakeOrderedAndProject — per-
+      // partition heaps, no global sort); the rank window then runs
+      // over ≤ 25 rows, bounded by construction
+      scored.orderBy(col("bm25").desc, col("doc_id")).limit(25)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("rk"), col("doc_id"), col("bm25"))
+        .orderBy(col("rk"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        FROM documents
+      ), nz AS (SELECT doc_id, t, len(t) AS dl FROM d WHERE len(t) > 0),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM nz),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS term FROM nz)
+        WHERE term IN ('join', 'vector', 'window', 'stream')
+        GROUP BY 1, 2, 3
+      ), dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id,
+          round(sum(
+            ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+            (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        FROM tf JOIN dfc USING (term) CROSS JOIN stats
+        GROUP BY 1)
+      SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk,
+             doc_id, bm25
+      FROM scored ORDER BY bm25 DESC, doc_id LIMIT 25
+    """),
+  )
+
+  /** Bigram language-model scoring — the KenLM-style perplexity
+    * quality filter every pretraining pipeline runs (docs whose tokens
+    * surprise a corpus-trained n-gram model are boilerplate, OCR noise,
+    * or the wrong language). The model is trained ON the corpus in the
+    * same job: bigram counts + left-context counts + vocabulary size,
+    * add-one smoothed — p(w₂|w₁) = (c(w₁w₂) + 1)/(c(w₁·) + V) — and
+    * each document scores the mean log-probability of its own bigrams.
+    *
+    * Shape: two aggregations over one bigram explode (per-doc-bigram
+    * tf, then corpus counts from a re-aggregation of the SMALL per-doc
+    * table — never a second corpus scan), one join back on the bigram
+    * key. The model table is bounded by the corpus's distinct-bigram
+    * count; the join is a plain shuffle join that AQE broadcasts when
+    * the model fits (it does here) — at 100 TB web scale the model
+    * side is still ~10⁸ rows ≪ corpus tokens, and the join stays
+    * key-partitioned with no skew (bigram keys are near-uniform).
+    * Left-context counts derive from the bigram table itself
+    * (c(w₁·) = Σ_w₂ c(w₁w₂)) so the two marginals cannot disagree.
+    */
+  val lmScore = Query(
+    "tx_lm_score",
+    (s, dir) => {
+      val d = graft.core.Par
+        .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
+          col("doc_id"))
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      val docBigrams = d.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), (size(col("t")) - 1).as("n_bigrams"),
+          explode(expr(
+            "transform(sequence(0, size(t) - 2)," +
+              " i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
+        .groupBy(col("doc_id"), col("n_bigrams"), col("bg"))
+        .agg(count(lit(1)).as("k"))
+      val model = docBigrams.groupBy(col("bg")).agg(sum(col("k")).as("cb"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val leftCtx = model.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+      val voc = d.select(explode(col("t")).as("term"))
+        .agg(count_distinct(col("term")).as("v"))
+      val logp = log((col("cb") + 1.0) / (col("cl") + col("v")))
+      docBigrams
+        .join(model.join(leftCtx, "w1")
+          .select(col("bg"), col("cb"), col("cl")), "bg")
+        .crossJoin(broadcast(voc))
+        .groupBy(col("doc_id"), col("n_bigrams"))
+        .agg(sum(col("k") * logp).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("slp") / col("n_bigrams"), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        FROM documents
+      ), bg AS (
+        SELECT doc_id, n_bigrams, bg, count(*) AS k
+        FROM (SELECT doc_id, len(t) - 1 AS n_bigrams,
+                unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i + 1])) AS bg
+              FROM d WHERE len(t) >= 2)
+        GROUP BY 1, 2, 3
+      ), model AS (
+        SELECT bg, sum(k) AS cb, split_part(bg, ' ', 1) AS w1
+        FROM bg GROUP BY bg
+      ), lft AS (SELECT w1, sum(cb) AS cl FROM model GROUP BY 1),
+      voc AS (
+        SELECT count(DISTINCT term) AS v
+        FROM (SELECT unnest(t) AS term FROM d)
+      )
+      SELECT doc_id, n_bigrams,
+        round(sum(k * ln((cb + 1.0) / (cl + v))) / n_bigrams, 4) AS avg_logp
+      FROM bg
+        JOIN (SELECT m.bg, m.cb, l.cl FROM model m JOIN lft l USING (w1)) mm
+          USING (bg)
+        CROSS JOIN voc
+      GROUP BY doc_id, n_bigrams
+      ORDER BY doc_id
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
-    filterFunnel, vocab, pack, chunks, heavyHitters, sourceCap)
+    filterFunnel, vocab, pack, chunks, heavyHitters, sourceCap, bm25, lmScore)
 }

@@ -34,10 +34,15 @@ class PlanAuditSpec extends SparkSuite {
   /** ss_maxsim's nested-loop side is the declared-bounded query set
     * (5 docs × 10 vecs) — the same contract as ss_cosine_topk's.
     */
+  /** tx_bm25 / tx_lm_score cross the corpus-N/avgdl (resp. vocabulary-
+    * size) 1-row aggregate in as a broadcast — the tx_tfidf contract.
+    * q_skyline crosses the 1-row price min/max bounds that derive its
+    * deterministic bucket ids.
+    */
   private val broadcastLoopAllowed = Set(
     "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery",
     "q_approx_distinct", "q_approx_quantiles", "tx_tfidf", "tx_vocab", "ss_recall",
-    "ss_maxsim")
+    "ss_maxsim", "tx_bm25", "tx_lm_score", "q_skyline")
 
   /** The plan the lint audits: the query's own result plan, or the
     * declared eager intermediate (which, unlike `run`, plans lazily —
