@@ -577,7 +577,74 @@ object Multimodal {
     """),
   )
 
+  /** Windowed SPECTRUM over real decoded PCM: each 64-sample window of
+    * [[mm_audio_rms]]'s corpus reduces to six Walsh–Hadamard
+    * coefficients c_k = Σ xᵢ·(−1)^popcount(k∧i) for k ∈ {1,2,4,8,16,
+    * 32} — the sequency-domain analogue of an FFT spectrogram slice
+    * (the per-segment frequency profile an audio pipeline feeds to
+    * silence/bandwidth filters). Hadamard, not Fourier, ON PURPOSE:
+    * the ±1 basis keeps every coefficient an exact integer sum of
+    * int16 samples (|c_k| ≤ 64·2¹⁵ < 2²², exact in both engines),
+    * whereas cos/sin are not correctly-rounded in either engine's libm
+    * and a cross-engine hash gate over trig is a coin flip at rounding
+    * boundaries. A production FFT swap changes only the per-window
+    * kernel, not the dataflow.
+    *
+    * Same scale shape as [[audioRms]]: decode + window + transform in
+    * ONE narrow per-partition pass, only (id, window, bin, coef)
+    * scalar rows ever leave it — blobs never shuffle. The oracle
+    * recomputes every coefficient closed-form from the synthesis
+    * parameters.
+    */
+  val spectrogram = Query(
+    "mm_spectrogram",
+    (s, dir) => {
+      import s.implicits._
+      val bins = Array(1, 2, 4, 8, 16, 32)
+      val params = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      val rows = params.mapPartitions { it =>
+        it.flatMap { case (id, nChars) =>
+          val rate = 8000 + (id % 5).toInt * 2000
+          val n    = (nChars % 240 + 1).toInt
+          val synth = Array.tabulate(n)(i =>
+            (((id * 31 + i * 7) % 65536) - 32768).toShort)
+          val samples = WavCodec.decodeSamples(WavCodec.encode(rate, synth))
+          samples.grouped(64).zipWithIndex.flatMap { case (w, wi) =>
+            bins.map { k =>
+              var c = 0L
+              var i = 0
+              while (i < w.length) {
+                val sign = if (java.lang.Integer.bitCount(k & i) % 2 == 0) 1 else -1
+                c += w(i).toLong * sign
+                i += 1
+              }
+              (id, wi, k, c)
+            }
+          }
+        }
+      }.toDF("media_id", "window_no", "bin", "coef")
+      rows.orderBy(col("media_id"), col("window_no"), col("bin"))
+    },
+    oracle = Some("""
+      WITH p AS (
+        SELECT doc_id, (n_chars % 240 + 1)::INT AS n FROM documents
+      ), w AS (
+        SELECT doc_id, n, unnest(range(0, (n + 63) // 64)) AS win FROM p
+      ), b AS (
+        SELECT doc_id, n, win, unnest([1, 2, 4, 8, 16, 32]) AS bin FROM w
+      )
+      SELECT doc_id AS media_id, win::INT AS window_no, bin::INT AS bin,
+        CAST(list_sum(list_transform(
+          range(win * 64, least(n::BIGINT, win * 64 + 64)),
+          i -> ((doc_id * 31 + i * 7) % 65536 - 32768) *
+               (CASE WHEN bit_count(bin & (i - win * 64)) % 2 = 0
+                     THEN 1 ELSE -1 END))) AS BIGINT) AS coef
+      FROM b ORDER BY media_id, window_no, bin
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
-      videoDecode, audioRms, imageDhash)
+      videoDecode, audioRms, imageDhash, spectrogram)
 }

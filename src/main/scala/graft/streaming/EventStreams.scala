@@ -132,6 +132,37 @@ object EventStreams extends Serializable {
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every view, matched to
+    * same-user purchases within ±5 minutes — or emitted null-extended
+    * once the engine can PROVE no future purchase can match. That
+    * proof is the watermark: a view's join window closes when the
+    * event-time watermark (max ts − 10 min on a finite backlog)
+    * passes view_ts + 5 min; only then does the unmatched row emit
+    * (earlier emission could be falsified by a late purchase —
+    * outer-join results on streams are watermark-gated by
+    * correctness, not by choice). Views whose window is still open at
+    * end-of-backlog stay in state unemitted — exactly the live
+    * deployment's pending set. State stays rate × window bounded,
+    * same as [[viewPurchaseJoin]].
+    */
+  def viewPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+      .select(col("v_id"), col("p_id"), col("v_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   /** Gap-based sessionization (30-minute idle gap), the stateful
     * counterpart of the batch `ev_sessionize` query: a session closes
     * when a later event of the same user arrives past the gap, or when

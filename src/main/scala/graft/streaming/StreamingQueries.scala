@@ -262,6 +262,62 @@ object StreamingQueries {
       graft.operators.Events.rangeJoin.run(s, dir)),
   )
 
+  /** [[EventStreams.viewPurchaseLeftJoin]] — OUTER stream-stream join
+    * under the gate: the semantics streaming gets wrong most easily,
+    * because null-extended rows may only emit once the watermark
+    * proves no future match can arrive. Matched pairs emit exactly as
+    * the inner join; an unmatched view emits iff its join window
+    * closed under the FINAL global watermark, which the oracle states
+    * exactly as the engine decides it (all three clauses probed
+    * against a boundary fixture, StreamLeftJoinBoundarySpec):
+    *   - the global watermark is the MIN across the two sides'
+    *     watermark operators, each flooring ITS OWN max event time to
+    *     ms before subtracting the 10-min delay (the purchase side's
+    *     sparser tail governs — on this corpus its max trails the view
+    *     side's by ~30 min, which naive "global max ts − delay"
+    *     reasoning would get wrong by that margin);
+    *   - the state-eviction bound is watermark − 5 min − 1 ms (Spark
+    *     subtracts one ms so the bound is exclusive);
+    *   - the row comparison is at full MICROSECOND precision against
+    *     that ms-quantized bound (a view 500 µs above it stays in
+    *     state even though its own ms-floor sits below).
+    * Views still open at end-of-backlog stay in state, unemitted —
+    * the live deployment's pending set.
+    */
+  val streamLeftJoin = Query(
+    "ev_stream_left_join",
+    (s, dir) => {
+      val joined = EventStreams.viewPurchaseLeftJoin(eventsStream(s, dir))
+      runToTable(joined, "append")
+        .select(col("v_id"), col("p_id"), col("user_id"), col("gap_us"))
+        .orderBy(col("v_id"), col("p_id"))
+    },
+    oracle = Some("""
+      WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+      p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      -- global watermark = min over both sides of floor-ms(own max) −
+      -- 10 min; eviction bound = watermark − 5 min − 1 ms, compared at
+      -- MICROSECOND precision (see the query doc / boundary spec)
+      wm AS (SELECT least((SELECT epoch_us(max(ts)) // 1000 FROM v),
+                          (SELECT epoch_us(max(ts)) // 1000 FROM p))
+                    - 600000 AS wm_ms),
+      j AS (
+        SELECT v.event_id AS v_id, p.event_id AS p_id, v.user_id,
+               epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+               epoch_us(v.ts) AS v_us
+        FROM v LEFT JOIN p
+          ON p.user_id = v.user_id
+         AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 300000000
+      )
+      SELECT v_id, p_id, user_id, gap_us
+      FROM j CROSS JOIN wm
+      WHERE p_id IS NOT NULL OR v_us <= (wm_ms - 300001) * 1000
+      ORDER BY v_id, p_id
+    """),
+    eagerPlan = Some((s, dir) =>
+      graft.operators.Events.rangeJoin.run(s, dir)),
+  )
+
   /** The reference's ONE shipped job — word count
     * (`user/WordMapperServant.java:24-37`,
     * `user/WordReducerServant.java:24-40`) — as an incremental stream
@@ -618,7 +674,7 @@ object StreamingQueries {
   )
 
   def all: Seq[Query] =
-    Seq(streamHourly, streamSessions, streamRangeJoin, streamWordcount,
-      streamEnrich, streamUpsert, streamClean, streamHeavyHitters,
-      streamScd2)
+    Seq(streamHourly, streamSessions, streamRangeJoin, streamLeftJoin,
+      streamWordcount, streamEnrich, streamUpsert, streamClean,
+      streamHeavyHitters, streamScd2)
 }

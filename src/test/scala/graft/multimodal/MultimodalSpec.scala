@@ -233,4 +233,33 @@ class MultimodalSpec extends SparkSuite {
     assert(ham(base, tweak) <= 2, s"near-dup moved ${ham(base, tweak)} bits")
     assert(ham(base, other) >= 8, s"distinct image only ${ham(base, other)} bits apart")
   }
+
+  test("mm_spectrogram: Hadamard coefficients match a direct recompute from decoded PCM") {
+    val rows = graft.QueryRegistry.byName("mm_spectrogram")
+      .run(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    // six bins per window, windows contiguous from 0 per media id
+    val byWin = rows.groupBy(r => (r.getLong(0), r.getInt(1)))
+    byWin.values.foreach(ws =>
+      assert(ws.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 4, 8, 16, 32)))
+    // brute-force one media id end-to-end through the REAL decode path
+    val id = rows.head.getLong(0)
+    val nChars = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .where(col("doc_id") === id).select("n_chars").head().getLong(0)
+    val n = (nChars % 240 + 1).toInt
+    val synth = Array.tabulate(n)(i =>
+      (((id * 31 + i * 7) % 65536) - 32768).toShort)
+    val pcm = graft.multimodal.WavCodec.decodeSamples(
+      graft.multimodal.WavCodec.encode(8000 + (id % 5).toInt * 2000, synth))
+    val expect = pcm.grouped(64).zipWithIndex.flatMap { case (w, wi) =>
+      Seq(1, 2, 4, 8, 16, 32).map { k =>
+        (wi, k, w.zipWithIndex.map { case (x, i) =>
+          x.toLong * (if (java.lang.Integer.bitCount(k & i) % 2 == 0) 1 else -1)
+        }.sum)
+      }
+    }.toSeq
+    val got = rows.filter(_.getLong(0) == id)
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq.sorted
+    assert(got == expect.sorted)
+  }
 }

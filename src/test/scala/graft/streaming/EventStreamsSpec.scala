@@ -268,7 +268,7 @@ class EventStreamsSpec extends SparkSuite {
     // contract and the seam needs rethinking, not raising the cap.
     val cap = 200000L
     for (name <- Seq("ev_stream_sessions", "ev_stream_range_join",
-        "mr_stream_wordcount")) {
+        "ev_stream_left_join", "mr_stream_wordcount")) {
       val n = graft.QueryRegistry.byName(name).run(spark, sf("sf0.001")).count()
       assert(n < cap, s"$name memory-sink seam grew to $n rows (cap $cap)")
     }
