@@ -1355,8 +1355,150 @@ object TextQueries {
     """),
   )
 
+  /** Number of BPE merge rounds trained by [[bpeTrain]] — shared with
+    * the unrolled oracle generator so they cannot drift.
+    */
+  private val bpeRounds = 4
+
+  /** DuckDB side of [[bpeTrain]]: the same `bpeRounds` merge rounds
+    * UNROLLED as a CTE chain (sᵣ₋₁ → pair counts pᵣ → 1-row argmax mᵣ
+    * → merged sᵣ). The greedy left-to-right merge application is a
+    * `list_reduce` fold into an RS-delimited string (DuckDB's reduce
+    * accumulator must be element-typed): append `RS‖x` normally;
+    * when the LAST element equals l and x = r, replace it with l‖r.
+    * Safe because symbols are regexp_extract_all chars/concats —
+    * never containing the RS separator (chr(30)).
+    */
+  private def bpeOracleSql: String = {
+    val rs = "chr(30)"
+    def mergeFold(prev: String, m: String) =
+      s"""string_split(list_reduce(syms, (acc, x) -> CASE
+            WHEN acc = $m.lhs AND x = $m.rhs THEN $m.lhs || $m.rhs
+            WHEN ends_with(acc, $rs || $m.lhs) AND x = $m.rhs
+              THEN left(acc, length(acc) - length($m.lhs)) || $m.lhs || $m.rhs
+            ELSE acc || $rs || x END), $rs)"""
+    val rounds = (1 to bpeRounds).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (
+        SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(freq)::BIGINT AS cnt
+        FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM $prev)
+        GROUP BY 1, 2
+      ), m$i AS (SELECT lhs, rhs, cnt FROM p$i
+                 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      s$i AS (
+        SELECT word, freq, ${mergeFold(prev, s"m$i")} AS syms
+        FROM $prev CROSS JOIN m$i
+      )"""
+    }.mkString(",\n")
+    val out = (1 to bpeRounds).map { i =>
+      s"""SELECT $i AS round, lhs, rhs, cnt,
+            (SELECT sum(freq * len(syms))::BIGINT FROM s$i) AS tokens_after
+          FROM m$i"""
+    }.mkString("\nUNION ALL\n")
+    s"""
+      WITH w AS (
+        SELECT word, count(*)::BIGINT AS freq
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                x -> length(x) > 0)) AS word
+              FROM documents)
+        GROUP BY 1
+      ), s0 AS (SELECT word, freq, regexp_extract_all(word, '[^\n\r]') AS syms
+                FROM w),
+      $rounds
+      $out
+      ORDER BY round
+    """
+  }
+
+  /** REAL BPE tokenizer training — not [[bpeTokens]]' counting
+    * heuristic but the iterative merge-learning loop itself (Sennrich
+    * et al., ACL'16): split every word into characters, then
+    * repeatedly count adjacent symbol pairs (frequency-weighted) and
+    * merge the most frequent pair everywhere, greedy left-to-right.
+    * Output: the learned merge table — (round, pair, count) plus the
+    * corpus token count after each merge. Pair counts include
+    * OVERLAPS (a k-run of a symbol counts k−1 pairs but greedily
+    * merges only ⌊k/2⌋ times), so the per-round drop in tokens_after
+    * is bounded by [cnt/2, cnt], not equal to cnt — BpeTrainSpec
+    * asserts the bounds and replays the whole loop brute-force.
+    *
+    * Scale shape — why this trains at 100 TB: the corpus is touched
+    * ONCE (the word-frequency aggregation); every merge round then
+    * operates on the VOCABULARY table (words × freq × symbols), which
+    * is orders of magnitude smaller than the corpus — exactly how
+    * production BPE trainers structure the loop. Per round: one pair
+    * aggregation over the vocab (map-side combinable), a 1-ROW argmax
+    * collect (the rank-method driver-protocol class), and a codegen'd
+    * fold rewriting each word's symbols. `localCheckpoint` truncates
+    * the lineage each round (the standard iterative-algorithm
+    * pattern), so round r never recomputes rounds 1..r−1. Driver
+    * state: `bpeRounds` merge rows. The final DataFrame is assembled
+    * from those rows, so the audited distributed shape is declared
+    * via `eagerPlan` (the round-1 pair-count pipeline over the real
+    * scan), like the other driver-coordinated protocols.
+    */
+  val bpeTrain = Query(
+    "tx_bpe_train",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      def sq(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      val words = graft.core.Par
+        .spreadBy(Tables(s, dir).documents.select(col("text")), col("text"))
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      var state: DataFrame = words
+        .withColumn("syms", expr("regexp_extract_all(word, '[^\\n\\r]', 0)"))
+        .localCheckpoint(true)
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long, Long)]
+      var round = 1
+      while (round <= bpeRounds) {
+        val best = state.filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(syms) - 2)," +
+              " i -> struct(syms[i] AS lhs, syms[i + 1] AS rhs))")).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        require(best.nonEmpty, "corpus exhausted before bpeRounds merges")
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        state = state.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>),
+              (acc, x) -> CASE
+                WHEN size(acc) > 0 AND element_at(acc, -1) = ${sq(l)}
+                     AND x = ${sq(r)}
+                  THEN concat(slice(acc, 1, size(acc) - 1),
+                              array(${sq(l + r)}))
+                ELSE concat(acc, array(x)) END)"""))
+          .localCheckpoint(true)
+        val tokensAfter = state
+          .agg(sum(col("freq") * size(col("syms")))).head().getLong(0)
+        merges += ((round, l, r, cnt, tokensAfter))
+        round += 1
+      }
+      import s.implicits._
+      merges.toSeq.toDF("round", "lhs", "rhs", "cnt", "tokens_after")
+        .orderBy(col("round"))
+    },
+    oracle = Some(bpeOracleSql),
+    eagerPlan = Some((s, dir) =>
+      Tables(s, dir).documents
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .withColumn("syms", expr("regexp_extract_all(word, '[^\\n\\r]', 0)"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> struct(syms[i] AS lhs, syms[i + 1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
-    filterFunnel, vocab, pack, chunks, heavyHitters, sourceCap, bm25, lmScore)
+    filterFunnel, vocab, pack, chunks, heavyHitters, sourceCap, bm25, lmScore,
+    bpeTrain)
 }
