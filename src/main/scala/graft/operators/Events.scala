@@ -444,7 +444,75 @@ object Events {
     """),
   )
 
+  /** Rolling z-score anomaly detection — the monitoring query every
+    * event pipeline runs over its own volumes: each (hour, type)
+    * count scores against the trailing 24 OBSERVED hours of the same
+    * type (rows-frame: silent hours don't pad the baseline), and the
+    * 10 most anomalous cells surface. Needs ≥ 12 observed trailing
+    * hours (warm-up) and non-degenerate variance.
+    *
+    * Cross-engine determinism: mean/variance do NOT use either
+    * engine's stddev aggregate (different accumulation algorithms ⇒
+    * different float error). Both sides compute the EXACT integer
+    * window sums Σn and Σn² and then the identical double formula
+    * var = (Σn² − (Σn)²/c)/(c−1) — integer sums are exact, the double
+    * expression tree is the same, so z agrees bit-for-bit before
+    * rounding. Shape: one (hour×type)-bounded aggregate, windows
+    * PARTITIONED by type (distributed), a top-10 sort-limit tail, and
+    * a rank window over 10 rows.
+    */
+  val anomaly = Query(
+    "ev_anomaly",
+    (s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-24, -1)
+      val scored = hourly
+        .withColumn("c", count(col("n")).over(w))
+        .withColumn("sn", sum(col("n")).over(w))
+        .withColumn("ss", sum(col("n") * col("n")).over(w))
+        .filter(col("c") >= 12)
+        .withColumn("variance",
+          (col("ss") - col("sn") * col("sn") / col("c")) / (col("c") - 1))
+        .filter(col("variance") > 0)
+        .withColumn("z",
+          (col("n") - col("sn") / col("c")) / sqrt(col("variance")))
+      scored.orderBy(abs(col("z")).desc, col("event_type"), col("h"))
+        .limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(abs(col("z")).desc, col("event_type"), col("h"))))
+        .select(col("rk"), col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("n"), round(col("z"), 4).as("z"))
+        .orderBy(col("rk"))
+    },
+    oracle = Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+      ), win AS (
+        SELECT h, event_type, n,
+          count(n) OVER w AS c, sum(n) OVER w AS sn,
+          sum(n * n) OVER w AS ss
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      ), scored AS (
+        SELECT h, event_type, n,
+          (n - sn / c) / sqrt((ss - sn * sn / c) / (c - 1)) AS z
+        FROM win
+        WHERE c >= 12 AND (ss - sn * sn / c) / (c - 1) > 0
+      )
+      SELECT row_number() OVER (ORDER BY abs(z) DESC, event_type, h) AS rk,
+             event_type, strftime(h, '%Y-%m-%d %H:00:00') AS hour,
+             n, round(z, 4) AS z
+      FROM scored ORDER BY abs(z) DESC, event_type, h LIMIT 10
+    """),
+  )
+
   def all: Seq[Query] = Seq(hourly, sessionize, dailyActive, funnel,
     jsonProps, asofJoin, rangeJoin, sessionWindow, retention, skewJoin,
-    scd2)
+    scd2, anomaly)
 }

@@ -1498,8 +1498,77 @@ object SimilarityQueries {
     """),
   )
 
+  /** Matryoshka / prefix-dimension retrieval (Kusupati et al.,
+    * NeurIPS'22): score the corpus with only the FIRST 16 of 64
+    * dimensions (MRL-trained embeddings front-load information, so a
+    * prefix is itself a usable embedding), keep the top-100 candidates
+    * per query through the bounded heaps, then rerank ONLY those at
+    * full dimension. The modern serving trade: the corpus-sized pass
+    * touches 8 floats per vector instead of 64 — at 100 TB that is the
+    * difference between scanning 12.5 TB and 100 TB per query batch —
+    * and the full-width vectors are fetched by candidate id for 25×|q|
+    * rows only. Both stages' ranking tails are [[topKRankTail]]-class
+    * heaps; the prefix projection happens ONCE per corpus row before
+    * the broadcast join, never per pair. Composes with the IVF/PQ
+    * families (prefix-dim coarse scoring is exactly an ADC-free
+    * re-ranking ladder rung).
+    */
+  val matryoshka = Query(
+    "ss_matryoshka",
+    (s, dir) => {
+      val pfx = 16
+      val e = Tables(s, dir).embeddings
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          slice(col("embedding"), 1, pfx).as("qc"))
+      val coarse = e
+        .select(col("vec_id").as("nid"),
+          slice(col("embedding"), 1, pfx).as("cv"))
+        .join(broadcast(queries.select(col("qid"), col("qc"))),
+          col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          VectorFunctions.cosineSim(col("qc"), col("cv")).as("ccos"))
+      val cands = graft.plans.TopK.perGroup(coarse, Seq("qid"),
+        Seq("ccos" -> false, "nid" -> true), 100)
+      val exact = e.select(col("vec_id").as("nid"), col("embedding"))
+        .join(broadcast(cands.select(col("qid"), col("nid"))), "nid")
+        .join(broadcast(queries.select(col("qid"), col("qv"))), "qid")
+        .select(col("qid"), col("nid"),
+          VectorFunctions.cosineSim(col("qv"), col("embedding")).as("cos"))
+      topKRankTail(exact)
+    },
+    oracle = Some(s"""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, embedding[1:16] AS qc
+        FROM embeddings WHERE vec_id < 20
+      ), coarse AS (
+        SELECT q.qid, e.vec_id AS nid,
+               ${cosineSqlExpr2("q.qc", "e.embedding[1:16]")} AS ccos
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+      ), cand AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY ccos DESC, nid) AS crk
+          FROM coarse)
+        WHERE crk <= 100
+      ), exact AS (
+        SELECT cand.qid, cand.nid,
+               ${cosineSqlExpr2("q.qv", "e.embedding")} AS cos
+        FROM cand
+          JOIN embeddings e ON e.vec_id = cand.nid
+          JOIN q ON q.qid = cand.qid
+      ), ranked AS (
+        SELECT qid, nid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        FROM exact)
+      SELECT qid, rk, nid, round(cos, 4) AS cos
+      FROM ranked WHERE rk <= 5 ORDER BY qid, rk
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, pqTopk, ivfPqTopk, kmeans,
       cosineNearDup, semanticDedup, vectorStats, quantize, coverage, recall,
-      maxsim)
+      maxsim, matryoshka)
 }

@@ -42,7 +42,11 @@ class PlanAuditSpec extends SparkSuite {
   private val broadcastLoopAllowed = Set(
     "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery",
     "q_approx_distinct", "q_approx_quantiles", "tx_tfidf", "tx_vocab", "ss_recall",
-    "ss_maxsim", "tx_bm25", "tx_lm_score", "q_skyline")
+    "ss_maxsim", "tx_bm25", "tx_lm_score", "q_skyline",
+    // ss_matryoshka's nested loop is the declared-bounded 20-query
+    // prefix side — the ss_cosine_topk contract; its rerank joins are
+    // broadcast equi-joins on candidate ids.
+    "ss_matryoshka")
 
   /** The plan the lint audits: the query's own result plan, or the
     * declared eager intermediate (which, unlike `run`, plans lazily —
