@@ -644,7 +644,77 @@ object Multimodal {
     """),
   )
 
+  /** Scene-change detection over real decoded video frames — the
+    * temporal video analysis a frame-sampling pipeline runs first
+    * (sample per SCENE, not per fixed stride, and a cut list is the
+    * scene index). A cut is a frame whose mean-luma jump from its
+    * predecessor exceeds 16 grey levels; the comparison runs in
+    * INTEGER space (|Σluma(f) − Σluma(f−1)| > 16·w·h — per-frame luma
+    * sums are exact ≤ 255·w·h) so both engines decide identically.
+    * Frame sums come from [[Y4mCodec.frameLumaSums]]' real byte walk,
+    * not the synthesis formula; the oracle recomputes them
+    * closed-form. Decode + temporal reduction in ONE narrow pass —
+    * only (id, n_frames, n_cuts, first_cut) leaves it, the same
+    * blobs-never-shuffle contract as the rest of the tier.
+    */
+  val sceneCut = Query(
+    "mm_scenecut",
+    (s, dir) => {
+      import s.implicits._
+      val params = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      val rows = params.mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w   = ((id % 8) + 1).toInt * 2
+          val h   = ((id % 4) + 1).toInt * 2
+          val fps = 24 + (id % 4).toInt * 6
+          val nf  = (nChars % 240 + 1).toInt
+          val bytes = Y4mCodec.encode(w, h, fps, 1, nf,
+            (f, i) => ((id * 11 + f * 5L + i * 3L) % 256).toInt)
+          val (dw, dh, sums) = Y4mCodec.frameLumaSums(bytes)
+          val px = dw.toLong * dh
+          var cuts = 0
+          var first = -1L
+          var f = 1
+          while (f < sums.length) {
+            if (math.abs(sums(f) - sums(f - 1)) > 16L * px) {
+              cuts += 1
+              if (first < 0) first = f
+            }
+            f += 1
+          }
+          (id, sums.length, cuts, first)
+        }
+      }.toDF("media_id", "n_frames", "n_cuts", "first_cut")
+      rows.orderBy(col("media_id"))
+    },
+    oracle = Some("""
+      WITH p AS (
+        SELECT doc_id, ((doc_id % 8 + 1) * 2)::INT AS w,
+               ((doc_id % 4 + 1) * 2)::INT AS h,
+               (n_chars % 240 + 1)::INT AS nf
+        FROM documents
+      ), fs AS (
+        SELECT doc_id, w, h, nf, f,
+          list_sum(list_transform(range(0, (w * h)::BIGINT),
+            i -> (doc_id * 11 + f * 5 + i * 3) % 256))::BIGINT AS s
+        FROM (SELECT doc_id, w, h, nf, unnest(range(0, nf::BIGINT)) AS f
+              FROM p)
+      ), d AS (
+        SELECT doc_id, nf, f, s, w, h,
+          lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS ps
+        FROM fs
+      )
+      SELECT doc_id AS media_id, nf AS n_frames,
+        CAST(count(CASE WHEN abs(s - ps) > 16 * w * h THEN 1 END) AS INT)
+          AS n_cuts,
+        coalesce(min(CASE WHEN abs(s - ps) > 16 * w * h THEN f END), -1)::BIGINT
+          AS first_cut
+      FROM d GROUP BY 1, 2 ORDER BY media_id
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
-      videoDecode, audioRms, imageDhash, spectrogram)
+      videoDecode, audioRms, imageDhash, spectrogram, sceneCut)
 }

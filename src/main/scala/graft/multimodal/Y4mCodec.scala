@@ -135,4 +135,49 @@ object Y4mCodec {
     Decoded(w, h, fn, fd, cs, nFrames,
       if (nFrames == 0) 0.0 else firstSum.toDouble / lumaLen, lastTopLeft)
   }
+
+  /** Per-frame luma SUMS from the same frame walk as [[decode]] —
+    * integer-exact (≤ 255·w·h per frame), the primitive the temporal
+    * analyses (scene-cut detection) reduce over. Returns
+    * (width, height, one sum per walked frame).
+    */
+  def frameLumaSums(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    val headerEnd = bytes.indexOf('\n'.toByte)
+    require(headerEnd > 0, "no header line")
+    val header = new String(bytes, 0, headerEnd, "US-ASCII")
+    val tokens = header.split(" ").filter(_.nonEmpty)
+    require(tokens.nonEmpty && tokens.head == Magic,
+      s"not a Y4M stream (bad magic '${tokens.headOption.getOrElse("")}')")
+    var w = -1; var h = -1; var cs = "420jpeg"
+    tokens.tail.foreach { t =>
+      (t.head, t.tail) match {
+        case ('W', v) => w = v.toInt
+        case ('H', v) => h = v.toInt
+        case ('C', v) => cs = v
+        case _        => ()
+      }
+    }
+    require(w > 0 && h > 0, s"missing/bad dimensions W$w H$h")
+    val lumaLen  = w * h
+    val frameLen = lumaLen + chromaBytes(cs, w, h)
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pos = headerEnd + 1
+    while (pos < bytes.length) {
+      var nl = pos
+      while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+      val marker = new String(bytes, pos, nl - pos, "US-ASCII")
+      require(nl < bytes.length && marker.startsWith("FRAME"),
+        s"malformed frame marker at byte $pos: '$marker'")
+      pos = nl + 1
+      require(pos + frameLen <= bytes.length,
+        s"truncated frame ${sums.length}: need $frameLen bytes, " +
+          s"have ${bytes.length - pos}")
+      var s = 0L
+      var i = 0
+      while (i < lumaLen) { s += bytes(pos + i) & 0xff; i += 1 }
+      sums += s
+      pos += frameLen
+    }
+    (w, h, sums.toArray)
+  }
 }

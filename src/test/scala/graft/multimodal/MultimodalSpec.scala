@@ -234,6 +234,41 @@ class MultimodalSpec extends SparkSuite {
     assert(ham(base, other) >= 8, s"distinct image only ${ham(base, other)} bits apart")
   }
 
+  test("mm_scenecut: frame walk, formula parity, and cut rule") {
+    import graft.multimodal.Y4mCodec
+    // golden: handcrafted 2-frame 2x2 mono-diff stream
+    val bytes = Y4mCodec.encode(2, 2, 24, 1, 3, (f, i) => f * 100 + i)
+    val (w, h, sums) = Y4mCodec.frameLumaSums(bytes)
+    assert((w, h) == (2, 2))
+    // frame f luma = {f*100+0 .. f*100+3} → sum = 4*100f + 6
+    assert(sums.toSeq == Seq(6L, 406L, 806L))
+    // per-frame sums from the REAL byte walk equal the synthesis
+    // formula for a corpus row (the decode-vs-formula parity the
+    // oracle relies on)
+    val id = 7L; val nf = 5; val vw = ((id % 8) + 1).toInt * 2
+    val vh = ((id % 4) + 1).toInt * 2
+    val enc = Y4mCodec.encode(vw, vh, 24, 1, nf,
+      (f, i) => ((id * 11 + f * 5L + i * 3L) % 256).toInt)
+    val (_, _, s2) = Y4mCodec.frameLumaSums(enc)
+    val expect = (0 until nf).map { f =>
+      (0 until vw * vh).map(i => (id * 11 + f * 5L + i * 3L) % 256).sum
+    }
+    assert(s2.toSeq == expect)
+    // the gated query: cut rule holds against a recompute on one row
+    val rows = graft.QueryRegistry.byName("mm_scenecut")
+      .run(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cuts = r.getInt(2); val first = r.getLong(3)
+      assert(cuts >= 0 && cuts < r.getInt(1))
+      assert((cuts == 0) == (first == -1L))
+      if (first >= 0) assert(first >= 1 && first < r.getInt(1))
+    }
+    // at least one video in the corpus shows a wrap-induced cut —
+    // the +5/frame mod-256 ramp must wrap within 240 frames
+    assert(rows.exists(_.getInt(2) > 0))
+  }
+
   test("mm_spectrogram: Hadamard coefficients match a direct recompute from decoded PCM") {
     val rows = graft.QueryRegistry.byName("mm_spectrogram")
       .run(spark, sf("sf0.001")).collect()
