@@ -63,6 +63,24 @@ object GraftExtensions {
           "space_saving_topk(term, capacity) takes 2 arguments")
         SpaceSavingTopK(exprs.head, intArg(exprs(1), "capacity"))
       }),
+    // count_min_estimates(term, 'q1,q2,...', depth, width) — the SQL
+    // surface flattens the query-term list into one comma-joined
+    // literal (terms are corpus tokens, comma-free)
+    ("count_min_estimates",
+      new ExpressionInfo(classOf[CountMinEstimates].getName,
+        "count_min_estimates"),
+      exprs => {
+        require(exprs.length == 4,
+          "count_min_estimates(term, 'q1,q2,...', depth, width) takes 4 arguments")
+        val qs = exprs(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString.split(",").toSeq
+          case other => throw new IllegalArgumentException(
+            s"query terms must be a string literal, got: $other")
+        }
+        CountMinEstimates(exprs.head, qs,
+          intArg(exprs(2), "depth"), intArg(exprs(3), "width"))
+      }),
     ("l2_norm",
       new ExpressionInfo(classOf[L2Norm].getName, "l2_norm"),
       exprs => L2Norm(exprs.head)),

@@ -184,9 +184,143 @@ object SpaceSavingTopK {
   }
 }
 
+/** Count-Min sketch (Cormode & Muthukrishnan, 2005) as a native
+  * Catalyst [[TypedImperativeAggregate]] — the POINT-QUERY sketch
+  * family next to [[SpaceSavingTopK]]'s top-k family: d×w counters
+  * answer "how often did THIS term occur" for any term, in O(d·w)
+  * memory regardless of vocabulary. The sketch is LINEAR (standard
+  * update, deliberately NOT conservative update: CU tightens a single
+  * stream but breaks the lower-bound guarantee under partial-aggregate
+  * merge, and mergeability is the whole point on Spark), so partial
+  * sketches cell-wise-add across tasks — the combiner seam ships
+  * d·w longs per task, never the stream.
+  *
+  * Guarantees (deterministic, per sketch instance): est(t) ≥ true(t)
+  * always (every row counts every occurrence plus non-negative
+  * collisions); est(t) ≤ true(t) + εN with probability 1−e^(−d) over
+  * hash choice, ε = e/w — the hashes here are FIXED seeded Murmur3,
+  * so for a given corpus the bound either holds or not,
+  * deterministically and reproducibly. Query terms are fixed at
+  * construction so [[eval]] emits a bounded (term, est) array.
+  */
+case class CountMinEstimates(
+    child: Expression,
+    queryTerms: Seq[String],
+    depth: Int,
+    width: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CountMinEstimates.Cms]
+    with UnaryLike[Expression] {
+
+  require(depth > 0 && width > 0, "count_min needs positive depth/width")
+  require(queryTerms.nonEmpty, "count_min needs query terms")
+
+  override def createAggregationBuffer(): CountMinEstimates.Cms =
+    new CountMinEstimates.Cms(depth, width)
+
+  override def update(buf: CountMinEstimates.Cms,
+      input: InternalRow): CountMinEstimates.Cms = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(buf: CountMinEstimates.Cms,
+      other: CountMinEstimates.Cms): CountMinEstimates.Cms = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: CountMinEstimates.Cms): Any =
+    new GenericArrayData(queryTerms.sorted.map { t =>
+      InternalRow(UTF8String.fromString(t), buf.estimate(t))
+    })
+
+  override def serialize(buf: CountMinEstimates.Cms): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(depth); out.writeInt(width)
+    var i = 0
+    while (i < buf.counts.length) { out.writeLong(buf.counts(i)); i += 1 }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CountMinEstimates.Cms = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val d = in.readInt(); val w = in.readInt()
+    val buf = new CountMinEstimates.Cms(d, w)
+    var i = 0
+    while (i < buf.counts.length) { buf.counts(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = CountMinEstimates.resultType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): CountMinEstimates =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinEstimates =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CountMinEstimates =
+    copy(child = c)
+  override def prettyName: String = "count_min_estimates"
+}
+
+object CountMinEstimates {
+
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))), containsNull = false)
+
+  /** Row-i hash of a term — seeded Murmur3, identical on every JVM so
+    * partial sketches built on different executors agree cell-for-cell.
+    */
+  private[functions] def cell(term: String, row: Int, width: Int): Int =
+    java.lang.Math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(term, row * 0x9E3779B9 + 1),
+      width)
+
+  final class Cms(val depth: Int, val width: Int) {
+    val counts = new Array[Long](depth * width)
+
+    def add(term: String): Unit = {
+      var i = 0
+      while (i < depth) {
+        counts(i * width + cell(term, i, width)) += 1L
+        i += 1
+      }
+    }
+
+    def mergeIn(other: Cms): Unit = {
+      require(other.depth == depth && other.width == width,
+        "cannot merge differently-shaped CMS")
+      var i = 0
+      while (i < counts.length) { counts(i) += other.counts(i); i += 1 }
+    }
+
+    def estimate(term: String): Long = {
+      var est = Long.MaxValue
+      var i = 0
+      while (i < depth) {
+        val c = counts(i * width + cell(term, i, width))
+        if (c < est) est = c
+        i += 1
+      }
+      est
+    }
+  }
+}
+
 object SketchFunctions {
   /** Column-API entry: `space_saving_topk(term, capacity)`. */
   def spaceSavingTopK(c: Column, capacity: Int): Column =
     Exprs.toColumn(
       SpaceSavingTopK(Exprs.toExpr(c), capacity).toAggregateExpression())
+
+  /** Column-API entry: `count_min_estimates(term, queries, d, w)`. */
+  def countMinEstimates(c: Column, queryTerms: Seq[String],
+      depth: Int, width: Int): Column =
+    Exprs.toColumn(
+      CountMinEstimates(Exprs.toExpr(c), queryTerms, depth, width)
+        .toAggregateExpression())
 }

@@ -512,7 +512,92 @@ object Events {
     """),
   )
 
+  /** Point-in-time temporal join — the warehouse query SCD2 histories
+    * exist FOR: each purchase joins the dimension version (the user's
+    * non-purchase activity-status run) valid AT the purchase's
+    * timestamp, `valid_from ≤ ts < valid_to` with the open version
+    * unbounded. This is [[scd2]]'s history build consumed end-to-end:
+    * a fact × versioned-dimension interval-containment join.
+    *
+    * Plan shape: the join is EQUI on user_id with the interval
+    * containment as a residual predicate — one key-partitioned
+    * shuffle join, no range-join machinery, no window over facts. A
+    * user's version count is bounded by their status-change count, so
+    * the per-key match work is tiny and skew follows user activity
+    * (the salted-join protocol applies if a bot user ever matters).
+    * Each fact matches AT MOST one version (versions partition the
+    * timeline); facts before the user's first status version drop
+    * (inner semantics, stated in the oracle).
+    */
+  val scd2Join = Query(
+    "ev_scd2_join",
+    (s, dir) => {
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("event_type"), 1).over(byUser)
+      val dim = Tables(s, dir).events
+        .filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("chg",
+          when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+        .withColumn("ver", sum(col("chg"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("ver"))
+        .agg(min(col("event_type")).as("status"),
+          min(col("ts")).as("from_ts"))
+        .withColumn("to_ts",
+          lead(col("from_ts"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ver"))))
+      val facts = Tables(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("value"))
+      facts.join(dim,
+        col("p_user") === col("user_id") &&
+          col("p_ts") >= col("from_ts") &&
+          (col("to_ts").isNull || col("p_ts") < col("to_ts")))
+        .select(col("p_id"), col("user_id"), col("ver"), col("status"),
+          date_format(col("p_ts"), fmt).as("p_ts"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("p_id"))
+    },
+    oracle = Some("""
+      WITH nonp AS (
+        SELECT user_id, event_type, ts, event_id,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_type
+        FROM events WHERE event_type <> 'purchase'
+      ), flagged AS (
+        SELECT user_id, event_type, ts,
+          CASE WHEN prev_type IS NULL OR prev_type <> event_type
+               THEN 1 ELSE 0 END AS chg,
+          event_id
+        FROM nonp
+      ), versioned AS (
+        SELECT user_id, event_type, ts,
+          sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+        FROM flagged
+      ), dim AS (
+        SELECT user_id, CAST(ver AS BIGINT) AS ver,
+          min(event_type) AS status, min(ts) AS from_ts,
+          lead(min(ts)) OVER (PARTITION BY user_id ORDER BY ver) AS to_ts
+        FROM versioned GROUP BY user_id, ver
+      )
+      SELECT p.event_id AS p_id, d.user_id, d.ver, d.status,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+             round(p.value, 2) AS value
+      FROM events p JOIN dim d
+        ON p.user_id = d.user_id
+       AND p.ts >= d.from_ts
+       AND (d.to_ts IS NULL OR p.ts < d.to_ts)
+      WHERE p.event_type = 'purchase'
+      ORDER BY p_id
+    """),
+  )
+
   def all: Seq[Query] = Seq(hourly, sessionize, dailyActive, funnel,
     jsonProps, asofJoin, rangeJoin, sessionWindow, retention, skewJoin,
-    scd2, anomaly)
+    scd2, anomaly, scd2Join)
 }

@@ -1496,9 +1496,68 @@ object TextQueries {
         .agg(sum(col("freq")).as("cnt"))),
   )
 
+  /** Count-Min point queries — the second sketch family next to
+    * [[heavyHitters]]' Space-Saving top-k: d×w counters answer "how
+    * often did THIS term occur" in O(d·w) memory regardless of
+    * vocabulary, and the sketch is LINEAR so partial sketches
+    * cell-wise-add across tasks (the combiner seam ships 4×512 longs
+    * per task, never the token stream). The gate follows the
+    * q_approx_quantiles contract: the sketch value itself is
+    * hash-dependent and cannot cross engines, so the checked output is
+    * the GUARANTEE — est ≥ exact (deterministic for a linear sketch)
+    * and est ≤ exact + ⌈e·N/w⌉ (the CMS ε-bound; hashes are fixed
+    * seeded Murmur3, so for a given corpus it holds reproducibly) —
+    * next to the exact counts DuckDB recomputes. The absent probe term
+    * pins the absent-key behavior (est collides to ~0, bounds hold).
+    */
+  val countMin = Query(
+    "tx_count_min",
+    (s, dir) => {
+      val qTerms = Seq("join", "vector", "window", "stream", "customer",
+        "zzz_absent")
+      val terms = graft.core.Par
+        .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
+          col("doc_id"))
+        .select(explode(toks(col("text"))).as("term"))
+      val agg = terms.agg(
+        graft.functions.SketchFunctions
+          .countMinEstimates(col("term"), qTerms, 4, 512).as("sk"),
+        count(lit(1)).as("n"))
+      val exact = terms.filter(col("term").isin(qTerms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("exact"))
+      agg.select(explode(col("sk")).as("e"), col("n"))
+        .select(col("e.term").as("term"), col("e.est").as("est"), col("n"))
+        .join(exact, Seq("term"), "left")
+        .na.fill(0, Seq("exact"))
+        .select(col("term"), col("exact"),
+          (col("est") >= col("exact")).as("lower_ok"),
+          (col("est") <= col("exact") +
+            ceil(lit(math.E) * col("n") / 512)).as("upper_ok"))
+        .orderBy(col("term"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT unnest(list_filter(string_split(text, ' '),
+                 x -> length(x) > 0)) AS term
+        FROM documents
+      ), e AS (
+        SELECT term, count(*)::BIGINT AS exact FROM t
+        WHERE term IN ('join', 'vector', 'window', 'stream', 'customer',
+                       'zzz_absent')
+        GROUP BY 1
+      ), q AS (
+        SELECT unnest(['join', 'vector', 'window', 'stream', 'customer',
+                       'zzz_absent']) AS term
+      )
+      SELECT q.term, coalesce(e.exact, 0) AS exact,
+             true AS lower_ok, true AS upper_ok
+      FROM q LEFT JOIN e USING (term) ORDER BY term
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     filterFunnel, vocab, pack, chunks, heavyHitters, sourceCap, bm25, lmScore,
-    bpeTrain)
+    bpeTrain, countMin)
 }

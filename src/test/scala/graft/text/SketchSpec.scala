@@ -79,4 +79,60 @@ class SketchSpec extends SparkSuite {
       assert(viaSql == viaCol)
     } finally spark.catalog.dropTempView("sketch_terms")
   }
+
+  test("count_min: est >= exact for every vocab term, and linearity under repartition") {
+    val truth = trueCounts
+    val qs = truth.keys.toSeq.sorted
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.agg(SketchFunctions.countMinEstimates(col("term"), qs, 4, 512).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term"), col("e.est")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = estimates(terms)
+    truth.foreach { case (t, tr) =>
+      assert(est(t) >= tr, s"$t: est ${est(t)} underestimates true $tr")
+    }
+    // LINEAR sketch: the partial/merge topology cannot change the
+    // cells, so any repartitioning yields the identical estimates
+    assert(estimates(terms.repartition(8)) == est)
+    assert(estimates(terms.repartition(1)) == est)
+  }
+
+  test("count_min: saturated regime keeps the guarantee, collisions real") {
+    import spark.implicits._
+    // 4000 distinct synthetic terms into a 4x64 sketch — far past
+    // saturation, so collisions MUST occur and the bound must still hold
+    val data = (0 until 4000).flatMap(i => Seq.fill(i % 5 + 1)(s"term_$i"))
+    val df = data.toDF("term").repartition(8)
+    val truth = data.groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val probe = truth.keys.toSeq.sorted.take(200)
+    val est = df
+      .agg(SketchFunctions.countMinEstimates(col("term"), probe, 4, 64).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    probe.foreach { t =>
+      assert(est(t) >= truth(t), s"$t: ${est(t)} < true ${truth(t)}")
+    }
+    assert(probe.exists(t => est(t) > truth(t)),
+      "4000 terms in 64 cells produced zero collisions — sketch not exercised")
+  }
+
+  test("SQL surface: count_min_estimates agrees with the Column API") {
+    graft.GraftExtensions.register(spark)
+    terms.createOrReplaceTempView("cms_terms")
+    try {
+      val qs = Seq("join", "stream", "zzz")
+      val viaSql = spark.sql(
+        "SELECT count_min_estimates(term, 'join,stream,zzz', 4, 512) AS sk " +
+          "FROM cms_terms")
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term"), col("e.est")).collect().toSeq
+      val viaCol = terms
+        .agg(SketchFunctions.countMinEstimates(col("term"), qs, 4, 512).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term"), col("e.est")).collect().toSeq
+      assert(viaSql == viaCol)
+    } finally spark.catalog.dropTempView("cms_terms")
+  }
 }
