@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.{Query, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video handled as opaque `binary`
@@ -714,7 +715,94 @@ object Multimodal {
     """),
   )
 
+  /** Activity segmentation (VAD-style) over the decoded-PCM corpus —
+    * the silence-trimming pass an audio pipeline runs before
+    * transcription/training: windows whose energy clears a threshold
+    * are "active", and CONSECUTIVE active windows collapse into
+    * segments (gaps-and-islands, the audio twin of `ev_sessionize`'s
+    * run collapse). The activity decision is INTEGER-exact — window
+    * sum-of-squares vs 64·thr² (no sqrt, no division) — so both
+    * engines segment identically. Output: one row per active segment
+    * with window extent and exact energy.
+    *
+    * Shape: decode + window + threshold in the narrow per-partition
+    * pass (only (id, window, ss) scalar rows leave it), then the run
+    * collapse is the standard lag→flag→running-sum→group chain,
+    * windows PARTITIONED by media id — distributed, bounded per-key.
+    */
+  val audioVad = Query(
+    "mm_audio_vad",
+    (s, dir) => {
+      import s.implicits._
+      // threshold: mid-scale RMS 16384 → 64·16384² sum-of-squares
+      val thrSS = 64L * 16384 * 16384
+      val params = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      val wins = params.mapPartitions { it =>
+        it.flatMap { case (id, nChars) =>
+          val rate = 8000 + (id % 5).toInt * 2000
+          val n    = (nChars % 240 + 1).toInt
+          val synth = Array.tabulate(n)(i =>
+            (((id * 31 + i * 7) % 65536) - 32768).toShort)
+          val samples = WavCodec.decodeSamples(WavCodec.encode(rate, synth))
+          samples.grouped(64).zipWithIndex.collect {
+            case (w, wi) if w.length == 64 =>
+              val ss = w.foldLeft(0L)((a, v) => a + v.toLong * v)
+              (id, wi, ss)
+          }
+        }
+      }.toDF("media_id", "window_no", "ss")
+      val active = wins.filter(col("ss") > thrSS)
+      val byMedia = Window.partitionBy(col("media_id")).orderBy(col("window_no"))
+      active
+        .withColumn("prev", lag(col("window_no"), 1).over(byMedia))
+        .withColumn("brk",
+          when(col("prev").isNull || col("window_no") - col("prev") > 1, 1)
+            .otherwise(0))
+        .withColumn("seg", sum(col("brk")).over(
+          byMedia.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("media_id"), col("seg"))
+        .agg(min(col("window_no")).as("first_window"),
+          max(col("window_no")).as("last_window"),
+          count(lit(1)).cast("long").as("n_windows"),
+          sum(col("ss")).as("energy"))
+        .select(col("media_id"), col("seg"), col("first_window"),
+          col("last_window"), col("n_windows"), col("energy"))
+        .orderBy(col("media_id"), col("seg"))
+    },
+    oracle = Some("""
+      WITH p AS (
+        SELECT doc_id, (n_chars % 240 + 1)::INT AS n FROM documents
+      ), w AS (
+        SELECT doc_id, win::INT AS window_no,
+          list_sum(list_transform(range(win * 64, win * 64 + 64),
+            i -> ((doc_id * 31 + i * 7) % 65536 - 32768)
+               * ((doc_id * 31 + i * 7) % 65536 - 32768)))::BIGINT AS ss
+        FROM (SELECT doc_id, n, unnest(range(0, n // 64)) AS win FROM p)
+      ), active AS (
+        SELECT doc_id, window_no, ss,
+          lag(window_no) OVER (PARTITION BY doc_id ORDER BY window_no)
+            AS prev
+        FROM w WHERE ss > 64::BIGINT * 16384 * 16384
+      ), flagged AS (
+        SELECT doc_id, window_no, ss,
+          CASE WHEN prev IS NULL OR window_no - prev > 1 THEN 1 ELSE 0 END
+            AS brk
+        FROM active
+      ), segged AS (
+        SELECT doc_id, window_no, ss,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY window_no
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        FROM flagged
+      )
+      SELECT doc_id AS media_id, CAST(seg AS BIGINT) AS seg,
+        min(window_no) AS first_window, max(window_no) AS last_window,
+        count(*) AS n_windows, sum(ss)::BIGINT AS energy
+      FROM segged GROUP BY 1, 2 ORDER BY media_id, seg
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
-      videoDecode, audioRms, imageDhash, spectrogram, sceneCut)
+      videoDecode, audioRms, imageDhash, spectrogram, sceneCut, audioVad)
 }

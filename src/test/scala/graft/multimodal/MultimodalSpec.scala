@@ -269,6 +269,58 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.exists(_.getInt(2) > 0))
   }
 
+  test("mm_audio_vad: segments are maximal active runs with exact energy") {
+    val thrSS = 64L * 16384 * 16384
+    val rows = graft.QueryRegistry.byName("mm_audio_vad")
+      .run(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    // recompute the window energies for every media id in the output
+    // and check each segment is a MAXIMAL run of active full windows
+    val byMedia = rows.groupBy(_.getLong(0))
+    byMedia.foreach { case (id, segs) =>
+      val nChars = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+        .where(col("doc_id") === id).select("n_chars").head().getLong(0)
+      val n = (nChars % 240 + 1).toInt
+      val ss = (0 until n / 64).map { w =>
+        (w * 64 until w * 64 + 64).map { i =>
+          val v = (id * 31 + i * 7) % 65536 - 32768
+          v * v
+        }.sum
+      }
+      val activeSet = ss.zipWithIndex.collect {
+        case (e, w) if e > thrSS => w
+      }.toSet
+      val covered = segs.flatMap(r =>
+        r.getInt(2) to r.getInt(3)).toSet
+      assert(covered == activeSet,
+        s"media $id: segments cover $covered, active windows $activeSet")
+      segs.foreach { r =>
+        val (first, last) = (r.getInt(2), r.getInt(3))
+        assert(r.getLong(4) == last - first + 1)
+        // maximality: the windows just outside the segment are inactive
+        assert(!activeSet(first - 1) && !activeSet(last + 1))
+        val energy = (first to last).map(ss).sum
+        assert(r.getLong(5) == energy)
+      }
+    }
+  }
+
+  test("Hadamard kernel: full 64-bin transform satisfies Parseval") {
+    // Σ_k c_k² = N·Σ_i x_i² for the complete (all-k) Walsh–Hadamard
+    // transform — an exact integer identity that pins the kernel's
+    // sign pattern (any popcount/index slip breaks it)
+    val rnd = new scala.util.Random(7)
+    val x = Array.fill(64)((rnd.nextInt(65536) - 32768).toLong)
+    val coefs = (0 until 64).map { k =>
+      (0 until 64).map { i =>
+        x(i) * (if (java.lang.Integer.bitCount(k & i) % 2 == 0) 1 else -1)
+      }.sum
+    }
+    val lhs = coefs.map(c => BigInt(c) * c).sum
+    val rhs = BigInt(64) * x.map(v => BigInt(v) * v).sum
+    assert(lhs == rhs, s"Parseval violated: $lhs vs $rhs")
+  }
+
   test("mm_spectrogram: Hadamard coefficients match a direct recompute from decoded PCM") {
     val rows = graft.QueryRegistry.byName("mm_spectrogram")
       .run(spark, sf("sf0.001")).collect()
