@@ -597,7 +597,52 @@ object Events {
     """),
   )
 
+  /** SLIDING-window aggregation — the overlapping-window semantics
+    * [[hourly]]'s tumbling buckets cannot express (a 1-hour window
+    * every 15 minutes: each event belongs to exactly FOUR windows, and
+    * a spike shows in every window covering it rather than splitting
+    * on an arbitrary bucket edge). Uses Spark's native
+    * `window(ts, '1 hour', '15 minutes')` — a map-side Expand (4 rows
+    * per event) feeding one hash aggregate, no self-join.
+    *
+    * The oracle replicates the window assignment in exact INTEGER
+    * µs→s arithmetic (floor to the 15-minute grid, then the 4
+    * predecessor starts); epoch-aligned flooring is deterministic on
+    * both engines, and an event exactly on a grid boundary belongs to
+    * the window STARTING at it, never the one ending there — stated by
+    * the k = 0..3 construction on both sides.
+    */
+  val slidingAgg = Query(
+    "ev_sliding_agg",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("w_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT epoch_us(ts) // 1000000 // 900 * 900 AS grid_s,
+               event_type, value
+        FROM events
+      ), expanded AS (
+        SELECT grid_s - k * 900 AS start_s, event_type, value
+        FROM (SELECT grid_s, event_type, value, unnest(range(0, 4)) AS k
+              FROM e)
+      )
+      SELECT strftime(to_timestamp(start_s), '%Y-%m-%d %H:%M:%S') AS w_start,
+             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+  )
+
   def all: Seq[Query] = Seq(hourly, sessionize, dailyActive, funnel,
     jsonProps, asofJoin, rangeJoin, sessionWindow, retention, skewJoin,
-    scd2, anomaly, scd2Join)
+    scd2, anomaly, scd2Join, slidingAgg)
 }
