@@ -673,8 +673,116 @@ object StreamingQueries {
     }),
   )
 
+  /** [[Events.slidingAgg]]'s incremental twin: overlapping 1 h/15 min
+    * windows maintained as streaming state. The map-side Expand (4
+    * window rows per event) feeds the SAME stateful hash aggregate as
+    * the tumbling [[streamHourly]] — sliding windows change the
+    * expand multiplicity, not the state topology; state is bounded by
+    * (open windows × types) and complete mode makes the finite-backlog
+    * sink equal the batch aggregation, so the oracle is
+    * `ev_sliding_agg`'s verbatim.
+    */
+  val streamSliding = Query(
+    "ev_stream_sliding",
+    (s, dir) => {
+      val agg = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+      runToTable(agg)
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("w_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT epoch_us(ts) // 1000000 // 900 * 900 AS grid_s,
+               event_type, value
+        FROM events
+      ), expanded AS (
+        SELECT grid_s - k * 900 AS start_s, event_type, value
+        FROM (SELECT grid_s, event_type, value, unnest(range(0, 4)) AS k
+              FROM e)
+      )
+      SELECT strftime(to_timestamp(start_s), '%Y-%m-%d %H:%M:%S') AS w_start,
+             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+    eagerPlan = Some((s, dir) =>
+      graft.operators.Events.slidingAgg.run(s, dir)),
+  )
+
+  /** [[graft.functions.CountMinEstimates]] RUNNING INCREMENTALLY — the
+    * point-query sketch as streaming state, the CMS twin of
+    * [[streamHeavyHitters]]: the state store holds one serialized d×w
+    * counter matrix per state partition (bounded by shape, not
+    * vocabulary), cell-wise-added across micro-batches by the
+    * aggregate's own merge — which, for a LINEAR sketch, provably
+    * cannot differ from the batch result whatever the batch split.
+    * Same gate contract as the batch `tx_count_min`: guarantee flags
+    * next to DuckDB's exact counts.
+    */
+  val streamCountMin = Query(
+    "tx_stream_count_min",
+    (s, dir) => {
+      val qTerms = Seq("join", "vector", "window", "stream", "customer",
+        "zzz_absent")
+      val reader = graft.core.Sessions.withConf(s,
+        "spark.sql.shuffle.partitions" -> streamPartitions)
+      val schema = reader.read.parquet(s"$dir/documents.parquet").schema
+      val docs = reader.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val terms = docs
+        .select(explode(graft.text.TextQueries.toks(col("text"))).as("term"))
+      val agg = terms.agg(
+        graft.functions.SketchFunctions
+          .countMinEstimates(col("term"), qTerms, 4, 512).as("sk"),
+        count(lit(1)).as("n"))
+      val tbl = runToTable(agg)
+      // ≤ |qTerms| rows from here on — bounded by construction
+      val exact = Tables(tbl.sparkSession, dir).documents
+        .select(explode(graft.text.TextQueries.toks(col("text"))).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("exact"))
+      tbl.select(explode(col("sk")).as("e"), col("n"))
+        .select(col("e.term").as("term"), col("e.est").as("est"), col("n"))
+        .join(exact, Seq("term"), "left")
+        .na.fill(0, Seq("exact"))
+        .select(col("term"), col("exact"),
+          (col("est") >= col("exact")).as("lower_ok"),
+          (col("est") <= col("exact") +
+            ceil(lit(math.E) * col("n") / 512)).as("upper_ok"))
+        .orderBy(col("term"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT unnest(list_filter(string_split(text, ' '),
+                 x -> length(x) > 0)) AS term
+        FROM documents
+      ), e AS (
+        SELECT term, count(*)::BIGINT AS exact FROM t
+        WHERE term IN ('join', 'vector', 'window', 'stream', 'customer',
+                       'zzz_absent')
+        GROUP BY 1
+      ), q AS (
+        SELECT unnest(['join', 'vector', 'window', 'stream', 'customer',
+                       'zzz_absent']) AS term
+      )
+      SELECT q.term, coalesce(e.exact, 0) AS exact,
+             true AS lower_ok, true AS upper_ok
+      FROM q LEFT JOIN e USING (term) ORDER BY term
+    """),
+    eagerPlan = Some((s, dir) =>
+      graft.text.TextQueries.countMin.run(s, dir)),
+  )
+
   def all: Seq[Query] =
     Seq(streamHourly, streamSessions, streamRangeJoin, streamLeftJoin,
       streamWordcount, streamEnrich, streamUpsert, streamClean,
-      streamHeavyHitters, streamScd2)
+      streamHeavyHitters, streamScd2, streamSliding, streamCountMin)
 }
