@@ -1567,8 +1567,93 @@ object SimilarityQueries {
     """),
   )
 
+  /** FILTERED vector search — the metadata-constrained ANN every
+    * serving stack needs ("nearest neighbors WHERE label = X"): each
+    * query retrieves top-5 among corpus vectors sharing ITS label,
+    * routed through the same IVF cells as [[ivfTopk]] with the label
+    * predicate applied POST-routing on the candidate stream (the
+    * standard post-filter strategy: cells are label-agnostic, the
+    * filter prunes candidates before the exact-cosine heaps — at low
+    * selectivity a production system widens nprobe or partitions the
+    * index by label; the oracle pins THIS strategy's exact output).
+    * The label predicate rides the same candidate join — no extra
+    * shuffle, no second scan.
+    */
+  val filteredTopk = Query(
+    "ss_filtered_topk",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cents = trainIvfCentroids(e)
+      val assigned = e.select(col("vec_id"), col("embedding"), col("label"),
+        argmaxCell(cents).as("cell"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"),
+          explode(slice(sort_array(array(scoreStructs(cents): _*),
+            asc = false), 1, 2)).as("c"))
+        .select(col("qid"), col("qv"), col("qlabel"),
+          col("c").getField("cid").as("cell"))
+      val cand = assigned.join(probes, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid") &&
+          col("label") === col("qlabel"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          VectorFunctions.cosineSim(col("qv"), col("embedding")).as("cos"))
+      topKRankTail(cand)
+    },
+    oracle = Some(s"""
+      WITH seeds AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+      ), seed_scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos
+        FROM embeddings e, seeds c
+      ), seed_ranked AS (
+        SELECT vec_id, embedding, cid,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid DESC) AS rk
+        FROM seed_scored
+      ), assigned0 AS (
+        SELECT embedding, cid FROM seed_ranked WHERE rk = 1
+      ), comp AS (
+        SELECT cid, i.pos, avg(embedding[i.pos]) AS m
+        FROM assigned0
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) i
+        GROUP BY 1, 2
+      ), cents AS (
+        SELECT cid, list_transform(list(round(m, 3) ORDER BY pos),
+                                   x -> x::FLOAT) AS cv
+        FROM comp GROUP BY cid
+      ), scored_cells AS (
+        SELECT e.vec_id, e.embedding, e.label, c.cid,
+               ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos
+        FROM embeddings e, cents c
+      ), ranked_cells AS (
+        SELECT vec_id, embedding, label, cid,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid DESC) AS rk
+        FROM scored_cells
+      ), assigned AS (
+        SELECT vec_id, embedding, label, cid AS cell
+        FROM ranked_cells WHERE rk = 1
+      ), probes AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel, cid AS cell
+        FROM ranked_cells WHERE rk <= 2 AND vec_id < 20
+      ), cand AS (
+        SELECT p.qid, a.vec_id AS nid,
+               ${cosineSqlExpr2("p.qv", "a.embedding")} AS cos
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.qid AND a.label = p.qlabel
+      ), ranked AS (
+        SELECT qid, nid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        FROM cand)
+      SELECT qid, rk, nid, round(cos, 4) AS cos
+      FROM ranked WHERE rk <= 5 ORDER BY qid, rk
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, pqTopk, ivfPqTopk, kmeans,
       cosineNearDup, semanticDedup, vectorStats, quantize, coverage, recall,
-      maxsim, matryoshka)
+      maxsim, matryoshka, filteredTopk)
 }

@@ -59,4 +59,28 @@ class MatryoshkaSpec extends SparkSuite {
         s"rounded engine cos ${r.getDouble(3)} vs recompute $expect")
     }
   }
+
+  test("ss_filtered_topk: every neighbor shares its query's label") {
+    val dir = sf("sf0.01")
+    val labels = spark.read.parquet(dir + "/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = QueryRegistry.byName("ss_filtered_topk")
+      .run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(2))
+      assert(labels(nid) == labels(qid),
+        s"query $qid (label ${labels(qid)}) got neighbor $nid " +
+          s"with label ${labels(nid)}")
+      assert(nid != qid)
+    }
+    // ranks contiguous from 1 per query, cosine non-increasing
+    rows.groupBy(_.getLong(0)).values.foreach { qr =>
+      val sorted = qr.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
