@@ -74,10 +74,15 @@ object GraftExtensions {
           "count_min_estimates(term, 'q1,q2,...', depth, width) takes 4 arguments")
         val qs = exprs(1) match {
           case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
-            s.toString.split(",").toSeq
+            // trim + drop empties so 'a, b' or a trailing comma cannot
+            // silently register a ' b' / '' query term
+            s.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
           case other => throw new IllegalArgumentException(
             s"query terms must be a string literal, got: $other")
         }
+        require(qs.nonEmpty,
+          "count_min_estimates: the query-term list parsed to zero " +
+            "non-blank terms")
         CountMinEstimates(exprs.head, qs,
           intArg(exprs(2), "depth"), intArg(exprs(3), "width"))
       }),

@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -45,9 +45,14 @@ case class SpaceSavingTopK(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[SpaceSavingTopK.Summary]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression]
+    with ExpectsInputTypes {
 
   require(capacity > 0, "space_saving_topk capacity must be positive")
+
+  // a non-string child must fail at ANALYSIS (the standard aggregate
+  // contract), not as an opaque ClassCastException inside update()
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def createAggregationBuffer(): SpaceSavingTopK.Summary =
     new SpaceSavingTopK.Summary(capacity)
@@ -211,10 +216,16 @@ case class CountMinEstimates(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[CountMinEstimates.Cms]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression]
+    with ExpectsInputTypes {
 
   require(depth > 0 && width > 0, "count_min needs positive depth/width")
-  require(queryTerms.nonEmpty, "count_min needs query terms")
+  require(queryTerms.nonEmpty && queryTerms.forall(_.trim.nonEmpty),
+    "count_min needs non-blank query terms")
+
+  // a non-string child must fail at ANALYSIS (the standard aggregate
+  // contract), not as an opaque ClassCastException inside update()
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def createAggregationBuffer(): CountMinEstimates.Cms =
     new CountMinEstimates.Cms(depth, width)

@@ -755,8 +755,11 @@ object StreamingQueries {
         .na.fill(0, Seq("exact"))
         .select(col("term"), col("exact"),
           (col("est") >= col("exact")).as("lower_ok"),
+          // 2×⌈εN⌉ slack, same rationale as the batch tx_count_min: the
+          // tight bound is probabilistic over hash choice and belongs in
+          // SketchSpec (corpus-specific), not the cross-engine gate
           (col("est") <= col("exact") +
-            ceil(lit(math.E) * col("n") / 512)).as("upper_ok"))
+            lit(2) * ceil(lit(math.E) * col("n") / 512)).as("upper_ok"))
         .orderBy(col("term"))
     },
     oracle = Some("""

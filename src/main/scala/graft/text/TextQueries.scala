@@ -24,6 +24,13 @@ object TextQueries {
   private[graft] def toks(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
+  /** Number of BPE merge rounds trained by [[bpeTrain]] — shared with
+    * the unrolled oracle generator so they cannot drift. Declared at
+    * the top of the object (and `final`) because [[packBpe]]'s oracle
+    * interpolates it during earlier-in-file initializer evaluation.
+    */
+  private final val bpeRounds = 4
+
   /** Per-document token statistics. */
   val tokenStats = Query(
     "tx_token_stats",
@@ -723,12 +730,15 @@ object TextQueries {
       sums.iterator.map { case (src, t) => ((pid, src), t) }
     }.collect()
 
-  val pack = Query(
-    "tx_pack",
-    (s, dir) => {
+  /** The two-level prefix-sum pack protocol over a pre-sorted
+    * `(source, doc_id, n_tokens:int)` frame — shared by [[pack]]
+    * (whitespace token counts) and [[packBpe]] (trained-BPE token
+    * counts); the token-count DEFINITION is the only thing that
+    * differs between the two manifests.
+    */
+  private def packProtocol(s: SparkSession, sorted: DataFrame): DataFrame = {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
-      val sorted = packSorted(s, dir)
       val rows = sorted.rdd // shared by both jobs — one shuffle, one set of range bounds
       val partials = packPartials(rows)
       val offsets: Map[(Int, String), Long] =
@@ -759,7 +769,11 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("n_tokens"))
         .orderBy(col("source"), col("bin"))
-    },
+  }
+
+  val pack = Query(
+    "tx_pack",
+    (s, dir) => packProtocol(s, packSorted(s, dir)),
     eagerPlan = Some(packSorted),
     oracle = Some("""
       WITH d AS (
@@ -767,6 +781,77 @@ object TextQueries {
           len(list_filter(string_split(text, ' '), x -> length(x) > 0))
             AS n_tokens
         FROM documents
+      ), c AS (
+        SELECT source, doc_id, n_tokens,
+          coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS prior
+        FROM d)
+      SELECT source, (prior // 256) AS bin, count(*) AS n_docs,
+        sum(n_tokens)::BIGINT AS n_tokens
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """),
+  )
+
+  /** [[packBpe]]'s sorted input: the same range-partitioned
+    * (source, doc_id, n_tokens) frame as [[packSorted]], but n_tokens
+    * is the TRAINED-BPE token count — encode the distinct-word table
+    * once through [[encodeExpr]] (the [[bpeEncode]] dataflow), join
+    * per-(doc, word) counts back, and left-join onto documents so
+    * wordless docs keep the [[pack]] null semantics (NULL text →
+    * NULL n_tokens; empty text → 0).
+    */
+  private[graft] def packSortedBpe(s: SparkSession, dir: String): DataFrame = {
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val merges = trainBpeMerges(s, dir).map(m => (m._2, m._3))
+    val docs = Tables(s, dir).documents
+    val occ = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    val wid = occ.select(col("word")).distinct()
+      .withColumn("n_toks", size(expr(encodeExpr(merges))))
+    val perDoc = occ.join(wid, "word").groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("n_toks")).as("nt"))
+    docs.select(col("source"), col("doc_id"), col("text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("source"), col("doc_id"),
+        when(col("text").isNull, lit(null))
+          .otherwise(coalesce(col("nt"), lit(0L))).cast("int").as("n_tokens"))
+      .repartitionByRange(nPart, col("source"), col("doc_id"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+  }
+
+  /** The packing manifest a real pretraining run consumes — [[pack]]'s
+    * two-level prefix-sum protocol fed by the TRAINED tokenizer's
+    * token counts instead of the whitespace proxy, closing the
+    * train→encode→pack loop: [[bpeTrain]] learns the merges,
+    * [[bpeEncode]]'s vocabulary-level encode prices each document, and
+    * this packs those real counts into 256-token context windows.
+    * Identical protocol and null semantics to [[pack]]; see
+    * [[packSortedBpe]] for the count plumbing and [[bpeEncode]] for
+    * why the encode is vocabulary-sized, not corpus-sized.
+    */
+  val packBpe = Query(
+    "tx_pack_bpe",
+    (s, dir) => packProtocol(s, packSortedBpe(s, dir)),
+    eagerPlan = Some(packSortedBpe),
+    oracle = Some(s"""
+      WITH $bpeChainCtes,
+      wid AS (SELECT word, len(syms) AS n_toks FROM s$bpeRounds),
+      occ AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                 x -> length(x) > 0)) AS word
+        FROM documents
+      ),
+      pd AS (
+        SELECT doc_id, sum(n_toks)::BIGINT AS nt
+        FROM occ JOIN wid USING (word) GROUP BY doc_id
+      ),
+      d AS (
+        SELECT dd.source, dd.doc_id,
+          CASE WHEN dd.text IS NULL THEN NULL
+               ELSE coalesce(pd.nt, 0) END AS n_tokens
+        FROM documents dd LEFT JOIN pd USING (doc_id)
       ), c AS (
         SELECT source, doc_id, n_tokens,
           coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -1355,21 +1440,18 @@ object TextQueries {
     """),
   )
 
-  /** Number of BPE merge rounds trained by [[bpeTrain]] — shared with
-    * the unrolled oracle generator so they cannot drift.
+  /** Shared DuckDB CTE chain retraining the same `bpeRounds` merges
+    * UNROLLED (sᵣ₋₁ → pair counts pᵣ → 1-row argmax mᵣ → merged sᵣ);
+    * ends at `s$bpeRounds`, the fully-merged vocabulary state the
+    * encode/pack oracles join against. The greedy left-to-right merge
+    * application is a `list_reduce` fold into an RS-delimited string
+    * (DuckDB's reduce accumulator must be element-typed): append
+    * `RS‖x` normally; when the LAST element equals l and x = r,
+    * replace it with l‖r. Safe because symbols are
+    * regexp_extract_all chars/concats — never containing the RS
+    * separator (chr(30)).
     */
-  private val bpeRounds = 4
-
-  /** DuckDB side of [[bpeTrain]]: the same `bpeRounds` merge rounds
-    * UNROLLED as a CTE chain (sᵣ₋₁ → pair counts pᵣ → 1-row argmax mᵣ
-    * → merged sᵣ). The greedy left-to-right merge application is a
-    * `list_reduce` fold into an RS-delimited string (DuckDB's reduce
-    * accumulator must be element-typed): append `RS‖x` normally;
-    * when the LAST element equals l and x = r, replace it with l‖r.
-    * Safe because symbols are regexp_extract_all chars/concats —
-    * never containing the RS separator (chr(30)).
-    */
-  private def bpeOracleSql: String = {
+  private def bpeChainCtes: String = {
     val rs = "chr(30)"
     def mergeFold(prev: String, m: String) =
       s"""string_split(list_reduce(syms, (acc, x) -> CASE
@@ -1390,13 +1472,7 @@ object TextQueries {
         FROM $prev CROSS JOIN m$i
       )"""
     }.mkString(",\n")
-    val out = (1 to bpeRounds).map { i =>
-      s"""SELECT $i AS round, lhs, rhs, cnt,
-            (SELECT sum(freq * len(syms))::BIGINT FROM s$i) AS tokens_after
-          FROM m$i"""
-    }.mkString("\nUNION ALL\n")
-    s"""
-      WITH w AS (
+    s"""w AS (
         SELECT word, count(*)::BIGINT AS freq
         FROM (SELECT unnest(list_filter(string_split(text, ' '),
                 x -> length(x) > 0)) AS word
@@ -1404,7 +1480,18 @@ object TextQueries {
         GROUP BY 1
       ), s0 AS (SELECT word, freq, regexp_extract_all(word, '[^\n\r]') AS syms
                 FROM w),
-      $rounds
+      $rounds"""
+  }
+
+  /** DuckDB side of [[bpeTrain]]: the merge table read off the chain. */
+  private def bpeOracleSql: String = {
+    val out = (1 to bpeRounds).map { i =>
+      s"""SELECT $i AS round, lhs, rhs, cnt,
+            (SELECT sum(freq * len(syms))::BIGINT FROM s$i) AS tokens_after
+          FROM m$i"""
+    }.mkString("\nUNION ALL\n")
+    s"""
+      WITH $bpeChainCtes
       $out
       ORDER BY round
     """
@@ -1436,50 +1523,104 @@ object TextQueries {
     * from those rows, so the audited distributed shape is declared
     * via `eagerPlan` (the round-1 pair-count pipeline over the real
     * scan), like the other driver-coordinated protocols.
+    *
+    * ASCII-corpus assumption (tie-breaks + vocab ids): the per-round
+    * argmax breaks count ties on (lhs, rhs) string order, and
+    * [[bpeEncode]] ranks the vocab alphabet by symbol order. Three
+    * orderings must agree for the gate and specs to hold: Spark's
+    * UTF8String binary (= UTF-8 byte = codepoint) order, DuckDB's
+    * default binary varchar collation, and the test reference's Java
+    * `compareTo` (UTF-16 code units). They coincide on ASCII but
+    * diverge above the BMP; the test corpus is verified pure ASCII.
+    * A non-ASCII deployment must switch both tie-breaks to an
+    * engine-neutral key (codepoint list) first.
     */
+  /** SQL single-quoted string literal (Spark expr dialect). */
+  private def sqLit(v: String): String =
+    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** ONE greedy left-to-right merge (l,r)→l‖r applied to an
+    * array<string> symbols expression, as a codegen'd `aggregate`
+    * fold — shared by the train loop (one level per round, applied to
+    * the vocab column) and [[encodeExpr]] (all trained merges nested
+    * in training order). Lambda variables carry the nesting level so
+    * inner folds never shadow outer ones.
+    */
+  private def mergeFoldExpr(inner: String, l: String, r: String,
+      lvl: Int): String = {
+    val a = s"acc$lvl"; val x = s"x$lvl"
+    s"""aggregate($inner, cast(array() as array<string>),
+        ($a, $x) -> CASE
+          WHEN size($a) > 0 AND element_at($a, -1) = ${sqLit(l)}
+               AND $x = ${sqLit(r)}
+            THEN concat(slice($a, 1, size($a) - 1),
+                        array(${sqLit(l + r)}))
+          ELSE concat($a, array($x)) END)"""
+  }
+
+  /** Greedy BPE encode of column `word` through the trained merge
+    * list, in training order, as one nested fold expression — the
+    * APPLY half of the tokenizer. At gate scale (`bpeRounds` merges)
+    * the nesting is trivially codegen-able; a production ~50k-merge
+    * tokenizer swaps this for a broadcast merge-rank map driving one
+    * iterative fold — the dataflow around it (encode DISTINCT words
+    * once, join counts back) is unchanged.
+    */
+  private def encodeExpr(merges: Seq[(String, String)]): String =
+    merges.zipWithIndex.foldLeft(
+      "regexp_extract_all(word, '[^\\n\\r]', 0)") {
+      case (acc, ((l, r), i)) => mergeFoldExpr(acc, l, r, i)
+    }
+
+  /** The training loop itself — the driver-coordinated protocol shared
+    * by [[bpeTrain]] (which reports the merge table) and the encode/
+    * pack consumers (which apply it). Returns `bpeRounds` rows of
+    * (round, lhs, rhs, pair count, corpus tokens after the merge);
+    * driver state is exactly those rows. See [[bpeTrain]] for the
+    * scale argument.
+    */
+  private[text] def trainBpeMerges(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long, Long)] = {
+    import org.apache.spark.sql.DataFrame
+    val words = graft.core.Par
+      .spreadBy(Tables(s, dir).documents.select(col("text")), col("text"))
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var state: DataFrame = words
+      .withColumn("syms", expr("regexp_extract_all(word, '[^\\n\\r]', 0)"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long)]
+    var round = 1
+    while (round <= bpeRounds) {
+      val best = state.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> struct(syms[i] AS lhs, syms[i + 1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(best.nonEmpty, "corpus exhausted before bpeRounds merges")
+      val (l, r, cnt) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      state = state
+        .withColumn("syms", expr(mergeFoldExpr("syms", l, r, 0)))
+        .localCheckpoint(true)
+      val tokensAfter = state
+        .agg(sum(col("freq") * size(col("syms")))).head().getLong(0)
+      merges += ((round, l, r, cnt, tokensAfter))
+      round += 1
+    }
+    merges.toSeq
+  }
+
   val bpeTrain = Query(
     "tx_bpe_train",
     (s, dir) => {
-      import org.apache.spark.sql.DataFrame
-      def sq(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-      val words = graft.core.Par
-        .spreadBy(Tables(s, dir).documents.select(col("text")), col("text"))
-        .select(explode(toks(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      var state: DataFrame = words
-        .withColumn("syms", expr("regexp_extract_all(word, '[^\\n\\r]', 0)"))
-        .localCheckpoint(true)
-      val merges = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, String, String, Long, Long)]
-      var round = 1
-      while (round <= bpeRounds) {
-        val best = state.filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(0, size(syms) - 2)," +
-              " i -> struct(syms[i] AS lhs, syms[i + 1] AS rhs))")).as("p"))
-          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()
-        require(best.nonEmpty, "corpus exhausted before bpeRounds merges")
-        val (l, r, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        state = state.withColumn("syms", expr(
-          s"""aggregate(syms, cast(array() as array<string>),
-              (acc, x) -> CASE
-                WHEN size(acc) > 0 AND element_at(acc, -1) = ${sq(l)}
-                     AND x = ${sq(r)}
-                  THEN concat(slice(acc, 1, size(acc) - 1),
-                              array(${sq(l + r)}))
-                ELSE concat(acc, array(x)) END)"""))
-          .localCheckpoint(true)
-        val tokensAfter = state
-          .agg(sum(col("freq") * size(col("syms")))).head().getLong(0)
-        merges += ((round, l, r, cnt, tokensAfter))
-        round += 1
-      }
       import s.implicits._
-      merges.toSeq.toDF("round", "lhs", "rhs", "cnt", "tokens_after")
+      trainBpeMerges(s, dir)
+        .toDF("round", "lhs", "rhs", "cnt", "tokens_after")
         .orderBy(col("round"))
     },
     oracle = Some(bpeOracleSql),
@@ -1494,6 +1635,98 @@ object TextQueries {
             " i -> struct(syms[i] AS lhs, syms[i + 1] AS rhs))")).as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("freq")).as("cnt"))),
+  )
+
+  /** DuckDB side of [[bpeEncode]]: retrain via the shared CTE chain,
+    * read the final symbolization off `s$bpeRounds`, rank the vocab
+    * alphabet, and aggregate per document.
+    */
+  private def bpeEncodeOracleSql: String = s"""
+      WITH $bpeChainCtes,
+      wsym AS (SELECT word, unnest(syms) AS sym FROM s$bpeRounds),
+      vocab AS (
+        SELECT sym, row_number() OVER (ORDER BY sym) AS tid
+        FROM (SELECT DISTINCT sym FROM wsym)
+      ),
+      wid AS (
+        SELECT word, count(*)::BIGINT AS n_toks, sum(tid)::BIGINT AS id_sum
+        FROM wsym JOIN vocab USING (sym) GROUP BY word
+      ),
+      occ AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                 x -> length(x) > 0)) AS word
+        FROM documents
+      ),
+      agg AS (
+        SELECT doc_id, count(*)::BIGINT AS n_ws_tokens,
+               sum(n_toks)::BIGINT AS n_bpe_tokens,
+               sum(id_sum)::BIGINT AS token_id_sum
+        FROM occ JOIN wid USING (word) GROUP BY doc_id
+      )
+      SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+             round(n_bpe_tokens::DOUBLE / n_ws_tokens, 4) AS compression,
+             token_id_sum
+      FROM agg ORDER BY doc_id
+    """
+
+  /** The ENCODE pass of the trained tokenizer — the middle link of the
+    * train→encode→pack loop a pretraining pipeline runs: apply
+    * [[bpeTrain]]'s learned merges (greedy left-to-right, training
+    * order) to every document, assign each final symbol its vocab id
+    * (1-based rank in the symbol alphabet — see the ASCII note on
+    * [[bpeTrain]]), and report per document the whitespace token
+    * count, the BPE token count, their ratio, and the token-id sum
+    * (a value-sensitive checksum of the actual id sequence, so the
+    * gate pins the ENCODING, not just its length).
+    *
+    * Scale shape — why this encodes at 100 TB: the corpus is touched
+    * ONCE (the per-(doc, word) count aggregation, map-side
+    * combinable); the merge folds then run over the DISTINCT-WORD
+    * table (vocabulary-sized, orders of magnitude smaller), exactly
+    * how production tokenizers batch-encode — no document is ever
+    * re-walked per merge. The trained merge list is a bounded driver
+    * artifact (`bpeRounds` rows here, ~50k in production — the same
+    * broadcast contract as the decontamination gram set); the vocab-id
+    * ranking window runs on the MODEL-sized alphabet (base chars + one
+    * new symbol per merge), bounded by construction. Per-doc results
+    * come from joining word counts back to the encoded vocab — one
+    * vocabulary-keyed shuffle, no corpus-sized sort anywhere.
+    */
+  val bpeEncode = Query(
+    "tx_bpe_encode",
+    (s, dir) => {
+      val merges = trainBpeMerges(s, dir).map(m => (m._2, m._3))
+      val occ = graft.core.Par
+        .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
+          col("doc_id"))
+        .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val encoded = occ.select(col("word")).distinct()
+        .withColumn("syms", expr(encodeExpr(merges)))
+      val wsym = encoded.select(col("word"), explode(col("syms")).as("sym"))
+      // tokenizer vocab ids: 1-based byte-order rank over the final
+      // symbol alphabet. The unpartitioned window is MODEL-sized by
+      // construction (base chars + bpeRounds new symbols), the same
+      // bounded-artifact contract as the centroid collects.
+      val vocab = wsym.select(col("sym")).distinct()
+        .withColumn("tid",
+          row_number().over(Window.orderBy(col("sym"))).cast("long"))
+      val wid = wsym.join(vocab, "sym")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("tid")).as("id_sum"))
+      occ.join(wid, "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_ws_tokens"),
+          sum(col("cnt") * col("n_toks")).as("n_bpe_tokens"),
+          sum(col("cnt") * col("id_sum")).as("token_id_sum"))
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4)
+            .as("compression"),
+          col("token_id_sum"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(bpeEncodeOracleSql),
   )
 
   /** Count-Min point queries — the second sketch family next to
@@ -1531,8 +1764,15 @@ object TextQueries {
         .na.fill(0, Seq("exact"))
         .select(col("term"), col("exact"),
           (col("est") >= col("exact")).as("lower_ok"),
+          // gate bound = 2×⌈εN⌉, NOT the tight ⌈εN⌉: for fixed seeded
+          // hashes the 1-row bound holds only w.p. ~1−e⁻⁴ per term over
+          // hash choice, so a testdata regeneration could flip the tight
+          // check deterministically for one unlucky term even though the
+          // sketch is correct. The tight per-term bound is asserted
+          // against the CURRENT corpus in SketchSpec — a data refresh
+          // fails loudly in tests, not in the cross-engine gate.
           (col("est") <= col("exact") +
-            ceil(lit(math.E) * col("n") / 512)).as("upper_ok"))
+            lit(2) * ceil(lit(math.E) * col("n") / 512)).as("upper_ok"))
         .orderBy(col("term"))
     },
     oracle = Some("""
@@ -1558,6 +1798,6 @@ object TextQueries {
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
-    filterFunnel, vocab, pack, chunks, heavyHitters, sourceCap, bm25, lmScore,
-    bpeTrain, countMin)
+    filterFunnel, vocab, pack, packBpe, chunks, heavyHitters, sourceCap, bm25,
+    lmScore, bpeTrain, bpeEncode, countMin)
 }

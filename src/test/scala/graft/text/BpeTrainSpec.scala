@@ -69,6 +69,96 @@ class BpeTrainSpec extends SparkSuite {
     assert(got.map(g => (g._2, g._3)).distinct.size == got.size)
   }
 
+  /** Reference ENCODER: greedy left-to-right application of a merge
+    * list in training order — list-at-a-time Scala, sharing nothing
+    * with the engine's nested fold expressions or the oracle's CTEs.
+    */
+  private def referenceEncode(word: String,
+      merges: Seq[(String, String)]): Vector[String] = {
+    var syms = word.toVector.map(_.toString)
+    merges.foreach { case (l, r) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == l && x == r) {
+          out.remove(out.length - 1); out += (l + r)
+        } else out += x
+      }
+      syms = out.toVector
+    }
+    syms
+  }
+
+  test("tx_bpe_encode: encode∘train round-trips against the reference encoder (sf0.001)") {
+    val (trained, _) = referenceTrain(sf("sf0.001"), 4)
+    val merges = trained.map(m => (m._2, m._3))
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val encCache = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+    def enc(w: String) = encCache.getOrElseUpdate(w, referenceEncode(w, merges))
+    // vocab ids: 1-based rank of the FINAL symbol alphabet in byte
+    // order (ASCII corpus — Java compareTo agrees; see bpeTrain's note)
+    val vocabIds = docs
+      .flatMap(_._2.split(" ").filter(_.nonEmpty)).distinct
+      .flatMap(enc).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    val expect = docs.flatMap { case (id, text) =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      if (words.isEmpty) None
+      else {
+        val nWs = words.length.toLong
+        val nBpe = words.map(enc(_).length.toLong).sum
+        val idSum = words.map(enc(_).map(vocabIds).sum).sum
+        val compression = BigDecimal(nBpe.toDouble / nWs)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some(id -> ((nWs, nBpe, compression, idSum)))
+      }
+    }.toMap
+    val got = QueryRegistry.byName("tx_bpe_encode")
+      .run(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, g) =>
+      assert(g == expect(id), s"doc $id: got $g expect ${expect(id)}")
+    }
+    // the trained merges genuinely compress: every doc's BPE count is
+    // strictly below its character count and at least its word count
+    val chars = docs.toMap
+    got.foreach { case (id, (nWs, nBpe, _, _)) =>
+      val nChars = chars(id).split(" ").filter(_.nonEmpty).map(_.length.toLong).sum
+      assert(nBpe >= nWs && nBpe <= nChars, s"doc $id: $nWs ≤ $nBpe ≤ $nChars violated")
+    }
+  }
+
+  test("tx_pack_bpe: bins match a window formulation over reference-encoded counts (sf0.001)") {
+    val (trained, _) = referenceTrain(sf("sf0.001"), 4)
+    val merges = trained.map(m => (m._2, m._3))
+    val encCache = scala.collection.mutable.HashMap.empty[String, Long]
+    def encLen(w: String) =
+      encCache.getOrElseUpdate(w, referenceEncode(w, merges).length.toLong)
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, arr) =>
+      var prior = 0L
+      arr.sortBy(_._2).map { case (_, _, text) =>
+        val n = text.split(" ").filter(_.nonEmpty).map(encLen).sum
+        val bin = prior / 256L
+        prior += n
+        (src, bin, n)
+      }
+    }.groupBy { case (src, bin, _) => (src, bin) }
+      .map { case ((src, bin), rows) =>
+        (src, bin) -> ((rows.size.toLong, rows.map(_._3).sum))
+      }
+    val got = QueryRegistry.byName("tx_pack_bpe")
+      .run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+  }
+
   test("tx_bpe_train: greedy fold handles overlapping runs like the reference") {
     // 'aaaa' with merge (a,a) must become (aa)(aa), not (aa)a a or
     // a cascaded (aaa)a — exercise the engine's fold directly

@@ -118,6 +118,66 @@ class SketchSpec extends SparkSuite {
       "4000 terms in 64 cells produced zero collisions — sketch not exercised")
   }
 
+  test("count_min: TIGHT ε-bound holds for the gate's terms on the current corpus") {
+    // tx_count_min's cross-engine gate checks est ≤ exact + 2·⌈εN⌉ —
+    // deliberately slack, because for fixed seeded hashes the 1-row
+    // CMS bound est ≤ exact + ⌈εN⌉ holds only w.p. ~1−e⁻⁴ per term
+    // over hash choice. THIS test pins the tight bound against the
+    // corpus as it exists today: if a testdata regeneration lands an
+    // unlucky term, it fails HERE (loudly, with the term named), not
+    // inside the hash gate.
+    val qTerms = Seq("join", "vector", "window", "stream", "customer",
+      "zzz_absent")
+    Seq("sf0.001", "sf0.01").foreach { s =>
+      val t = Tables(spark, sf(s)).documents
+        .select(explode(filter(split(col("text"), " "),
+          x => length(x) > 0)).as("term"))
+      val n = t.count()
+      val bound = math.ceil(math.E * n / 512).toLong
+      val exact = t.filter(col("term").isin(qTerms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val est = t
+        .agg(SketchFunctions.countMinEstimates(col("term"), qTerms, 4, 512).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term"), col("e.est")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      qTerms.foreach { q =>
+        val ex = exact.getOrElse(q, 0L)
+        assert(est(q) <= ex + bound,
+          s"$s/$q: est ${est(q)} > exact $ex + tight bound $bound — " +
+            "testdata refresh hit an unlucky hash; retune the gate terms")
+      }
+    }
+  }
+
+  test("count_min: non-string input fails at analysis, not execution") {
+    import spark.implicits._
+    val nums = Seq(1L, 2L, 3L).toDF("v")
+    val e = intercept[Exception] {
+      nums.agg(SketchFunctions.countMinEstimates(col("v"), Seq("1"), 4, 64))
+        .collect()
+    }
+    val msg = e.getMessage.toLowerCase
+    assert(msg.contains("type") || msg.contains("string"),
+      s"expected an analysis-time type error, got: ${e.getMessage}")
+  }
+
+  test("SQL surface: count_min_estimates trims and drops empty term segments") {
+    graft.GraftExtensions.register(spark)
+    terms.createOrReplaceTempView("cms_terms_trim")
+    try {
+      // 'join, stream,' must parse as ["join","stream"], not
+      // ["join"," stream",""]
+      val got = spark.sql(
+        "SELECT count_min_estimates(term, 'join, stream,', 4, 512) AS sk " +
+          "FROM cms_terms_trim")
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term")).collect().map(_.getString(0)).toSeq
+      assert(got.sorted == Seq("join", "stream"), s"got $got")
+    } finally spark.catalog.dropTempView("cms_terms_trim")
+  }
+
   test("SQL surface: count_min_estimates agrees with the Column API") {
     graft.GraftExtensions.register(spark)
     terms.createOrReplaceTempView("cms_terms")
