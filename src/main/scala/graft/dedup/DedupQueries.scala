@@ -365,7 +365,7 @@ object DedupQueries {
     * standard iterative-graph pattern, with a localCheckpoint every 4
     * rounds to keep plan lineage bounded.
     */
-  private[dedup] def connectedComponents(
+  private[graft] def connectedComponents(
       edges: DataFrame,
       unionFindMaxEdges: Long = 50L * 1000 * 1000): DataFrame = {
     val spark = edges.sparkSession
@@ -456,7 +456,7 @@ object DedupQueries {
     * `edges(id_a, id_b)` CTE, defines `bidir` and `walk(id, lbl)`.
     * `min(lbl) GROUP BY id` over `walk` is the component label.
     */
-  private val ccWalkSql = """
+  private[graft] val ccWalkSql = """
       bidir AS (
         SELECT id_a AS src, id_b AS dst FROM edges
         UNION ALL

@@ -578,6 +578,148 @@ object Multimodal {
     """),
   )
 
+  /** Image near-duplicate detection over the perceptual hashes — the
+    * image-side analog of `dd_minhash_lsh`, composing [[imageDhash]]'s
+    * fingerprint into the banded-candidate pattern of
+    * `graft.dedup.DedupQueries.simhash`: the corpus is every
+    * [[imageDhash]] base image PLUS two brightness-shifted re-encodes
+    * of each (the classic near-dup an image pipeline must catch — the
+    * same scene re-exported with a small level shift), each decoded
+    * and hashed from REAL BMP bytes in the sanctioned per-partition
+    * codec seam. The 60-bit dHash splits into 6 ten-bit bands;
+    * candidate pairs come from an equi-join on (band, value) — by
+    * pigeonhole, any pair within Hamming ≤ 5 shares at least one of
+    * the 6 bands EXACTLY, so banding loses nothing at the declared
+    * threshold — and candidates are confirmed with
+    * `bit_count(xor) ≤ 5`, all integer-exact so the oracle is direct
+    * SQL over the closed-form synthesis parameters.
+    *
+    * Scale shape: hashing is per-row in the decode seam (blobs never
+    * shuffle); the band join shuffles 6 scalar rows per image on the
+    * band key — bucketed by construction, never all-pairs — and a
+    * ≤50-docs-per-band hot-band cap (the `dd_minhash_lsh` cap,
+    * windowed on the same exchange the join needs) bounds the pair
+    * blowup from degenerate bands (flat images collapse to dhash 0;
+    * at sf0.1 that band saturates the cap and is dropped, on both
+    * engines). Hamming confirm touches candidate pairs only.
+    */
+  /** The banded-candidate pair pipeline shared by [[imageDups]] (the
+    * pair report) and [[imageClusters]] (connected components over the
+    * pairs): decode-seam dHashes → 6 ten-bit bands → capped (band,
+    * value) self-join → `bit_count(xor) ≤ 5` confirm. Returns
+    * (id_a, id_b, hamming), unsorted.
+    */
+  private def imagePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+    val hashes = params.mapPartitions { it =>
+      it.map { id =>
+        val g = id - (id % 3) // base image id (the imageDhash corpus)
+        val v = (id % 3).toInt // brightness shift of this re-encode
+        val w = (g % 31 + 1).toInt
+        val h = (g % 17 + 1).toInt
+        val bytes = BmpCodec.encode(w, h,
+          (x, y) => ((g * 7 + (y.toLong * w + x) * 3 + v) % 256).toInt)
+        (id, dhash60(bytes))
+      }
+    }.toDF("media_id", "dhash")
+    val bands = hashes.select(col("media_id"), col("dhash"),
+      explode(expr("transform(sequence(0, 5), b -> " +
+        "struct(b AS bno, shiftright(dhash, b * 10) & 1023 AS bval))"))
+        .as("b"))
+      .select(col("media_id"), col("dhash"),
+        col("b.bno").as("bno"), col("b.bval").as("bval"))
+    // hot-band cap: one bounded counter per band, on the same
+    // exchange the self-join shuffles on (the dd_minhash_lsh cap)
+    val wBand = Window.partitionBy(col("bno"), col("bval"))
+    val capped = bands.withColumn("bc", count(lit(1)).over(wBand))
+      .filter(col("bc") <= 50).drop("bc")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.bno") === col("b.bno") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("cast(bit_count(a.dhash ^ b.dhash) as int)").as("hamming"))
+      .filter(col("hamming") <= 5)
+      .distinct()
+  }
+
+  /** The SQL twin of [[imagePairs]] up to a `pairs` CTE (closed-form
+    * hashes from the synthesis parameters — everything integer).
+    */
+  private val imagePairCtes = """
+      p AS (
+        SELECT doc_id AS media_id,
+               doc_id - (doc_id % 3) AS g,
+               doc_id % 3 AS v,
+               ((doc_id - (doc_id % 3)) % 31) + 1 AS w,
+               ((doc_id - (doc_id % 3)) % 17) + 1 AS h
+        FROM documents
+      ), hh AS (
+        SELECT media_id,
+          list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN
+              (g * 7 + (((b // 10) * h) // 6 * w
+                 + ((b % 10) * w) // 11) * 3 + v) % 256
+              <
+              (g * 7 + (((b // 10) * h) // 6 * w
+                 + (((b % 10) + 1) * w) // 11) * 3 + v) % 256
+            THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS dhash
+        FROM p
+      ), bands0 AS (
+        SELECT media_id, dhash, unnest(range(0, 6)) AS bno FROM hh
+      ), bands1 AS (
+        SELECT media_id, dhash, bno,
+               (dhash >> (bno * 10)::INT) & 1023 AS bval
+        FROM bands0
+      ), bands AS (
+        SELECT media_id, dhash, bno, bval FROM (
+          SELECT *, count(*) OVER (PARTITION BY bno, bval) AS bc
+          FROM bands1)
+        WHERE bc <= 50
+      ), pairs AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+          bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+        FROM bands a JOIN bands b
+          ON a.bno = b.bno AND a.bval = b.bval AND a.media_id < b.media_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 5
+      )"""
+
+  val imageDups = Query(
+    "dd_image_dups",
+    (s, dir) => imagePairs(s, dir).orderBy(col("id_a"), col("id_b")),
+    oracle = Some(s"""
+      WITH $imagePairCtes
+      SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b
+    """),
+  )
+
+  /** Image near-dup CLUSTERS — the decision table a multimodal
+    * pipeline actually keys its "keep one per cluster" pass on: the
+    * transitive closure of [[imageDups]]' pairs, labeled with each
+    * component's minimum media_id (the canonical representative).
+    * Same machinery as the text-side `dd_dup_clusters`: union-find in
+    * one bounded task under the 50 M-edge threshold, iterative
+    * min-label propagation to fixpoint above it; the DuckDB oracle
+    * walks the same closure with a recursive CTE. Only images that
+    * appear in at least one near-dup pair are emitted (singletons
+    * need no decision).
+    */
+  val imageClusters = Query(
+    "dd_image_clusters",
+    (s, dir) =>
+      graft.dedup.DedupQueries.connectedComponents(imagePairs(s, dir))
+        .select(col("id").as("media_id"), col("lbl").as("cluster"))
+        .orderBy(col("media_id")),
+    oracle = Some(s"""
+      WITH RECURSIVE $imagePairCtes,
+      edges AS (SELECT id_a, id_b FROM pairs),
+      ${graft.dedup.DedupQueries.ccWalkSql}
+      SELECT id AS media_id, min(lbl) AS cluster
+      FROM walk GROUP BY id ORDER BY media_id
+    """),
+  )
+
   /** Windowed SPECTRUM over real decoded PCM: each 64-sample window of
     * [[mm_audio_rms]]'s corpus reduces to six Walsh–Hadamard
     * coefficients c_k = Σ xᵢ·(−1)^popcount(k∧i) for k ∈ {1,2,4,8,16,
@@ -804,5 +946,6 @@ object Multimodal {
 
   def all: Seq[Query] =
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
-      videoDecode, audioRms, imageDhash, spectrogram, sceneCut, audioVad)
+      videoDecode, audioRms, imageDhash, imageDups, imageClusters,
+      spectrogram, sceneCut, audioVad)
 }

@@ -697,6 +697,10 @@ object Relational {
         .select(
           col("exact_parts"),
           col("exact_orders"),
+          // the interval itself rides in-row (integer-exact: ⌊10%⌋),
+          // so the gate pins the guarantee's WIDTH, not just a flag
+          expr("exact_parts div 10").as("parts_max_err"),
+          expr("exact_orders div 10").as("orders_max_err"),
           (abs(col("approx_parts") - col("exact_parts")) <=
             col("exact_parts") * 0.10).as("parts_within_10pct"),
           (abs(col("approx_orders") - col("exact_orders")) <=
@@ -707,6 +711,8 @@ object Relational {
       SELECT
         count(DISTINCT l_partkey)  AS exact_parts,
         count(DISTINCT l_orderkey) AS exact_orders,
+        count(DISTINCT l_partkey)  // 10 AS parts_max_err,
+        count(DISTINCT l_orderkey) // 10 AS orders_max_err,
         true AS parts_within_10pct,
         true AS orders_within_10pct
       FROM lineitem

@@ -289,13 +289,33 @@ object SimilarityQueries {
   private def argmaxCell(cents: Seq[(Int, Array[Float])]): Column =
     greatest(scoreStructs(cents): _*).getField("cid")
 
-  /** The shared IVF train pass: seed centroids = first 16 vectors, one
-    * Lloyd step (component-wise cell means quantized to 3 dp floats so
-    * both engines agree bit-for-bit). The returned model is BOUNDED
-    * (16×64 floats) — the only thing collected.
+  /** The cell count the GATE queries pin: 16 cells over the ≤2000-row
+    * test corpora keeps oracles fixed and cheap. A 100 TB deployment
+    * does NOT keep this knob — see [[sqrtCellCount]].
     */
-  private[similarity] def trainIvfCentroids(e: DataFrame): Seq[(Int, Array[Float])] = {
-    val seeds: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < 16)
+  private[similarity] val GateK = 16
+
+  /** Production default for the IVF cell count: k = ⌈√N⌉ — the
+    * standard IVF sizing (cell lists of ~√N vectors balance the
+    * coarse-scan cost k·d against the probe-list cost nprobe·(N/k)·d).
+    * The gate queries pass [[GateK]] explicitly instead, so the
+    * persisted-index round-trip at any other k is exercised in
+    * SimilaritySpec without touching the oracles. Re-clustering cost
+    * at a new k is one train pass + one assignment scan (see SCALE.md
+    * §Similarity).
+    */
+  private[similarity] def sqrtCellCount(n: Long): Int =
+    math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** The shared IVF train pass at an explicit cell count `k`: seed
+    * centroids = first k vectors, one Lloyd step (component-wise cell
+    * means quantized to 3 dp floats so both engines agree
+    * bit-for-bit). The returned model is BOUNDED (k×64 floats) — the
+    * only thing collected.
+    */
+  private[similarity] def trainIvfCentroids(e: DataFrame,
+      k: Int): Seq[(Int, Array[Float])] = {
+    val seeds: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("embedding"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
@@ -311,6 +331,12 @@ object SimilarityQueries {
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
       .sortBy(_._1)
   }
+
+  /** No-k overload: the production seam — k defaults to ⌈√N⌉ via
+    * [[sqrtCellCount]] (one count pass, amortized over the build).
+    */
+  private[similarity] def trainIvfCentroids(e: DataFrame): Seq[(Int, Array[Float])] =
+    trainIvfCentroids(e, sqrtCellCount(e.count()))
 
   /** The probe side: queries explode to their top-`nprobe` cells
     * (`sort_array` only ever runs on the ≤20 probe rows).
@@ -365,7 +391,7 @@ object SimilarityQueries {
   private[similarity] def ivfTopkRun(nprobe: Int)(
       s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val cents = trainIvfCentroids(e)
+    val cents = trainIvfCentroids(e, GateK)
     // apply: top-1 cell for corpus rows via codegen'd greatest
     val assigned = e
       .select(col("vec_id"), col("embedding"),
@@ -373,9 +399,16 @@ object SimilarityQueries {
     rankTail(assigned, probesOf(e, cents, nprobe))
   }
 
-  private[similarity] def ivfOracleSql(nprobe: Int): String = s"""
+  /** `kSql` = the cell count as a DuckDB expression — "16" for the
+    * gate queries, the ⌈√N⌉ expression for [[ivfSqrtK]] (sqrt is
+    * IEEE-754 correctly rounded in both engines, so both sides resolve
+    * the same k from the same count).
+    */
+  private[similarity] def ivfOracleSql(nprobe: Int,
+      kSql: String = "16"): String = s"""
       WITH seeds AS (
-        SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id < ($kSql)
       ), seed_scored AS (
         SELECT e.vec_id, e.embedding, c.cid,
                ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos
@@ -429,16 +462,42 @@ object SimilarityQueries {
     oracle = Some(ivfOracleSql(2)),
   )
 
+  /** The PRODUCTION cell-count seam under the gate: identical pipeline
+    * to [[ivfTopk]] but trained at the data-sized default k = ⌈√N⌉
+    * (23 cells at N=500, 45 at N=2000) instead of the pinned gate
+    * k=16 — so "the cell count scales with the corpus" is a
+    * hash-verified cross-engine fact, not just a spec. Both engines
+    * resolve k from the same COUNT via `ceil(sqrt(·))`; IEEE-754
+    * requires sqrt to be correctly rounded, so the doubles (and hence
+    * the ceil) agree bit-for-bit — the same determinism class as the
+    * integer-sum rules, unlike trig/pow which are NOT correctly
+    * rounded and stay banned from oracled kernels.
+    */
+  val ivfSqrtK = Query(
+    "ss_ivf_sqrtk",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cents = trainIvfCentroids(e) // the ⌈√N⌉-defaulted seam
+      val assigned = e
+        .select(col("vec_id"), col("embedding"), argmaxCell(cents).as("cell"))
+      rankTail(assigned, probesOf(e, cents, 2))
+    },
+    oracle = Some(ivfOracleSql(2,
+      "SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings")),
+  )
+
   /** Root for persisted ANN indexes, keyed by the data directory so
     * every SF gets its own index (deterministic rebuild — same data,
     * same 3dp-quantized model, same index bytes' values).
     */
-  private def ivfIndexDir(sfDir: String): String = {
+  private def ivfIndexDir(sfDir: String, k: Int = GateK): String = {
     // sanitized path + hash: humanly readable AND collision-free across
-    // data directories that sanitize to the same token
+    // data directories that sanitize to the same token; a non-gate cell
+    // count gets its own suffix so differently-shaped indexes coexist
     val slug = sfDir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+    val kSuffix = if (k == GateK) "" else s"_k$k"
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${slug}_" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+      java.lang.Integer.toHexString(sfDir.hashCode) + kSuffix
   }
 
   /** Build-and-persist the IVF index — the OFFLINE half of a real ANN
@@ -453,14 +512,19 @@ object SimilarityQueries {
     * Idempotent: a `_built` marker short-circuits rebuilds; the build
     * itself is the [[trainIvfCentroids]] pass + one assignment scan.
     */
-  def buildIvfIndex(s: SparkSession, dir: String): String = synchronized {
-    val idx    = ivfIndexDir(dir)
+  def buildIvfIndex(s: SparkSession, dir: String,
+      k: Int = GateK): String = synchronized {
+    val e = Tables(s, dir).embeddings
+    // k ≤ 0 = "size to the data": the ⌈√N⌉ production default; the
+    // index directory is keyed by the RESOLVED cell count so
+    // differently-shaped indexes never collide
+    val kk     = if (k > 0) k else sqrtCellCount(e.count())
+    val idx    = ivfIndexDir(dir, kk)
     val conf   = s.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(s"$idx/_built")
     val fs     = marker.getFileSystem(conf)
     if (fs.exists(marker)) return idx
-    val e = Tables(s, dir).embeddings
-    writeIvfIndex(s, e, trainIvfCentroids(e), idx)
+    writeIvfIndex(s, e, trainIvfCentroids(e, kk), idx)
     fs.create(marker, true).close()
     idx
   }
@@ -1132,7 +1196,7 @@ object SimilarityQueries {
     (s, dir) => {
       val e = Tables(s, dir).embeddings
       val codebook = trainPqCodebooks(e)
-      ivfPqServe(e, trainIvfCentroids(e), codebook, pqLuts(e, codebook))
+      ivfPqServe(e, trainIvfCentroids(e, GateK), codebook, pqLuts(e, codebook))
     },
     oracle = Some(s"""
       WITH $pqOracleCtes, iseeds AS (
@@ -1309,7 +1373,7 @@ object SimilarityQueries {
       // PQ codebook+LUTs feed two; r7 re-trained them per branch and
       // the redundant Lloyd/codebook jobs dominated the query's cost.
       val e = Tables(s, dir).embeddings
-      val cents = trainIvfCentroids(e)
+      val cents = trainIvfCentroids(e, GateK)
       val codebook = trainPqCodebooks(e)
       val luts = pqLuts(e, codebook)
 
@@ -1583,7 +1647,7 @@ object SimilarityQueries {
     "ss_filtered_topk",
     (s, dir) => {
       val e = Tables(s, dir).embeddings
-      val cents = trainIvfCentroids(e)
+      val cents = trainIvfCentroids(e, GateK)
       val assigned = e.select(col("vec_id"), col("embedding"), col("label"),
         argmaxCell(cents).as("cell"))
       val probes = e.filter(col("vec_id") < 20)
@@ -1653,7 +1717,7 @@ object SimilarityQueries {
   )
 
   def all: Seq[Query] =
-    Seq(bruteTopk, lshTopk, ivfTopk, ivfProbe, pqTopk, ivfPqTopk, kmeans,
-      cosineNearDup, semanticDedup, vectorStats, quantize, coverage, recall,
-      maxsim, matryoshka, filteredTopk)
+    Seq(bruteTopk, lshTopk, ivfTopk, ivfSqrtK, ivfProbe, pqTopk, ivfPqTopk,
+      kmeans, cosineNearDup, semanticDedup, vectorStats, quantize, coverage,
+      recall, maxsim, matryoshka, filteredTopk)
 }

@@ -1013,6 +1013,78 @@ object TextQueries {
     """),
   )
 
+  /** Temperature-based source mixing (T=2) — the OTHER standard mixing
+    * recipe next to [[mixRebalance]]'s uniform target (XLM-R / mT5 /
+    * Pile style): sampling weights ∝ share^(1/T), which UPWEIGHTS
+    * small sources smoothly instead of capping big ones — the knob
+    * multilingual / multi-domain pretraining actually tunes. T=2 makes
+    * the exponent a SQUARE ROOT, deliberately: IEEE-754 requires sqrt
+    * to be correctly rounded, so both engines compute bit-identical
+    * doubles from the same integer token counts, whereas a general
+    * `pow` is not correctly rounded and stays banned from oracled
+    * kernels (the no-trig rule). The sqrt weights are floored to ppm
+    * INTEGERS before the normalizing sum, so the only cross-row
+    * reduction over non-integers is avoided entirely — float summation
+    * order can't flip the gate (the Σn/Σn² integer-sum rule).
+    *
+    * Output per source: natural share, temperature weight, the planned
+    * post-sampling token count, and the boost factor (weight/share —
+    * >1 means the source is upsampled relative to natural).
+    *
+    * Scale shape: identical to [[mixRebalance]] — one pass over the
+    * big table into a ≤ sources-row partial agg, then bounded windows
+    * over that rollup. One exchange of ≤ sources rows.
+    */
+  val mixTemperature = Query(
+    "tx_mix_temperature",
+    (s, dir) => {
+      val whole = Window.partitionBy()
+      val g = Tables(s, dir).documents
+        .groupBy(col("source"))
+        .agg(sum(size(toks(col("text")))).cast("long").as("n_tokens"))
+        .withColumn("tok_total", sum(col("n_tokens")).over(whole))
+        // ppm-floored sqrt share: integer, so the normalizing sum is
+        // order-independent across engines
+        .withColumn("w",
+          floor(sqrt(col("n_tokens").cast("double") / col("tok_total"))
+            * lit(1000000.0)).cast("long"))
+        .withColumn("tw_total", sum(col("w")).over(whole))
+      g.select(col("source"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tok_total"), 4)
+            .as("share"),
+          round(col("w").cast("double") / col("tw_total"), 4)
+            .as("temp_weight"),
+          floor((col("w").cast("double") * col("tok_total")) / col("tw_total"))
+            .cast("long").as("planned_tokens"),
+          when(col("n_tokens") === 0, lit(null)).otherwise(
+            round((col("w").cast("double") * col("tok_total")) /
+              (col("tw_total") * col("n_tokens")), 4)).as("boost"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH g AS (
+        SELECT source,
+          sum(len(list_filter(string_split(text, ' '), x -> length(x) > 0)))::BIGINT
+            AS n_tokens
+        FROM documents GROUP BY 1
+      ), t AS (
+        SELECT source, n_tokens,
+          sum(n_tokens) OVER () AS tok_total,
+          floor(sqrt(n_tokens::DOUBLE / sum(n_tokens) OVER ())
+            * 1000000.0)::BIGINT AS w
+        FROM g
+      ), u AS (SELECT *, sum(w) OVER () AS tw_total FROM t)
+      SELECT source, n_tokens,
+        round(n_tokens::DOUBLE / tok_total, 4) AS share,
+        round(w::DOUBLE / tw_total, 4) AS temp_weight,
+        floor((w::DOUBLE * tok_total) / tw_total)::BIGINT AS planned_tokens,
+        CASE WHEN n_tokens = 0 THEN NULL
+             ELSE round((w::DOUBLE * tok_total) / (tw_total * n_tokens), 4)
+        END AS boost
+      FROM u ORDER BY source
+    """),
+  )
+
   /** Quality-filter funnel — the attribution report behind a composed
     * corpus clean: every document is charged to the FIRST gate that
     * rejects it (cheap structural gates before ratio gates, the order a
@@ -1798,6 +1870,6 @@ object TextQueries {
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
-    filterFunnel, vocab, pack, packBpe, chunks, heavyHitters, sourceCap, bm25,
-    lmScore, bpeTrain, bpeEncode, countMin)
+    mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
+    sourceCap, bm25, lmScore, bpeTrain, bpeEncode, countMin)
 }

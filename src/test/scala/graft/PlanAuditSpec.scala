@@ -46,7 +46,10 @@ class PlanAuditSpec extends SparkSuite {
     // ss_matryoshka's nested loop is the declared-bounded 20-query
     // prefix side — the ss_cosine_topk contract; its rerank joins are
     // broadcast equi-joins on candidate ids.
-    "ss_matryoshka")
+    "ss_matryoshka",
+    // ss_ivf_sqrtk is ss_ivf_topk at the ⌈√N⌉-defaulted cell count —
+    // the same bounded-model contract (k×64-float literal centroids).
+    "ss_ivf_sqrtk")
 
   /** The plan the lint audits: the query's own result plan, or the
     * declared eager intermediate (which, unlike `run`, plans lazily —

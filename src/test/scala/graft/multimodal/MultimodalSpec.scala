@@ -349,4 +349,75 @@ class MultimodalSpec extends SparkSuite {
       .map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq.sorted
     assert(got == expect.sorted)
   }
+
+  test("dd_image_dups: banded join equals an independent brute-force over closed-form hashes") {
+    // Independent path: hashes from the SYNTHESIS FORMULA directly
+    // (no BmpCodec encode→decode round-trip), pairs by brute-force
+    // all-pairs with the band/cap semantics replayed list-at-a-time.
+    val ids = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    def hashOf(id: Long): Long = {
+      val g = id - (id % 3); val v = id % 3
+      val w = (g % 31 + 1).toInt; val h = (g % 17 + 1).toInt
+      def grey(x: Int, y: Int): Long = (g * 7 + (y.toLong * w + x) * 3 + v) % 256
+      (0 until 60).foldLeft(0L) { (acc, b) =>
+        val gx = b % 10; val gy = b / 10
+        val sy = gy * h / 6
+        if (grey(gx * w / 11, sy) < grey((gx + 1) * w / 11, sy))
+          acc | (1L << b)
+        else acc
+      }
+    }
+    val hs = ids.map(id => id -> hashOf(id)).toMap
+    // band/cap replay
+    val bandRows = for { id <- ids; b <- 0 until 6 }
+      yield (b, (hs(id) >> (b * 10)) & 1023L, id)
+    val counts = bandRows.groupBy(r => (r._1, r._2)).view.mapValues(_.length)
+    val surviving = bandRows.filter(r => counts((r._1, r._2)) <= 50)
+    val byBand = surviving.groupBy(r => (r._1, r._2))
+    val expect = byBand.values.flatMap { rows =>
+      val ms = rows.map(_._3).sorted
+      for { i <- ms.indices; j <- (i + 1) until ms.length
+            if java.lang.Long.bitCount(hs(ms(i)) ^ hs(ms(j))) <= 5 }
+        yield (ms(i), ms(j), java.lang.Long.bitCount(hs(ms(i)) ^ hs(ms(j))))
+    }.toSet
+    val got = graft.QueryRegistry.byName("dd_image_dups")
+      .run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    assert(got.nonEmpty, "near-dup corpus produced zero pairs")
+    // the planted brightness-shift near-dups are found: at least one
+    // within-triple pair (same base image g, different shift) survives
+    assert(got.exists { case (a, b, _) => a - (a % 3) == b - (b % 3) },
+      "no within-triple brightness-shift pair found")
+  }
+
+  test("dd_image_clusters: labels are the exact components of dd_image_dups' pairs") {
+    val pairs = graft.QueryRegistry.byName("dd_image_dups")
+      .run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent union-find over the (already brute-verified) pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map { id =>
+      val members = parent.keys.filter(k => find(k) == find(id))
+      id -> members.min
+    }.toMap
+    val got = graft.QueryRegistry.byName("dd_image_clusters")
+      .run(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // canonical representative: each label is a member of its cluster
+    got.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keySet.contains(lbl), s"label $lbl not in its cluster")
+    }
+  }
 }

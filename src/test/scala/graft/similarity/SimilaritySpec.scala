@@ -234,6 +234,67 @@ class SimilaritySpec extends SparkSuite {
     assert(topk.exceptAll(probe).count() == 0)
   }
 
+  test("ss_ivf_sqrtk: 23-cell pipeline keeps the top-k contract and finds true neighbors") {
+    val rows = QueryRegistry.byName("ss_ivf_sqrtk")
+      .run(spark, sf("sf0.001")).collect()
+    // 20 probe queries × top-5, ranks dense from 1
+    assert(rows.length == 100)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 20)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      // cosines non-increasing in rank
+      val ordered = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+    // probed-cell recall floor vs brute force, same bar as ss_ivf_topk's
+    val brute = QueryRegistry.byName("ss_cosine_topk")
+      .run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = rows.count(r => brute((r.getLong(0), r.getLong(2))))
+    assert(hits > 0, "sqrt-k IVF found zero true top-5 neighbors")
+  }
+
+  test("IVF cell count scales with the corpus: sqrt-default train + persisted round-trip at k != 16") {
+    // the production seam: no-k trains at ⌈√N⌉
+    assert(SimilarityQueries.sqrtCellCount(500) == 23)
+    assert(SimilarityQueries.sqrtCellCount(1) == 2)
+    assert(SimilarityQueries.sqrtCellCount(4000000L) == 2000)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val sqrtCents = SimilarityQueries.trainIvfCentroids(e)
+    assert(sqrtCents.nonEmpty && sqrtCents.size <= 23,
+      s"sqrt-default model has ${sqrtCents.size} cells") // ≤: empty cells drop
+    assert(sqrtCents.size > 16, "sqrt default did not move past the gate k")
+    // persisted index round-trips at an explicit non-gate k: the model
+    // comes back with k=8 cells, the cell partitions match the model's
+    // ids, and upsert (k-agnostic: it loads whatever model is
+    // persisted) still lands batch rows in the k=8 layout
+    val k8 = SimilarityQueries.trainIvfCentroids(e, 8)
+    assert(k8.map(_._1).toSet.subsetOf((0 until 8).toSet))
+    assert(k8.forall(_._2.length == 64))
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-k8")
+    val idx  = s"$root/idx"
+    SimilarityQueries.writeIvfIndex(spark, e, k8, idx)
+    val loaded = SimilarityQueries.loadCentroids(spark, idx)
+      .map { case (c, v) => (c, v.toSeq) }
+    assert(loaded == k8.map { case (c, v) => (c, v.toSeq) },
+      "persisted centroid model did not round-trip")
+    val diskCells = {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new Path(s"$idx/cells"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map(_.getPath.getName.stripPrefix("cell=").toInt).toSet
+    }
+    assert(diskCells.subsetOf(k8.map(_._1).toSet),
+      s"disk cells $diskCells outside the k=8 model")
+    val batch = e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val touched = SimilarityQueries.upsertIvfIndex(spark, idx, batch)
+    assert(touched.nonEmpty && touched.forall(k8.map(_._1).contains),
+      s"upsert touched cells $touched outside the k=8 model")
+  }
+
   /** Incremental upsert contract: with the centroid model FIXED, the
     * merged index is indistinguishable from a from-scratch build of the
     * merged corpus — same cell contents, same probe answers — and cell

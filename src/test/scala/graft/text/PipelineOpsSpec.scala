@@ -177,6 +177,44 @@ class PipelineOpsSpec extends SparkSuite {
       "no source at weight 1 — target mixture unreachable for all?")
   }
 
+  test("tx_mix_temperature: matches an independent recompute; boosts point the right way") {
+    import org.apache.spark.sql.functions._
+    // independent driver-side recompute from raw token counts
+    val counts = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").count(_.nonEmpty).toLong)
+      .groupBy(_._1).map { case (s, a) => s -> a.map(_._2).sum }
+    val total = counts.values.sum
+    val w = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble / total) * 1000000.0).toLong
+    }
+    val tw = w.values.sum
+    val rows = run("tx_mix_temperature").collect()
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val (src, n) = (r.getString(0), r.getLong(1))
+      assert(n == counts(src))
+      val share = BigDecimal(n.toDouble / total)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val tWeight = BigDecimal(w(src).toDouble / tw)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == share, s"$src share")
+      assert(r.getDouble(3) == tWeight, s"$src temp_weight")
+      assert(r.getLong(4) ==
+        math.floor(w(src).toDouble * total / tw).toLong, s"$src planned")
+      // temperature PULLS TOWARD uniform: above-average sources damp
+      // (boost < 1), below-average sources amplify (boost > 1)
+      val boost = r.getDouble(5)
+      val natural = n.toDouble / total
+      if (natural > 1.0 / counts.size) assert(boost < 1.0, s"$src should damp")
+      if (natural < 1.0 / counts.size) assert(boost > 1.0, s"$src should amplify")
+    }
+    // planned tokens stay within ppm-flooring slack of the budget
+    val planned = rows.map(_.getLong(4)).sum
+    assert(planned <= total && planned >= (total * 0.999).toLong,
+      s"planned $planned vs budget $total")
+  }
+
   test("tx_filter_funnel: one reason per doc, shares sum to 1 per source") {
     val rows = run("tx_filter_funnel").collect()
     val reasons = Set("empty", "too_short", "too_long", "low_stopword",
