@@ -1644,6 +1644,18 @@ object TextQueries {
       case (acc, ((l, r), i)) => mergeFoldExpr(acc, l, r, i)
     }
 
+  /** Per-corpus memo of the trained merge table: the tokenizer is an
+    * ARTIFACT — a pipeline trains it once and every consumer (encode,
+    * pack, the report itself) reuses it, exactly the persisted-index
+    * contract `buildIvfIndex` makes for centroids. Keyed by data dir
+    * (immutable per driver contract); the entry is `bpeRounds` rows,
+    * so the cache is bounded by the number of distinct corpora a
+    * process touches.
+    */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[(Int, String, String, Long, Long)]]()
+
   /** The training loop itself — the driver-coordinated protocol shared
     * by [[bpeTrain]] (which reports the merge table) and the encode/
     * pack consumers (which apply it). Returns `bpeRounds` rows of
@@ -1652,6 +1664,10 @@ object TextQueries {
     * scale argument.
     */
   private[text] def trainBpeMerges(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long, Long)] =
+    bpeMergeCache.computeIfAbsent(dir, _ => trainBpeMergesUncached(s, dir))
+
+  private def trainBpeMergesUncached(s: SparkSession, dir: String)
       : Seq[(Int, String, String, Long, Long)] = {
     import org.apache.spark.sql.DataFrame
     val words = graft.core.Par
@@ -1801,6 +1817,59 @@ object TextQueries {
     oracle = Some(bpeEncodeOracleSql),
   )
 
+  /** The tokenizer's VOCAB FILE as a query — the third artifact of the
+    * train→encode→pack loop (a shipped tokenizer is exactly this
+    * table: symbol ↔ id, plus the corpus statistics a mixing recipe
+    * reads): every symbol of the post-training alphabet with its
+    * 1-based byte-order id (same contract as [[bpeEncode]]'s ids, see
+    * the ASCII note on [[bpeTrain]]), its corpus occurrence count
+    * under the final symbolization, its corpus share, and whether it
+    * is a LEARNED merge (multi-char) or a base character.
+    *
+    * Scale shape: the corpus was already reduced to the word-frequency
+    * table by the (memoized) train pass; this is one explode of the
+    * DISTINCT-WORD table's symbols weighted by word frequency, a
+    * vocabulary-keyed aggregation, and bounded model-sized windows —
+    * nothing corpus-sized moves.
+    */
+  val bpeVocab = Query(
+    "tx_bpe_vocab",
+    (s, dir) => {
+      val merges = trainBpeMerges(s, dir).map(m => (m._2, m._3))
+      val words = graft.core.Par
+        .spreadBy(Tables(s, dir).documents.select(col("text")), col("text"))
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .withColumn("syms", expr(encodeExpr(merges)))
+      val g = words
+        .select(col("freq"), explode(col("syms")).as("sym"))
+        .groupBy(col("sym"))
+        .agg(sum(col("freq")).as("n_tokens"))
+      val whole = Window.partitionBy()
+      g.withColumn("tid",
+          row_number().over(Window.orderBy(col("sym"))).cast("long"))
+        .withColumn("total", sum(col("n_tokens")).over(whole))
+        .select(col("tid"), col("sym"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("total"), 4).as("share"),
+          (length(col("sym")) > 1).as("is_merged"))
+        .orderBy(col("tid"))
+    },
+    oracle = Some(s"""
+      WITH $bpeChainCtes,
+      wsym AS (SELECT word, freq, unnest(syms) AS sym FROM s$bpeRounds),
+      g AS (SELECT sym, sum(freq)::BIGINT AS n_tokens FROM wsym GROUP BY 1),
+      v AS (
+        SELECT row_number() OVER (ORDER BY sym) AS tid, sym, n_tokens,
+               sum(n_tokens) OVER () AS total
+        FROM g
+      )
+      SELECT tid, sym, n_tokens,
+             round(n_tokens::DOUBLE / total, 4) AS share,
+             length(sym) > 1 AS is_merged
+      FROM v ORDER BY tid
+    """),
+  )
+
   /** Count-Min point queries — the second sketch family next to
     * [[heavyHitters]]' Space-Saving top-k: d×w counters answer "how
     * often did THIS term occur" in O(d·w) memory regardless of
@@ -1871,5 +1940,5 @@ object TextQueries {
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
-    sourceCap, bm25, lmScore, bpeTrain, bpeEncode, countMin)
+    sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin)
 }

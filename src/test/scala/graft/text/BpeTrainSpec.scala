@@ -131,6 +131,37 @@ class BpeTrainSpec extends SparkSuite {
     }
   }
 
+  test("tx_bpe_vocab: the vocab file matches the reference encoder's alphabet and counts (sf0.001)") {
+    val (trained, _) = referenceTrain(sf("sf0.001"), 4)
+    val merges = trained.map(m => (m._2, m._3))
+    val words = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    val occ = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, f) =>
+      referenceEncode(w, merges).foreach(s =>
+        occ.update(s, occ.getOrElse(s, 0L) + f))
+    }
+    val total = occ.values.sum
+    val expect = occ.keys.toSeq.sorted.zipWithIndex.map { case (s, i) =>
+      val share = BigDecimal(occ(s).toDouble / total)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i + 1L, s, occ(s), share, s.length > 1)
+    }
+    val got = QueryRegistry.byName("tx_bpe_vocab")
+      .run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == expect, s"first diff: ${got.zip(expect).find(p => p._1 != p._2)}")
+    // every multi-char vocab symbol is the output of some learned
+    // merge (an earlier merge's output may be consumed by a later
+    // one, but the LAST merge's output always survives)
+    val outputs = merges.map { case (l, r) => l + r }.toSet
+    assert(got.filter(_._5).forall(v => outputs.contains(v._2)))
+    assert(got.exists(_._2 == merges.last._1 + merges.last._2))
+  }
+
   test("tx_pack_bpe: bins match a window formulation over reference-encoded counts (sf0.001)") {
     val (trained, _) = referenceTrain(sf("sf0.001"), 4)
     val merges = trained.map(m => (m._2, m._3))
