@@ -549,6 +549,106 @@ object DedupQueries {
     """),
   )
 
+  /** Leakage-safe train/holdout split: assign documents to splits by a
+    * hash of their NEAR-DUP CLUSTER representative, never of the raw
+    * doc_id — the split discipline a pretraining pipeline needs so a
+    * held-out document's near-duplicate cannot sit in the training
+    * side and leak the eval (the GPT-2/GPT-3 papers' contamination
+    * lesson, and the reason dedup and split assignment must agree on
+    * one clustering). Clusters come from the same MinHash-LSH
+    * candidate + Jaccard ≥ 0.5 + connected-components chain as
+    * [[dupClusters]]; singleton documents are their own cluster.
+    *
+    * The split hash is an affine multiplicative hash (Knuth's 2654435761)
+    * mod 1024 against a 921 (~90 %) threshold — engine-neutral integer
+    * math, the same rationale as [[hashParams]]' affine rehashes: a
+    * seeded xxhash64 would be the production choice but no two engines
+    * agree on it, and the gate must. 100000·K ≡ 0 (mod 1000), so a
+    * power-of-two modulus is load-bearing: a decimal modulus would
+    * park every planted (d, d+100000) pair on the same side and make
+    * the leakage metric vacuous.
+    *
+    * Output: per-split doc/cluster counts plus `leaked_naive_clusters`
+    * — how many multi-document clusters a NAIVE doc_id-hash split
+    * would straddle (non-zero by construction on the planted corpus:
+    * 5 of 25 planted pairs straddle at sf0.01). That one column is the
+    * op's argument for existing.
+    *
+    * Scale shape: the cluster chain is [[dupClusters]] (banded, capped,
+    * corpus never pairwise); the split assignment is a per-row integer
+    * hash on a left join against the (tiny) cluster frame; the final
+    * rollup is a 2-row aggregate crossed with a 1-row leakage count
+    * (sanctioned 1-row broadcast).
+    */
+  val clusterSplit = Query(
+    "dd_cluster_split",
+    (s, dir) => {
+      val t      = Tables(s, dir)
+      val corpus = dupCorpus(t)
+      val sh = spread(corpus)
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val edges = withJaccard(bandPairs(sh), sh)
+        .filter(col("jac") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val clusters = connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      val K = 2654435761L
+      def side(c: Column): Column =
+        when(pmod(c * K, lit(1024L)) < 921, "train").otherwise("holdout")
+      val assigned = corpus.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cl"))
+        .withColumn("split", side(col("cl")))
+        .withColumn("naive", side(col("doc_id")))
+      val leaked = assigned.groupBy(col("cl"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("naive")).as("sides"))
+        .filter(col("n") > 1 && col("sides") > 1)
+        .agg(count(lit(1)).as("leaked_naive_clusters"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("cl")).as("n_clusters"))
+        .crossJoin(broadcast(leaked))
+        .orderBy(col("split"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE corpus AS ($dupCorpusSql),
+      ${bandCandSql()},
+      edges AS (
+        SELECT id_a, id_b FROM cands
+          JOIN sh sa ON sa.doc_id = id_a
+          JOIN sh sb ON sb.doc_id = id_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+              >= 0.5
+      ),
+      $ccWalkSql,
+      clusters AS (
+        SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY id
+      ),
+      assigned AS (
+        SELECT c.doc_id,
+          coalesce(k.cluster, c.doc_id) AS cl,
+          CASE WHEN (coalesce(k.cluster, c.doc_id) * 2654435761) % 1024 < 921
+               THEN 'train' ELSE 'holdout' END AS split,
+          CASE WHEN (c.doc_id * 2654435761) % 1024 < 921
+               THEN 'train' ELSE 'holdout' END AS naive
+        FROM corpus c LEFT JOIN clusters k ON k.doc_id = c.doc_id
+      ),
+      leaked AS (
+        SELECT count(*) AS leaked_naive_clusters FROM (
+          SELECT cl FROM assigned
+          GROUP BY cl HAVING count(*) > 1 AND count(DISTINCT naive) > 1)
+      )
+      SELECT split, count(*) AS n_docs, count(DISTINCT cl) AS n_clusters,
+             leaked_naive_clusters
+      FROM assigned CROSS JOIN leaked
+      GROUP BY split, leaked_naive_clusters ORDER BY split
+    """),
+  )
+
   /** SimHash: 60-bit similarity-preserving fingerprint per document
     * (low 60 bits of md5 per token; majority vote per bit). Entirely
     * per-row array math — embarrassingly parallel; pair search over the
@@ -1248,6 +1348,6 @@ object DedupQueries {
 
   def all: Seq[Query] =
     Seq(exact, dupStats, minhashLsh, minhashCdc, simhash, ngramJaccard,
-      cleanCorpus, dupPassages, dupClusters, decontaminate,
+      cleanCorpus, dupPassages, dupClusters, clusterSplit, decontaminate,
       bloomDecontaminate, incrementalDedup, lshTuning)
 }

@@ -201,6 +201,128 @@ object Relational {
     headline = true,
   )
 
+  /** TPC-H Q7-like (volume shipping): revenue flow between two trading
+    * nations by ship year — supplier nation and customer nation are
+    * the SAME dimension joined twice under different roles, the
+    * aliased-dimension pattern. Both nation joins broadcast (25-row
+    * dim); lineitem⋈orders is the one big shuffle, exactly where TPC-H
+    * puts it; the (nation, nation, year) rollup is bounded.
+    */
+  val q7 = Query(
+    "q7_volume_shipping",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val sn = t.nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+      val cn = t.nation.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .filter(((col("supp_nation") === "NATION_3") &&
+          (col("cust_nation") === "NATION_2")) ||
+          ((col("supp_nation") === "NATION_2") &&
+            (col("cust_nation") === "NATION_3")))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    oracle = Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """),
+  )
+
+  /** TPC-H Q10-like (returned items): which customers returned the
+    * most revenue in a quarter — the big-fact⋈big-dim reporting join.
+    * lineitem filters to returnflag = 'R' and orders to the quarter
+    * BEFORE the join (predicate pushdown does the real work); the
+    * customer join is the canonical AQE-broadcast candidate, nation
+    * always broadcasts, and the top-20 is a sort-limit
+    * (TakeOrderedAndProject heaps), never a global sort.
+    */
+  val q10 = Query(
+    "q10_returned_items",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ord = t.orders.filter(
+        col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      t.lineitem.filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             c_acctbal, n_name
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20
+    """),
+  )
+
+  /** TPC-H Q14-like (promo effect): the share of a month's revenue on
+    * PROMO parts — a fact⋈dimension join feeding a conditional
+    * aggregate ratio. The part side broadcasts; the ratio divides two
+    * sums computed in ONE aggregation pass (no second scan); rounded
+    * at 2 dp like every revenue number so cross-engine double
+    * summation order cannot flip the gate.
+    */
+  val q14 = Query(
+    "q14_promo_effect",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev), 2).as("promo_pct"),
+          round(sum(rev), 2).as("total_revenue"))
+    },
+    oracle = Some("""
+      SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END) /
+                   sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """),
+  )
+
   /** ROLLUP over returnflag × linestatus (grouping-sets family). NULL
     * subtotal keys are COALESCE'd to 'ALL' so the two engines hash
     * identical values.
@@ -1148,7 +1270,7 @@ object Relational {
   )
 
   def all: Seq[Query] = Seq(
-    q1, q3, q5, q4, q6, qRollup, qCube, qGroupingSets, qWindowTopk,
+    q1, q3, q5, q4, q6, q7, q10, q14, qRollup, qCube, qGroupingSets, qWindowTopk,
     qWindowRunning, qWindowMisc, qDatetime, qStringFuncs, qDistinct,
     qSetOps, qAntiJoin, qSubquery, qHaving, qFullOuter, qCorrelated,
     qPivot, qUnpivot, qApproxDistinct, qApproxQuantiles, qProfile, qHistogram, qPercentiles,

@@ -341,7 +341,7 @@ object SimilarityQueries {
   /** The probe side: queries explode to their top-`nprobe` cells
     * (`sort_array` only ever runs on the ≤20 probe rows).
     */
-  private[similarity] def probesOf(e: DataFrame,
+  private[graft] def probesOf(e: DataFrame,
       cents: Seq[(Int, Array[Float])], nprobe: Int = 2): DataFrame =
     e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
@@ -352,7 +352,7 @@ object SimilarityQueries {
   /** The shared probe→rank tail: join candidates on the cell key,
     * exact cosine + per-query top-5.
     */
-  private[similarity] def rankTail(assigned: DataFrame, probes: DataFrame): DataFrame = {
+  private[graft] def rankTail(assigned: DataFrame, probes: DataFrame): DataFrame = {
     val cand = assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -546,7 +546,7 @@ object SimilarityQueries {
   /** The index's persisted centroid model — a bounded collect (k×dim
     * floats), the serving tier's per-batch model load.
     */
-  private[similarity] def loadCentroids(s: SparkSession,
+  private[graft] def loadCentroids(s: SparkSession,
       idx: String): Seq[(Int, Array[Float])] =
     s.read.parquet(s"$idx/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
@@ -1716,8 +1716,92 @@ object SimilarityQueries {
     """),
   )
 
+  /** Hybrid retrieval with reciprocal-rank fusion — the two-channel
+    * retriever every RAG stack serves: a SPARSE channel (BM25 over the
+    * text index — the identical scoring kernel as `tx_bm25`, one copy
+    * of the formula via [[graft.text.TextQueries.bm25Scored]]) and a
+    * DENSE channel (cosine against a query-by-example embedding,
+    * vec_id 0), each reduced to its top-20, then fused by
+    * RRF(d) = Σ_channels 1/(60 + rank_channel(d)) (Cormack et al.'s
+    * constant), absent channels contributing 0. Rank fusion is the
+    * production answer to "the two scores live on incomparable
+    * scales" — only the RANKS cross channels, which also makes the
+    * gate deterministic: 1/(60+rk) is one IEEE double division on an
+    * integer, bit-identical in any engine, and the two-term sum has a
+    * fixed evaluation order.
+    *
+    * The corpus is only partially embedded at sf0.1 (2 000 vectors vs
+    * 5 000 docs) — exactly the migration state a real index lives in —
+    * and the FULL OUTER fusion handles sparse-only/dense-only docs by
+    * construction.
+    *
+    * Scale shape: each channel ends in a sort-limit (per-partition
+    * heaps, TakeOrderedAndProject — nothing corpus-sized sorts); the
+    * fusion join and rank window run over ≤ 40 rows. The dense
+    * channel's 1-row query-vector broadcast is the sanctioned
+    * [[bruteTopk]] contract; at 100 TB the dense channel swaps in the
+    * IVF-routed scan ([[filteredTopk]]) without touching the fusion.
+    */
+  val hybridRrf = Query(
+    "ss_hybrid_rrf",
+    (s, dir) => {
+      val sparse = graft.text.TextQueries.bm25Scored(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .withColumn("rk_sparse", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rk_sparse"))
+      val e  = Tables(s, dir).embeddings
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val dense = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          VectorFunctions.cosineSim(col("qv"), col("embedding")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(20)
+        .withColumn("rk_dense", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rk_dense"))
+      val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rk_sparse")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rk_dense")), lit(0.0)))
+      fused.orderBy(col("rrf").desc, col("doc_id")).limit(15)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id"))))
+        .select(col("rk"), col("doc_id"), col("rk_sparse"),
+          col("rk_dense"), round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rk"))
+    },
+    oracle = Some(s"""
+      WITH ${graft.text.TextQueries.bm25ScoredSql},
+      sparse AS (
+        SELECT doc_id,
+          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk_sparse
+        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+      ), dense0 AS (
+        SELECT e.vec_id AS doc_id,
+               ${cosineSqlExpr2("e.embedding", "q.embedding")} AS cos
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+      ), dense AS (
+        SELECT doc_id,
+          row_number() OVER (ORDER BY cos DESC, doc_id) AS rk_dense
+        FROM dense0 ORDER BY cos DESC, doc_id LIMIT 20
+      ), fused AS (
+        SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+               s.rk_sparse, d.rk_dense,
+               coalesce(1.0::DOUBLE / (60 + s.rk_sparse), 0.0::DOUBLE) +
+               coalesce(1.0::DOUBLE / (60 + d.rk_dense), 0.0::DOUBLE) AS rrf
+        FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+      )
+      SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk,
+             doc_id, rk_sparse, rk_dense, round(rrf, 6) AS rrf
+      FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfSqrtK, ivfProbe, pqTopk, ivfPqTopk,
       kmeans, cosineNearDup, semanticDedup, vectorStats, quantize, coverage,
-      recall, maxsim, matryoshka, filteredTopk)
+      recall, maxsim, matryoshka, filteredTopk, hybridRrf)
 }

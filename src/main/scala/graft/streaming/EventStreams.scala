@@ -273,4 +273,83 @@ object EventStreams extends Serializable {
           closed.result().iterator
       }
   }
+
+  /** One confirmed view→purchase conversion; emitted exactly once per
+    * user, and only once the watermark PROVES the verdict final.
+    */
+  case class Conversion(user_id: Long, first_view: java.sql.Timestamp,
+      first_buy: java.sql.Timestamp, gap_us: Long)
+
+  /** Funnel state: running minima of the user's view/purchase event
+    * times (epoch µs; MaxValue = unseen) plus the emitted/settled flag.
+    */
+  case class FunnelState(viewUs: Long, buyUs: Long, done: Boolean)
+
+  private val NoTs = Long.MaxValue
+
+  /** Streaming funnel — the incremental twin of the batch `ev_funnel`
+    * (first view strictly before first purchase). The subtlety a
+    * streaming funnel must get right is EMISSION TIME: both firsts are
+    * running MINIMA, so out-of-order arrivals can lower either side
+    * and flip the verdict after a naive early emission. The verdict
+    * becomes immutable exactly when the watermark passes first_buy:
+    * from then on every admissible arrival has ts ≥ watermark ≥
+    * first_buy, which can lower neither minimum below first_buy —
+    * converted stays converted, not-converted stays not-converted.
+    * So the group registers its event-time timeout at first_buy
+    * (ceil'd to ms — the GroupState API is ms-resolution, the
+    * sessionize rule) and emits on timeout; a buy already behind the
+    * watermark (replay/catch-up) emits immediately in-batch, the same
+    * finality argument. Settled groups keep a `done` tombstone so a
+    * late trickle can never re-emit; users with views but no purchase
+    * are the live pending set (the ev_stream_left_join contract).
+    * State per user is two longs + a flag — rate×horizon bounded.
+    */
+  def funnel(events: Dataset[Event]): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+
+    def conversion(uid: Long, st: FunnelState): Iterator[Conversion] =
+      if (!st.done && st.viewUs < st.buyUs)
+        Iterator.single(Conversion(uid, toTimestamp(st.viewUs),
+          toTimestamp(st.buyUs), st.buyUs - st.viewUs))
+      else Iterator.empty
+
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st  = state.get
+            val out = conversion(uid, st)
+            state.update(st.copy(done = true))
+            out
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(NoTs, NoTs, false))
+            batch.foreach { e =>
+              val t = micros(e.ts)
+              if (e.event_type == "view") {
+                if (t < st.viewUs) st = st.copy(viewUs = t)
+              } else if (t < st.buyUs) st = st.copy(buyUs = t)
+            }
+            var out: Iterator[Conversion] = Iterator.empty
+            if (!st.done && st.buyUs != NoTs) {
+              // ceil to ms: the engine fires strictly when
+              // watermark > timeout (the ev_stream_sessions boundary)
+              val tmoMs = Math.floorDiv(st.buyUs + 999L, 1000L)
+              if (tmoMs < state.getCurrentWatermarkMs()) {
+                // watermark already past first_buy: final now
+                out = conversion(uid, st)
+                st = st.copy(done = true)
+              } else {
+                state.setTimeoutTimestamp(tmoMs)
+              }
+            }
+            state.update(st)
+            out
+          }
+      }
+  }
 }

@@ -784,8 +784,152 @@ object StreamingQueries {
       graft.text.TextQueries.countMin.run(s, dir)),
   )
 
+  /** The streaming funnel under the oracle gate: view→purchase
+    * conversions confirmed incrementally, emitted exactly once per
+    * user and only when the watermark has made the verdict immutable
+    * (state timeout at first_buy — see [[EventStreams.funnel]] for
+    * the finality argument). The oracle is the batch `ev_funnel` join
+    * plus the SAME ms-precision timeout boundary the engine applies
+    * (the ev_stream_sessions rule): conversions whose first_buy the
+    * final watermark never passed are still pending IN STATE, not in
+    * the output.
+    */
+  val streamFunnel = Query(
+    "ev_stream_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      runToTable(EventStreams.funnel(ev).toDF(), "append")
+        .select(col("user_id"),
+          date_format(col("first_view"), fmt).as("first_view"),
+          date_format(col("first_buy"), fmt).as("first_buy"),
+          col("gap_us"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH fp AS (SELECT * FROM events
+                  WHERE event_type IN ('view', 'purchase')),
+      v AS (SELECT user_id, min(ts) AS first_view FROM fp
+            WHERE event_type = 'view' GROUP BY 1),
+      b AS (SELECT user_id, min(ts) AS first_buy FROM fp
+            WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT v.user_id,
+             strftime(first_view, '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+             strftime(first_buy, '%Y-%m-%d %H:%M:%S.%f') AS first_buy,
+             epoch_us(first_buy) - epoch_us(first_view) AS gap_us
+      FROM v JOIN b USING (user_id)
+      WHERE first_view < first_buy
+        -- the engine's emission boundary, at the engine's precision:
+        -- timeout registers at first_buy ceil'd to ms, the watermark
+        -- floors max event time (over the FILTERED stream) to ms
+        -- minus the 10-minute delay, and firing is strictly
+        -- timeout < watermark
+        AND (epoch_us(first_buy) + 999) // 1000 <
+            (SELECT epoch_us(max(ts)) FROM fp) // 1000 - 600000
+      ORDER BY user_id
+    """),
+    eagerPlan = Some((s, dir) => {
+      val e = Tables(s, dir).events
+        .filter(col("event_type").isin("view", "purchase"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val b = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_buy"))
+      v.join(b, "user_id").filter(col("first_view") < col("first_buy"))
+    }),
+  )
+
+  /** Online ANN serving under the oracle gate: a stream of query
+    * vectors served per micro-batch against the PERSISTED IVF index —
+    * the online half of the vector tier, where `ss_ivf_probe` is the
+    * same serving pass invoked in batch. Each micro-batch routes its
+    * queries to their nprobe=2 cells through the broadcast centroid
+    * model (bounded: k×64 floats, the serving tier's per-batch model
+    * load), partition-prunes the index scan to the probed cells, and
+    * ranks top-5 per query with the `TopKPerGroup` heap tail — the
+    * exact batch machinery (`probesOf`/`rankTail`), run per batch.
+    * Serving is STATELESS (each query is answered within its batch;
+    * no cross-batch state store), so per-batch cost is O(batch ×
+    * probed cells) and the accumulated output is bounded by
+    * queries × k — the bounded-collect contract.
+    *
+    * A production deployment points the same `foreachBatch` at a Kafka
+    * query stream and a result sink; nightly index rebuilds swap in
+    * under it (`buildIvfIndex`/`upsertIvfIndex`), queries never
+    * re-train — the oracle is therefore `ss_ivf_topk`'s train+serve
+    * SQL verbatim, which is the point: streaming serving returns the
+    * batch answer.
+    */
+  val streamTopk = Query(
+    "ss_stream_topk",
+    (s, dir) => {
+      import graft.similarity.{SimilarityQueries => SQ}
+      import scala.jdk.CollectionConverters._
+      val idx   = SQ.buildIvfIndex(s, dir)
+      val cents = SQ.loadCentroids(s, idx)
+      val child = graft.core.Sessions.withConf(s,
+        "spark.sql.shuffle.partitions" -> streamPartitions)
+      val schema = child.read.parquet(s"$dir/embeddings.parquet").schema
+      val qs = child.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_topk")
+      val out = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, Int, Long, Double)]())
+      try {
+        val q = qs.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val probes = SQ.probesOf(batch, cents)
+            // bounded: ≤ nprobe × |queries in batch| cell ids — resolve
+            // them first so the index scan partition-prunes (the
+            // ss_ivf_probe serving shape)
+            val cells = probes.select(col("cell")).distinct()
+              .collect().map(_.getInt(0)).sorted
+            if (cells.nonEmpty) {
+              val assigned = child.read.parquet(s"$idx/cells")
+                .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+                .select(col("vec_id"), col("embedding"), col("cell"))
+              // ≤ 5 rows per query in this batch — bounded accumulate
+              out.addAll(SQ.rankTail(assigned, probes).collect().toSeq
+                .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+                  r.getDouble(3))).asJava)
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import s.implicits._
+        out.asScala.toSeq.sorted.toDF("qid", "rk", "nid", "cos")
+      } finally {
+        import java.nio.file.Files
+        Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    },
+    // streaming serving must return the batch answer: the persisted
+    // index encodes the trained model, so the train+serve oracle
+    // applies verbatim (the ss_ivf_probe contract)
+    oracle = graft.similarity.SimilarityQueries.ivfTopk.oracle,
+    eagerPlan = Some((s, dir) => {
+      import graft.similarity.{SimilarityQueries => SQ}
+      val idx   = SQ.buildIvfIndex(s, dir)
+      val cents = SQ.loadCentroids(s, idx)
+      val probes = SQ.probesOf(Tables(s, dir).embeddings, cents)
+      val assigned = s.read.parquet(s"$idx/cells")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      SQ.rankTail(assigned, probes)
+    }),
+  )
+
   def all: Seq[Query] =
     Seq(streamHourly, streamSessions, streamRangeJoin, streamLeftJoin,
       streamWordcount, streamEnrich, streamUpsert, streamClean,
-      streamHeavyHitters, streamScd2, streamSliding, streamCountMin)
+      streamHeavyHitters, streamScd2, streamSliding, streamCountMin,
+      streamTopk, streamFunnel)
 }

@@ -1371,43 +1371,43 @@ object TextQueries {
     * broadcasts, the same pattern as [[tfidf]]. Ranking ties break on
     * doc_id over the ROUNDED score so both engines order identically.
     */
-  val bm25 = Query(
-    "tx_bm25",
-    (s, dir) => {
-      val qTerms = Seq("join", "vector", "window", "stream")
-      val d = Tables(s, dir).documents
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) > 0)
-      val stats = d.agg(count(lit(1)).as("n_docs"),
-        avg(size(col("t"))).as("avgdl"))
-      val tf = graft.core.Par.spreadBy(d, col("doc_id"))
-        .select(col("doc_id"), size(col("t")).as("dl"),
-          explode(col("t")).as("term"))
-        .filter(col("term").isin(qTerms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term"))
-        .agg(count_distinct(col("doc_id")).as("df"))
-      val contrib =
-        log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * 2.2) /
-          (col("tf") + lit(1.2) *
-            (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
-      val scored = tf.join(broadcast(df), "term")
-        .crossJoin(broadcast(stats))
-        .groupBy(col("doc_id"))
-        .agg(round(sum(contrib), 4).as("bm25"))
-      // global top-25 via sort-limit (TakeOrderedAndProject — per-
-      // partition heaps, no global sort); the rank window then runs
-      // over ≤ 25 rows, bounded by construction
-      scored.orderBy(col("bm25").desc, col("doc_id")).limit(25)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))))
-        .select(col("rk"), col("doc_id"), col("bm25"))
-        .orderBy(col("rk"))
-    },
-    oracle = Some("""
-      WITH d AS (
+  /** The BM25 scoring kernel of [[bm25]] as a reusable frame
+    * `(doc_id, bm25)` — also the sparse channel of the hybrid
+    * retriever ([[graft.similarity.SimilarityQueries]]'s
+    * `ss_hybrid_rrf`). Both consumers MUST score identically or their
+    * oracles diverge, so there is exactly one copy of the formula.
+    */
+  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("join", "vector", "window", "stream")
+    val d = Tables(s, dir).documents
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("t"))).as("avgdl"))
+    val tf = graft.core.Par.spreadBy(d, col("doc_id"))
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val contrib =
+      log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+        (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) *
+          (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(contrib), 4).as("bm25"))
+  }
+
+  /** DuckDB CTE chain ending in `scored(doc_id, bm25)` — the oracle
+    * twin of [[bm25Scored]], shared by `tx_bm25` and `ss_hybrid_rrf`.
+    */
+  private[graft] val bm25ScoredSql = """
+      d AS (
         SELECT doc_id,
           list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
         FROM documents
@@ -1425,7 +1425,23 @@ object TextQueries {
             ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
             (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
         FROM tf JOIN dfc USING (term) CROSS JOIN stats
-        GROUP BY 1)
+        GROUP BY 1)"""
+
+  val bm25 = Query(
+    "tx_bm25",
+    (s, dir) => {
+      val scored = bm25Scored(s, dir)
+      // global top-25 via sort-limit (TakeOrderedAndProject — per-
+      // partition heaps, no global sort); the rank window then runs
+      // over ≤ 25 rows, bounded by construction
+      scored.orderBy(col("bm25").desc, col("doc_id")).limit(25)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("rk"), col("doc_id"), col("bm25"))
+        .orderBy(col("rk"))
+    },
+    oracle = Some(s"""
+      WITH $bm25ScoredSql
       SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk,
              doc_id, bm25
       FROM scored ORDER BY bm25 DESC, doc_id LIMIT 25

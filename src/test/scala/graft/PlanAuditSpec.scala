@@ -49,7 +49,15 @@ class PlanAuditSpec extends SparkSuite {
     "ss_matryoshka",
     // ss_ivf_sqrtk is ss_ivf_topk at the ⌈√N⌉-defaulted cell count —
     // the same bounded-model contract (k×64-float literal centroids).
-    "ss_ivf_sqrtk")
+    "ss_ivf_sqrtk",
+    // ss_hybrid_rrf's nested loops are its channels' declared shapes:
+    // the 1-row query-vector broadcast (ss_cosine_topk contract) and
+    // bm25Scored's 1-row corpus-stats broadcast (tx_bm25 contract).
+    "ss_hybrid_rrf",
+    // dd_cluster_split crosses the 1-row leaked_naive_clusters
+    // aggregate into the 2-row per-split rollup — the
+    // q_approx_distinct 1-row × k-row contract.
+    "dd_cluster_split")
 
   /** The plan the lint audits: the query's own result plan, or the
     * declared eager intermediate (which, unlike `run`, plans lazily —

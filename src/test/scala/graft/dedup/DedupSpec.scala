@@ -165,6 +165,37 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("dd_cluster_split: cluster-coherent by construction, naive split leaks") {
+    val rows = QueryRegistry.byName("dd_cluster_split").run(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_clusters"),
+          r.getAs[Long]("leaked_naive_clusters"))).toMap
+    assert(rows.keySet == Set("train", "holdout"))
+    val total = rows.values.map(_._1).sum
+    // corpus = documents + planted src0 replica
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+    val src0 = docs.filter(col("source") === "src0").count()
+    assert(total == docs.count() + src0)
+    // the train side is the ~90 % (921/1024) side
+    val trainFrac = rows("train")._1.toDouble / total
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train frac $trainFrac")
+    // the op's reason to exist: the naive doc_id-hash split DOES
+    // straddle multi-doc clusters (5 of the 25 planted pairs at this SF)
+    val leaked = rows.values.head._3
+    assert(rows.values.forall(_._3 == leaked), "leak count not global")
+    assert(leaked >= 1, "naive split straddled no cluster — vacuous fixture")
+    // and the cluster split never straddles: if any cluster appeared on
+    // both sides it would be double-counted, so the per-split cluster
+    // counts must sum EXACTLY to the independent total (distinct
+    // dd_dup_clusters labels + singleton docs)
+    val clustered = QueryRegistry.byName("dd_dup_clusters").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+    val totalClusters =
+      clustered.map(_._2).distinct.size + (total - clustered.size)
+    assert(rows.values.map(_._2).sum == totalClusters)
+  }
+
   test("connectedComponents: union-find and label-propagation paths agree") {
     import spark.implicits._
     // chain 1-2-3-4, star 10-{11,12,13}, pair 20-21, and a cross-link

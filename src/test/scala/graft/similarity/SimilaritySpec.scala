@@ -424,4 +424,62 @@ class SimilaritySpec extends SparkSuite {
         expect.getOrElse(r.getAs[String]("source"), 0L))
     }
   }
+
+  test("ss_stream_topk: streaming serving returns the batch answer") {
+    val dir = sf("sf0.001")
+    val streamed = QueryRegistry.byName("ss_stream_topk").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val batch = QueryRegistry.byName("ss_ivf_probe").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      "per-micro-batch serving diverged from the batch probe path")
+  }
+
+  test("ss_hybrid_rrf: fusion equals RRF recomputed from its own channels") {
+    val dir = sf("sf0.001")
+    // channels, recomputed independently of the fusion query
+    val sparse = graft.text.TextQueries.bm25Scored(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25"))
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val e = graft.Tables(spark, dir).embeddings
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).as("q")
+    val dense = e.filter(col("vec_id") =!= 0).as("e")
+      .crossJoin(broadcast(qv))
+      .select(col("e.vec_id"),
+        VectorFunctions.cosineSim(col("q.embedding"), col("e.embedding")).as("cos"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos"))
+      .sortBy { case (id, c) => (-c, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expected = (sparse.keySet ++ dense.keySet).toSeq
+      .map { id =>
+        val rrf = sparse.get(id).map(rk => 1.0 / (60 + rk)).getOrElse(0.0) +
+          dense.get(id).map(rk => 1.0 / (60 + rk)).getOrElse(0.0)
+        (id, rrf)
+      }
+      .sortBy { case (id, rrf) => (-rrf, id) }.take(15)
+    val got = QueryRegistry.byName("ss_hybrid_rrf").run(spark, dir).collect()
+    assert(got.length == 15)
+    got.zip(expected).zipWithIndex.foreach { case ((r, (id, rrf)), i) =>
+      assert(r.getAs[Int]("rk") == i + 1)
+      assert(r.getAs[Long]("doc_id") == id,
+        s"rank ${i + 1}: got doc ${r.getAs[Long]("doc_id")}, expected $id")
+      assert(math.abs(r.getAs[Double]("rrf") - rrf) < 5e-7)
+      // the reported channel ranks are the channels' own ranks (or null)
+      assert(Option(r.getAs[Integer]("rk_sparse")).map(_.toInt) ==
+        sparse.get(id))
+      assert(Option(r.getAs[Integer]("rk_dense")).map(_.toInt) ==
+        dense.get(id))
+    }
+    // both channels must surface in the fused top-15: single-channel
+    // RRF decays 1/61 → 1/80, so each channel's leading ranks land in
+    // the top 15 regardless of channel overlap
+    val ids = expected.map(_._1).toSet
+    assert(ids.exists(sparse.contains), "no sparse-channel doc fused")
+    assert(ids.exists(dense.contains), "no dense-channel doc fused")
+  }
 }

@@ -82,6 +82,69 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("funnel emits a conversion only when the watermark finalizes it, " +
+      "exactly once, and never for buy-before-view users") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = funnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // user 1 converts (view@5 < buy@20) — with the buy ARRIVING FIRST
+      // in the batch; user 2 is buy-before-view and must never emit
+      input.addData(
+        ev(1, 20, 1, typ = "purchase"), ev(2, 5, 1),
+        ev(3, 5, 2, typ = "purchase"), ev(4, 10, 2))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").count() == 0,
+        "emitted before the watermark proved the verdict")
+      // advance the watermark past user 1's first_buy, plus one more
+      // batch so the event-time timeout fires (the sessionize pattern)
+      input.addData(ev(5, 100, 9))
+      q.processAllAvailable()
+      input.addData(ev(6, 101, 9))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").as[Conversion].collect()
+      assert(got.length == 1)
+      assert(got.head.user_id == 1)
+      assert(got.head.first_view == ts(5) && got.head.first_buy == ts(20))
+      assert(got.head.gap_us == 15L * 60 * 1000000)
+      // a late trickle for a settled user must never re-emit
+      input.addData(ev(7, 102, 1), ev(8, 103, 1, typ = "purchase"))
+      q.processAllAvailable()
+      input.addData(ev(9, 104, 9))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").count() == 1, "re-emitted after done")
+    } finally q.stop()
+  }
+
+  test("funnel emits in-batch when fresh data arrives after the watermark " +
+      "already passed first_buy") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = funnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_early_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 21's conversion is complete, and user 99's
+      // far-future view pushes the watermark way past user 21's buy
+      input.addData(ev(1, 5, 21), ev(2, 20, 21, typ = "purchase"),
+        ev(3, 300, 99))
+      q.processAllAvailable()
+      // batch 2: fresh data for user 21 — the group is called for DATA
+      // (not timeout) with the watermark already past first_buy, so the
+      // verdict is final and emits in this very batch
+      input.addData(ev(4, 292, 21))
+      q.processAllAvailable()
+      val got = spark.table("funnel_early_out").as[Conversion].collect()
+      assert(got.length == 1)
+      assert(got.head.user_id == 21)
+      assert(got.head.first_view == ts(5) && got.head.first_buy == ts(20))
+    } finally q.stop()
+  }
+
   test("streaming hourlyAgg agrees with the batch ev_hourly_agg on full replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
