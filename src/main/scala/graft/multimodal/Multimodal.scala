@@ -944,8 +944,178 @@ object Multimodal {
     """),
   )
 
+  private val AudioBins = Array(1, 2, 4, 8, 16, 32)
+
+  /** 60-bit audio fingerprint from decoded PCM: 10 windows × 64
+    * samples, bit (win·6 + b) = 1 iff the window's Walsh–Hadamard
+    * coefficient c_k (k = [[AudioBins]](b), the [[spectrogram]]
+    * kernel) is negative. WHT signs, not energy deltas, on purpose:
+    * signs are content-sensitive across unrelated clips (measured 6
+    * colliding group-pairs in 79 800 — an energy-contour hash
+    * collides two orders of magnitude more on phase-shifted
+    * synthetic audio), integer-exact (the spectrogram's ±1-basis
+    * argument), and gain-robust — a volume change scales every
+    * coefficient by the same positive factor, flipping only
+    * coefficients near zero, so a re-levelled copy sits a few bits
+    * away, not 30.
+    */
+  private def audioHash(samples: Array[Short]): Long = {
+    var h   = 0L
+    var win = 0
+    while (win < 10) {
+      var bi = 0
+      while (bi < 6) {
+        val k = AudioBins(bi)
+        var c = 0L
+        var j = 0
+        while (j < 64) {
+          val sign =
+            if (java.lang.Integer.bitCount(k & j) % 2 == 0) 1 else -1
+          c += samples(win * 64 + j).toLong * sign
+          j += 1
+        }
+        if (c < 0) h |= 1L << (win * 6 + bi)
+        bi += 1
+      }
+      win += 1
+    }
+    h
+  }
+
+  /** The banded-candidate pair pipeline shared by [[audioDups]] and
+    * [[audioClusters]] — the audio leg of the near-dup triangle
+    * ([[imagePairs]] is the image leg, `dd_minhash_lsh` the text
+    * leg). Corpus: every document id synthesizes a clip; ids sharing
+    * a base group (g = id − id%3) are GAIN-SHIFTED re-levelings of
+    * one clip (stored PCM divided by 2^(id%3) — the re-encode an
+    * audio pipeline must catch), decoded from real RIFF/WAVE bytes in
+    * the per-partition codec seam. Then the [[imagePairs]] tail
+    * verbatim: 6 ten-bit bands, ≤50-per-band hot-band cap on the same
+    * exchange the self-join uses, `bit_count(xor) ≤ 5` confirm —
+    * pigeonhole keeps banding lossless at the threshold.
+    */
+  private def audioPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+    val hashes = params.mapPartitions { it =>
+      it.map { id =>
+        val g    = id - (id % 3)
+        val gain = 1L << (id % 3).toInt // re-leveling divisor, 1/2/4
+        val rate = 8000 + (g % 5).toInt * 2000
+        val n    = (640 + (g % 5) * 64).toInt
+        // the Knuth-multiplier phase term de-aliases base clips: a
+        // plain g*31 phase walk left 93 of 1.39M group pairs with
+        // IDENTICAL sign fingerprints at sf0.1 (measured); this
+        // family has zero
+        val synth = Array.tabulate(n) { i =>
+          val s0 = (g * 2654435761L + i.toLong * 7 +
+            (g % 13 + 1) * i.toLong * i +
+            (g % 29 + 1) * i.toLong * 11) % 65536 - 32768
+          (s0 / gain).toShort // truncating division (DuckDB `//`)
+        }
+        val samples = WavCodec.decodeSamples(WavCodec.encode(rate, synth))
+        (id, audioHash(samples))
+      }
+    }.toDF("media_id", "ahash")
+    val bands = hashes.select(col("media_id"), col("ahash"),
+      explode(expr("transform(sequence(0, 5), b -> " +
+        "struct(b AS bno, shiftright(ahash, b * 10) & 1023 AS bval))"))
+        .as("b"))
+      .select(col("media_id"), col("ahash"),
+        col("b.bno").as("bno"), col("b.bval").as("bval"))
+    val wBand  = Window.partitionBy(col("bno"), col("bval"))
+    val capped = bands.withColumn("bc", count(lit(1)).over(wBand))
+      .filter(col("bc") <= 50).drop("bc")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.bno") === col("b.bno") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("cast(bit_count(a.ahash ^ b.ahash) as int)").as("hamming"))
+      .filter(col("hamming") <= 5)
+      .distinct()
+  }
+
+  /** The SQL twin of [[audioPairs]] up to a `pairs` CTE: the
+    * fingerprint recomputed closed-form from the synthesis parameters
+    * — everything integer (WHT coefficients are exact sums of int16,
+    * `//` is DuckDB's truncating division, matching Scala `/`).
+    */
+  private val audioPairCtes = """
+      p AS (
+        SELECT doc_id AS media_id,
+               doc_id - (doc_id % 3) AS g,
+               (1::BIGINT << (doc_id % 3)::INT) AS gain
+        FROM documents
+      ), hh AS (
+        SELECT media_id,
+          list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN
+              list_sum(list_transform(range(0, 64), j ->
+                (((g * 2654435761 + ((b // 6) * 64 + j) * 7
+                   + (g % 13 + 1) * ((b // 6) * 64 + j) * ((b // 6) * 64 + j)
+                   + (g % 29 + 1) * ((b // 6) * 64 + j) * 11)
+                  % 65536 - 32768) // gain)
+                * (CASE WHEN bit_count(([1,2,4,8,16,32][(b % 6)::INT + 1])
+                                       & j) % 2 = 0
+                   THEN 1 ELSE -1 END))) < 0
+            THEN (1::BIGINT << b::INT) ELSE 0::BIGINT END))::BIGINT AS ahash
+        FROM p
+      ), bands0 AS (
+        SELECT media_id, ahash, unnest(range(0, 6)) AS bno FROM hh
+      ), bands1 AS (
+        SELECT media_id, ahash, bno,
+               (ahash >> (bno * 10)::INT) & 1023 AS bval
+        FROM bands0
+      ), bands AS (
+        SELECT media_id, ahash, bno, bval FROM (
+          SELECT *, count(*) OVER (PARTITION BY bno, bval) AS bc
+          FROM bands1)
+        WHERE bc <= 50
+      ), pairs AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+          bit_count(xor(a.ahash, b.ahash))::INT AS hamming
+        FROM bands a JOIN bands b
+          ON a.bno = b.bno AND a.bval = b.bval AND a.media_id < b.media_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 5
+      )"""
+
+  /** Audio near-duplicate detection over the WHT-sign fingerprints —
+    * the audio leg of the near-dup triangle (text `dd_minhash_lsh`,
+    * image `dd_image_dups`). The planted near-dups are gain-shifted
+    * re-levelings of each base clip; the handful of cross-group pairs
+    * the detector also reports are genuine fingerprint
+    * near-collisions, deterministic on both engines.
+    */
+  val audioDups = Query(
+    "dd_audio_dups",
+    (s, dir) => audioPairs(s, dir).orderBy(col("id_a"), col("id_b")),
+    oracle = Some(s"""
+      WITH $audioPairCtes
+      SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b
+    """),
+  )
+
+  /** Transitive closure of [[audioDups]]' pairs — the keep-one-per-
+    * cluster decision table, exactly [[imageClusters]]' machinery.
+    */
+  val audioClusters = Query(
+    "dd_audio_clusters",
+    (s, dir) =>
+      graft.dedup.DedupQueries.connectedComponents(audioPairs(s, dir))
+        .select(col("id").as("media_id"), col("lbl").as("cluster"))
+        .orderBy(col("media_id")),
+    oracle = Some(s"""
+      WITH RECURSIVE $audioPairCtes,
+      edges AS (SELECT id_a, id_b FROM pairs),
+      ${graft.dedup.DedupQueries.ccWalkSql}
+      SELECT id AS media_id, min(lbl) AS cluster
+      FROM walk GROUP BY id ORDER BY media_id
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
       videoDecode, audioRms, imageDhash, imageDups, imageClusters,
-      spectrogram, sceneCut, audioVad)
+      spectrogram, sceneCut, audioVad, audioDups, audioClusters)
 }

@@ -404,9 +404,13 @@ object SimilarityQueries {
     * IEEE-754 correctly rounded in both engines, so both sides resolve
     * the same k from the same count).
     */
-  private[similarity] def ivfOracleSql(nprobe: Int,
-      kSql: String = "16"): String = s"""
-      WITH seeds AS (
+  /** The IVF train + corpus-assignment CTE chain (through `cents` and
+    * `assigned`), shared by the serving oracles and the index-health
+    * report ([[indexStats]]) so exactly one SQL text defines the
+    * trained model.
+    */
+  private[similarity] def ivfAssignCtes(kSql: String = "16"): String = s"""
+      seeds AS (
         SELECT vec_id AS cid, embedding AS cv FROM embeddings
         WHERE vec_id < ($kSql)
       ), seed_scored AS (
@@ -440,7 +444,11 @@ object SimilarityQueries {
         FROM scored_cells
       ), assigned AS (
         SELECT vec_id, embedding, cid AS cell FROM ranked_cells WHERE rk = 1
-      ), probes AS (
+      )"""
+
+  private[similarity] def ivfOracleSql(nprobe: Int,
+      kSql: String = "16"): String = s"""
+      WITH ${ivfAssignCtes(kSql)}, probes AS (
         SELECT vec_id AS qid, embedding AS qv, cid AS cell
         FROM ranked_cells WHERE rk <= $nprobe AND vec_id < 20
       ), cand AS (
@@ -1716,6 +1724,75 @@ object SimilarityQueries {
     """),
   )
 
+  /** IVF index-health report — the nightly number an ANN tier reads
+    * before trusting (or rebuilding) its index: per-cell occupancy,
+    * corpus share, cohesion (mean cosine of members to their
+    * centroid), and the global max/mean occupancy imbalance — the
+    * signal that cells have gone lopsided and the next `buildIvfIndex`
+    * should retrain (`centroidDrift` is the per-batch twin of this
+    * per-index report). Reads the PERSISTED index (centroid table +
+    * cell-partitioned assignments), never re-trains.
+    *
+    * Cohesion crosses the gate as an exact integer sum of per-row
+    * ppm-floored cosines (cosine is bit-exact cross-engine; flooring
+    * to an integer BEFORE the cross-row sum removes double-summation
+    * order from the comparison — the tx_mix_temperature discipline);
+    * imbalance divides two exact integers. Everything after the scan
+    * is cell-cardinality-sized; the windows run over ≤ k rows.
+    */
+  val indexStats = Query(
+    "ss_index_stats",
+    (s, dir) => {
+      val idx   = buildIvfIndex(s, dir)
+      val cents = loadCentroids(s, idx)
+      // cid-keyed literal map (not positional: a cell emptied during
+      // training drops from the model, so cids need not be contiguous)
+      val cv = map_from_arrays(
+        typedLit(cents.map(_._1)), typedLit(cents.map(_._2.toSeq)))
+      val cells = s.read.parquet(s"$idx/cells")
+        .select(col("cell"),
+          VectorFunctions.cosineSim(
+            element_at(cv, col("cell")), col("embedding")).as("cos"))
+      val per = cells.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(floor(col("cos") * 1000000L).cast("long")).as("cos_ppm"))
+      val whole = Window.partitionBy()
+      per
+        .withColumn("total", sum(col("n_vecs")).over(whole))
+        .withColumn("max_n", max(col("n_vecs")).over(whole))
+        .withColumn("n_cells", count(lit(1)).over(whole))
+        .select(col("cell"), col("n_vecs"),
+          round(col("n_vecs").cast("double") / col("total"), 4).as("share"),
+          round(col("cos_ppm").cast("double") /
+            (col("n_vecs") * 1000000L), 4).as("cohesion"),
+          round(col("max_n") * col("n_cells").cast("double") / col("total"), 4)
+            .as("imbalance"))
+        .orderBy(col("cell"))
+    },
+    oracle = Some(s"""
+      WITH ${ivfAssignCtes()},
+      scored AS (
+        SELECT a.cell,
+               floor(${cosineSqlExpr2("c.cv", "a.embedding")} * 1000000)::BIGINT
+                 AS cos_ppm
+        FROM assigned a JOIN cents c ON c.cid = a.cell
+      ), per AS (
+        SELECT cell, count(*) AS n_vecs, sum(cos_ppm) AS cos_ppm
+        FROM scored GROUP BY cell
+      ), g AS (
+        SELECT cell, n_vecs, cos_ppm,
+               sum(n_vecs) OVER () AS total,
+               max(n_vecs) OVER () AS max_n,
+               count(*) OVER () AS n_cells
+        FROM per)
+      SELECT cell, n_vecs,
+             round(n_vecs::DOUBLE / total, 4) AS share,
+             round(cos_ppm::DOUBLE / (n_vecs * 1000000), 4) AS cohesion,
+             round(max_n * n_cells::DOUBLE / total, 4) AS imbalance
+      FROM g ORDER BY cell
+    """),
+  )
+
   /** Hybrid retrieval with reciprocal-rank fusion — the two-channel
     * retriever every RAG stack serves: a SPARSE channel (BM25 over the
     * text index — the identical scoring kernel as `tx_bm25`, one copy
@@ -1803,5 +1880,5 @@ object SimilarityQueries {
   def all: Seq[Query] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfSqrtK, ivfProbe, pqTopk, ivfPqTopk,
       kmeans, cosineNearDup, semanticDedup, vectorStats, quantize, coverage,
-      recall, maxsim, matryoshka, filteredTopk, hybridRrf)
+      recall, maxsim, matryoshka, filteredTopk, hybridRrf, indexStats)
 }

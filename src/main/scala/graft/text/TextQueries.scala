@@ -1952,9 +1952,72 @@ object TextQueries {
     """),
   )
 
+  /** Per-document n-gram novelty — the memorization-risk audit a
+    * pretraining pipeline runs next to dedup: what fraction of a
+    * document's distinct 8-grams appear in ANY other document. Low
+    * novelty means boilerplate/templated text the model will see many
+    * times (and may memorize); the same signal, doc-aggregated, is the
+    * near-dup detector's raw material — this reports it as a per-doc
+    * quality score rather than a drop decision.
+    *
+    * Shape: one explode of the fused 8-gram hash kernel (distinct
+    * per doc by construction), a gram-keyed document-frequency
+    * aggregation, and one join back on the gram key — the
+    * dd_decontaminate postings shape with the corpus itself as the
+    * reference set. All counts integer; the only double is the final
+    * per-doc ratio. At 100 TB the df table is gram-cardinality-sized:
+    * the production path replaces the exact join with the Bloom
+    * screen (`dd_bloom_decontaminate`'s contract) or a Count-Min
+    * lower bound — both documented trade-offs of the same plan; the
+    * exact form here is what they are audited against.
+    */
+  val novelty = Query(
+    "tx_novelty",
+    (s, dir) => {
+      val grams = graft.core.Par
+        .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
+          col("doc_id"))
+        .select(col("doc_id"),
+          explode(graft.functions.HashFunctions.shingleHash32(col("text"), 8))
+            .as("h"))
+      val df = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      grams.join(df, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(lit(1) - col("n_shared").cast("double") / col("n_grams"), 4)
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        FROM documents
+      ), g AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(
+            list_transform(range(1, greatest(len(t) - 6, 1)),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                || ' ' || t[i+7]),
+            x -> ('0x' || substr(md5(x), 1, 8))::BIGINT))) AS h
+        FROM t
+      ), dfc AS (SELECT h, count(*) AS df FROM g GROUP BY 1)
+      SELECT doc_id, count(*) AS n_grams,
+             sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+             round(1 - sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 4) AS novelty
+      FROM g JOIN dfc USING (h)
+      GROUP BY doc_id ORDER BY doc_id
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
-    sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin)
+    sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin,
+    novelty)
 }

@@ -420,4 +420,54 @@ class MultimodalSpec extends SparkSuite {
       assert(members.keySet.contains(lbl), s"label $lbl not in its cluster")
     }
   }
+
+  test("dd_audio_dups: banded join equals an independent brute-force " +
+      "over closed-form fingerprints, and finds every re-leveling") {
+    // Independent path: WHT-sign fingerprints from the synthesis
+    // formula directly (no WavCodec round-trip), brute-force pairs
+    // with the band/cap semantics replayed.
+    val ids = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val bins = Array(1, 2, 4, 8, 16, 32)
+    def hashOf(id: Long): Long = {
+      val g = id - (id % 3); val gain = 1L << (id % 3).toInt
+      var h = 0L
+      for (win <- 0 until 10; bi <- 0 until 6) {
+        var c = 0L
+        for (j <- 0 until 64) {
+          val i = win * 64 + j
+          val s0 = (g * 2654435761L + i.toLong * 7 +
+            (g % 13 + 1) * i.toLong * i +
+            (g % 29 + 1) * i.toLong * 11) % 65536 - 32768
+          val sign = if (java.lang.Integer.bitCount(bins(bi) & j) % 2 == 0) 1 else -1
+          c += (s0 / gain) * sign
+        }
+        if (c < 0) h |= 1L << (win * 6 + bi)
+      }
+      h
+    }
+    val hs = ids.map(id => id -> hashOf(id)).toMap
+    val bandRows = for { id <- ids; b <- 0 until 6 }
+      yield (b, (hs(id) >> (b * 10)) & 1023L, id)
+    val counts = bandRows.groupBy(r => (r._1, r._2)).view.mapValues(_.length)
+    val surviving = bandRows.filter(r => counts((r._1, r._2)) <= 50)
+    val expect = surviving.groupBy(r => (r._1, r._2)).values.flatMap { rows =>
+      val ms = rows.map(_._3).sorted
+      for { i <- ms.indices; j <- (i + 1) until ms.length
+            if java.lang.Long.bitCount(hs(ms(i)) ^ hs(ms(j))) <= 5 }
+        yield (ms(i), ms(j), java.lang.Long.bitCount(hs(ms(i)) ^ hs(ms(j))))
+    }.toSet
+    val got = graft.QueryRegistry.byName("dd_audio_dups")
+      .run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    // every gain-shifted re-leveling of every complete triple is found
+    val groups = ids.groupBy(id => id - (id % 3))
+    groups.foreach { case (g, members) =>
+      for (a <- members; b <- members if a < b)
+        assert(got.exists(p => p._1 == a && p._2 == b),
+          s"re-leveling pair ($a, $b) of clip $g missed")
+    }
+  }
 }

@@ -425,6 +425,27 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ss_index_stats: occupancy accounts for every vector and the " +
+      "report's invariants hold") {
+    val dir = sf("sf0.001")
+    val rows = QueryRegistry.byName("ss_index_stats").run(spark, dir).collect()
+    val n = graft.Tables(spark, dir).embeddings.count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n,
+      "cells do not partition the corpus")
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-2)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cohesion")
+      assert(c > 0.0 && c <= 1.0, s"cohesion $c out of range")
+    }
+    // imbalance = max/mean occupancy: global, ≥ 1, consistent with the
+    // report's own counts
+    val imb = rows.map(_.getAs[Double]("imbalance")).distinct
+    assert(imb.length == 1)
+    val expect = rows.map(_.getAs[Long]("n_vecs")).max.toDouble *
+      rows.length / n
+    assert(math.abs(imb.head - expect) < 1e-3)
+  }
+
   test("ss_stream_topk: streaming serving returns the batch answer") {
     val dir = sf("sf0.001")
     val streamed = QueryRegistry.byName("ss_stream_topk").run(spark, dir)

@@ -248,4 +248,42 @@ class PipelineOpsSpec extends SparkSuite {
     assert(planted.nonEmpty, "no planted copy flagged")
     assert(planted.forall(id => (id - 200000) % 97 == 0))
   }
+
+  test("tx_novelty equals a driver-side recomputation over the same hashes") {
+    // independent truth: same declared semantics (distinct 8-gram
+    // 32-bit md5-prefix hashes per doc), computed with none of the
+    // query's machinery
+    def hash32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val gramsByDoc = docs.map { case (id, text) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      id -> t.sliding(8).filter(_.length == 8)
+        .map(g => hash32(g.mkString(" "))).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val df = gramsByDoc.values.flatten
+      .groupBy(identity).map { case (h, hs) => h -> hs.size }
+    val got = run("tx_novelty").collect()
+    assert(got.length == gramsByDoc.size)
+    got.foreach { r =>
+      val id     = r.getAs[Long]("doc_id")
+      val grams  = gramsByDoc(id)
+      val shared = grams.count(h => df(h) > 1)
+      assert(r.getAs[Long]("n_grams") == grams.size, s"doc $id gram count")
+      assert(r.getAs[Long]("n_shared") == shared, s"doc $id shared count")
+      val nov = BigDecimal(1.0 - shared.toDouble / grams.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("novelty") - nov) < 5e-4, s"doc $id")
+    }
+    // the corpus must make the audit non-vacuous in both directions
+    assert(got.exists(_.getAs[Long]("n_shared") > 0), "no shared grams")
+    assert(got.exists(r =>
+      r.getAs[Long]("n_shared") < r.getAs[Long]("n_grams")), "all shared")
+  }
 }
