@@ -216,6 +216,11 @@ object Relational {
         col("n_name").as("supp_nation"))
       val cn = t.nation.select(col("n_nationkey").as("cn_key"),
         col("n_name").as("cust_nation"))
+      // revenue in exact integer cents: per-row round of a bit-exact
+      // double, then an order-independent integer sum — the
+      // cross-engine discipline a double sum at a rounding boundary
+      // cannot give (q8 flipped by 0.01 at sf0.001 before this)
+      val revCents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
       t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
@@ -228,14 +233,14 @@ object Relational {
             (col("cust_nation") === "NATION_3")))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(round(sum(revCents) / 100.0, 2).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
     oracle = Some("""
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+               / 100.0, 2) AS revenue
       FROM lineitem, orders, supplier, customer, nation n1, nation n2
       WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
@@ -261,14 +266,14 @@ object Relational {
       val ord = t.orders.filter(
         col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val revCents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long") // exact-cents revenue, the q7 discipline
       t.lineitem.filter(col("l_returnflag") === "R")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(round(sum(revCents) / 100.0, 2).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
         .select(col("c_custkey"), col("c_name"), col("revenue"),
           col("c_acctbal"), col("n_name"))
@@ -276,7 +281,8 @@ object Relational {
     },
     oracle = Some("""
       SELECT c_custkey, c_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+               / 100.0, 2) AS revenue,
              c_acctbal, n_name
       FROM customer, orders, lineitem, nation
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -285,6 +291,50 @@ object Relational {
         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
       GROUP BY c_custkey, c_name, c_acctbal, n_name
       ORDER BY revenue DESC, c_custkey LIMIT 20
+    """),
+  )
+
+  /** TPC-H Q8-like (national market share): within one part-type
+    * market, the share of each order-year's revenue supplied by one
+    * nation — the join-then-conditional-share shape Q8 exists to
+    * test. The part filter broadcasts and prunes the fact FIRST
+    * (market revenue only), supplier→nation broadcasts for the
+    * numerator tag, and both sums of each year's share come out of
+    * one aggregation pass (the q14 discipline).
+    */
+  val q8 = Query(
+    "q8_market_share",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val revCents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long") // exact-cents revenue, the q7 discipline
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(when(col("n_name") === "NATION_2", revCents)
+            .otherwise(lit(0L))).cast("double") / sum(revCents), 4)
+            .as("mkt_share"),
+          round(sum(revCents) / 100.0, 2).as("market_revenue"))
+        .orderBy(col("o_year"))
+    },
+    oracle = Some("""
+      SELECT year(o_orderdate) AS o_year,
+             round(sum(CASE WHEN n_name = 'NATION_2'
+                    THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+                    ELSE 0 END)::DOUBLE /
+                   sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT),
+                   4) AS mkt_share,
+             round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+               / 100.0, 2) AS market_revenue
+      FROM lineitem, part, orders, supplier, nation
+      WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+        AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1
     """),
   )
 
@@ -299,23 +349,25 @@ object Relational {
     "q14_promo_effect",
     (s, dir) => {
       val t = Tables(s, dir)
-      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val revCents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long") // exact-cents revenue, the q7 discipline
       t.lineitem
         .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
         .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
         .agg(round(lit(100) *
-          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
-          sum(rev), 2).as("promo_pct"),
-          round(sum(rev), 2).as("total_revenue"))
+          sum(when(col("p_type") === "PROMO", revCents).otherwise(lit(0L)))
+            .cast("double") /
+          sum(revCents), 2).as("promo_pct"),
+          round(sum(revCents) / 100.0, 2).as("total_revenue"))
     },
     oracle = Some("""
       SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount)
-                     ELSE 0 END) /
-                   sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
-             round(sum(l_extendedprice * (1 - l_discount)), 2)
-               AS total_revenue
+                     THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+                     ELSE 0 END)::DOUBLE /
+                   sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT),
+                   2) AS promo_pct,
+             round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+               / 100.0, 2) AS total_revenue
       FROM lineitem, part
       WHERE l_partkey = p_partkey
         AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -1270,7 +1322,7 @@ object Relational {
   )
 
   def all: Seq[Query] = Seq(
-    q1, q3, q5, q4, q6, q7, q10, q14, qRollup, qCube, qGroupingSets, qWindowTopk,
+    q1, q3, q5, q4, q6, q7, q8, q10, q14, qRollup, qCube, qGroupingSets, qWindowTopk,
     qWindowRunning, qWindowMisc, qDatetime, qStringFuncs, qDistinct,
     qSetOps, qAntiJoin, qSubquery, qHaving, qFullOuter, qCorrelated,
     qPivot, qUnpivot, qApproxDistinct, qApproxQuantiles, qProfile, qHistogram, qPercentiles,

@@ -2014,10 +2014,115 @@ object TextQueries {
     """),
   )
 
+  /** The per-source DATASET CARD — the datasheet table a corpus
+    * release ships (Gebru et al.'s "Datasheets for Datasets", the
+    * summary block of every HF dataset card): for each source, volume
+    * (docs, tokens, mean doc length), language spread (distinct langs
+    * + the majority language), the quality-gate pass rate (the exact
+    * `tx_quality` verdict), and the exact-duplication rate (the
+    * `dd_exact` hash discipline). One operator because releases ship
+    * ONE table — the composed signals come from the same single scan.
+    *
+    * Shape: one corpus scan computes the per-doc signals (token
+    * count, gate verdict, content hash) map-side; a per-source hash
+    * aggregation reduces them (count_distinct over md5 rides the
+    * same exchange); the majority language is a (source × lang)
+    * aggregate — bounded by catalog size — ranked and joined back
+    * broadcast. Every reported ratio divides two exact integers, so
+    * the gate cannot flip on summation order.
+    */
+  val datasetCard = Query(
+    "tx_dataset_card",
+    (s, dir) => {
+      // the card reports the corpus AS INGESTED — including the planted
+      // src0 re-ingest (the dd_dup_stats fixture), so the dup_rate
+      // column is non-vacuous: src0 reports 0.5, every other source 0
+      val docs = Tables(s, dir).documents
+        .select(col("source"), col("lang"), col("text"))
+      val ingested = docs.unionAll(docs.filter(col("source") === "src0"))
+      val perDoc = ingested
+        .select(col("source"), col("lang"), md5(col("text")).as("h"),
+          toks(col("text")).as("t"))
+        .select(col("source"), col("lang"), col("h"),
+          size(col("t")).as("n_tokens"),
+          round(size(filter(col("t"),
+            x => x.isInCollection(stopwords))).cast("double") /
+            size(col("t")), 4).as("stop_ratio"))
+        .withColumn("keep",
+          when(col("n_tokens").between(10, 2000) &&
+            col("stop_ratio").between(0.01, 0.6), 1L).otherwise(0L))
+      val card = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("keep")).as("n_keep"),
+          count_distinct(col("h")).as("n_uniq"))
+      val topLang = perDoc.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("ln"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("ln").desc, col("lang"))))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      card.join(broadcast(topLang), "source")
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("top_lang"), col("total_tokens"),
+          round(col("total_tokens").cast("double") / col("n_docs"), 2)
+            .as("avg_doc_tokens"),
+          round(col("n_keep").cast("double") / col("n_docs"), 4)
+            .as("keep_rate"),
+          round(lit(1) - col("n_uniq").cast("double") / col("n_docs"), 4)
+            .as("dup_rate"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH ingested AS (
+        SELECT source, lang, text FROM documents
+        UNION ALL
+        SELECT source, lang, text FROM documents WHERE source = 'src0'
+      ), t AS (
+        SELECT source, lang, md5(text) AS h,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        FROM ingested
+      ), m AS (
+        SELECT source, lang, h, len(t) AS n_tokens,
+          round(CAST(len(list_filter(t,
+            x -> x IN ('the','a','and','of','or','is','in'))) AS DOUBLE)
+            / len(t), 4) AS stop_ratio
+        FROM t
+      ), perdoc AS (
+        SELECT source, lang, h, n_tokens,
+          CASE WHEN n_tokens BETWEEN 10 AND 2000
+                AND stop_ratio BETWEEN 0.01 AND 0.6
+               THEN 1 ELSE 0 END AS keep
+        FROM m
+      ), card AS (
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               sum(keep)::BIGINT AS n_keep,
+               count(DISTINCT h) AS n_uniq
+        FROM perdoc GROUP BY source
+      ), toplang AS (
+        SELECT source, lang AS top_lang FROM (
+          SELECT source, lang,
+            row_number() OVER (PARTITION BY source
+              ORDER BY count(*) DESC, lang) AS rk
+          FROM perdoc GROUP BY source, lang)
+        WHERE rk = 1
+      )
+      SELECT c.source, n_docs, n_langs, top_lang, total_tokens,
+             round(total_tokens::DOUBLE / n_docs, 2) AS avg_doc_tokens,
+             round(n_keep::DOUBLE / n_docs, 4) AS keep_rate,
+             round(1 - n_uniq::DOUBLE / n_docs, 4) AS dup_rate
+      FROM card c JOIN toplang tl ON tl.source = c.source
+      ORDER BY c.source
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
     sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin,
-    novelty)
+    novelty, datasetCard)
 }

@@ -249,6 +249,45 @@ class PipelineOpsSpec extends SparkSuite {
     assert(planted.forall(id => (id - 200000) % 97 == 0))
   }
 
+  test("tx_dataset_card: card rows agree with the signals they compose") {
+    val rows = run("tx_dataset_card").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    import org.apache.spark.sql.functions._
+    val srcCounts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == srcCounts.keySet)
+    // the planted src0 re-ingest: doubled docs, dup_rate exactly 0.5;
+    // every other source is clean
+    rows.foreach { case (src, r) =>
+      val base = srcCounts(src)
+      if (src == "src0") {
+        assert(r.getAs[Long]("n_docs") == 2 * base)
+        assert(r.getAs[Double]("dup_rate") == 0.5)
+      } else {
+        assert(r.getAs[Long]("n_docs") == base)
+        assert(r.getAs[Double]("dup_rate") == 0.0)
+      }
+      val kr = r.getAs[Double]("keep_rate")
+      assert(kr >= 0.0 && kr <= 1.0)
+    }
+    // keep_rate composes the EXACT tx_quality verdict: the weighted sum
+    // over sources must equal the corpus-wide keep count (src0 keeps
+    // count double, matching its doubled docs)
+    val quality = run("tx_quality").collect()
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keepBySrc = quality.groupBy(r => srcOf(r.getAs[Long]("doc_id")))
+      .view.mapValues(_.count(_.getAs[String]("verdict") == "keep")).toMap
+    rows.foreach { case (src, r) =>
+      val mult = if (src == "src0") 2 else 1
+      val expect = keepBySrc.getOrElse(src, 0) * mult
+      val got = math.round(r.getAs[Double]("keep_rate") *
+        r.getAs[Long]("n_docs"))
+      assert(math.abs(got - expect) <= 1, s"$src keep count $got != $expect")
+    }
+  }
+
   test("tx_novelty equals a driver-side recomputation over the same hashes") {
     // independent truth: same declared semantics (distinct 8-gram
     // 32-bit md5-prefix hashes per doc), computed with none of the
