@@ -82,6 +82,31 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ev_stream_hourly_users: the HLL estimate meets a TIGHTER bound " +
+      "than the gated one (testdata drift fails here first)") {
+    // The gate's band is max(ceil(0.15*exact), 8); the estimator's
+    // observed envelope on this corpus is half that floor. Asserting
+    // the tight envelope here means a corpus regeneration that pushes
+    // the estimator toward the gate band breaks a TEST, not the
+    // cross-engine gate (the tx_count_min slack discipline).
+    val dir = sf("sf0.001")
+    val ev = graft.Tables(spark, dir).events
+    val approx = ev
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:00:00").as("hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("a"),
+        count_distinct(col("user_id")).as("e"))
+      .collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (a, e) = (r.getAs[Long]("a"), r.getAs[Long]("e"))
+      val tight  = math.max(math.ceil(e * 0.15).toLong, 4L)
+      assert(math.abs(a - e) <= tight,
+        s"window ${r.getString(0)}/${r.getString(1)}: |$a - $e| > $tight — " +
+          "estimator drifted toward the gate band")
+    }
+  }
+
   test("funnel emits a conversion only when the watermark finalizes it, " +
       "exactly once, and never for buy-before-view users") {
     import spark.implicits._
