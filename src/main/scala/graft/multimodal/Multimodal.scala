@@ -1114,8 +1114,140 @@ object Multimodal {
     """),
   )
 
+  /** The banded-candidate pair pipeline of [[videoDups]] — the VIDEO
+    * leg of the near-dup family (text MinHash, image dHash, audio
+    * WHT-signs): a 60-bit TEMPORAL fingerprint, bit f = 1 iff frame
+    * f+1's luma sum is below frame f's — the luma-trajectory contour,
+    * walked out of real YUV4MPEG2 bytes in the decode seam (the
+    * mm_scenecut machinery). The planted near-dups are uniform
+    * BRIGHTNESS-SHIFTED re-encodes of each base clip (+v on every
+    * pixel, no wrap — the synthesis caps luma at 250 so the shift
+    * never saturates): a uniform shift moves every frame sum by
+    * exactly v·px, so the contour — and the fingerprint — is
+    * IDENTICAL, the invariance a contour hash exists for. Per-frame
+    * luma levels walk a quadratic Knuth family (coefficients keyed by
+    * g mod 97 / mod 89; a linear walk left thousands of unrelated
+    * clips with colliding contours — the dd_audio_dups lesson,
+    * re-measured here), so unrelated clips collide zero times in
+    * 1.39 M group pairs at sf0.1. Then the [[imagePairs]] tail
+    * verbatim: 6 ten-bit bands, ≤50 hot-band cap, bit_count ≤ 5.
+    */
+  private def videoPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+    val hashes = params.mapPartitions { it =>
+      it.map { id =>
+        val g   = id - (id % 3)
+        val v   = (id % 3).toInt // brightness shift of this re-encode
+        val w   = ((g % 8) + 1).toInt * 2
+        val h   = ((g % 4) + 1).toInt * 2
+        val fps = 24 + (g % 4).toInt * 6
+        val nf  = (61 + g % 5).toInt
+        def base(f: Int): Int =
+          (((g * 2654435761L + f.toLong * f * ((g % 97) + 1) * 31 +
+            f.toLong * ((g % 89) + 1) * 7) % 65521) % 200).toInt
+        val bytes = Y4mCodec.encode(w, h, fps, 1, nf,
+          (f, i) => base(f) + (i * 3) % 50 + v)
+        val sums = Y4mCodec.frameLumaSums(bytes)._3
+        var hash = 0L
+        var b = 0
+        while (b < 60) {
+          if (sums(b + 1) < sums(b)) hash |= 1L << b
+          b += 1
+        }
+        (id, hash)
+      }
+    }.toDF("media_id", "vhash")
+    val bands = hashes.select(col("media_id"), col("vhash"),
+      explode(expr("transform(sequence(0, 5), b -> " +
+        "struct(b AS bno, shiftright(vhash, b * 10) & 1023 AS bval))"))
+        .as("b"))
+      .select(col("media_id"), col("vhash"),
+        col("b.bno").as("bno"), col("b.bval").as("bval"))
+    val wBand  = Window.partitionBy(col("bno"), col("bval"))
+    val capped = bands.withColumn("bc", count(lit(1)).over(wBand))
+      .filter(col("bc") <= 50).drop("bc")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.bno") === col("b.bno") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("cast(bit_count(a.vhash ^ b.vhash) as int)").as("hamming"))
+      .filter(col("hamming") <= 5)
+      .distinct()
+  }
+
+  /** SQL twin of [[videoPairs]] up to `pairs`: a uniform brightness
+    * shift and the constant per-frame pixel ramp cancel out of
+    * consecutive-frame comparisons (sum(f+1) < sum(f) ⟺
+    * base(f+1) < base(f)), so the oracle compares the closed-form
+    * per-frame BASE levels directly — everything integer.
+    */
+  private val videoPairCtes = """
+      p AS (
+        SELECT doc_id AS media_id, doc_id - (doc_id % 3) AS g
+        FROM documents
+      ), hh AS (
+        SELECT media_id,
+          list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN
+              ((g * 2654435761 + (b+1)*(b+1) * ((g % 97) + 1) * 31
+                 + (b+1) * ((g % 89) + 1) * 7) % 65521) % 200
+              <
+              ((g * 2654435761 + b*b * ((g % 97) + 1) * 31
+                 + b * ((g % 89) + 1) * 7) % 65521) % 200
+            THEN (1::BIGINT << b::INT) ELSE 0::BIGINT END))::BIGINT AS vhash
+        FROM p
+      ), bands0 AS (
+        SELECT media_id, vhash, unnest(range(0, 6)) AS bno FROM hh
+      ), bands1 AS (
+        SELECT media_id, vhash, bno,
+               (vhash >> (bno * 10)::INT) & 1023 AS bval
+        FROM bands0
+      ), bands AS (
+        SELECT media_id, vhash, bno, bval FROM (
+          SELECT *, count(*) OVER (PARTITION BY bno, bval) AS bc
+          FROM bands1)
+        WHERE bc <= 50
+      ), pairs AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+          bit_count(xor(a.vhash, b.vhash))::INT AS hamming
+        FROM bands a JOIN bands b
+          ON a.bno = b.bno AND a.bval = b.bval AND a.media_id < b.media_id
+        WHERE bit_count(xor(a.vhash, b.vhash)) <= 5
+      )"""
+
+  /** Video near-duplicate detection over the temporal luma-contour
+    * fingerprints — the fourth and last modality leg. */
+  val videoDups = Query(
+    "dd_video_dups",
+    (s, dir) => videoPairs(s, dir).orderBy(col("id_a"), col("id_b")),
+    oracle = Some(s"""
+      WITH $videoPairCtes
+      SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b
+    """),
+  )
+
+  /** Transitive closure of [[videoDups]]' pairs — [[imageClusters]]'
+    * machinery on the video leg. */
+  val videoClusters = Query(
+    "dd_video_clusters",
+    (s, dir) =>
+      graft.dedup.DedupQueries.connectedComponents(videoPairs(s, dir))
+        .select(col("id").as("media_id"), col("lbl").as("cluster"))
+        .orderBy(col("media_id")),
+    oracle = Some(s"""
+      WITH RECURSIVE $videoPairCtes,
+      edges AS (SELECT id_a, id_b FROM pairs),
+      ${graft.dedup.DedupQueries.ccWalkSql}
+      SELECT id AS media_id, min(lbl) AS cluster
+      FROM walk GROUP BY id ORDER BY media_id
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
       videoDecode, audioRms, imageDhash, imageDups, imageClusters,
-      spectrogram, sceneCut, audioVad, audioDups, audioClusters)
+      spectrogram, sceneCut, audioVad, audioDups, audioClusters,
+      videoDups, videoClusters)
 }

@@ -470,4 +470,43 @@ class MultimodalSpec extends SparkSuite {
           s"re-leveling pair ($a, $b) of clip $g missed")
     }
   }
+
+  test("dd_video_dups: contour hash is brightness-shift INVARIANT and " +
+      "matches an independent closed-form recomputation") {
+    val ids = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    // independent truth: fingerprints from the per-frame BASE walk
+    // (the uniform shift and constant ramp cancel out of consecutive
+    // comparisons — the invariance under test)
+    def hashOf(id: Long): Long = {
+      val g = id - (id % 3)
+      def base(f: Long): Long =
+        ((g * 2654435761L + f * f * ((g % 97) + 1) * 31 +
+          f * ((g % 89) + 1) * 7) % 65521) % 200
+      (0 until 60).foldLeft(0L) { (acc, b) =>
+        if (base(b + 1) < base(b)) acc | (1L << b) else acc
+      }
+    }
+    val hs = ids.map(id => id -> hashOf(id)).toMap
+    // shift invariance: all three variants of a group hash identically
+    ids.groupBy(id => id - (id % 3)).values.foreach { ms =>
+      assert(ms.map(hs).toSet.size == 1, s"variants of ${ms.min} diverge")
+    }
+    val bandRows = for { id <- ids; b <- 0 until 6 }
+      yield (b, (hs(id) >> (b * 10)) & 1023L, id)
+    val counts = bandRows.groupBy(r => (r._1, r._2)).view.mapValues(_.length)
+    val surviving = bandRows.filter(r => counts((r._1, r._2)) <= 50)
+    val expect = surviving.groupBy(r => (r._1, r._2)).values.flatMap { rows =>
+      val ms = rows.map(_._3).sorted
+      for { i <- ms.indices; j <- (i + 1) until ms.length
+            if java.lang.Long.bitCount(hs(ms(i)) ^ hs(ms(j))) <= 5 }
+        yield (ms(i), ms(j), java.lang.Long.bitCount(hs(ms(i)) ^ hs(ms(j))))
+    }.toSet
+    val got = graft.QueryRegistry.byName("dd_video_dups")
+      .run(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    assert(got.nonEmpty)
+  }
 }
