@@ -274,6 +274,96 @@ object EventStreams extends Serializable {
       }
   }
 
+  /** One enriched purchase of the streaming as-of join: the same
+    * user's most recent strictly-earlier view, attached once the
+    * watermark proves the match final.
+    */
+  case class Enriched(event_id: Long, user_id: Long,
+      purchase_ts: java.sql.Timestamp, view_ts: java.sql.Timestamp,
+      gap_us: Long)
+
+  /** A purchase awaiting its watermark-final as-of match. */
+  case class PendingBuy(id: Long, us: Long)
+
+  /** As-of state per user: view event times (pruned to the watermark
+    * horizon plus the single latest below it — lossless for every
+    * admissible future purchase) and the pending purchases.
+    */
+  case class AsofState(views: Seq[Long], pending: Seq[PendingBuy])
+
+  /** Streaming as-of join — the feature-store enrichment op run as a
+    * stream: each purchase joins the same user's most recent STRICTLY
+    * EARLIER view (the batch `ev_asof_join` semantics). The emission
+    * rule is the [[funnel]] finality argument applied per purchase:
+    * the match for purchase p is final exactly when the watermark
+    * passes p's event time — no admissible arrival can be an earlier
+    * view after that — so each purchase registers the group timeout at
+    * its own ceil-to-ms time (the earliest pending one drives the
+    * registration) and emits on firing; purchases already behind the
+    * watermark (replay/catch-up) emit in-batch. Purchases with no
+    * earlier view emit nothing, like the batch query.
+    *
+    * State is bounded on both sides: pending purchases are
+    * rate×horizon (each leaves state when the watermark passes it),
+    * and views prune to those inside the watermark horizon PLUS the
+    * single latest older one — lossless, because a future purchase
+    * has event time ≥ watermark, so its as-of match is either a
+    * horizon view or exactly that latest-below-watermark view.
+    */
+  def asofEnrich(events: Dataset[Event]): Dataset[Enriched] = {
+    import events.sparkSession.implicits._
+
+    def ceilMs(us: Long): Long = Math.floorDiv(us + 999L, 1000L)
+
+    def emitReady(uid: Long, st: AsofState, wmMs: Long)
+        : (Seq[Enriched], AsofState) = {
+      val (ready, rest) = st.pending.partition(p => ceilMs(p.us) < wmMs)
+      val out = ready.sortBy(_.id).flatMap { p =>
+        val earlier = st.views.filter(_ < p.us)
+        if (earlier.isEmpty) None
+        else {
+          val v = earlier.max
+          Some(Enriched(p.id, uid, toTimestamp(p.us), toTimestamp(v),
+            p.us - v))
+        }
+      }
+      val wmUs  = wmMs * 1000L
+      val older = st.views.filter(_ < wmUs)
+      val kept  = st.views.filter(_ >= wmUs) ++
+        (if (older.isEmpty) Nil else Seq(older.max))
+      (out, AsofState(kept, rest))
+    }
+
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, Enriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[AsofState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            batch.foreach { e =>
+              val t = micros(e.ts)
+              st =
+                if (e.event_type == "view") st.copy(views = st.views :+ t)
+                else st.copy(pending = st.pending :+ PendingBuy(e.event_id, t))
+            }
+          }
+          // catch-up + timeout emission share one path: everything the
+          // watermark has finalized leaves state now
+          val (out, st2) = emitReady(uid, st, wm)
+          state.update(st2)
+          if (st2.pending.nonEmpty) {
+            // all remaining tmos are ≥ the current watermark (the
+            // ready ones just left), so registration is always legal
+            state.setTimeoutTimestamp(st2.pending.map(p => ceilMs(p.us)).min)
+          }
+          out.iterator
+      }
+  }
+
   /** One confirmed view→purchase conversion; emitted exactly once per
     * user, and only once the watermark PROVES the verdict final.
     */

@@ -905,6 +905,67 @@ object StreamingQueries {
     }),
   )
 
+  /** The streaming as-of join under the oracle gate — point-in-time
+    * enrichment (the feature-store join) run incrementally: each
+    * purchase picks up the same user's most recent strictly-earlier
+    * view, emitted exactly when the watermark passes the purchase's
+    * event time and its match can no longer change (see
+    * [[EventStreams.asofEnrich]]). The oracle is DuckDB's NATIVE
+    * `ASOF JOIN` (the ev_asof_join discipline — checked against a
+    * real as-of implementation, not against itself) restricted by the
+    * engine's exact ms-precision emission boundary; purchases past
+    * the final watermark are pending in state, absent from both
+    * sides.
+    */
+  val streamAsof = Query(
+    "ev_stream_asof",
+    (s, dir) => {
+      import s.implicits._
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val ev = eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      runToTable(EventStreams.asofEnrich(ev).toDF(), "append")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("purchase_ts"), fmt).as("purchase_ts"),
+          date_format(col("view_ts"), fmt).as("view_ts"),
+          col("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH fp AS (SELECT * FROM events
+                  WHERE event_type IN ('view', 'purchase')),
+      v AS (SELECT user_id, ts FROM fp WHERE event_type = 'view'),
+      p AS (SELECT event_id, user_id, ts FROM fp
+            WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
+      -- the engine's emission boundary (the ev_stream_funnel rule):
+      -- timeout = purchase ts ceil'd to ms, watermark = ms-floored
+      -- max event time over the filtered stream minus the delay,
+      -- firing strictly timeout < watermark
+      WHERE (epoch_us(p.ts) + 999) // 1000 <
+            (SELECT epoch_us(max(ts)) FROM fp) // 1000 - 600000
+      ORDER BY p.event_id
+    """),
+    eagerPlan = Some((s, dir) => {
+      val e = Tables(s, dir).events
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), unix_micros(col("ts")).as("tsu"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      e.withColumn("last_view_ts",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_view_ts").isNotNull)
+    }),
+  )
+
   /** Online ANN serving under the oracle gate: a stream of query
     * vectors served per micro-batch against the PERSISTED IVF index —
     * the online half of the vector tier, where `ss_ivf_probe` is the
@@ -993,5 +1054,5 @@ object StreamingQueries {
     Seq(streamHourly, streamSessions, streamRangeJoin, streamLeftJoin,
       streamWordcount, streamEnrich, streamUpsert, streamClean,
       streamHeavyHitters, streamScd2, streamSliding, streamCountMin,
-      streamTopk, streamFunnel, streamHourlyUsers)
+      streamTopk, streamFunnel, streamHourlyUsers, streamAsof)
 }

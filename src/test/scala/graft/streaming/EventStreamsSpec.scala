@@ -107,6 +107,52 @@ class EventStreamsSpec extends SparkSuite {
     }
   }
 
+  test("asofEnrich matches strictly-earlier views, waits for the " +
+      "watermark, and pruning keeps the latest-below-watermark view") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = asofEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // user 1: purchase arrives BEFORE its matching view in the batch;
+      // user 2: view at the same instant as the purchase — strict <
+      // means no match, so user 2 must never emit
+      input.addData(
+        ev(1, 20, 1, typ = "purchase"), ev(2, 10, 1),
+        ev(3, 30, 2), ev(4, 30, 2, typ = "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("asof_out").count() == 0,
+        "emitted before the watermark finalized the match")
+      // advance the watermark past both purchases; one more batch fires
+      // the timeout (the sessionize pattern)
+      input.addData(ev(5, 100, 9))
+      q.processAllAvailable()
+      input.addData(ev(6, 101, 9))
+      q.processAllAvailable()
+      val got1 = spark.table("asof_out").as[Enriched].collect()
+      assert(got1.length == 1, s"got ${got1.toSeq}")
+      assert(got1.head.event_id == 1 && got1.head.user_id == 1)
+      assert(got1.head.purchase_ts == ts(20) && got1.head.view_ts == ts(10))
+      assert(got1.head.gap_us == 10L * 60 * 1000000)
+      // pruning losslessness: user 1's views are now pruned to the
+      // single latest below the watermark (view@10); a NEW purchase
+      // above the watermark must still match it
+      input.addData(ev(7, 95, 1, typ = "purchase"))
+      q.processAllAvailable()
+      input.addData(ev(8, 200, 9))
+      q.processAllAvailable()
+      input.addData(ev(9, 201, 9))
+      q.processAllAvailable()
+      val got2 = spark.table("asof_out").as[Enriched].collect()
+        .sortBy(_.event_id)
+      assert(got2.length == 2, s"got ${got2.toSeq}")
+      assert(got2(1).event_id == 7 && got2(1).view_ts == ts(10),
+        "pruned state lost the latest-below-watermark view")
+    } finally q.stop()
+  }
+
   test("funnel emits a conversion only when the watermark finalizes it, " +
       "exactly once, and never for buy-before-view users") {
     import spark.implicits._
@@ -356,7 +402,8 @@ class EventStreamsSpec extends SparkSuite {
     // contract and the seam needs rethinking, not raising the cap.
     val cap = 200000L
     for (name <- Seq("ev_stream_sessions", "ev_stream_range_join",
-        "ev_stream_left_join", "mr_stream_wordcount")) {
+        "ev_stream_left_join", "mr_stream_wordcount", "ev_stream_asof",
+        "ev_stream_funnel")) {
       val n = graft.QueryRegistry.byName(name).run(spark, sf("sf0.001")).count()
       assert(n < cap, s"$name memory-sink seam grew to $n rows (cap $cap)")
     }
