@@ -344,12 +344,17 @@ object EventStreams extends Serializable {
           val wm = state.getCurrentWatermarkMs()
           var st = state.getOption.getOrElse(AsofState(Nil, Nil))
           if (!state.hasTimedOut) {
+            // batch-local buffers, ONE concat into state: a per-event
+            // `views :+ t` on the immutable Seq is O(views) each —
+            // quadratic in a user's batch arrivals
+            val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val ps = scala.collection.mutable.ArrayBuffer.empty[PendingBuy]
             batch.foreach { e =>
               val t = micros(e.ts)
-              st =
-                if (e.event_type == "view") st.copy(views = st.views :+ t)
-                else st.copy(pending = st.pending :+ PendingBuy(e.event_id, t))
+              if (e.event_type == "view") vs += t
+              else ps += PendingBuy(e.event_id, t)
             }
+            st = AsofState(st.views ++ vs, st.pending ++ ps)
           }
           // catch-up + timeout emission share one path: everything the
           // watermark has finalized leaves state now
