@@ -57,7 +57,11 @@ class PlanAuditSpec extends SparkSuite {
     // dd_cluster_split crosses the 1-row leaked_naive_clusters
     // aggregate into the 2-row per-split rollup — the
     // q_approx_distinct 1-row × k-row contract.
-    "dd_cluster_split")
+    "dd_cluster_split",
+    // q11/q15/q22 cross a 1-row scalar aggregate (EU revenue total /
+    // quarter-max revenue / positive-balance (Σ,n)) into the keyed
+    // relation — the q_scalar_subquery contract.
+    "q11_important_stock", "q15_top_supplier", "q22_global_sales")
 
   /** The plan the lint audits: the query's own result plan, or the
     * declared eager intermediate (which, unlike `run`, plans lazily —
