@@ -1877,8 +1877,201 @@ object SimilarityQueries {
     """),
   )
 
+  /** Hard-negative triplet mining for embedding-model training: for
+    * each anchor in a bounded query set, the nearest SAME-label
+    * neighbor (the positive) and the top-3 nearest DIFFERENT-label
+    * neighbors (the hard negatives), with the training margin
+    * pos_cos − neg_cos per triplet — the mining pass a contrastive
+    * fine-tune (InfoNCE/triplet loss) runs over its corpus every
+    * epoch.
+    *
+    * ONE corpus pass scores everything against the broadcast anchors
+    * (the ss_cosine_topk contract: the corpus never shuffles, the
+    * anchor side is declared-bounded); the same scored stream then
+    * feeds two bounded heaps — top-1 over same-label rows, top-3 over
+    * different-label rows — so positives and negatives come out of one
+    * scan, not two. Margin is a difference of two exact doubles
+    * (deterministic cross-engine), rounded with everything else at
+    * 4 dp. At 100 TB the anchor set is the (bounded) training batch
+    * and the scan routes through the IVF cells exactly like
+    * ss_filtered_topk — the label predicate post-filters the candidate
+    * stream.
+    */
+  val hardNegatives = Query(
+    "ss_hard_negatives",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val anchors = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val scored = e
+        .join(broadcast(anchors), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id").as("nid"),
+          col("label"),
+          VectorFunctions.cosineSim(col("qv"), col("embedding")).as("cos"))
+      val pos = graft.plans.TopK.perGroup(
+        scored.filter(col("label") === col("qlabel")),
+        Seq("qid"), Seq("cos" -> false, "nid" -> true), 1)
+        .select(col("qid"), col("nid").as("pos_id"), col("cos").as("pos_cos"))
+      val negs = graft.plans.TopK.perGroup(
+        scored.filter(col("label") =!= col("qlabel")),
+        Seq("qid"), Seq("cos" -> false, "nid" -> true), 3)
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      pos.join(negs.withColumn("neg_rank", row_number().over(wRank)), Seq("qid"))
+        .select(col("qid"), col("pos_id"), round(col("pos_cos"), 4).as("pos_cos"),
+          col("neg_rank"), col("nid").as("neg_id"),
+          round(col("cos"), 4).as("neg_cos"),
+          round(col("pos_cos") - col("cos"), 4).as("margin"))
+        .orderBy(col("qid"), col("neg_rank"))
+    },
+    oracle = Some(s"""
+      WITH scored AS (
+        SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id AS nid, e.label,
+               ${cosineSqlExpr("q", "e")} AS cos
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+      ), pos AS (
+        SELECT qid, nid AS pos_id, cos AS pos_cos
+        FROM (SELECT qid, nid, cos,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, nid) AS rk
+              FROM scored WHERE label = qlabel) p WHERE rk = 1
+      ), negs AS (
+        SELECT qid, nid AS neg_id, cos AS neg_cos, rk AS neg_rank
+        FROM (SELECT qid, nid, cos,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, nid) AS rk
+              FROM scored WHERE label <> qlabel) n WHERE rk <= 3)
+      SELECT pos.qid, pos_id, round(pos_cos, 4) AS pos_cos,
+             neg_rank, neg_id, round(neg_cos, 4) AS neg_cos,
+             round(pos_cos - neg_cos, 4) AS margin
+      FROM pos JOIN negs ON pos.qid = negs.qid
+      ORDER BY pos.qid, neg_rank
+    """),
+  )
+
+  /** The fully-unrolled DuckDB mirror of the 5-round greedy MMR
+    * selection (the tx_bpe_train precedent: iterative algorithm,
+    * oracle = CTE chain, one CTE per round). Each round's NOT EXISTS /
+    * max-over-selected reads the union of all previous rounds.
+    */
+  private def mmrOracleSql: String = {
+    val head = s"""scored AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid,
+               ${cosineSqlExpr("q", "e")} AS rel
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 3),
+      cand AS (
+        SELECT qid, nid, rel FROM (
+          SELECT qid, nid, rel,
+            row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+          FROM scored) c WHERE rk <= 8),
+      pairs AS (
+        SELECT ca.qid, ca.nid AS d, cb.nid AS s2,
+               ${cosineSqlExpr2("ea.embedding", "eb.embedding")} AS sim
+        FROM cand ca JOIN cand cb ON ca.qid = cb.qid AND ca.nid <> cb.nid
+        JOIN embeddings ea ON ea.vec_id = ca.nid
+        JOIN embeddings eb ON eb.vec_id = cb.nid),
+      sel1 AS (
+        SELECT qid, 1 AS sel_rank, nid, rel FROM (
+          SELECT qid, nid, rel,
+            row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+          FROM cand) c WHERE rk = 1)"""
+    val rounds = (2 to 5).map { r =>
+      val prev = (1 until r).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+      s"""sel$r AS (
+        SELECT qid, $r AS sel_rank, nid, rel FROM (
+          SELECT c.qid, c.nid, c.rel,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY 0.5 * c.rel - 0.5 * m.msim DESC, c.nid) AS rk
+          FROM cand c
+          JOIN (SELECT p.qid, p.d, max(p.sim) AS msim
+                FROM pairs p JOIN ($prev) s ON p.qid = s.qid AND p.s2 = s.nid
+                GROUP BY 1, 2) m ON m.qid = c.qid AND m.d = c.nid
+          WHERE NOT EXISTS (SELECT 1 FROM ($prev) s2
+                            WHERE s2.qid = c.qid AND s2.nid = c.nid)) x
+        WHERE rk = 1)"""
+    }
+    s"""WITH $head,
+      ${rounds.mkString(",\n")}
+      SELECT qid, sel_rank, nid, round(rel, 4) AS rel
+      FROM (${(1 to 5).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")}) sel
+      ORDER BY qid, sel_rank"""
+  }
+
+  /** Maximal-marginal-relevance rerank: relevance-ranked candidates
+    * re-ordered so each pick trades relevance against redundancy with
+    * what is already picked — the diversity pass RAG serving runs on
+    * its retrieval results (λ=0.5; score = λ·rel − (1−λ)·max sim to
+    * selected; greedy, 5 picks from an 8-candidate pool).
+    *
+    * Candidate generation is the ss_cosine_topk contract (bounded
+    * 3-query broadcast against one corpus scan, TopKPerGroup heap);
+    * everything after runs on the BOUNDED candidate set: the pairwise
+    * candidate×candidate similarity is an equi-join on qid (≤ 8×7
+    * rows per query), and each greedy round is a left-anti (not yet
+    * picked) + max-over-picked aggregate + one-row argmax window.
+    * All scores are exact doubles (0.5·x is exact halving, the
+    * difference is a single IEEE op) so the greedy trajectory is
+    * bit-identical cross-engine; ties break on nid. At 100 TB only
+    * the candidate scan grows — the rerank cost is per-query constant,
+    * which is the point of MMR-over-top-k versus MMR-over-corpus.
+    */
+  val mmr = Query(
+    "ss_mmr",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = e
+        .join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), col("embedding"),
+          VectorFunctions.cosineSim(col("qv"), col("embedding")).as("rel"))
+      val cand = graft.plans.TopK.perGroup(scored, Seq("qid"),
+        Seq("rel" -> false, "nid" -> true), 8)
+      // bounded from here on: ≤ 3 queries × 8 candidates
+      val a = cand.select(col("qid"), col("nid").as("d"),
+        col("embedding").as("dv"))
+      val b = cand.select(col("qid").as("bqid"), col("nid").as("s2"),
+        col("embedding").as("sv"))
+      val pairs = a.join(b, col("qid") === col("bqid") && col("d") =!= col("s2"))
+        .select(col("qid"), col("d"), col("s2"),
+          VectorFunctions.cosineSim(col("dv"), col("sv")).as("sim"))
+      val base = cand.select(col("qid"), col("nid"), col("rel"))
+      val w1 = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))
+      var selected = base.withColumn("rk", row_number().over(w1))
+        .filter(col("rk") === 1)
+        .select(col("qid"), lit(1).as("sel_rank"), col("nid"), col("rel"))
+      for (r <- 2 to 5) {
+        val selIds = selected.select(col("qid").as("sqid"), col("nid").as("snid"))
+        val msim = pairs
+          .join(selIds, col("qid") === col("sqid") && col("s2") === col("snid"))
+          .groupBy(col("qid"), col("d")).agg(max(col("sim")).as("msim"))
+          .withColumnRenamed("qid", "mqid")
+        val remaining = base.join(selIds,
+          col("qid") === col("sqid") && col("nid") === col("snid"), "left_anti")
+        val joined = remaining.join(msim,
+          col("qid") === col("mqid") && col("nid") === col("d"))
+          .select(col("qid"), col("nid"), col("rel"), col("msim"))
+        val wr = Window.partitionBy(col("qid"))
+          .orderBy((lit(0.5) * col("rel") - lit(0.5) * col("msim")).desc, col("nid"))
+        val next = joined.withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === 1)
+          .select(col("qid"), lit(r).as("sel_rank"), col("nid"), col("rel"))
+        selected = selected.unionByName(next)
+      }
+      selected
+        .select(col("qid"), col("sel_rank"), col("nid"),
+          round(col("rel"), 4).as("rel"))
+        .orderBy(col("qid"), col("sel_rank"))
+    },
+    oracle = Some(mmrOracleSql),
+  )
+
   def all: Seq[Query] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfSqrtK, ivfProbe, pqTopk, ivfPqTopk,
       kmeans, cosineNearDup, semanticDedup, vectorStats, quantize, coverage,
-      recall, maxsim, matryoshka, filteredTopk, hybridRrf, indexStats)
+      recall, maxsim, matryoshka, filteredTopk, hybridRrf, indexStats,
+      hardNegatives, mmr)
 }

@@ -2119,10 +2119,86 @@ object TextQueries {
     """),
   )
 
+  /** SFT (instruction-tuning) sample assembly: documents rendered into
+    * multi-turn chat-template conversations with LOSS-MASK SPANS — the
+    * manifest a supervised fine-tune consumes (only assistant spans
+    * contribute loss). Each doc becomes a user turn (chars 1–80 of the
+    * text as the instruction) and an assistant turn (the remainder as
+    * the response, with template markers); consecutive docs of one
+    * source pack 3-to-a-conversation. Output is one row per turn with
+    * its [seg_start, seg_end) character span inside the rendered
+    * conversation — computed as a running sum over the turn lengths,
+    * one window per conversation — and the loss_masked flag.
+    *
+    * Plan: rank-within-source window (the tx_shards exchange), a
+    * 2-element explode (map-side), one window partitioned by the
+    * conversation key. No joins; every column is integer char
+    * arithmetic (both engines count codepoints), so the gate is exact.
+    * At 100 TB conversations are per-source-contiguous by
+    * construction, so the span window never sees more than 6 rows per
+    * key and the source-rank exchange is the only shuffle.
+    */
+  val sftFormat = Query(
+    "tx_sft_format",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val turns = d
+        .withColumn("seq", row_number().over(wSrc) - 1)
+        .withColumn("conv_id",
+          concat(col("source"), lit("#"), floor(col("seq") / 3).cast("long")))
+        .withColumn("user_text",
+          concat(lit("<|user|>\n"), substring(col("text"), 1, 80)))
+        .withColumn("asst_text",
+          concat(lit("<|assistant|>\n"), expr("substring(text, 81)"), lit("<|end|>")))
+        .select(col("conv_id"), (col("seq") % 3).as("turn_in_conv"),
+          explode(array(
+            struct(lit(0).as("r"), lit("user").as("role"),
+              length(col("user_text")).as("n_chars")),
+            struct(lit(1).as("r"), lit("assistant").as("role"),
+              length(col("asst_text")).as("n_chars")))).as("t"))
+        .select(col("conv_id"),
+          (col("turn_in_conv") * 2 + col("t.r")).as("turn_idx"),
+          col("t.role").as("role"), col("t.n_chars").as("n_chars"))
+      val wConv = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      turns
+        .withColumn("seg_end", sum(col("n_chars")).over(wConv))
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          (col("seg_end") - col("n_chars")).as("seg_start"), col("seg_end"),
+          (col("role") === "assistant").as("loss_masked"), col("n_chars"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    },
+    oracle = Some("""
+      WITH ranked AS (
+        SELECT source, text,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS seq
+        FROM documents),
+      turns AS (
+        SELECT source || '#' || (seq // 3) AS conv_id,
+               (seq % 3) * 2 + r AS turn_idx, role, n_chars
+        FROM (
+          SELECT seq, source, 0 AS r, 'user' AS role,
+                 length('<|user|>' || chr(10) || substring(text, 1, 80)) AS n_chars
+          FROM ranked
+          UNION ALL
+          SELECT seq, source, 1 AS r, 'assistant' AS role,
+                 length('<|assistant|>' || chr(10) || substring(text, 81)
+                        || '<|end|>') AS n_chars
+          FROM ranked) t)
+      SELECT conv_id, turn_idx, role,
+             sum(n_chars) OVER w - n_chars AS seg_start,
+             sum(n_chars) OVER w AS seg_end,
+             role = 'assistant' AS loss_masked, n_chars
+      FROM turns
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+      ORDER BY conv_id, turn_idx
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
     sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin,
-    novelty, datasetCard)
+    novelty, datasetCard, sftFormat)
 }

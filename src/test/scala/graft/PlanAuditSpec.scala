@@ -61,7 +61,12 @@ class PlanAuditSpec extends SparkSuite {
     // q11/q15/q22 cross a 1-row scalar aggregate (EU revenue total /
     // quarter-max revenue / positive-balance (Σ,n)) into the keyed
     // relation — the q_scalar_subquery contract.
-    "q11_important_stock", "q15_top_supplier", "q22_global_sales")
+    "q11_important_stock", "q15_top_supplier", "q22_global_sales",
+    // ss_hard_negatives / ss_mmr score the corpus against a bounded
+    // broadcast anchor/query set — the ss_cosine_topk contract; all
+    // their later joins are equi-joins on qid over the bounded
+    // candidate sets.
+    "ss_hard_negatives", "ss_mmr")
 
   /** The plan the lint audits: the query's own result plan, or the
     * declared eager intermediate (which, unlike `run`, plans lazily —
