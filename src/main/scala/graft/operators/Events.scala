@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Query, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -461,32 +462,41 @@ object Events {
     * PARTITIONED by type (distributed), a top-10 sort-limit tail, and
     * a rank window over 10 rows.
     */
+  /** The rolling-z scoring tail over an (h, event_type, n) hourly
+    * relation — shared verbatim by [[anomaly]] and its streaming twin
+    * (`ev_stream_anomaly`), which differ only in how the hourly rollup
+    * is maintained (one batch scan vs. incremental window state).
+    */
+  private[graft] def anomalyTail(hourly: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    val scored = hourly
+      .withColumn("c", count(col("n")).over(w))
+      .withColumn("sn", sum(col("n")).over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .filter(col("c") >= 12)
+      .withColumn("variance",
+        (col("ss") - col("sn") * col("sn") / col("c")) / (col("c") - 1))
+      .filter(col("variance") > 0)
+      .withColumn("z",
+        (col("n") - col("sn") / col("c")) / sqrt(col("variance")))
+    scored.orderBy(abs(col("z")).desc, col("event_type"), col("h"))
+      .limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("z")).desc, col("event_type"), col("h"))))
+      .select(col("rk"), col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("n"), round(col("z"), 4).as("z"))
+      .orderBy(col("rk"))
+  }
+
   val anomaly = Query(
     "ev_anomaly",
     (s, dir) => {
       val hourly = Tables(s, dir).events
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-        .rowsBetween(-24, -1)
-      val scored = hourly
-        .withColumn("c", count(col("n")).over(w))
-        .withColumn("sn", sum(col("n")).over(w))
-        .withColumn("ss", sum(col("n") * col("n")).over(w))
-        .filter(col("c") >= 12)
-        .withColumn("variance",
-          (col("ss") - col("sn") * col("sn") / col("c")) / (col("c") - 1))
-        .filter(col("variance") > 0)
-        .withColumn("z",
-          (col("n") - col("sn") / col("c")) / sqrt(col("variance")))
-      scored.orderBy(abs(col("z")).desc, col("event_type"), col("h"))
-        .limit(10)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(abs(col("z")).desc, col("event_type"), col("h"))))
-        .select(col("rk"), col("event_type"),
-          date_format(col("h"), "yyyy-MM-dd HH:00:00").as("hour"),
-          col("n"), round(col("z"), 4).as("z"))
-        .orderBy(col("rk"))
+      anomalyTail(hourly)
     },
     oracle = Some("""
       WITH hourly AS (

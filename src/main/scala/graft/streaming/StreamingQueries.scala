@@ -1050,9 +1050,87 @@ object StreamingQueries {
     }),
   )
 
+  /** Rolling z-score anomaly detection over the CONTINUOUSLY-MAINTAINED
+    * hourly rollup — how anomaly detection actually deploys: the
+    * streaming job keeps the (hour, type) counts incremental (window
+    * state, the ev_stream_hourly contract), and the scoring tail — the
+    * exact [[graft.operators.Events.anomalyTail]] the batch query runs,
+    * shared as code, 24-hour trailing window, integer Σn/Σn² variance —
+    * reads the bounded rollup (hour×type rows, the declared
+    * bounded-collect contract of the memory seam). Complete mode over
+    * the finite backlog makes the rollup equal the batch aggregation,
+    * so the oracle is `ev_anomaly`'s verbatim: the gate pins that the
+    * incremental rollup feeds the identical top-10 anomaly board.
+    */
+  val streamAnomaly = Query(
+    "ev_stream_anomaly",
+    (s, dir) => {
+      val hourly = runToTable(
+        eventsStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n")))
+        .select(col("window.start").as("h"), col("event_type"), col("n"))
+      // bounded from here on: hour×type rows (~3.4k at sf0.1)
+      graft.operators.Events.anomalyTail(hourly)
+    },
+    oracle = graft.operators.Events.anomaly.oracle,
+    eagerPlan = Some((s, dir) =>
+      graft.operators.Events.anomaly.run(s, dir)),
+  )
+
+  /** Value-distribution quantiles as STREAMING STATE — the fourth
+    * sketch-as-state entry next to Count-Min, Space-Saving and HLL:
+    * `percentile_approx`'s mergeable quantile summary accumulates
+    * across micro-batches in one global aggregation state, and the
+    * gate pins its GUARANTEE (the q_approx_quantiles contract): after
+    * the stream drains, the 1-row sketch crosses the batch corpus and
+    * the observed ranks of a50/a90/a99 must sit within the accuracy
+    * band. The band is 2× the single-pass 1/acc because the streaming
+    * path MERGES per-batch summaries (GK merge error compounds
+    * additively in the worst case); DuckDB re-asserts the flags from
+    * exact ranks.
+    */
+  val streamQuantiles = Query(
+    "ev_stream_quantiles",
+    (s, dir) => {
+      val acc = 1000
+      val eps = 2.0 / acc + 1e-9
+      val agg = eventsStream(s, dir).agg(
+        percentile_approx(col("value"), lit(0.5), lit(acc)).as("a50"),
+        percentile_approx(col("value"), lit(0.9), lit(acc)).as("a90"),
+        percentile_approx(col("value"), lit(0.99), lit(acc)).as("a99"),
+        count(lit(1)).as("n"))
+      val sk = runToTable(agg)
+      // 1 row from here on — the sanctioned 1-row broadcast cross
+      val ev = Tables(sk.sparkSession, dir).events.select(col("value").as("x"))
+      def ok(ap: String, p: Double) = {
+        val lt = sum((col("x") < col(ap)).cast("long")) / first(col("n"))
+        val le = sum((col("x") <= col(ap)).cast("long")) / first(col("n"))
+        (lt <= p + eps) && (le >= p - eps)
+      }
+      ev.crossJoin(broadcast(sk))
+        .agg(
+          first(col("n")).as("n"),
+          ok("a50", 0.5).as("p50_ok"),
+          ok("a90", 0.9).as("p90_ok"),
+          ok("a99", 0.99).as("p99_ok"))
+    },
+    oracle = Some("""
+      SELECT count(*) AS n, true AS p50_ok, true AS p90_ok, true AS p99_ok
+      FROM events
+    """),
+    eagerPlan = Some((s, dir) =>
+      Tables(s, dir).events.agg(
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("a50"),
+        percentile_approx(col("value"), lit(0.9), lit(1000)).as("a90"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("a99"),
+        count(lit(1)).as("n"))),
+  )
+
   def all: Seq[Query] =
     Seq(streamHourly, streamSessions, streamRangeJoin, streamLeftJoin,
       streamWordcount, streamEnrich, streamUpsert, streamClean,
       streamHeavyHitters, streamScd2, streamSliding, streamCountMin,
-      streamTopk, streamFunnel, streamHourlyUsers, streamAsof)
+      streamTopk, streamFunnel, streamHourlyUsers, streamAsof,
+      streamAnomaly, streamQuantiles)
 }
