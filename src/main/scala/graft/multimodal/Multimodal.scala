@@ -1245,9 +1245,74 @@ object Multimodal {
     """),
   )
 
+  /** Keyframe storyboard manifest — what a video ingestion pipeline
+    * actually EMITS from scene detection: one representative frame per
+    * scene (frame 0 plus every cut frame, [[sceneCut]]'s integer jump
+    * rule), with its slot number, frame index, millisecond timestamp
+    * and mean luma — the thumbnail/caption-extraction work list. Same
+    * one-pass contract as mm_scenecut: decode + temporal walk in the
+    * narrow per-partition pass, only (id, slot, frame, t_ms, luma)
+    * scalar rows leave it, blobs never shuffle. All columns are
+    * integer-exact: t_ms = f·1000/fps and luma_mean = Σluma/px in
+    * TRUNCATING division (Scala Long `/` = DuckDB `//` for
+    * non-negatives), so the gate compares raw integers.
+    */
+  val storyboard = Query(
+    "mm_storyboard",
+    (s, dir) => {
+      import s.implicits._
+      val params = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      val rows = params.flatMap { case (id, nChars) =>
+        val w   = ((id % 8) + 1).toInt * 2
+        val h   = ((id % 4) + 1).toInt * 2
+        val fps = 24 + (id % 4).toInt * 6
+        val nf  = (nChars % 240 + 1).toInt
+        val bytes = Y4mCodec.encode(w, h, fps, 1, nf,
+          (f, i) => ((id * 11 + f * 5L + i * 3L) % 256).toInt)
+        val (dw, dh, sums) = Y4mCodec.frameLumaSums(bytes)
+        val px = dw.toLong * dh
+        val keyframes = Iterator.range(0, sums.length).filter { f =>
+          f == 0 || math.abs(sums(f) - sums(f - 1)) > 16L * px
+        }.toVector
+        keyframes.zipWithIndex.map { case (f, slot) =>
+          (id, slot, f, f.toLong * 1000 / fps, sums(f) / px)
+        }
+      }.toDF("media_id", "slot", "frame_idx", "t_ms", "luma_mean")
+      rows.orderBy(col("media_id"), col("slot"))
+    },
+    oracle = Some("""
+      WITH p AS (
+        SELECT doc_id, ((doc_id % 8 + 1) * 2)::INT AS w,
+               ((doc_id % 4 + 1) * 2)::INT AS h,
+               (24 + (doc_id % 4) * 6)::INT AS fps,
+               (n_chars % 240 + 1)::INT AS nf
+        FROM documents
+      ), fs AS (
+        SELECT doc_id, w, h, fps, f,
+          list_sum(list_transform(range(0, (w * h)::BIGINT),
+            i -> (doc_id * 11 + f * 5 + i * 3) % 256))::BIGINT AS s
+        FROM (SELECT doc_id, w, h, fps, unnest(range(0, nf::BIGINT)) AS f
+              FROM p)
+      ), d AS (
+        SELECT doc_id, w, h, fps, f, s,
+          lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS ps
+        FROM fs
+      ), kf AS (
+        SELECT doc_id, fps, f, s, w, h
+        FROM d WHERE f = 0 OR abs(s - ps) > 16 * w * h)
+      SELECT doc_id AS media_id,
+        (row_number() OVER (PARTITION BY doc_id ORDER BY f) - 1)::INT AS slot,
+        f::INT AS frame_idx,
+        (f * 1000 // fps)::BIGINT AS t_ms,
+        (s // (w * h))::BIGINT AS luma_mean
+      FROM kf ORDER BY media_id, slot
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
       videoDecode, audioRms, imageDhash, imageDups, imageClusters,
       spectrogram, sceneCut, audioVad, audioDups, audioClusters,
-      videoDups, videoClusters)
+      videoDups, videoClusters, storyboard)
 }

@@ -490,6 +490,48 @@ object Events {
       .orderBy(col("rk"))
   }
 
+  /** Sketch-algebra rollup — the pre-aggregation trick OLAP cubes rely
+    * on: per-(day, type) HLL sketches built ONCE, then re-aggregated
+    * to per-type totals by sketch UNION (register-wise max — exactly
+    * distinct-union semantics, which additive counts cannot give).
+    * This is how a 100 TB deployment serves "distinct users over any
+    * date range" without rescanning events: the daily sketch table is
+    * days×types rows, and any rollup is a union over it. Uses Spark's
+    * DataSketches-backed `hll_sketch_agg`/`hll_union_agg` (lgK=12,
+    * rsd ≈ 1.6%). Gate contract: sketch estimates are
+    * implementation-dependent numbers, so the gate pins the GUARANTEE
+    * (the q_approx_distinct / ev_stream_hourly_users pattern): the
+    * union-of-days estimate must sit within 15% of the exact per-type
+    * distinct with an absolute floor of 8; DuckDB recomputes the
+    * exact counts and day spans and asserts the flag.
+    */
+  val hllRollup = Query(
+    "ev_hll_rollup",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val daily = ev
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_days"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            greatest(ceil(col("exact_users") * 0.15), lit(8))).as("est_ok"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type,
+             count(DISTINCT ts::DATE) AS n_days,
+             count(DISTINCT user_id) AS exact_users,
+             true AS est_ok
+      FROM events GROUP BY 1 ORDER BY 1
+    """),
+  )
+
   val anomaly = Query(
     "ev_anomaly",
     (s, dir) => {
@@ -654,5 +696,5 @@ object Events {
 
   def all: Seq[Query] = Seq(hourly, sessionize, dailyActive, funnel,
     jsonProps, asofJoin, rangeJoin, sessionWindow, retention, skewJoin,
-    scd2, anomaly, scd2Join, slidingAgg)
+    scd2, anomaly, scd2Join, slidingAgg, hllRollup)
 }

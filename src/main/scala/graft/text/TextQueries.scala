@@ -1467,38 +1467,43 @@ object TextQueries {
     * Left-context counts derive from the bigram table itself
     * (c(w₁·) = Σ_w₂ c(w₁w₂)) so the two marginals cannot disagree.
     */
-  val lmScore = Query(
-    "tx_lm_score",
-    (s, dir) => {
-      val d = graft.core.Par
-        .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
-          col("doc_id"))
-        .select(col("doc_id"), toks(col("text")).as("t"))
-      val docBigrams = d.filter(size(col("t")) >= 2)
-        .select(col("doc_id"), (size(col("t")) - 1).as("n_bigrams"),
-          explode(expr(
-            "transform(sequence(0, size(t) - 2)," +
-              " i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
-        .groupBy(col("doc_id"), col("n_bigrams"), col("bg"))
-        .agg(count(lit(1)).as("k"))
-      val model = docBigrams.groupBy(col("bg")).agg(sum(col("k")).as("cb"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-      val leftCtx = model.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
-      val voc = d.select(explode(col("t")).as("term"))
-        .agg(count_distinct(col("term")).as("v"))
-      val logp = log((col("cb") + 1.0) / (col("cl") + col("v")))
-      docBigrams
-        .join(model.join(leftCtx, "w1")
-          .select(col("bg"), col("cb"), col("cl")), "bg")
-        .crossJoin(broadcast(voc))
-        .groupBy(col("doc_id"), col("n_bigrams"))
-        .agg(sum(col("k") * logp).as("slp"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(col("slp") / col("n_bigrams"), 4).as("avg_logp"))
-        .orderBy(col("doc_id"))
-    },
-    oracle = Some("""
-      WITH d AS (
+  /** The per-doc LM scoring kernel (doc_id, n_bigrams, avg_logp@4dp),
+    * shared by `tx_lm_score` and the CCNet-style `tx_ppl_buckets` —
+    * one definition so the filter and its bucketing view cannot drift.
+    */
+  private[graft] def lmScored(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.core.Par
+      .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+    val docBigrams = d.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), (size(col("t")) - 1).as("n_bigrams"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 2)," +
+            " i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
+      .groupBy(col("doc_id"), col("n_bigrams"), col("bg"))
+      .agg(count(lit(1)).as("k"))
+    val model = docBigrams.groupBy(col("bg")).agg(sum(col("k")).as("cb"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val leftCtx = model.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+    val voc = d.select(explode(col("t")).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    val logp = log((col("cb") + 1.0) / (col("cl") + col("v")))
+    docBigrams
+      .join(model.join(leftCtx, "w1")
+        .select(col("bg"), col("cb"), col("cl")), "bg")
+      .crossJoin(broadcast(voc))
+      .groupBy(col("doc_id"), col("n_bigrams"))
+      .agg(sum(col("k") * logp).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("slp") / col("n_bigrams"), 4).as("avg_logp"))
+  }
+
+  /** The DuckDB mirror of [[lmScored]], ending in a `scored` CTE with
+    * (doc_id, n_bigrams, avg_logp) — consumed by the tx_lm_score and
+    * tx_ppl_buckets oracles (the bm25ScoredSql precedent).
+    */
+  private[graft] val lmScoredSql: String = """d AS (
         SELECT doc_id,
           list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
         FROM documents
@@ -1516,15 +1521,22 @@ object TextQueries {
       voc AS (
         SELECT count(DISTINCT term) AS v
         FROM (SELECT unnest(t) AS term FROM d)
-      )
-      SELECT doc_id, n_bigrams,
-        round(sum(k * ln((cb + 1.0) / (cl + v))) / n_bigrams, 4) AS avg_logp
-      FROM bg
-        JOIN (SELECT m.bg, m.cb, l.cl FROM model m JOIN lft l USING (w1)) mm
-          USING (bg)
-        CROSS JOIN voc
-      GROUP BY doc_id, n_bigrams
-      ORDER BY doc_id
+      ), scored AS (
+        SELECT doc_id, n_bigrams,
+          round(sum(k * ln((cb + 1.0) / (cl + v))) / n_bigrams, 4) AS avg_logp
+        FROM bg
+          JOIN (SELECT m.bg, m.cb, l.cl FROM model m JOIN lft l USING (w1)) mm
+            USING (bg)
+          CROSS JOIN voc
+        GROUP BY doc_id, n_bigrams
+      )"""
+
+  val lmScore = Query(
+    "tx_lm_score",
+    (s, dir) => lmScored(s, dir).orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH $lmScoredSql
+      SELECT doc_id, n_bigrams, avg_logp FROM scored ORDER BY doc_id
     """),
   )
 
@@ -2195,10 +2207,74 @@ object TextQueries {
     """),
   )
 
+  /** CCNet-style perplexity bucketing: every language's scored docs
+    * split into head/middle/tail thirds by LM score — the curation
+    * recipe (Wenzek et al.) that keeps the fluent third, inspects the
+    * middle, and drops the tail PER LANGUAGE so low-resource languages
+    * aren't graded on the high-resource model's scale. Reuses
+    * [[lmScored]] verbatim (one kernel, filter and bucketing cannot
+    * drift); the thirds come from ntile(3) over each language
+    * partition ordered by the 4-dp-ROUNDED score (both engines order
+    * identical values) with doc_id ties, and the output is the bounded
+    * per-(lang, bucket) summary: doc count, language share, score
+    * range. Shape: the LM kernel's shuffles + one lang-partitioned
+    * window + a (langs×3)-row rollup; share divides two exact
+    * integers.
+    */
+  val pplBuckets = Query(
+    "tx_ppl_buckets",
+    (s, dir) => {
+      val scored = lmScored(s, dir)
+      val withLang = scored.join(
+        Tables(s, dir).documents.select(col("doc_id"), col("lang")), "doc_id")
+      val wLang = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_logp").desc, col("doc_id"))
+      val agg = withLang
+        .withColumn("b", ntile(3).over(wLang))
+        .withColumn("bucket", when(col("b") === 1, "head")
+          .when(col("b") === 2, "middle").otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("avg_logp")), 4).as("min_logp"),
+          round(max(col("avg_logp")), 4).as("max_logp"))
+      // ≤ langs×3 rows from here on — bounded by construction
+      val wShare = Window.partitionBy(col("lang"))
+      agg
+        .withColumn("share",
+          round(col("n_docs") * 1.0 / sum(col("n_docs")).over(wShare), 4))
+        .select(col("lang"), col("bucket"), col("n_docs"), col("share"),
+          col("min_logp"), col("max_logp"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+    oracle = Some(s"""
+      WITH $lmScoredSql,
+      wl AS (
+        SELECT s.doc_id, s.avg_logp, d.lang
+        FROM scored s JOIN documents d USING (doc_id)
+      ), bk AS (
+        SELECT lang, avg_logp,
+          ntile(3) OVER (PARTITION BY lang
+                         ORDER BY avg_logp DESC, doc_id) AS b
+        FROM wl
+      ), agg AS (
+        SELECT lang,
+          CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket,
+          count(*) AS n_docs,
+          round(min(avg_logp), 4) AS min_logp,
+          round(max(avg_logp), 4) AS max_logp
+        FROM bk GROUP BY 1, 2)
+      SELECT lang, bucket, n_docs,
+        round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 4) AS share,
+        min_logp, max_logp
+      FROM agg ORDER BY lang, bucket
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
     sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin,
-    novelty, datasetCard, sftFormat)
+    novelty, datasetCard, sftFormat, pplBuckets)
 }

@@ -66,7 +66,10 @@ class PlanAuditSpec extends SparkSuite {
     // broadcast anchor/query set — the ss_cosine_topk contract; all
     // their later joins are equi-joins on qid over the bounded
     // candidate sets.
-    "ss_hard_negatives", "ss_mmr")
+    "ss_hard_negatives", "ss_mmr",
+    // tx_ppl_buckets reuses tx_lm_score's kernel verbatim (lmScored),
+    // inheriting its sanctioned 1-row vocabulary-size broadcast cross.
+    "tx_ppl_buckets")
 
   /** The plan the lint audits: the query's own result plan, or the
     * declared eager intermediate (which, unlike `run`, plans lazily —
