@@ -1346,8 +1346,135 @@ object DedupQueries {
     },
   )
 
+  /** The dedup-family recall AUDIT — the number [[lshTuning]]'s
+    * candidates-vs-yield curve cannot give: against an exact TRUTH set
+    * of near-dup pairs, what fraction does the production MinHash+LSH
+    * path (4×4 banding, hot-band cap) actually find? Truth comes from
+    * the shingle POSTINGS path (any pair with Jaccard > 0 shares a
+    * shingle, so posting-join pairs with a df cap are complete for
+    * every non-boilerplate pair — the dd_ngram_jaccard discipline,
+    * df ≤ 100 declared), scored with the exact hashed-shingle Jaccard
+    * and thresholded at 0.3/0.5/0.7; candidates are the SAME
+    * [[bandPairs]] front-end dd_minhash_lsh ships. One row: candidate
+    * count, and per threshold the truth size, hits, and recall —
+    * the measured basis for choosing banding shape at 100 TB.
+    *
+    * Scale: both sides are bucketed joins (posting key with df cap,
+    * band key with the 50-doc cap); the truth side is the audit's
+    * cost and runs on the same capped-postings shape the n-gram
+    * near-dup query already ships. Recall ratios divide two exact
+    * integers once.
+    */
+  val minhashRecall = Query(
+    "dd_minhash_recall",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val sh = spread(dupCorpus(t))
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      val capped = posts.withColumn("df", count(lit(1)).over(wG))
+        .filter(col("df") <= 100).drop("df")
+      val truthPairs = capped.as("a")
+        .join(capped.as("b"), col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val scored = withJaccard(truthPairs, sh)
+        .select(col("id_a"), col("id_b"), col("jac"))
+      val cands = bandPairs(sh).withColumn("is_cand", lit(1L))
+      val marked = scored.join(cands, Seq("id_a", "id_b"), "left")
+        .na.fill(0L, Seq("is_cand"))
+      def at(tag: String, thr: Double) = Seq(
+        sum((col("jac") >= thr).cast("long")).as(s"truth_$tag"),
+        sum(when(col("jac") >= thr, col("is_cand")).otherwise(0L))
+          .as(s"hit_$tag"))
+      val aggs = Seq(sum(col("is_cand")).as("n_cand")) ++
+        at("03", 0.3) ++ at("05", 0.5) ++ at("07", 0.7)
+      marked.agg(aggs.head, aggs.tail: _*)
+        .select(col("n_cand"),
+          col("truth_03"), col("hit_03"),
+          round(col("hit_03") * 1.0 / col("truth_03"), 4).as("recall_03"),
+          col("truth_05"), col("hit_05"),
+          round(col("hit_05") * 1.0 / col("truth_05"), 4).as("recall_05"),
+          col("truth_07"), col("hit_07"),
+          round(col("hit_07") * 1.0 / col("truth_07"), 4).as("recall_07"))
+    },
+    oracle = {
+      val mhList = hashParams.map { case (a, b) =>
+        s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashP))"
+      }.mkString("[", ", ", "]")
+      val bandList = (0 until 4).map { b =>
+        val parts = (0 until 4).map(r => s"mh[${b * 4 + r + 1}]::VARCHAR")
+        s"'$b:' || " + parts.mkString(" || ':' || ")
+      }.mkString("[", ", ", "]")
+      Some(s"""
+      WITH corpus AS ($dupCorpusSql),
+      sh AS (
+        SELECT doc_id, $shingleHashSql AS sh
+        FROM (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+              FROM corpus)
+        WHERE len(t) >= 3
+      ),
+      posts AS (
+        SELECT doc_id, g FROM (
+          SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df
+          FROM (SELECT doc_id, unnest(sh) AS g FROM sh))
+        WHERE df <= 100
+      ),
+      truth AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+      ),
+      scored AS (
+        SELECT id_a, id_b,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            AS jac
+        FROM truth
+          JOIN sh sa ON sa.doc_id = id_a
+          JOIN sh sb ON sb.doc_id = id_b
+      ),
+      mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
+      bands0 AS (SELECT doc_id, unnest($bandList) AS bh FROM mh),
+      bands AS (
+        SELECT doc_id, bh FROM (
+          SELECT doc_id, bh, count(*) OVER (PARTITION BY bh) AS bc
+          FROM bands0)
+        WHERE bc <= 50
+      ),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
+      ),
+      marked AS (
+        SELECT s.jac,
+          CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS is_cand
+        FROM scored s LEFT JOIN cands c
+          ON s.id_a = c.id_a AND s.id_b = c.id_b
+      )
+      SELECT sum(is_cand)::BIGINT AS n_cand,
+        sum(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END)::BIGINT AS truth_03,
+        sum(CASE WHEN jac >= 0.3 THEN is_cand ELSE 0 END)::BIGINT AS hit_03,
+        round(sum(CASE WHEN jac >= 0.3 THEN is_cand ELSE 0 END) * 1.0 /
+          sum(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END), 4) AS recall_03,
+        sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS truth_05,
+        sum(CASE WHEN jac >= 0.5 THEN is_cand ELSE 0 END)::BIGINT AS hit_05,
+        round(sum(CASE WHEN jac >= 0.5 THEN is_cand ELSE 0 END) * 1.0 /
+          sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END), 4) AS recall_05,
+        sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END)::BIGINT AS truth_07,
+        sum(CASE WHEN jac >= 0.7 THEN is_cand ELSE 0 END)::BIGINT AS hit_07,
+        round(sum(CASE WHEN jac >= 0.7 THEN is_cand ELSE 0 END) * 1.0 /
+          sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END), 4) AS recall_07
+      FROM marked
+    """)
+    },
+  )
+
   def all: Seq[Query] =
     Seq(exact, dupStats, minhashLsh, minhashCdc, simhash, ngramJaccard,
       cleanCorpus, dupPassages, dupClusters, clusterSplit, decontaminate,
-      bloomDecontaminate, incrementalDedup, lshTuning)
+      bloomDecontaminate, incrementalDedup, lshTuning, minhashRecall)
 }

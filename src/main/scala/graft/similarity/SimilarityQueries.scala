@@ -2018,19 +2018,31 @@ object SimilarityQueries {
     * the candidate scan grows — the rerank cost is per-query constant,
     * which is the point of MMR-over-top-k versus MMR-over-corpus.
     */
+  /** ss_mmr's candidate generation — the distributed part of the
+    * query (one corpus scan against the broadcast query set + the
+    * per-query top-8 heaps); declared as the auditable eager plan.
+    */
+  private def mmrCandidates(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = e
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("embedding"),
+        VectorFunctions.cosineSim(col("qv"), col("embedding")).as("rel"))
+    graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq("rel" -> false, "nid" -> true), 8)
+  }
+
   val mmr = Query(
     "ss_mmr",
     (s, dir) => {
-      val e = Tables(s, dir).embeddings
-      val queries = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val scored = e
-        .join(broadcast(queries), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"), col("embedding"),
-          VectorFunctions.cosineSim(col("qv"), col("embedding")).as("rel"))
-      val cand = graft.plans.TopK.perGroup(scored, Seq("qid"),
-        Seq("rel" -> false, "nid" -> true), 8)
-      // bounded from here on: ≤ 3 queries × 8 candidates
+      // bounded from here on: ≤ 3 queries × 8 candidates. Checkpointed
+      // ONCE (the tx_bpe_train per-round precedent): without it each of
+      // the 4 greedy rounds replans the whole candidate-generation
+      // subtree — the corpus scan ran 8× and the query cost 7 s at
+      // sf0.1; with the 24-row local table the rounds are driver-cheap.
+      val cand = mmrCandidates(s, dir).localCheckpoint(true)
       val a = cand.select(col("qid"), col("nid").as("d"),
         col("embedding").as("dv"))
       val b = cand.select(col("qid").as("bqid"), col("nid").as("s2"),
@@ -2067,6 +2079,7 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("sel_rank"))
     },
     oracle = Some(mmrOracleSql),
+    eagerPlan = Some((s, dir) => mmrCandidates(s, dir)),
   )
 
   def all: Seq[Query] =

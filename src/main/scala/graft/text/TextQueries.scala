@@ -1808,34 +1808,43 @@ object TextQueries {
     * come from joining word counts back to the encoded vocab — one
     * vocabulary-keyed shuffle, no corpus-sized sort anywhere.
     */
+  /** The per-doc result of the trained tokenizer's encode pass
+    * (doc_id, n_ws_tokens, n_bpe_tokens, token_id_sum) — shared by
+    * `tx_bpe_encode` and the per-language `tx_tokenizer_eval` rollup,
+    * one definition so the encode semantics cannot drift.
+    */
+  private[graft] def bpeEncodedDocs(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainBpeMerges(s, dir).map(m => (m._2, m._3))
+    val occ = graft.core.Par
+      .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val encoded = occ.select(col("word")).distinct()
+      .withColumn("syms", expr(encodeExpr(merges)))
+    val wsym = encoded.select(col("word"), explode(col("syms")).as("sym"))
+    // tokenizer vocab ids: 1-based byte-order rank over the final
+    // symbol alphabet. The unpartitioned window is MODEL-sized by
+    // construction (base chars + bpeRounds new symbols), the same
+    // bounded-artifact contract as the centroid collects.
+    val vocab = wsym.select(col("sym")).distinct()
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("sym"))).cast("long"))
+    val wid = wsym.join(vocab, "sym")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("tid")).as("id_sum"))
+    occ.join(wid, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_ws_tokens"),
+        sum(col("cnt") * col("n_toks")).as("n_bpe_tokens"),
+        sum(col("cnt") * col("id_sum")).as("token_id_sum"))
+  }
+
   val bpeEncode = Query(
     "tx_bpe_encode",
     (s, dir) => {
-      val merges = trainBpeMerges(s, dir).map(m => (m._2, m._3))
-      val occ = graft.core.Par
-        .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
-          col("doc_id"))
-        .select(col("doc_id"), explode(toks(col("text"))).as("word"))
-        .groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("cnt"))
-      val encoded = occ.select(col("word")).distinct()
-        .withColumn("syms", expr(encodeExpr(merges)))
-      val wsym = encoded.select(col("word"), explode(col("syms")).as("sym"))
-      // tokenizer vocab ids: 1-based byte-order rank over the final
-      // symbol alphabet. The unpartitioned window is MODEL-sized by
-      // construction (base chars + bpeRounds new symbols), the same
-      // bounded-artifact contract as the centroid collects.
-      val vocab = wsym.select(col("sym")).distinct()
-        .withColumn("tid",
-          row_number().over(Window.orderBy(col("sym"))).cast("long"))
-      val wid = wsym.join(vocab, "sym")
-        .groupBy(col("word"))
-        .agg(count(lit(1)).as("n_toks"), sum(col("tid")).as("id_sum"))
-      occ.join(wid, "word")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).as("n_ws_tokens"),
-          sum(col("cnt") * col("n_toks")).as("n_bpe_tokens"),
-          sum(col("cnt") * col("id_sum")).as("token_id_sum"))
+      bpeEncodedDocs(s, dir)
         .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
           round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4)
             .as("compression"),
@@ -1843,6 +1852,64 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
     oracle = Some(bpeEncodeOracleSql),
+  )
+
+  /** Tokenizer EVALUATION — the per-language scorecard a tokenizer
+    * ships with (the metric multilingual tokenizer work optimizes):
+    * fertility (BPE tokens per whitespace word — high fertility means
+    * the language pays more sequence length per word) and characters
+    * per BPE token (compression), per language, from the trained
+    * tokenizer's own encode pass ([[bpeEncodedDocs]], shared code).
+    * All sums are exact integers (token counts, char counts); the two
+    * ratios are single divisions at the end, so the gate is exact.
+    * Shape: the encode pass's vocabulary-keyed shuffles + one
+    * (langs)-row rollup after a doc_id equi-join for lang/n_chars.
+    */
+  val tokenizerEval = Query(
+    "tx_tokenizer_eval",
+    (s, dir) => {
+      bpeEncodedDocs(s, dir)
+        .join(Tables(s, dir).documents
+          .select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws_tokens")).as("ws_tokens"),
+          sum(col("n_bpe_tokens")).as("bpe_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"),
+          round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("bpe_tokens"), 4)
+            .as("chars_per_token"))
+        .orderBy(col("lang"))
+    },
+    oracle = Some(s"""
+      WITH $bpeChainCtes,
+      wsym AS (SELECT word, unnest(syms) AS sym FROM s$bpeRounds),
+      wid AS (
+        SELECT word, count(*)::BIGINT AS n_toks
+        FROM wsym GROUP BY word
+      ),
+      occ AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                 x -> length(x) > 0)) AS word
+        FROM documents
+      ),
+      per_doc AS (
+        SELECT doc_id, count(*)::BIGINT AS n_ws,
+               sum(n_toks)::BIGINT AS n_bpe
+        FROM occ JOIN wid USING (word) GROUP BY doc_id
+      )
+      SELECT d.lang, count(*)::BIGINT AS n_docs,
+             sum(p.n_ws)::BIGINT AS ws_tokens,
+             sum(p.n_bpe)::BIGINT AS bpe_tokens,
+             round(sum(p.n_bpe)::DOUBLE / sum(p.n_ws), 4) AS fertility,
+             round(sum(d.n_chars)::DOUBLE / sum(p.n_bpe), 4)
+               AS chars_per_token
+      FROM per_doc p JOIN documents d USING (doc_id)
+      GROUP BY d.lang ORDER BY d.lang
+    """),
   )
 
   /** The tokenizer's VOCAB FILE as a query — the third artifact of the
@@ -2276,5 +2343,5 @@ object TextQueries {
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
     sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin,
-    novelty, datasetCard, sftFormat, pplBuckets)
+    novelty, datasetCard, sftFormat, pplBuckets, tokenizerEval)
 }
