@@ -532,6 +532,63 @@ object Events {
     """),
   )
 
+  /** DAU/WAU — the daily-active / weekly-active report every product
+    * pipeline ships, built the way it scales: DAU is the exact per-day
+    * distinct (one aggregation), and WAU is a ROLLING SKETCH UNION —
+    * `hll_union_agg` over a 7-day rows-frame window on the
+    * days-bounded daily-sketch relation ([[hllRollup]]'s
+    * materialization unit consumed as a rolling window), so the
+    * 7-day distinct never rescans events. The exactness side of the
+    * audit computes true WAU via the ev_sliding_agg Expand discipline
+    * (each event day contributes to its 7 covering days — a map-side
+    * explode, then one distinct aggregation); the gate pins DAU
+    * exactly and WAU's estimator GUARANTEE (15% band, absolute floor
+    * 8 — the small-cardinality HLL rule) per day.
+    */
+  val activeUsers = Query(
+    "ev_active_users",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val daily = ev.groupBy(to_date(col("ts")).as("d"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          count_distinct(col("user_id")).as("dau"))
+      // days-bounded relation (30 rows at every SF): the unpartitioned
+      // rolling frame is over days, not events
+      val w7 = Window.orderBy(col("d")).rowsBetween(-6, 0)
+      val est = daily
+        .withColumn("wau_sk", expr("hll_union_agg(sk, false)").over(w7))
+        .select(col("d"), col("dau"),
+          expr("hll_sketch_estimate(wau_sk)").as("wau_est"))
+      val exact7 = ev
+        .select(to_date(col("ts")).as("ed"), col("user_id"))
+        .select(explode(sequence(lit(0), lit(6))).as("k"), col("ed"),
+          col("user_id"))
+        .select(expr("date_add(ed, k)").as("d"), col("user_id"))
+        .groupBy(col("d"))
+        .agg(count_distinct(col("user_id")).as("wau_exact"))
+      est.join(exact7, "d")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau_exact"),
+          (abs(col("wau_est") - col("wau_exact")) <=
+            greatest(ceil(col("wau_exact") * 0.15), lit(8))).as("wau_ok"))
+        .orderBy(col("day"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT ts::DATE AS d, count(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1
+      ), ex AS (
+        SELECT dd.d, count(DISTINCT e.user_id) AS wau_exact
+        FROM daily dd JOIN events e
+          ON e.ts::DATE BETWEEN dd.d - 6 AND dd.d
+        GROUP BY 1)
+      SELECT strftime(daily.d, '%Y-%m-%d') AS day, dau, wau_exact,
+             true AS wau_ok
+      FROM daily JOIN ex ON daily.d = ex.d
+      ORDER BY day
+    """),
+  )
+
   val anomaly = Query(
     "ev_anomaly",
     (s, dir) => {
@@ -696,5 +753,5 @@ object Events {
 
   def all: Seq[Query] = Seq(hourly, sessionize, dailyActive, funnel,
     jsonProps, asofJoin, rangeJoin, sessionWindow, retention, skewJoin,
-    scd2, anomaly, scd2Join, slidingAgg, hllRollup)
+    scd2, anomaly, scd2Join, slidingAgg, hllRollup, activeUsers)
 }

@@ -2037,46 +2037,48 @@ object SimilarityQueries {
   val mmr = Query(
     "ss_mmr",
     (s, dir) => {
-      // bounded from here on: ≤ 3 queries × 8 candidates. Checkpointed
-      // ONCE (the tx_bpe_train per-round precedent): without it each of
-      // the 4 greedy rounds replans the whole candidate-generation
-      // subtree — the corpus scan ran 8× and the query cost 7 s at
-      // sf0.1; with the 24-row local table the rounds are driver-cheap.
-      val cand = mmrCandidates(s, dir).localCheckpoint(true)
-      val a = cand.select(col("qid"), col("nid").as("d"),
-        col("embedding").as("dv"))
-      val b = cand.select(col("qid").as("bqid"), col("nid").as("s2"),
-        col("embedding").as("sv"))
-      val pairs = a.join(b, col("qid") === col("bqid") && col("d") =!= col("s2"))
-        .select(col("qid"), col("d"), col("s2"),
-          VectorFunctions.cosineSim(col("dv"), col("sv")).as("sim"))
-      val base = cand.select(col("qid"), col("nid"), col("rel"))
-      val w1 = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))
-      var selected = base.withColumn("rk", row_number().over(w1))
-        .filter(col("rk") === 1)
-        .select(col("qid"), lit(1).as("sel_rank"), col("nid"), col("rel"))
-      for (r <- 2 to 5) {
-        val selIds = selected.select(col("qid").as("sqid"), col("nid").as("snid"))
-        val msim = pairs
-          .join(selIds, col("qid") === col("sqid") && col("s2") === col("snid"))
-          .groupBy(col("qid"), col("d")).agg(max(col("sim")).as("msim"))
-          .withColumnRenamed("qid", "mqid")
-        val remaining = base.join(selIds,
-          col("qid") === col("sqid") && col("nid") === col("snid"), "left_anti")
-        val joined = remaining.join(msim,
-          col("qid") === col("mqid") && col("nid") === col("d"))
-          .select(col("qid"), col("nid"), col("rel"), col("msim"))
-        val wr = Window.partitionBy(col("qid"))
-          .orderBy((lit(0.5) * col("rel") - lit(0.5) * col("msim")).desc, col("nid"))
-        val next = joined.withColumn("rk", row_number().over(wr))
-          .filter(col("rk") === 1)
-          .select(col("qid"), lit(r).as("sel_rank"), col("nid"), col("rel"))
-        selected = selected.unionByName(next)
+      // The candidate pool is a bounded MODEL artifact (≤ 3 queries ×
+      // 8 rows × 64 floats — the centroid-collect contract), so the
+      // greedy runs on the driver over the collected pool. The first
+      // cut ran the 4 rounds as DataFrame jobs over the 24 rows and
+      // paid ~5-7 s of pure scheduling at sf0.1; the distributed work
+      // (corpus scan + heaps, declared as the eager plan) is identical.
+      // Driver cosine mirrors the native expression exactly:
+      // index-order accumulation, float→double widening — the same
+      // IEEE ops, so the trajectory matches the DuckDB oracle.
+      def cosine(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
       }
-      selected
-        .select(col("qid"), col("sel_rank"), col("nid"),
-          round(col("rel"), 4).as("rel"))
-        .orderBy(col("qid"), col("sel_rank"))
+      val pool = mmrCandidates(s, dir).collect().map { r =>
+        (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+          r.getSeq[Float](r.fieldIndex("embedding")).toArray,
+          r.getAs[Double]("rel"))
+      }
+      val out = pool.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+        val cands = cs.sortBy { case (_, nid, _, rel) => (-rel, nid) }.toVector
+        var selected = Vector(cands.minBy { case (_, nid, _, rel) => (-rel, nid) })
+        while (selected.size < 5 && selected.size < cands.size) {
+          val rem = cands.filterNot(c => selected.exists(_._2 == c._2))
+          val next = rem.minBy { case (_, nid, v, rel) =>
+            val msim = selected.map(sc => cosine(v, sc._3)).max
+            (-(0.5 * rel - 0.5 * msim), nid)
+          }
+          selected :+= next
+        }
+        selected.zipWithIndex.map { case ((q, nid, _, rel), i) =>
+          (q, i + 1, nid, BigDecimal(rel)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.sortBy(t => (t._1, t._2))
+      import s.implicits._
+      out.toDF("qid", "sel_rank", "nid", "rel")
     },
     oracle = Some(mmrOracleSql),
     eagerPlan = Some((s, dir) => mmrCandidates(s, dir)),
