@@ -1310,9 +1310,82 @@ object Multimodal {
     """),
   )
 
+  /** Image QUALITY gating — the visual-tier twin of `tx_quality`: a
+    * multimodal training pipeline drops blank/flat/low-contrast images
+    * before captioning or embedding them, and this is that filter.
+    * Per image (decoded from real BMP bytes): pixel count, exact luma
+    * Σ and Σ², horizontal gradient energy Σ|Δgrey|, and three integer
+    * verdicts — low_contrast (population variance < 400 grey², i.e.
+    * σ < 20, compared divisionless as Σ²·n − Σ² < 400·n²), flat (mean
+    * |gradient| < 8, compared as Σ|Δ| < 8·(w−1)·h), and the composed
+    * pass flag. Everything is exact integer arithmetic over decoded
+    * bytes, so the gate compares raw values; the oracle recomputes the
+    * sums closed-form from the synthesis parameters (the mm_image_dhash
+    * contract: the formula is only the corpus generator — the query
+    * itself decodes). Per-row compute in the codec seam, no shuffle
+    * beyond the presentation sort.
+    */
+  val imageQuality = Query(
+    "mm_image_quality",
+    (s, dir) => {
+      import s.implicits._
+      val params = Tables(s, dir).documents
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+      val rows = params.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 31 + 1).toInt
+          val h = (id % 17 + 1).toInt
+          val bytes = BmpCodec.encode(w, h,
+            (x, y) => ((id * 7 + (y.toLong * w + x) * 3) % 256).toInt)
+          val (dw, dh, grey) = BmpCodec.decodeGrey(bytes)
+          val n = dw.toLong * dh
+          var sum = 0L; var ss = 0L; var sharp = 0L
+          var i = 0
+          while (i < grey.length) {
+            val g = grey(i).toLong
+            sum += g; ss += g * g
+            if (i % dw < dw - 1) sharp += math.abs(grey(i + 1).toLong - g)
+            i += 1
+          }
+          val lowContrast = ss * n - sum * sum < 400L * n * n
+          val flat = sharp < 8L * (dw - 1) * dh
+          (id, n, sum, ss, sharp, lowContrast, flat, !(lowContrast || flat))
+        }
+      }.toDF("media_id", "n_px", "luma_sum", "luma_sumsq", "sharpness",
+        "low_contrast", "flat", "pass")
+      rows.orderBy(col("media_id"))
+    },
+    oracle = Some("""
+      WITH p AS (
+        SELECT doc_id, (doc_id % 31 + 1)::BIGINT AS w,
+               (doc_id % 17 + 1)::BIGINT AS h
+        FROM documents WHERE doc_id % 3 = 0
+      ), m AS (
+        SELECT doc_id, w, h, w * h AS n,
+          list_sum(list_transform(range(0, w * h),
+            i -> (doc_id * 7 + i * 3) % 256))::BIGINT AS s,
+          list_sum(list_transform(range(0, w * h),
+            i -> ((doc_id * 7 + i * 3) % 256)
+               * ((doc_id * 7 + i * 3) % 256)))::BIGINT AS ss,
+          coalesce(list_sum(list_transform(
+            list_filter(range(0, w * h), i -> i % w < w - 1),
+            i -> abs((doc_id * 7 + (i + 1) * 3) % 256
+                   - (doc_id * 7 + i * 3) % 256))), 0)::BIGINT AS sharp
+        FROM p)
+      SELECT doc_id AS media_id, n AS n_px, s AS luma_sum,
+             ss AS luma_sumsq, sharp AS sharpness,
+             (ss * n - s * s < 400 * n * n) AS low_contrast,
+             (sharp < 8 * (w - 1) * h) AS flat,
+             NOT ((ss * n - s * s < 400 * n * n)
+               OR (sharp < 8 * (w - 1) * h)) AS pass
+      FROM m ORDER BY media_id
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
       videoDecode, audioRms, imageDhash, imageDups, imageClusters,
       spectrogram, sceneCut, audioVad, audioDups, audioClusters,
-      videoDups, videoClusters, storyboard)
+      videoDups, videoClusters, storyboard, imageQuality)
 }
