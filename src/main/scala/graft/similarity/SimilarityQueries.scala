@@ -2084,9 +2084,62 @@ object SimilarityQueries {
     eagerPlan = Some((s, dir) => mmrCandidates(s, dir)),
   )
 
+  /** Embedding OUTLIER audit — the curation pass that flags
+    * out-of-distribution vectors before training on them (mislabeled
+    * scrapes, empty-content embeddings, encoder failures): every
+    * vector's cosine to its best k-means cell, flagged when it falls
+    * below 0.8× its cell's mean. Self-calibrating (no magic absolute
+    * threshold — the rule scales with however tight each cell is) and
+    * integer-exact: cosines floor to ppm integers and the flag compare
+    * clears the division (5·cos·n < 4·Σ over exact longs), the
+    * ss_index_stats discipline. Output is the bounded per-cell report:
+    * size, flagged count, flag rate, worst cosine. One corpus pass
+    * against the bounded trained model (the ss_kmeans contract), one
+    * k-row stats join back.
+    */
+  val outliers = Query(
+    "ss_outliers",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val model = trainKmeans8(e)
+      val p = e.select(col("vec_id"),
+        greatest(scoreStructs(model): _*).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cluster"),
+          floor(col("best.ccos") * 1000000).cast("long").as("cos_ppm"))
+      val st = p.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("cos_ppm")).as("s"))
+      p.join(st, "cluster")
+        .groupBy(col("cluster"), col("n"))
+        .agg(
+          sum(when(col("cos_ppm") * 5 * col("n") < col("s") * 4, 1L)
+            .otherwise(0L)).as("n_flagged"),
+          min(col("cos_ppm")).as("min_cos_ppm"))
+        .select(col("cluster"), col("n"), col("n_flagged"),
+          round(col("n_flagged") * 1.0 / col("n"), 4).as("flag_rate"),
+          col("min_cos_ppm"))
+        .orderBy(col("cluster"))
+    },
+    oracle = Some(s"""
+      WITH ${kmeansModelCtes},
+      a3 AS (${kmeansAssignSql("embeddings", "c2", 3)}),
+      p AS (SELECT cid, vec_id,
+              floor(ccos * 1000000)::BIGINT AS cos_ppm FROM a3),
+      st AS (SELECT cid, count(*) AS n, sum(cos_ppm) AS s
+             FROM p GROUP BY 1)
+      SELECT p.cid AS cluster, st.n,
+        sum(CASE WHEN 5 * p.cos_ppm * st.n < 4 * st.s
+            THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+        round(sum(CASE WHEN 5 * p.cos_ppm * st.n < 4 * st.s
+              THEN 1 ELSE 0 END) * 1.0 / st.n, 4) AS flag_rate,
+        min(p.cos_ppm) AS min_cos_ppm
+      FROM p JOIN st USING (cid)
+      GROUP BY 1, st.n ORDER BY 1
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfSqrtK, ivfProbe, pqTopk, ivfPqTopk,
       kmeans, cosineNearDup, semanticDedup, vectorStats, quantize, coverage,
       recall, maxsim, matryoshka, filteredTopk, hybridRrf, indexStats,
-      hardNegatives, mmr)
+      hardNegatives, mmr, outliers)
 }

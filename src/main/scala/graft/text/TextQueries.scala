@@ -2338,10 +2338,89 @@ object TextQueries {
     """),
   )
 
+  /** Cross-source contamination MATRIX — the corpus-forensics view
+    * behind dataset mixing decisions: for every source pair, how many
+    * distinct 8-grams they share and what fraction of the smaller
+    * source that overlap covers (containment). High containment means
+    * one source largely re-publishes another (mirrors, scrapes of
+    * scrapes) and mixing weights double-count it. Diagonal rows carry
+    * each source's distinct-gram count (containment 1), so the matrix
+    * is self-describing. Shape: the tx_novelty postings (hashed
+    * 8-grams) deduplicated to (source, gram), a hot-gram cap (≤ 20
+    * sources per gram — ubiquitous boilerplate would otherwise emit
+    * quadratic pairs per gram at domain scale), one gram-keyed
+    * self-join, a sources²-bounded rollup. Counts exact; one division
+    * per pair.
+    */
+  val sourceOverlap = Query(
+    "tx_source_overlap",
+    (s, dir) => {
+      val grams = graft.core.Par
+        .spreadBy(Tables(s, dir).documents.select(col("source"), col("text")),
+          col("source"))
+        .select(col("source"),
+          explode(graft.functions.HashFunctions.shingleHash32(col("text"), 8))
+            .as("h"))
+        .distinct()
+      val wG = Window.partitionBy(col("h"))
+      val capped = grams.withColumn("sdf", count(lit(1)).over(wG))
+        .filter(col("sdf") <= 20).drop("sdf")
+      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      val shared = capped.as("a")
+        .join(capped.as("b"), col("a.h") === col("b.h") &&
+          col("a.source") <= col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select(col("source").as("src_a"), col("n_grams").as("n_a")),
+          "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n_grams").as("n_b")),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          round(col("n_shared") * 1.0 / least(col("n_a"), col("n_b")), 4)
+            .as("containment"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT source,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        FROM documents
+      ), g AS (
+        SELECT DISTINCT source,
+          unnest(list_distinct(list_transform(
+            list_transform(range(1, greatest(len(t) - 6, 1)),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                || ' ' || t[i+7]),
+            x -> ('0x' || substr(md5(x), 1, 8))::BIGINT))) AS h
+        FROM t
+      ), capped AS (
+        SELECT source, h FROM (
+          SELECT source, h, count(*) OVER (PARTITION BY h) AS sdf FROM g)
+        WHERE sdf <= 20
+      ), sizes AS (
+        SELECT source, count(*) AS n_grams FROM g GROUP BY 1
+      ), shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        FROM capped a JOIN capped b
+          ON a.h = b.h AND a.source <= b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, n_shared, sa.n_grams AS n_a, sb.n_grams AS n_b,
+        round(n_shared * 1.0 / least(sa.n_grams, sb.n_grams), 4)
+          AS containment
+      FROM shared
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b
+      ORDER BY src_a, src_b
+    """),
+  )
+
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
     sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin,
-    novelty, datasetCard, sftFormat, pplBuckets, tokenizerEval)
+    novelty, datasetCard, sftFormat, pplBuckets, tokenizerEval, sourceOverlap)
 }
