@@ -1383,9 +1383,71 @@ object Multimodal {
     """),
   )
 
+  /** Audio QUALITY gating — the audio twin of [[imageQuality]]: a
+    * speech/audio pipeline drops clipped or DC-biased recordings
+    * before transcription or training (clipping destroys the signal a
+    * model learns from; DC offset marks a broken capture chain). Per
+    * track over real decoded PCM: sample count, near-full-scale count
+    * (|s| ≥ 32000), exact DC sum, and divisionless integer verdicts —
+    * clipped (> 2.5% near-full-scale, n_clip·40 > n) and dc_bias
+    * (|ΣS| > 75% of full-scale·n, |Σ|·4 > 3·32768·n) — plus the
+    * composed pass flag. Both verdicts split the corpus at every SF
+    * (probed: 25/500 clipped, 250/500 biased at sf0.001). Decode +
+    * reduction in one narrow pass, only scalar rows leave; the oracle
+    * recomputes the sums closed-form from the synthesis parameters.
+    */
+  val audioQuality = Query(
+    "mm_audio_quality",
+    (s, dir) => {
+      import s.implicits._
+      val params = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      val rows = params.mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val rate = 8000 + (id % 5).toInt * 2000
+          val n    = (nChars % 240 + 1).toInt
+          val synth = Array.tabulate(n)(i =>
+            (((id * 31 + i * 7) % 65536) - 32768).toShort)
+          val samples = WavCodec.decodeSamples(WavCodec.encode(rate, synth))
+          var clip = 0L; var dc = 0L
+          samples.foreach { v =>
+            if (math.abs(v.toInt) >= 32000) clip += 1
+            dc += v.toLong
+          }
+          val nL = samples.length.toLong
+          val clipped = clip * 40 > nL
+          val dcBias = math.abs(dc) * 4 > 3L * 32768 * nL
+          (id, rate, nL, clip, dc, clipped, dcBias, !(clipped || dcBias))
+        }
+      }.toDF("media_id", "sample_rate", "n_samples", "n_clipped", "dc_sum",
+        "clipped", "dc_bias", "pass")
+      rows.orderBy(col("media_id"))
+    },
+    oracle = Some("""
+      WITH p AS (
+        SELECT doc_id, (8000 + (doc_id % 5) * 2000)::INT AS rate,
+               (n_chars % 240 + 1)::BIGINT AS n
+        FROM documents
+      ), m AS (
+        SELECT doc_id, rate, n,
+          list_sum(list_transform(range(0, n),
+            i -> CASE WHEN abs((doc_id * 31 + i * 7) % 65536 - 32768)
+                      >= 32000 THEN 1 ELSE 0 END))::BIGINT AS clip,
+          list_sum(list_transform(range(0, n),
+            i -> (doc_id * 31 + i * 7) % 65536 - 32768))::BIGINT AS dc
+        FROM p)
+      SELECT doc_id AS media_id, rate AS sample_rate, n AS n_samples,
+             clip AS n_clipped, dc AS dc_sum,
+             (clip * 40 > n) AS clipped,
+             (abs(dc) * 4 > 3 * 32768 * n) AS dc_bias,
+             NOT ((clip * 40 > n) OR (abs(dc) * 4 > 3 * 32768 * n)) AS pass
+      FROM m ORDER BY media_id
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
       videoDecode, audioRms, imageDhash, imageDups, imageClusters,
       spectrogram, sceneCut, audioVad, audioDups, audioClusters,
-      videoDups, videoClusters, storyboard, imageQuality)
+      videoDups, videoClusters, storyboard, imageQuality, audioQuality)
 }
