@@ -1145,7 +1145,12 @@ object Relational {
                count(*) AS n
         FROM lineitem GROUP BY 1
       ), tot AS (SELECT sum(n)::DOUBLE AS total FROM g)
-      SELECT bucket, bucket * 11000.0 AS lo, (bucket + 1) * 11000.0 AS hi,
+      SELECT bucket,
+        -- ::DOUBLE: DuckDB types `BIGINT * 11000.0` as DECIMAL(25,1),
+        -- which pandas can't materialize faithfully (oracle_check's
+        -- pandas-safe scan); Spark's side is a double product
+        (bucket * 11000.0)::DOUBLE AS lo,
+        ((bucket + 1) * 11000.0)::DOUBLE AS hi,
         n::BIGINT AS n, round(n / total, 4) AS share
       FROM g, tot ORDER BY bucket
     """),
@@ -1504,9 +1509,9 @@ object Relational {
     oracle = Some("""
       SELECT l_returnflag,
              sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                 THEN 1 ELSE 0 END) AS high_line_count,
+                 THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
              sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                 THEN 0 ELSE 1 END) AS low_line_count
+                 THEN 0 ELSE 1 END)::BIGINT AS low_line_count
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -1671,19 +1676,23 @@ object Relational {
       val big = t.lineitem.groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
         .filter(col("sum_qty") > 300)
+      // Price goes through exact integer cents (the q7/q8/q10/q14
+      // pattern) — never gate a 2dp-rounded raw double cross-engine.
+      val priceCents = round(col("o_totalprice") * 100).cast("long")
       big.join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-          round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+          (priceCents / 100.0).as("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     },
     oracle = Some("""
       SELECT c_name, c_custkey, o_orderkey,
              strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-             round(o_totalprice, 2) AS o_totalprice, sum_qty
-      FROM (SELECT l_orderkey, sum(l_quantity::BIGINT) AS sum_qty
+             round(o_totalprice * 100)::BIGINT / 100.0 AS o_totalprice,
+             sum_qty
+      FROM (SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT AS sum_qty
             FROM lineitem GROUP BY 1 HAVING sum(l_quantity::BIGINT) > 300) big
       JOIN orders ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey

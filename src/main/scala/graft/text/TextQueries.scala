@@ -2233,11 +2233,14 @@ object TextQueries {
         .select(col("conv_id"), (col("seq") % 3).as("turn_in_conv"),
           explode(array(
             struct(lit(0).as("r"), lit("user").as("role"),
-              length(col("user_text")).as("n_chars")),
+              length(col("user_text")).cast("long").as("n_chars")),
             struct(lit(1).as("r"), lit("assistant").as("role"),
-              length(col("asst_text")).as("n_chars")))).as("t"))
+              length(col("asst_text")).cast("long").as("n_chars")))).as("t"))
         .select(col("conv_id"),
-          (col("turn_in_conv") * 2 + col("t.r")).as("turn_idx"),
+          // int64 on the wire on BOTH engines (DuckDB row_number/length
+          // are BIGINT) — don't rely on the schema check staying
+          // name-only.
+          (col("turn_in_conv") * 2 + col("t.r")).cast("long").as("turn_idx"),
           col("t.role").as("role"), col("t.n_chars").as("n_chars"))
       val wConv = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
       turns
@@ -2265,8 +2268,8 @@ object TextQueries {
                         || '<|end|>') AS n_chars
           FROM ranked) t)
       SELECT conv_id, turn_idx, role,
-             sum(n_chars) OVER w - n_chars AS seg_start,
-             sum(n_chars) OVER w AS seg_end,
+             (sum(n_chars) OVER w - n_chars)::BIGINT AS seg_start,
+             (sum(n_chars) OVER w)::BIGINT AS seg_end,
              role = 'assistant' AS loss_masked, n_chars
       FROM turns
       WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
@@ -2280,26 +2283,120 @@ object TextQueries {
     * middle, and drops the tail PER LANGUAGE so low-resource languages
     * aren't graded on the high-resource model's scale. Reuses
     * [[lmScored]] verbatim (one kernel, filter and bucketing cannot
-    * drift); the thirds come from ntile(3) over each language
-    * partition ordered by the 4-dp-ROUNDED score (both engines order
-    * identical values) with doc_id ties, and the output is the bounded
-    * per-(lang, bucket) summary: doc count, language share, score
-    * range. Shape: the LM kernel's shuffles + one lang-partitioned
-    * window + a (langs×3)-row rollup; share divides two exact
+    * drift); the thirds are NTILE(3) SEMANTICS over (avg_logp desc,
+    * doc_id) per language — the 4-dp-ROUNDED score orders identically
+    * on both engines and doc_id makes the order total — but computed
+    * by the q_percentiles distributed rank method, NOT a window:
+    * language is a low-cardinality, heavily skewed key, and a
+    * hash-by-lang window sort would put half a 100 TB corpus in one
+    * task. Output is the bounded per-(lang, bucket) summary: doc
+    * count, language share, score range; share divides two exact
     * integers.
     */
+  /** Range-sorted (lang, avg_logp desc, doc_id) frame feeding
+    * [[pplBuckets]]'s distributed rank method — the q_percentiles
+    * shape: range partitioning splits a skewed language across MANY
+    * partitions (the sort key carries score+doc_id), where a
+    * hash-by-lang window would drop half the corpus into one task.
+    */
+  private[graft] def pplScoredByLang(s: SparkSession, dir: String): DataFrame = {
+    val nPart = s.sessionState.conf.numShufflePartitions
+    lmScored(s, dir)
+      .join(Tables(s, dir).documents.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("avg_logp"), col("doc_id"))
+      .repartitionByRange(nPart, col("lang"), col("avg_logp").desc, col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("avg_logp").desc, col("doc_id"))
+  }
+
   val pplBuckets = Query(
     "tx_ppl_buckets",
     (s, dir) => {
-      val scored = lmScored(s, dir)
-      val withLang = scored.join(
-        Tables(s, dir).documents.select(col("doc_id"), col("lang")), "doc_id")
-      val wLang = Window.partitionBy(col("lang"))
-        .orderBy(col("avg_logp").desc, col("doc_id"))
-      val agg = withLang
-        .withColumn("b", ntile(3).over(wLang))
-        .withColumn("bucket", when(col("b") === 1, "head")
-          .when(col("b") === 2, "middle").otherwise("tail"))
+      // ntile(3) over (lang / avg_logp desc, doc_id) WITHOUT a
+      // corpus-sized single-partition sort: the q_percentiles rank
+      // method. (1) one range shuffle on the full sort key, (2) a
+      // bounded per-(partition, lang) count collect (≤ partitions ×
+      // langs rows), (3) the driver turns counts into the two ntile
+      // boundary RANKS per language (SQL ntile: first n%3 buckets get
+      // ⌈n/3⌉ rows), (4) a second pass fetches ONLY the sort-key tuple
+      // sitting at each boundary rank (≤ 2 × langs rows), (5) rows
+      // bucket by comparing (avg_logp, doc_id) against the broadcast
+      // cut tuples — doc_id makes the order total, so the comparison
+      // reproduces ntile exactly. localCheckpoint materializes the
+      // scored frame once across the two passes and the final plan.
+      val sorted = pplScoredByLang(s, dir).localCheckpoint(true)
+      val rows = sorted.rdd
+      val counts: Array[((Int, String), Long)] =
+        rows.mapPartitionsWithIndex { (pid, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r =>
+            val g = r.getString(0); m.update(g, m.getOrElse(g, 0L) + 1L)
+          }
+          m.iterator.map { case (g, c) => ((pid, g), c) }
+        }.collect()
+      val totals: Map[String, Long] =
+        counts.groupBy(_._1._2).map { case (g, a) => g -> a.map(_._2).sum }
+      // 0-based global rank of the FIRST middle / first tail row
+      val wanted: Map[String, Seq[Long]] = totals.map { case (g, n) =>
+        val b1 = n / 3 + (if (n % 3 >= 1) 1L else 0L)
+        val b2 = b1 + n / 3 + (if (n % 3 >= 2) 1L else 0L)
+        g -> Seq(b1, b2).filter(_ < n).distinct
+      }
+      val perPartTargets: Map[Int, Map[String, Map[Long, Long]]] = {
+        val acc = scala.collection.mutable.HashMap
+          .empty[(Int, String), scala.collection.mutable.HashMap[Long, Long]]
+        counts.groupBy(_._1._2).foreach { case (g, arr) =>
+          var offset = 0L
+          arr.sortBy(_._1._1).foreach { case ((pid, _), c) =>
+            wanted(g).foreach { rank =>
+              if (rank >= offset && rank < offset + c)
+                acc.getOrElseUpdate((pid, g),
+                  scala.collection.mutable.HashMap.empty)
+                  .update(rank - offset, rank)
+            }
+            offset += c
+          }
+        }
+        acc.toSeq.groupBy(_._1._1).map { case (pid, entries) =>
+          pid -> entries.map { case ((_, g), m) => g -> m.toMap }.toMap
+        }
+      }
+      val picked: Array[((String, Long), (Double, Long))] =
+        rows.mapPartitionsWithIndex { (pid, it) =>
+          perPartTargets.get(pid) match {
+            case None => Iterator.empty
+            case Some(byG) =>
+              val local = scala.collection.mutable.HashMap.empty[String, Long]
+              it.flatMap { r =>
+                val g = r.getString(0)
+                val i = local.getOrElse(g, 0L)
+                local.update(g, i + 1L)
+                byG.get(g).flatMap(_.get(i)).map(globalRank =>
+                  ((g, globalRank), (r.getDouble(1), r.getLong(2))))
+              }
+          }
+        }.collect()
+      val keyAt = picked.toMap
+      // Missing cut (bucket boundary ≥ n) → sentinel BELOW every real
+      // key in (logp desc, doc_id asc) order, so "before cut" is
+      // all-true and the later buckets stay empty — matches ntile with
+      // fewer rows than buckets.
+      def cut(g: String, rank: Long): (Double, Long) =
+        keyAt.getOrElse((g, rank), (Double.NegativeInfinity, Long.MaxValue))
+      import s.implicits._
+      val cuts = totals.keys.toSeq.sorted.map { g =>
+        val b1 = totals(g) / 3 + (if (totals(g) % 3 >= 1) 1L else 0L)
+        val b2 = b1 + totals(g) / 3 + (if (totals(g) % 3 >= 2) 1L else 0L)
+        val (c1lp, c1id) = cut(g, b1)
+        val (c2lp, c2id) = cut(g, b2)
+        (g, c1lp, c1id, c2lp, c2id)
+      }.toDF("lang", "c1_lp", "c1_id", "c2_lp", "c2_id")
+      def before(lp: String, id: String) =
+        col("avg_logp") > col(lp) ||
+          (col("avg_logp") === col(lp) && col("doc_id") < col(id))
+      val agg = sorted
+        .join(broadcast(cuts), "lang")
+        .withColumn("bucket", when(before("c1_lp", "c1_id"), "head")
+          .when(before("c2_lp", "c2_id"), "middle").otherwise("tail"))
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           round(min(col("avg_logp")), 4).as("min_logp"),
@@ -2313,6 +2410,7 @@ object TextQueries {
           col("min_logp"), col("max_logp"))
         .orderBy(col("lang"), col("bucket"))
     },
+    eagerPlan = Some(pplScoredByLang),
     oracle = Some(s"""
       WITH $lmScoredSql,
       wl AS (

@@ -26,6 +26,38 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_family(dt) -> str:
+    """Repr-class of a pandas dtype. The driver's hash is repr-sensitive
+    (int64 361 vs float64 361.0 mismatch), so two frames must agree on
+    the FAMILY even when every value is numerically equal. Width
+    differences inside a family (int32 vs int64) repr identically and
+    are allowed."""
+    import pandas.api.types as pt
+    if pt.is_bool_dtype(dt):
+        return "bool"
+    if pt.is_integer_dtype(dt):
+        return "int"
+    if pt.is_float_dtype(dt):
+        return "float"
+    if pt.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "object"
+
+
+# DuckDB output types that pandas cannot materialize faithfully:
+# HUGEINT (uncast sum() over integers) and DECIMAL both land as
+# float64/object and hash-diverge from Spark's int64 even when values
+# match — the q12/q18/tx_sft_format class from round 9. Always a bug in
+# the oracle SQL (missing ::BIGINT), never acceptable.
+def bad_oracle_types(rel) -> list:
+    out = []
+    for col_name, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        if ts == "HUGEINT" or ts.startswith("DECIMAL"):
+            out.append((col_name, ts))
+    return out
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -45,9 +77,16 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            want = canon(con.sql(sql).df())
+            rel = con.sql(sql)
+            hugeints = bad_oracle_types(rel)
+            want = canon(rel.df())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if hugeints:
+            print(f"FAIL {name}: oracle output columns not pandas-safe "
+                  f"(cast to ::BIGINT): {hugeints}")
             n_fail += 1
             continue
         try:
@@ -64,6 +103,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        fam_bad = [
+            (c, str(got[c].dtype), str(want[c].dtype))
+            for c in got.columns
+            if dtype_family(got[c].dtype) != dtype_family(want[c].dtype)
+        ]
+        if fam_bad:
+            print(f"FAIL {name}: dtype divergence (spark vs duckdb): "
+                  f"{fam_bad}")
             n_fail += 1
             continue
         bad = None
