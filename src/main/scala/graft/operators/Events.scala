@@ -535,7 +535,8 @@ object Events {
   /** DAU/WAU — the daily-active / weekly-active report every product
     * pipeline ships, built the way it scales: DAU is the exact per-day
     * distinct (one aggregation), and WAU is a ROLLING SKETCH UNION —
-    * `hll_union_agg` over a 7-day rows-frame window on the
+    * `hll_union_agg` over a CALENDAR-bounded 7-day range frame (on an
+    * integer day number) on the
     * days-bounded daily-sketch relation ([[hllRollup]]'s
     * materialization unit consumed as a rolling window), so the
     * 7-day distinct never rescans events. The exactness side of the
@@ -553,9 +554,14 @@ object Events {
         .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
           count_distinct(col("user_id")).as("dau"))
       // days-bounded relation (30 rows at every SF): the unpartitioned
-      // rolling frame is over days, not events
-      val w7 = Window.orderBy(col("d")).rowsBetween(-6, 0)
+      // rolling frame is over days, not events. RANGE over an integer
+      // day number, not ROWS over days-present rows: the exactness
+      // oracle is calendar-bounded (BETWEEN d-6 AND d), and a corpus
+      // with a missing event day would make a rows-frame union span
+      // more than 7 calendar days and flip wau_ok.
+      val w7 = Window.orderBy(col("dn")).rangeBetween(-6, 0)
       val est = daily
+        .withColumn("dn", datediff(col("d"), lit("1970-01-01").cast("date")))
         .withColumn("wau_sk", expr("hll_union_agg(sk, false)").over(w7))
         .select(col("d"), col("dau"),
           expr("hll_sketch_estimate(wau_sk)").as("wau_est"))

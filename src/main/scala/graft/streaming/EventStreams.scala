@@ -285,9 +285,10 @@ object EventStreams extends Serializable {
   /** A purchase awaiting its watermark-final as-of match. */
   case class PendingBuy(id: Long, us: Long)
 
-  /** As-of state per user: view event times (pruned to the watermark
-    * horizon plus the single latest below it — lossless for every
-    * admissible future purchase) and the pending purchases.
+  /** As-of state per user: view event times (pruned to
+    * min(watermark, earliest pending purchase) plus the single latest
+    * below that — lossless for every admissible future purchase AND
+    * every already-pending one) and the pending purchases.
     */
   case class AsofState(views: Seq[Long], pending: Seq[PendingBuy])
 
@@ -305,10 +306,15 @@ object EventStreams extends Serializable {
     *
     * State is bounded on both sides: pending purchases are
     * rate×horizon (each leaves state when the watermark passes it),
-    * and views prune to those inside the watermark horizon PLUS the
-    * single latest older one — lossless, because a future purchase
-    * has event time ≥ watermark, so its as-of match is either a
-    * horizon view or exactly that latest-below-watermark view.
+    * and views prune to those at or above min(watermark, earliest
+    * still-pending purchase) PLUS the single latest older one —
+    * lossless, because a future purchase has event time ≥ watermark
+    * and a pending one has event time ≥ that minimum, so every
+    * purchase's as-of match is either a kept view or exactly that
+    * single older one. (Pruning at the watermark alone is NOT
+    * lossless: ceilMs keeps a purchase up to 999 µs below it pending,
+    * and a later view in that same millisecond could evict its true
+    * match.)
     */
   def asofEnrich(events: Dataset[Event]): Dataset[Enriched] = {
     import events.sparkSession.implicits._
@@ -327,9 +333,18 @@ object EventStreams extends Serializable {
             p.us - v))
         }
       }
-      val wmUs  = wmMs * 1000L
-      val older = st.views.filter(_ < wmUs)
-      val kept  = st.views.filter(_ >= wmUs) ++
+      // Prune threshold = min(watermark, earliest STILL-PENDING
+      // purchase): a pending purchase can sit up to 999 µs BELOW wmUs
+      // (ceilMs keeps it pending), and pruning at wmUs alone could
+      // discard its true match when a later same-millisecond view is
+      // the max below-watermark view. Every pending p has p.us ≥ this
+      // threshold, so its match is either a kept ≥-threshold view or
+      // exactly the single latest older one — lossless again.
+      val wmUs    = wmMs * 1000L
+      val pruneUs =
+        if (rest.isEmpty) wmUs else Math.min(wmUs, rest.map(_.us).min)
+      val older = st.views.filter(_ < pruneUs)
+      val kept  = st.views.filter(_ >= pruneUs) ++
         (if (older.isEmpty) Nil else Seq(older.max))
       (out, AsofState(kept, rest))
     }

@@ -153,6 +153,61 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("asofEnrich pruning keeps the match of a purchase still pending " +
+      "sub-millisecond BELOW the watermark") {
+    // The 999 µs corner: ceilMs keeps a purchase pending even though
+    // its event time is (just) below the watermark. If a later view in
+    // that same millisecond is the max below-watermark view, pruning at
+    // the watermark alone would evict the purchase's TRUE earlier match
+    // — the prune threshold must be min(watermark, earliest pending).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tsUs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val baseUs = ts(20).getTime * 1000L // minute 20, whole ms
+    val input  = MemoryStream[Event]
+    val q = asofEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_subms_out")
+      .outputMode("append").start()
+    try {
+      // true match v1 @ minute 10; purchase 300 µs into minute 20's
+      // first millisecond; decoy view v2 at 600 µs — same millisecond,
+      // after the purchase
+      input.addData(
+        Event(1, ts(10), 3, "view", 1.0),
+        Event(2, tsUs(baseUs + 300), 3, "purchase", 1.0),
+        Event(3, tsUs(baseUs + 600), 3, "view", 1.0))
+      q.processAllAvailable()
+      // drive the watermark to EXACTLY minute-20 ms + 1 ms: the
+      // purchase's ceil-ms equals it, so it stays pending while both
+      // its own time and v2 sit below the watermark
+      input.addData(Event(4, tsUs(baseUs + 1000 + 600L * 1000 * 1000),
+        9, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("asof_subms_out").count() == 0,
+        "emitted before the watermark passed the purchase")
+      // invoke user 3's group at that watermark so pruning runs NOW
+      // (event 5 then advances the watermark further, so the timeout
+      // may fire — and emit — within this same processAllAvailable)
+      input.addData(Event(5, ts(120), 3, "view", 1.0))
+      q.processAllAvailable()
+      // push the watermark past the purchase; one more batch fires the
+      // timeout (the sessionize pattern)
+      input.addData(Event(6, ts(200), 9, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(7, ts(201), 9, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_subms_out").as[Enriched].collect()
+      assert(got.length == 1, s"got ${got.toSeq}")
+      assert(got.head.event_id == 2 && got.head.view_ts == ts(10),
+        s"pruning evicted the true as-of match: ${got.head}")
+      assert(got.head.gap_us == (baseUs + 300) - ts(10).getTime * 1000L)
+    } finally q.stop()
+  }
+
   test("funnel emits a conversion only when the watermark finalizes it, " +
       "exactly once, and never for buy-before-view users") {
     import spark.implicits._
