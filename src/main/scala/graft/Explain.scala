@@ -6,12 +6,15 @@ import org.apache.spark.sql.SparkSession
   * named) registry query so scan pushdown, broadcast choices, and
   * codegen spans can be reviewed per round.
   *
-  *   runMain graft.Explain [queryName] [sfDir]
+  *   runMain graft.Explain [queryName ...] [sfDir]
+  *
+  * Any number of query names may be given (one JVM, one session);
+  * an argument starting with '/' is the sf directory.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name  = args.headOption
-    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val (dirs, names) = args.partition(_.startsWith("/"))
+    val sfDir = dirs.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -20,10 +23,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val targets = name match {
-      case Some(n) => Seq(QueryRegistry.byName(n))
-      case None    => QueryRegistry.all.filter(_.headline)
-    }
+    val targets =
+      if (names.nonEmpty) names.toSeq.map(QueryRegistry.byName)
+      else QueryRegistry.all.filter(_.headline)
     targets.foreach { q =>
       // Eager queries (two-level prefix sum, rank method) execute their
       // real work inside `run` and return a driver-assembled tail whose

@@ -84,7 +84,7 @@ object DedupQueries {
 
   private[graft] val MinhashP = 4294967311L
 
-  private def dupCorpus(t: Tables): DataFrame =
+  private[graft] def dupCorpus(t: Tables): DataFrame =
     t.documents.select(col("doc_id"), col("text"))
       .unionAll(
         t.documents.filter(col("source") === "src0")
@@ -546,6 +546,75 @@ object DedupQueries {
       $ccWalkSql
       SELECT id AS doc_id, min(lbl) AS cluster
       FROM walk GROUP BY id ORDER BY doc_id
+    """),
+  )
+
+  /** Generic purge-plan emitter — the ACTION step that turns any
+    * modality's near-dup clusters into a smaller corpus: keep = the
+    * cluster REPRESENTATIVE (the label, i.e. min id per component),
+    * purge every other member, and route each decision to the shard
+    * that physically holds the document (`tx_shards`' salted-md5 key,
+    * one definition of the shard function across layout and deletion)
+    * so a deletion worker per shard can apply its list with no further
+    * shuffle. Takes any (doc_id, cluster) frame — the text, image,
+    * audio, and video cluster chains all produce one (PurgePlanSpec
+    * runs all four through this); the oracle-gated registry entry is
+    * the text modality. Per-row integer/hash work only: the plan adds
+    * ZERO shuffles beyond the cluster chain it consumes.
+    */
+  private[graft] def purgePlan(clusters: DataFrame): DataFrame = {
+    val shard = conv(
+      substring(md5(concat(lit("shard1:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long") % 16
+    clusters.select(
+      shard.as("shard"), col("doc_id"), col("cluster"),
+      when(col("doc_id") === col("cluster"), "keep")
+        .otherwise("purge").as("action"))
+  }
+
+  /** Per-shard dedup deletion lists over the text near-dup clusters —
+    * [[dupClusters]]' transitive closure turned into the action a
+    * pipeline executes: one keep per cluster (the representative),
+    * purge rows for the rest, routed by shard. Documents in no cluster
+    * are implicit keeps and carry no row (no decision to apply);
+    * PurgePlanSpec pins keep-one-per-cluster, purge+keep = cluster
+    * members, and corpus = members + untouched singletons, for ALL
+    * FOUR modality chains.
+    */
+  val purgePlanQ = Query(
+    "dd_purge_plan",
+    (s, dir) => {
+      val t  = Tables(s, dir)
+      val sh = spread(dupCorpus(t))
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val edges = withJaccard(bandPairs(sh), sh)
+        .filter(col("jac") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val clusters = connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      purgePlan(clusters).orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE corpus AS ($dupCorpusSql),
+      ${bandCandSql()},
+      edges AS (
+        SELECT id_a, id_b FROM cands
+          JOIN sh sa ON sa.doc_id = id_a
+          JOIN sh sb ON sb.doc_id = id_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+              >= 0.5
+      ),
+      $ccWalkSql,
+      cl AS (SELECT id AS doc_id, min(lbl) AS cluster
+             FROM walk GROUP BY id)
+      SELECT ('0x' || substr(md5('shard1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 16 AS shard,
+             doc_id, cluster,
+             CASE WHEN doc_id = cluster THEN 'keep' ELSE 'purge' END
+               AS action
+      FROM cl ORDER BY doc_id
     """),
   )
 
@@ -1476,5 +1545,6 @@ object DedupQueries {
   def all: Seq[Query] =
     Seq(exact, dupStats, minhashLsh, minhashCdc, simhash, ngramJaccard,
       cleanCorpus, dupPassages, dupClusters, clusterSplit, decontaminate,
-      bloomDecontaminate, incrementalDedup, lshTuning, minhashRecall)
+      bloomDecontaminate, incrementalDedup, lshTuning, minhashRecall,
+      purgePlanQ)
 }

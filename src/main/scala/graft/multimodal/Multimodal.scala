@@ -720,6 +720,123 @@ object Multimodal {
     """),
   )
 
+  /** Cross-modal PAIR CURATION — the LAION-style joint filter that
+    * turns per-modality verdicts into ONE decision per (media,
+    * caption) pair: an image-text pair survives only if the image
+    * passes quality gating, the image is its near-dup cluster's
+    * REPRESENTATIVE (keep one per cluster — non-reps are dropped here,
+    * closing the loop `dd_image_clusters` opens), and the caption
+    * passes the text keep rule. Every kernel is shared verbatim with
+    * its single-modality query: the BMP decode + quality reduction is
+    * [[imageQuality]]'s (generalized to the full [[imagePairs]]
+    * re-encode corpus via the (g, v) synthesis parameters), clusters
+    * are [[imagePairs]] → connected components (= `dd_image_clusters`),
+    * and the caption verdict is `TextQueries.qualityScored` — one
+    * definition each, so the manifest cannot drift from the filters it
+    * composes. Drop reasons are prioritized (image_quality >
+    * image_dup > text_quality) so each dropped pair names the FIRST
+    * gate it failed, and `keep = (drop_reason = 'ok')`.
+    *
+    * Scale shape: image verdicts compute in the codec decode seam
+    * (blobs never shuffle); the caption verdict is per-row expression
+    * work on the same documents scan, joined on doc_id (co-partitioned
+    * scans of the same key); the cluster frame is bounded by the
+    * banded near-dup pairs and broadcasts. No corpus-sized shuffle
+    * beyond the presentation sort.
+    */
+  val pairManifest = Query(
+    "mm_pair_manifest",
+    (s, dir) => {
+      import s.implicits._
+      val params = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val imgQ = params.mapPartitions { it =>
+        it.map { id =>
+          val g = id - (id % 3) // base image id (the imagePairs corpus)
+          val v = (id % 3).toInt // brightness shift of this re-encode
+          val w = (g % 31 + 1).toInt
+          val h = (g % 17 + 1).toInt
+          val bytes = BmpCodec.encode(w, h,
+            (x, y) => ((g * 7 + (y.toLong * w + x) * 3 + v) % 256).toInt)
+          val (dw, dh, grey) = BmpCodec.decodeGrey(bytes)
+          val n = dw.toLong * dh
+          var sum = 0L; var ss = 0L; var sharp = 0L
+          var i = 0
+          while (i < grey.length) {
+            val gg = grey(i).toLong
+            sum += gg; ss += gg * gg
+            if (i % dw < dw - 1) sharp += math.abs(grey(i + 1).toLong - gg)
+            i += 1
+          }
+          val lowContrast = ss * n - sum * sum < 400L * n * n
+          val flat = sharp < 8L * (dw - 1) * dh
+          (id, !(lowContrast || flat))
+        }
+      }.toDF("media_id", "img_pass")
+      val clusters = graft.dedup.DedupQueries
+        .connectedComponents(imagePairs(s, dir))
+        .select(col("id").as("media_id"), col("lbl").as("cluster"))
+      val captions = graft.text.TextQueries.qualityScored(s, dir)
+        .select(col("doc_id"), (col("verdict") === "keep").as("text_keep"))
+      imgQ
+        .join(broadcast(clusters), Seq("media_id"), "left")
+        .join(captions, col("media_id") === col("doc_id"))
+        .withColumn("is_rep",
+          col("cluster").isNull || col("cluster") === col("media_id"))
+        .withColumn("drop_reason",
+          when(!col("img_pass"), "image_quality")
+            .when(!col("is_rep"), "image_dup")
+            .when(!col("text_keep"), "text_quality")
+            .otherwise("ok"))
+        .select(col("media_id"), col("doc_id"),
+          col("img_pass"), col("is_rep").as("img_rep"), col("text_keep"),
+          (col("drop_reason") === "ok").as("keep"), col("drop_reason"))
+        .orderBy(col("media_id"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE $imagePairCtes,
+      edges AS (SELECT id_a, id_b FROM pairs),
+      ${graft.dedup.DedupQueries.ccWalkSql},
+      cl AS (SELECT id AS media_id, min(lbl) AS cluster
+             FROM walk GROUP BY id),
+      ${graft.text.TextQueries.qualityScoredSql},
+      iq AS (
+        SELECT media_id, w, h, w * h AS n,
+          list_sum(list_transform(range(0, w * h),
+            i -> (g * 7 + i * 3 + v) % 256))::BIGINT AS s,
+          list_sum(list_transform(range(0, w * h),
+            i -> ((g * 7 + i * 3 + v) % 256)
+               * ((g * 7 + i * 3 + v) % 256)))::BIGINT AS ss,
+          coalesce(list_sum(list_transform(
+            list_filter(range(0, w * h), i -> i % w < w - 1),
+            i -> abs((g * 7 + (i + 1) * 3 + v) % 256
+                   - (g * 7 + i * 3 + v) % 256))), 0)::BIGINT AS sharp
+        FROM p
+      ), verdicts AS (
+        SELECT media_id,
+          NOT ((ss * n - s * s < 400 * n * n)
+            OR (sharp < 8 * (w - 1) * h)) AS img_pass
+        FROM iq)
+      SELECT v.media_id, t.doc_id,
+        v.img_pass,
+        (cl.cluster IS NULL OR cl.cluster = v.media_id) AS img_rep,
+        t.verdict = 'keep' AS text_keep,
+        (CASE WHEN NOT v.img_pass THEN 'image_quality'
+              WHEN cl.cluster IS NOT NULL AND cl.cluster <> v.media_id
+                THEN 'image_dup'
+              WHEN t.verdict <> 'keep' THEN 'text_quality'
+              ELSE 'ok' END) = 'ok' AS keep,
+        CASE WHEN NOT v.img_pass THEN 'image_quality'
+             WHEN cl.cluster IS NOT NULL AND cl.cluster <> v.media_id
+               THEN 'image_dup'
+             WHEN t.verdict <> 'keep' THEN 'text_quality'
+             ELSE 'ok' END AS drop_reason
+      FROM verdicts v
+      LEFT JOIN cl USING (media_id)
+      JOIN txq t ON t.doc_id = v.media_id
+      ORDER BY v.media_id
+    """),
+  )
+
   /** Windowed SPECTRUM over real decoded PCM: each 64-sample window of
     * [[mm_audio_rms]]'s corpus reduces to six Walsh–Hadamard
     * coefficients c_k = Σ xᵢ·(−1)^popcount(k∧i) for k ∈ {1,2,4,8,16,
@@ -1449,5 +1566,6 @@ object Multimodal {
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
       videoDecode, audioRms, imageDhash, imageDups, imageClusters,
       spectrogram, sceneCut, audioVad, audioDups, audioClusters,
-      videoDups, videoClusters, storyboard, imageQuality, audioQuality)
+      videoDups, videoClusters, storyboard, imageQuality, audioQuality,
+      pairManifest)
 }

@@ -62,44 +62,59 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "and", "of", "or", "is", "in")
 
+  /** The tx_quality kernel as a reusable frame — (doc_id, n_tokens,
+    * stop_ratio, verdict) — shared with `mm_pair_manifest`'s caption
+    * gate so the keep rule cannot drift between the text filter and
+    * the cross-modal curation op (the lmScored/bm25Scored precedent).
+    */
+  private[graft] def qualityScored(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+      .select(col("doc_id"), col("n_chars"), toks(col("text")).as("t"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("t")).as("n_tokens"),
+        round(size(filter(col("t"),
+          x => x.isInCollection(stopwords))).cast("double") /
+          size(col("t")), 4).as("stop_ratio"),
+      )
+    d.select(
+      col("doc_id"), col("n_tokens"), col("stop_ratio"),
+      when(col("n_tokens").between(10, 2000) &&
+        col("stop_ratio").between(0.01, 0.6), lit("keep"))
+        .otherwise(lit("drop")).as("verdict"),
+    )
+  }
+
+  /** The DuckDB mirror of [[qualityScored]], ending in a `txq` CTE
+    * with (doc_id, n_tokens, stop_ratio, verdict).
+    */
+  private[graft] val qualityScoredSql: String = """txq_t AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        FROM documents
+      ), txq_m AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+          round(CAST(len(list_filter(toks,
+            x -> x IN ('the','a','and','of','or','is','in'))) AS DOUBLE)
+            / len(toks), 4) AS stop_ratio
+        FROM txq_t
+      ), txq AS (
+        SELECT doc_id, n_tokens, stop_ratio,
+          CASE WHEN n_tokens BETWEEN 10 AND 2000
+                AND stop_ratio BETWEEN 0.01 AND 0.6
+               THEN 'keep' ELSE 'drop' END AS verdict
+        FROM txq_m
+      )"""
+
   /** Heuristic quality score: token count band + stopword-ratio band
     * (classic pretraining-corpus filters, cf. C4/Gopher rules).
     */
   val quality = Query(
     "tx_quality",
-    (s, dir) => {
-      val d = Tables(s, dir).documents
-        .select(col("doc_id"), col("n_chars"), toks(col("text")).as("t"))
-        .select(
-          col("doc_id"), col("n_chars"),
-          size(col("t")).as("n_tokens"),
-          round(size(filter(col("t"),
-            x => x.isInCollection(stopwords))).cast("double") /
-            size(col("t")), 4).as("stop_ratio"),
-        )
-      d.select(
-        col("doc_id"), col("n_tokens"), col("stop_ratio"),
-        when(col("n_tokens").between(10, 2000) &&
-          col("stop_ratio").between(0.01, 0.6), lit("keep"))
-          .otherwise(lit("drop")).as("verdict"),
-      ).orderBy(col("doc_id"))
-    },
-    oracle = Some("""
-      WITH t AS (
-        SELECT doc_id,
-          list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
-        FROM documents
-      ), m AS (
-        SELECT doc_id, len(toks) AS n_tokens,
-          round(CAST(len(list_filter(toks,
-            x -> x IN ('the','a','and','of','or','is','in'))) AS DOUBLE)
-            / len(toks), 4) AS stop_ratio
-        FROM t)
-      SELECT doc_id, n_tokens, stop_ratio,
-        CASE WHEN n_tokens BETWEEN 10 AND 2000
-              AND stop_ratio BETWEEN 0.01 AND 0.6
-             THEN 'keep' ELSE 'drop' END AS verdict
-      FROM m ORDER BY doc_id
+    (s, dir) => qualityScored(s, dir).orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH $qualityScoredSql
+      SELECT doc_id, n_tokens, stop_ratio, verdict FROM txq ORDER BY doc_id
     """),
   )
 
