@@ -837,6 +837,83 @@ object Multimodal {
     """),
   )
 
+  /** A/V SYNC audit — the mux-consistency check a video-ingest
+    * pipeline runs before pairing tracks for training: for every
+    * media id, the audio track's decoded duration against the video
+    * track's, with the drift and an out-of-sync verdict (>5 %). A
+    * capture/transcode chain that dropped audio samples produces a
+    * pair that subtitle/alignment models must not train on. The
+    * corpus plants that failure: the audio track is synthesized to
+    * cover the video duration (samples = nf·rate/fps), except every
+    * 7th id ships a 10 %-truncated track — the classic
+    * "audio ends early" mux bug. BOTH durations come from REAL codec
+    * walks ([[WavCodec.decode]]'s sample count,
+    * [[Y4mCodec.decode]]'s frame walk + header fps — Y4M carries no
+    * frame-count field, so the count IS the walk), the tier's
+    * decode-for-real contract. Durations are integer microseconds
+    * (truncating division, both engines); the verdict is the
+    * divisionless |drift|·20 > video_us. Video params are
+    * [[synthRecord]]'s with a short-clip frame count (nf = n_chars mod
+    * 48 + 1) so the per-row audio synthesis stays small.
+    *
+    * Scale shape: one codec seam, two decodes per row, only five
+    * scalar columns leave; no shuffle beyond the presentation sort.
+    */
+  val avSync = Query(
+    "mm_av_sync",
+    (s, dir) => {
+      import s.implicits._
+      val params = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      val rows = params.mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w    = ((id % 8) + 1).toInt * 2
+          val h    = ((id % 4) + 1).toInt * 2
+          val fps  = 24 + (id % 4).toInt * 6
+          val nf   = (nChars % 48 + 1).toInt
+          val rate = 8000 + (id % 5).toInt * 2000
+          val ideal = (nf.toLong * rate / fps).toInt
+          val nSamp = if (id % 7 == 0) ideal * 9 / 10 else ideal
+          val vid = Y4mCodec.encode(w, h, fps, 1, nf,
+            (f, i) => ((id * 11 + f * 5L + i * 3L) % 256).toInt)
+          val aud = WavCodec.encode(rate, Array.tabulate(nSamp)(i =>
+            (((id * 31 + i * 7) % 65536) - 32768).toShort))
+          val vDec = Y4mCodec.decode(vid)
+          val aDec = WavCodec.decode(aud)
+          val videoUs = vDec.nFrames.toLong * 1000000L * vDec.fpsDen /
+            vDec.fpsNum
+          val audioUs = aDec.nSamples.toLong * 1000000L / aDec.sampleRate
+          val drift   = audioUs - videoUs
+          (id, audioUs, videoUs, drift, math.abs(drift) * 20 > videoUs)
+        }
+      }.toDF("media_id", "audio_us", "video_us", "drift_us", "out_of_sync")
+      rows.orderBy(col("media_id"))
+    },
+    oracle = Some("""
+      WITH p AS (
+        SELECT doc_id,
+          (24 + (doc_id % 4) * 6)::BIGINT AS fps,
+          (n_chars % 48 + 1)::BIGINT AS nf,
+          (8000 + (doc_id % 5) * 2000)::BIGINT AS rate
+        FROM documents
+      ), tracks AS (
+        SELECT doc_id, fps, nf, rate,
+          CASE WHEN doc_id % 7 = 0
+               THEN (nf * rate // fps) * 9 // 10
+               ELSE nf * rate // fps END AS n_samp
+        FROM p
+      ), d AS (
+        SELECT doc_id,
+          n_samp * 1000000 // rate AS audio_us,
+          nf * 1000000 // fps AS video_us
+        FROM tracks)
+      SELECT doc_id AS media_id, audio_us, video_us,
+             audio_us - video_us AS drift_us,
+             abs(audio_us - video_us) * 20 > video_us AS out_of_sync
+      FROM d ORDER BY media_id
+    """),
+  )
+
   /** Windowed SPECTRUM over real decoded PCM: each 64-sample window of
     * [[mm_audio_rms]]'s corpus reduces to six Walsh–Hadamard
     * coefficients c_k = Σ xᵢ·(−1)^popcount(k∧i) for k ∈ {1,2,4,8,16,
@@ -1567,5 +1644,5 @@ object Multimodal {
       videoDecode, audioRms, imageDhash, imageDups, imageClusters,
       spectrogram, sceneCut, audioVad, audioDups, audioClusters,
       videoDups, videoClusters, storyboard, imageQuality, audioQuality,
-      pairManifest)
+      pairManifest, avSync)
 }

@@ -808,6 +808,78 @@ object TextQueries {
     """),
   )
 
+  /** Context-length ladder evaluation — the measurement that DECIDES
+    * the packing policy [[pack]] executes: for every candidate context
+    * length (64/128/256/512), how much padding a document-isolated
+    * layout wastes (each doc padded to a multiple of L), how many
+    * documents exceed L (truncation/splitting exposure), and how many
+    * bins a perfect cross-document packing would need instead — the
+    * padding-vs-packing trade a pretraining run reads before choosing
+    * L and whether sequence packing is worth its attention-mask cost.
+    * Everything is exact integer arithmetic per doc (ceil-division via
+    * (n + L − 1) / L on both engines); the only doubles are the two
+    * final share divisions of exact integers.
+    *
+    * Scale shape: one scan computes the token count per doc, a
+    * 4-element literal explode multiplies rows map-side, and the
+    * partial agg collapses to 4 groups before the wire — the whole
+    * report is one exchange of 4 rows.
+    */
+  val packEval = Query(
+    "tx_pack_eval",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(size(toks(col("text"))).cast("long").as("n"))
+        .select(col("n"), explode(array(lit(64L), lit(128L), lit(256L),
+          lit(512L))).as("ctx_len"))
+      // `div`, not `/`: Spark's / on longs is a DOUBLE division — exact
+      // integer ceil-division must never route through floating point
+      val bins = expr("(n + ctx_len - 1) div ctx_len")
+      d.groupBy(col("ctx_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          sum(when(col("n") > col("ctx_len"), 1L).otherwise(0L))
+            .as("n_docs_over"),
+          sum(bins).cast("long").as("iso_bins"))
+        .select(col("ctx_len"), col("n_docs"), col("total_tokens"),
+          col("n_docs_over"), col("iso_bins"),
+          (col("iso_bins") * col("ctx_len") - col("total_tokens"))
+            .as("pad_tokens"),
+          round((col("iso_bins") * col("ctx_len") - col("total_tokens"))
+            .cast("double") / (col("iso_bins") * col("ctx_len")), 4)
+            .as("waste_share"),
+          expr("(total_tokens + ctx_len - 1) div ctx_len")
+            .cast("long").as("min_bins"))
+        .withColumn("packing_gain",
+          round((col("iso_bins") - col("min_bins")).cast("double") /
+            col("iso_bins"), 4))
+        .orderBy(col("ctx_len"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT len(list_filter(string_split(text, ' '),
+                 x -> length(x) > 0))::BIGINT AS n
+        FROM documents
+      ), x AS (
+        SELECT n, unnest([64, 128, 256, 512])::BIGINT AS ctx_len FROM d
+      ), g AS (
+        SELECT ctx_len, count(*)::BIGINT AS n_docs,
+          sum(n)::BIGINT AS total_tokens,
+          sum(CASE WHEN n > ctx_len THEN 1 ELSE 0 END)::BIGINT
+            AS n_docs_over,
+          sum((n + ctx_len - 1) // ctx_len)::BIGINT AS iso_bins
+        FROM x GROUP BY 1)
+      SELECT ctx_len, n_docs, total_tokens, n_docs_over, iso_bins,
+        (iso_bins * ctx_len - total_tokens)::BIGINT AS pad_tokens,
+        round((iso_bins * ctx_len - total_tokens)::DOUBLE
+          / (iso_bins * ctx_len), 4) AS waste_share,
+        ((total_tokens + ctx_len - 1) // ctx_len)::BIGINT AS min_bins,
+        round((iso_bins - (total_tokens + ctx_len - 1) // ctx_len)::DOUBLE
+          / iso_bins, 4) AS packing_gain
+      FROM g ORDER BY ctx_len
+    """),
+  )
+
   /** [[packBpe]]'s sorted input: the same range-partitioned
     * (source, doc_id, n_tokens) frame as [[packSorted]], but n_tokens
     * is the TRAINED-BPE token count — encode the distinct-word table
@@ -2534,6 +2606,6 @@ object TextQueries {
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
-    sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin,
+    sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin, packEval,
     novelty, datasetCard, sftFormat, pplBuckets, tokenizerEval, sourceOverlap)
 }

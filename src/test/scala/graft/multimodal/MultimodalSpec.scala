@@ -509,4 +509,26 @@ class MultimodalSpec extends SparkSuite {
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
     assert(got.nonEmpty)
   }
+
+  test("mm_av_sync: flags exactly the planted truncated tracks; in-sync " +
+      "drift is bounded by one audio sample period") {
+    val rows = graft.QueryRegistry.byName("mm_av_sync")
+      .run(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id    = r.getAs[Long]("media_id")
+      val drift = r.getAs[Long]("drift_us")
+      val sync  = r.getAs[Boolean]("out_of_sync")
+      assert(sync == (id % 7 == 0),
+        s"media $id: out_of_sync=$sync but planted=${id % 7 == 0}")
+      if (id % 7 != 0) {
+        // an untruncated track differs from the video duration only by
+        // the truncation of samples = nf*rate/fps: at most one sample
+        // period (1e6/rate ≤ 125 µs at the slowest rate)
+        assert(math.abs(drift) <= 125, s"media $id: in-sync drift $drift µs")
+      }
+    }
+    val flagged = rows.count(_.getAs[Boolean]("out_of_sync"))
+    assert(flagged > 0 && flagged < rows.length, "flag must split the corpus")
+  }
 }

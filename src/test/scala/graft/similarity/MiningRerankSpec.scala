@@ -89,7 +89,7 @@ class MiningRerankSpec extends SparkSuite {
     assert(rows.nonEmpty)
     val convs = rows.groupBy(_.getAs[String]("conv_id"))
     convs.foreach { case (cid, turns) =>
-      val ordered = turns.sortBy(_.getAs[Int]("turn_idx"))
+      val ordered = turns.sortBy(_.getAs[Long]("turn_idx"))
       assert(ordered.length <= 6 && ordered.length % 2 == 0, cid)
       // spans tile [0, total) with no gaps or overlaps
       assert(ordered.head.getAs[Long]("seg_start") == 0L)
@@ -100,10 +100,10 @@ class MiningRerankSpec extends SparkSuite {
       }
       ordered.foreach { r =>
         assert(r.getAs[Long]("seg_end") - r.getAs[Long]("seg_start") ==
-          r.getAs[Int]("n_chars").toLong)
+          r.getAs[Long]("n_chars"))
         val isAsst = r.getAs[String]("role") == "assistant"
         assert(r.getAs[Boolean]("loss_masked") == isAsst)
-        assert((r.getAs[Int]("turn_idx") % 2 == 1) == isAsst)
+        assert((r.getAs[Long]("turn_idx") % 2 == 1) == isAsst)
       }
     }
     // every doc contributes exactly two turns

@@ -325,4 +325,31 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got.exists(r =>
       r.getAs[Long]("n_shared") < r.getAs[Long]("n_grams")), "all shared")
   }
+
+  test("tx_pack_eval: matches a driver-side brute force; waste falls as " +
+      "context shrinks, truncation exposure rises with it") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val rows = graft.QueryRegistry.byName("tx_pack_eval").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("ctx_len") -> r).toMap
+    val ns = graft.Tables(spark, dir).documents
+      .select(size(graft.text.TextQueries.toks(col("text"))).cast("long"))
+      .collect().map(_.getLong(0))
+    Seq(64L, 128L, 256L, 512L).foreach { l =>
+      val r = rows(l)
+      val isoBins = ns.map(n => (n + l - 1) / l).sum
+      val total = ns.sum
+      assert(r.getAs[Long]("n_docs") == ns.length)
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("n_docs_over") == ns.count(_ > l))
+      assert(r.getAs[Long]("iso_bins") == isoBins)
+      assert(r.getAs[Long]("pad_tokens") == isoBins * l - total)
+      assert(r.getAs[Long]("min_bins") == (total + l - 1) / l)
+    }
+    // the trade the report exists to show: a shorter context wastes
+    // fewer pad tokens per bin but splits more documents
+    val over = Seq(64L, 128L, 256L, 512L).map(l => rows(l).getAs[Long]("n_docs_over"))
+    assert(over == over.sorted.reverse, s"docs_over not monotone: $over")
+    assert(over.head > over.last, "ladder is vacuous on this corpus")
+  }
 }
