@@ -1445,6 +1445,59 @@ object TextQueries {
     """),
   )
 
+  /** Stratified eval-set quota sampling — how a held-out evaluation
+    * set is actually constructed: a FIXED quota (5 docs) from every
+    * (lang × quality-verdict) stratum, selected by a salted-md5 hash
+    * order so the sample is "random" yet byte-replayable across runs,
+    * engines, and re-ingests (the tx_split discipline — no rand()).
+    * Sampling per stratum rather than per corpus is what keeps
+    * low-resource languages and drop-verdict docs represented in the
+    * eval set instead of drowned by the majority stratum. Third
+    * consumer of the shared [[qualityScored]] kernel (one keep-rule
+    * definition across filter, manifest, and sampler).
+    *
+    * Shape: the verdict is per-row expression work, the stratum
+    * selection rides the custom TopKPerGroup heap operator — one scan,
+    * bounded per-partition heaps, a K×strata-row shuffle; no
+    * corpus-wide window or sort anywhere. The presentation rank is a
+    * window over the ≤ K×strata kept rows (bounded by construction).
+    */
+  val evalSample = Query(
+    "tx_eval_sample",
+    (s, dir) => {
+      val hsh = conv(
+        substring(md5(concat(lit("eval1:"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long")
+      val strata = qualityScored(s, dir).select(col("doc_id"), col("verdict"))
+        .join(Tables(s, dir).documents.select(col("doc_id"), col("lang")),
+          "doc_id")
+        .withColumn("hsh", hsh)
+      val kept = graft.plans.TopK.perGroup(strata, Seq("lang", "verdict"),
+        Seq("hsh" -> true, "doc_id" -> true), 5)
+      val w = Window.partitionBy(col("lang"), col("verdict"))
+        .orderBy(col("hsh"), col("doc_id"))
+      kept.withColumn("rk", row_number().over(w))
+        .select(col("lang"), col("verdict"), col("rk"), col("doc_id"),
+          col("hsh"))
+        .orderBy(col("lang"), col("verdict"), col("rk"))
+    },
+    oracle = Some(s"""
+      WITH $qualityScoredSql,
+      h AS (
+        SELECT d.lang, q.verdict, q.doc_id,
+          ('0x' || substr(md5('eval1:' || q.doc_id::VARCHAR), 1, 8))::BIGINT
+            AS hsh
+        FROM txq q JOIN documents d USING (doc_id)
+      )
+      SELECT lang, verdict, rk, doc_id, hsh FROM (
+        SELECT lang, verdict, doc_id, hsh,
+          row_number() OVER (PARTITION BY lang, verdict
+                             ORDER BY hsh, doc_id) AS rk
+        FROM h)
+      WHERE rk <= 5 ORDER BY lang, verdict, rk
+    """),
+  )
+
   /** Okapi BM25 retrieval scoring (k1 = 1.2, b = 0.75) of every
     * document against a fixed query-term set — the ranking function a
     * retrieval-augmented pipeline runs over its corpus index, and the
@@ -2606,6 +2659,6 @@ object TextQueries {
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
-    sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin, packEval,
+    sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin, packEval, evalSample,
     novelty, datasetCard, sftFormat, pplBuckets, tokenizerEval, sourceOverlap)
 }

@@ -352,4 +352,40 @@ class PipelineOpsSpec extends SparkSuite {
     assert(over == over.sorted.reverse, s"docs_over not monotone: $over")
     assert(over.head > over.last, "ladder is vacuous on this corpus")
   }
+
+  test("tx_eval_sample: exact quota per stratum, hash-min selection, " +
+      "replayable") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val q = graft.QueryRegistry.byName("tx_eval_sample")
+    val got = q.run(spark, dir).collect()
+    assert(got.nonEmpty)
+    // brute-force the strata and the hash order driver-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"eval1:$id".getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString, 16)
+    val strata = graft.text.TextQueries.qualityScored(spark, dir)
+      .select(col("doc_id"), col("verdict"))
+      .join(graft.Tables(spark, dir).documents.select(col("doc_id"), col("lang")),
+        "doc_id")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("verdict"),
+        r.getAs[Long]("doc_id")))
+      .groupBy(t => (t._1, t._2))
+    val bySt = got.groupBy(r =>
+      (r.getAs[String]("lang"), r.getAs[String]("verdict")))
+    assert(bySt.keySet == strata.keySet, "strata coverage differs")
+    bySt.foreach { case (st, rows) =>
+      val want = strata(st).map(_._3).sortBy(id => (h(id), id))
+        .take(5).toVector
+      val gotIds = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("doc_id"))
+        .toVector
+      assert(gotIds == want, s"stratum $st: $gotIds != $want")
+      assert(rows.length == math.min(5, strata(st).length))
+    }
+    // byte-replayable: a second run returns the identical sample
+    val again = q.run(spark, dir).collect().map(_.toString).sorted.toSeq
+    assert(again == got.map(_.toString).sorted.toSeq)
+  }
 }
