@@ -1517,6 +1517,18 @@ object TextQueries {
     * `ss_hybrid_rrf`). Both consumers MUST score identically or their
     * oracles diverge, so there is exactly one copy of the formula.
     */
+  /** The one copy of the Okapi BM25 per-posting contribution
+    * (k1 = 1.2, b = 0.75, BM25+ idf) — consumed over columns named
+    * (tf, df, dl, n_docs, avgdl) by BOTH the in-query scorer
+    * [[bm25Scored]] and the persisted-index probe [[bm25Probe]]; one
+    * formula, so the probe cannot drift from the train+serve path.
+    */
+  private[graft] val bm25Contrib: Column =
+    log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+      (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) *
+        (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+
   private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val qTerms = Seq("join", "vector", "window", "stream")
     val d = Tables(s, dir).documents
@@ -1532,16 +1544,56 @@ object TextQueries {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term"))
       .agg(count_distinct(col("doc_id")).as("df"))
-    val contrib =
-      log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-        (col("tf") * 2.2) /
-        (col("tf") + lit(1.2) *
-          (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
-      .agg(round(sum(contrib), 4).as("bm25"))
+      .agg(round(sum(bm25Contrib), 4).as("bm25"))
   }
+
+  /** Number of term-hash buckets the persisted inverted index is
+    * partitioned into — the probe's partition-pruning unit.
+    */
+  private[graft] final val TextIndexBuckets = 16
+
+  /** Build (once) the PERSISTED inverted index — the retrieval-serving
+    * artifact `tx_bm25` recomputes per run and a production tier
+    * materializes once (the `ss_ivf_probe` discipline, applied to the
+    * sparse channel):
+    *  - `postings/`: one row per (term, doc) — term, doc_id, tf, and
+    *    the DENORMALIZED doc length (the classic postings payload, so
+    *    scoring needs no doc-length join) — written Hive-partitioned
+    *    by `bkt = pmod(hash(term), 16)`, so a probe for any term set
+    *    partition-prunes to its buckets at planning time.
+    *  - `stats/`: the 1-row (n_docs, avgdl) corpus statistics.
+    * Per-term document frequency is NOT stored: df(term) = the number
+    * of postings rows for the term, computable from the pruned
+    * postings at probe time for exactly the terms asked about.
+    * Idempotent via a `_built` marker; the build is one explode + one
+    * (doc, term) aggregation — the tx_tfidf-scale pass, paid once.
+    */
+  def buildTextIndex(s: SparkSession, dir: String): String = synchronized {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_text_index_$slug"
+    val conf   = s.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/_built")
+    val fs     = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return idx
+    val d = Tables(s, dir).documents
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    d.agg(count(lit(1)).as("n_docs"), avg(size(col("t"))).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    graft.core.Par.spreadBy(d, col("doc_id"))
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", pmod(hash(col("term")), lit(TextIndexBuckets)))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$idx/postings")
+    fs.create(marker, true).close()
+    idx
+  }
+
 
   /** DuckDB CTE chain ending in `scored(doc_id, bm25)` — the oracle
     * twin of [[bm25Scored]], shared by `tx_bm25` and `ss_hybrid_rrf`.
@@ -1586,6 +1638,49 @@ object TextQueries {
              doc_id, bm25
       FROM scored ORDER BY bm25 DESC, doc_id LIMIT 25
     """),
+  )
+
+  /** BM25 serving against the PERSISTED index — identical semantics to
+    * [[bm25]] (same oracle, the ss_ivf_probe discipline), but the
+    * query runs NO corpus pass: the query terms' buckets resolve first
+    * (bounded: ≤ |terms| hash evaluations) so the postings scan
+    * carries a STATIC partition filter and reads only those bucket
+    * directories; df comes from the pruned postings; the 1-row stats
+    * table broadcasts; scoring is the shared [[bm25Contrib]]
+    * expression and the same heap-limited tail. This is what a
+    * retrieval tier runs per query batch; `tx_bm25` is the index-less
+    * pipeline run end-to-end. (Defined AFTER [[bm25]]: the oracle
+    * reuses its string — object-init order matters for interpolated
+    * vals.)
+    */
+  val bm25Probe = Query(
+    "tx_bm25_probe",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("join", "vector", "window", "stream")
+      val idx = buildTextIndex(s, dir)
+      val bkts = qTerms.toDF("term")
+        .select(pmod(hash(col("term")), lit(TextIndexBuckets)).as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val posts = s.read.parquet(s"$idx/postings")
+        .filter(col("bkt").isin(bkts.map(Integer.valueOf): _*))
+        .filter(col("term").isin(qTerms: _*))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      val dfT = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = s.read.parquet(s"$idx/stats")
+      posts.join(broadcast(dfT), "term")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(bm25Contrib), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(25)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("rk"), col("doc_id"), col("bm25"))
+        .orderBy(col("rk"))
+    },
+    // the persisted index encodes the same corpus, statistics, and
+    // scoring formula, so the index-less oracle applies verbatim
+    oracle = bm25.oracle,
   )
 
   /** Bigram language-model scoring — the KenLM-style perplexity
@@ -2659,6 +2754,6 @@ object TextQueries {
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
-    sourceCap, bm25, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin, packEval, evalSample,
+    sourceCap, bm25, bm25Probe, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin, packEval, evalSample,
     novelty, datasetCard, sftFormat, pplBuckets, tokenizerEval, sourceOverlap)
 }

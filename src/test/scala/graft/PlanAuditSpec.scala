@@ -43,6 +43,9 @@ class PlanAuditSpec extends SparkSuite {
     "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery",
     "q_approx_distinct", "q_approx_quantiles", "tx_tfidf", "tx_vocab", "ss_recall",
     "ss_maxsim", "tx_bm25", "tx_lm_score", "q_skyline",
+    // tx_bm25_probe crosses the persisted index's 1-row stats table in
+    // as a broadcast — the same bm25Scored corpus-stats contract.
+    "tx_bm25_probe",
     // ss_matryoshka's nested loop is the declared-bounded 20-query
     // prefix side — the ss_cosine_topk contract; its rerank joins are
     // broadcast equi-joins on candidate ids.

@@ -90,4 +90,35 @@ class RetrievalScoringSpec extends SparkSuite {
     val scores = rows.map(_.getDouble(2))
     assert(scores.max > scores.min, "scores must discriminate")
   }
+
+  test("tx_bm25_probe: identical rows to tx_bm25, postings scan " +
+      "partition-pruned to the query terms' buckets, build idempotent") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val direct = run("tx_bm25").collect().map(_.toString).toSeq
+    val probed = graft.QueryRegistry.byName("tx_bm25_probe")
+      .run(spark, dir).collect().map(_.toString).toSeq
+    assert(probed == direct, "probe diverged from the index-less scorer")
+    // the serving property the index exists for: the postings scan
+    // carries a static partition filter on the term-hash buckets
+    val idx = graft.text.TextQueries.buildTextIndex(spark, dir)
+    val qTerms = Seq("join", "vector", "window", "stream")
+    import spark.implicits._
+    val bkts = qTerms.toDF("term")
+      .select(pmod(hash(col("term")),
+        lit(graft.text.TextQueries.TextIndexBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val pruned = spark.read.parquet(s"$idx/postings")
+      .filter(col("bkt").isin(bkts.toSeq.map(Integer.valueOf): _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    // (inputFiles can't verify this — it lists the relation WITHOUT
+    // pruning; the plan's PartitionFilters is the planning-time fact)
+    assert(plan.contains("PartitionFilters: [bkt"),
+      s"postings scan not partition-pruned:\n$plan")
+    val read = pruned.select(col("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(read.subsetOf(bkts), s"rows from unprobed buckets: $read")
+    // idempotent: a second build call must short-circuit on the marker
+    assert(graft.text.TextQueries.buildTextIndex(spark, dir) == idx)
+  }
 }
