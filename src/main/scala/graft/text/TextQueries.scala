@@ -1775,6 +1775,112 @@ object TextQueries {
     """),
   )
 
+  /** HELD-OUT perplexity — the leakage-free eval next to [[lmScore]]'s
+    * in-corpus filter: [[lmScored]] trains on the full corpus and
+    * scores the same docs (fine as a per-doc fluency FILTER, biased as
+    * an EVAL), whereas this trains a TRIGRAM model on `tx_split`'s
+    * TRAIN split only (one split definition — the same salted-md5
+    * bucket rule, so eval docs can never leak into the model) and
+    * scores the TEST split with add-one smoothing:
+    * P(w3|w1w2) = (c(w1w2w3)+1)/(c(w1w2·)+V), V = the train
+    * vocabulary. Trigrams, not bigrams, ON PURPOSE: the eval's whole
+    * point is scoring what training never saw, and this corpus's
+    * bigram space is fully covered by the 95 % train split (probed:
+    * 0 OOV bigrams at every SF) while trigrams leave genuine unseen
+    * mass everywhere (172/669 test trigrams at sf0.001, 5/6439 at
+    * sf0.1) — a LEFT join keeps those rows where an inner join would
+    * silently drop them, and `oov_trigrams` reports each doc's unseen
+    * mass.
+    *
+    * Shape: the lmScored dataflow at order 3 with the split predicate
+    * pushed into each leg — model/context/vocab aggregate over
+    * train-bucket rows, scoring explodes only test-bucket docs (2 % of
+    * the corpus), so the score-side join input is eval-sized.
+    */
+  val lmHoldout = Query(
+    "tx_lm_holdout",
+    (s, dir) => {
+      val b = conv(
+        substring(md5(concat(lit("split1:"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") % 100
+      val d = graft.core.Par
+        .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
+          col("doc_id"))
+        .select(col("doc_id"), toks(col("text")).as("t"), b.as("b"))
+      val docTrigrams = d.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), col("b"), (size(col("t")) - 2).as("n_trigrams"),
+          explode(expr(
+            "transform(sequence(0, size(t) - 3)," +
+              " i -> struct(concat(t[i], ' ', t[i + 1]) AS ctx," +
+              "             concat(t[i], ' ', t[i + 1], ' ', t[i + 2]) AS g))"))
+            .as("tg"))
+        .select(col("doc_id"), col("b"), col("n_trigrams"),
+          col("tg.ctx").as("ctx"), col("tg.g").as("g"))
+        .groupBy(col("doc_id"), col("b"), col("n_trigrams"), col("ctx"),
+          col("g"))
+        .agg(count(lit(1)).as("k"))
+      val model = docTrigrams.filter(col("b") >= 5)
+        .groupBy(col("ctx"), col("g")).agg(sum(col("k")).as("cb"))
+      val leftCtx = model.groupBy(col("ctx")).agg(sum(col("cb")).as("cl"))
+      val voc = d.filter(col("b") >= 5)
+        .select(explode(col("t")).as("term"))
+        .agg(count_distinct(col("term")).as("v"))
+      val test = docTrigrams.filter(col("b") < 2)
+      val logp = log((coalesce(col("cb"), lit(0L)) + 1.0) /
+        (coalesce(col("cl"), lit(0L)) + col("v")))
+      test
+        .join(model.select(col("g"), col("cb")), Seq("g"), "left")
+        .join(leftCtx, Seq("ctx"), "left")
+        .crossJoin(broadcast(voc))
+        .groupBy(col("doc_id"), col("n_trigrams"))
+        .agg(
+          sum(when(col("cb").isNull, col("k")).otherwise(0L))
+            .cast("long").as("oov_trigrams"),
+          sum(col("k") * logp).as("slp"))
+        .select(col("doc_id"), col("n_trigrams"), col("oov_trigrams"),
+          round(col("slp") / col("n_trigrams"), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS t,
+          ('0x' || substr(md5('split1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+            % 100 AS b
+        FROM documents
+      ), tg AS (
+        SELECT doc_id, b, n_trigrams, ctx, g, count(*) AS k
+        FROM (SELECT doc_id, b, len(t) - 2 AS n_trigrams,
+                unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i + 1])) AS ctx,
+                unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+              FROM d WHERE len(t) >= 3)
+        GROUP BY 1, 2, 3, 4, 5
+      ), model AS (
+        SELECT ctx, g, sum(k) AS cb FROM tg WHERE b >= 5 GROUP BY 1, 2
+      ), lft AS (SELECT ctx, sum(cb) AS cl FROM model GROUP BY 1),
+      voc AS (
+        SELECT count(DISTINCT term) AS v
+        FROM (SELECT unnest(t) AS term FROM d WHERE b >= 5)
+      ), scored AS (
+        SELECT t.doc_id, t.n_trigrams,
+          sum(CASE WHEN m.cb IS NULL THEN t.k ELSE 0 END)::BIGINT
+            AS oov_trigrams,
+          round(sum(t.k * ln((coalesce(m.cb, 0) + 1.0)
+                             / (coalesce(l.cl, 0) + v))) / t.n_trigrams, 4)
+            AS avg_logp
+        FROM (SELECT doc_id, n_trigrams, ctx, g, k FROM tg WHERE b < 2) t
+          LEFT JOIN (SELECT g, cb FROM model) m USING (g)
+          LEFT JOIN lft l USING (ctx)
+          CROSS JOIN voc
+        GROUP BY t.doc_id, t.n_trigrams
+      )
+      SELECT doc_id, n_trigrams, oov_trigrams, avg_logp
+      FROM scored ORDER BY doc_id
+    """),
+  )
+
   /** Shared DuckDB CTE chain retraining the same `bpeRounds` merges
     * UNROLLED (sᵣ₋₁ → pair counts pᵣ → 1-row argmax mᵣ → merged sᵣ);
     * ends at `s$bpeRounds`, the fully-merged vocabulary state the
@@ -2754,6 +2860,6 @@ object TextQueries {
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
-    sourceCap, bm25, bm25Probe, lmScore, bpeTrain, bpeEncode, bpeVocab, countMin, packEval, evalSample,
+    sourceCap, bm25, bm25Probe, lmScore, lmHoldout, bpeTrain, bpeEncode, bpeVocab, countMin, packEval, evalSample,
     novelty, datasetCard, sftFormat, pplBuckets, tokenizerEval, sourceOverlap)
 }

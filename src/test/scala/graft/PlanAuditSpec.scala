@@ -46,6 +46,9 @@ class PlanAuditSpec extends SparkSuite {
     // tx_bm25_probe crosses the persisted index's 1-row stats table in
     // as a broadcast — the same bm25Scored corpus-stats contract.
     "tx_bm25_probe",
+    // tx_lm_holdout crosses the 1-row train-vocabulary size in as a
+    // broadcast — the tx_lm_score contract at order 3.
+    "tx_lm_holdout",
     // ss_matryoshka's nested loop is the declared-bounded 20-query
     // prefix side — the ss_cosine_topk contract; its rerank joins are
     // broadcast equi-joins on candidate ids.

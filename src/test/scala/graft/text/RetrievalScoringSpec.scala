@@ -121,4 +121,48 @@ class RetrievalScoringSpec extends SparkSuite {
     // idempotent: a second build call must short-circuit on the marker
     assert(graft.text.TextQueries.buildTextIndex(spark, dir) == idx)
   }
+
+  test("tx_lm_holdout: matches a first-principles trigram holdout; " +
+      "unseen mass is real and never trains the model") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"split1:$id".getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString, 16) % 100
+    def trigrams(t: Seq[String]) =
+      t.sliding(3).filter(_.size == 3).map(w =>
+        (s"${w(0)} ${w(1)}", s"${w(0)} ${w(1)} ${w(2)}")).toSeq
+    val train = docs.filter { case (id, _) => bucket(id) >= 5 }
+    val cb = train.values.flatMap(trigrams).groupBy(_._2)
+      .map { case (g, xs) => g -> xs.size.toLong }
+    val cl = train.values.flatMap(trigrams).groupBy(_._1)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    val v = train.values.flatten.toSet.size.toLong
+    val got = graft.QueryRegistry.byName("tx_lm_holdout").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val testDocs = docs.filter { case (id, t) => bucket(id) < 2 && t.size >= 3 }
+    assert(got.keySet == testDocs.keySet,
+      "scored set != test-split docs with >= 3 tokens")
+    testDocs.foreach { case (id, t) =>
+      val tgs = trigrams(t)
+      val slp = tgs.map { case (c, g) =>
+        math.log((cb.getOrElse(g, 0L) + 1.0) / (cl.getOrElse(c, 0L) + v))
+      }.sum
+      val r = got(id)
+      assert(r.getInt(1) == t.size - 2, s"doc $id n_trigrams")
+      assert(r.getLong(2) == tgs.count(x => !cb.contains(x._2)),
+        s"doc $id oov_trigrams")
+      val want = BigDecimal(slp / (t.size - 2))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - want) < 5e-4,
+        s"doc $id avg_logp ${r.getDouble(3)} != $want")
+    }
+    // the eval's reason to exist: genuinely unseen mass on this corpus
+    assert(got.values.exists(_.getLong(2) > 0), "no OOV trigrams — vacuous")
+  }
 }
