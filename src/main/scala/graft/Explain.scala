@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val (dirs, names) = args.partition(_.startsWith("/"))
+    // an arg is the sf directory if it LOOKS like a path (absolute, or
+    // an existing relative directory) — query names never contain '/'
+    val (dirs, names) = args.partition(a =>
+      a.contains("/") || new java.io.File(a).isDirectory)
     val sfDir = dirs.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -518,20 +518,27 @@ object DedupQueries {
     * rounds (the standard iterative-graph pattern). Oracle: DuckDB
     * recursive CTE computing min reachable id.
     */
+  /** The ONE text near-dup cluster frame — shingle → banded candidates
+    * → Jaccard ≥ 0.5 → connected components, labeled with the min-id
+    * representative — shared by [[dupClusters]] (the report) and
+    * [[purgePlanQ]] (the action), so the purge list can never be cut
+    * against a different clustering than the one reported.
+    */
+  private[graft] def textClusters(s: SparkSession, dir: String): DataFrame = {
+    val t  = Tables(s, dir)
+    val sh = spread(dupCorpus(t))
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val edges = withJaccard(bandPairs(sh), sh)
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   val dupClusters = Query(
     "dd_dup_clusters",
-    (s, dir) => {
-      val t  = Tables(s, dir)
-      val sh = spread(dupCorpus(t))
-        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val edges = withJaccard(bandPairs(sh), sh)
-        .filter(col("jac") >= 0.5)
-        .select(col("id_a"), col("id_b"))
-      connectedComponents(edges)
-        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => textClusters(s, dir).orderBy(col("doc_id")),
     oracle = Some(s"""
       WITH RECURSIVE corpus AS ($dupCorpusSql),
       ${bandCandSql()},
@@ -583,18 +590,7 @@ object DedupQueries {
     */
   val purgePlanQ = Query(
     "dd_purge_plan",
-    (s, dir) => {
-      val t  = Tables(s, dir)
-      val sh = spread(dupCorpus(t))
-        .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val edges = withJaccard(bandPairs(sh), sh)
-        .filter(col("jac") >= 0.5)
-        .select(col("id_a"), col("id_b"))
-      val clusters = connectedComponents(edges)
-        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
-      purgePlan(clusters).orderBy(col("doc_id"))
-    },
+    (s, dir) => purgePlan(textClusters(s, dir)).orderBy(col("doc_id")),
     oracle = Some(s"""
       WITH RECURSIVE corpus AS ($dupCorpusSql),
       ${bandCandSql()},

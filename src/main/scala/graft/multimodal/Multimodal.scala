@@ -705,12 +705,18 @@ object Multimodal {
     * appear in at least one near-dup pair are emitted (singletons
     * need no decision).
     */
+  /** The ONE image near-dup cluster frame (media_id, cluster) — shared
+    * by [[imageClusters]] (the report) and [[pairManifest]]'s
+    * image_dup gate, so the manifest's representative rule can never
+    * drift from the clustering it claims to apply.
+    */
+  private[multimodal] def imageClusterFrame(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DedupQueries.connectedComponents(imagePairs(s, dir))
+      .select(col("id").as("media_id"), col("lbl").as("cluster"))
+
   val imageClusters = Query(
     "dd_image_clusters",
-    (s, dir) =>
-      graft.dedup.DedupQueries.connectedComponents(imagePairs(s, dir))
-        .select(col("id").as("media_id"), col("lbl").as("cluster"))
-        .orderBy(col("media_id")),
+    (s, dir) => imageClusterFrame(s, dir).orderBy(col("media_id")),
     oracle = Some(s"""
       WITH RECURSIVE $imagePairCtes,
       edges AS (SELECT id_a, id_b FROM pairs),
@@ -772,9 +778,7 @@ object Multimodal {
           (id, !(lowContrast || flat))
         }
       }.toDF("media_id", "img_pass")
-      val clusters = graft.dedup.DedupQueries
-        .connectedComponents(imagePairs(s, dir))
-        .select(col("id").as("media_id"), col("lbl").as("cluster"))
+      val clusters = imageClusterFrame(s, dir)
       val captions = graft.text.TextQueries.qualityScored(s, dir)
         .select(col("doc_id"), (col("verdict") === "keep").as("text_keep"))
       imgQ

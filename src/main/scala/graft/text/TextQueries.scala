@@ -1573,8 +1573,18 @@ object TextQueries {
     */
   def buildTextIndex(s: SparkSession, dir: String): String = synchronized {
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_text_index_$slug"
-    val conf   = s.sparkContext.hadoopConfiguration
+    val conf = s.sparkContext.hadoopConfiguration
+    // the index directory is keyed by the SOURCE DATA's identity — the
+    // documents file's (length, mtime) plus the unsanitized path's hash
+    // — so a regenerated corpus at the same path can never be served a
+    // stale index (a bare `_built` marker would survive the regen and
+    // silently diverge the probe from tx_bm25 and its oracle), and two
+    // long paths with the same sanitized 40-char tail cannot collide
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val st  = src.getFileSystem(conf).getFileStatus(src)
+    val fp  = s"${dir.hashCode & 0x7fffffff}_${st.getLen}_${st.getModificationTime}"
+    val idx = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_text_index_${slug}_$fp"
     val marker = new org.apache.hadoop.fs.Path(s"$idx/_built")
     val fs     = marker.getFileSystem(conf)
     if (fs.exists(marker)) return idx

@@ -58,19 +58,23 @@ class PurgePlanSpec extends SparkSuite {
   test("text modality: invariants plus the corpus identity") {
     val clusters = clustersOf("dd_dup_clusters", "doc_id")
     checkInvariants("text", clusters)
-    // corpus = cluster members + untouched singletons: applying the
-    // purge list leaves (corpus - purges) docs, of which the keeps are
-    // exactly the representatives and every other survivor was never
-    // in a cluster
-    val corpus = DedupQueries.dupCorpus(graft.Tables(spark, dir)).count()
+    // corpus identity: every purge-plan row targets a real corpus
+    // document (a broken cluster chain emitting phantom ids would slip
+    // past the count algebra), and keeps + purges = cluster members
+    val corpusDf = DedupQueries.dupCorpus(graft.Tables(spark, dir))
+      .select(col("doc_id"))
     val plan = DedupQueries.purgePlan(clusters)
+    val phantom = plan.join(corpusDf, Seq("doc_id"), "left_anti").count()
+    assert(phantom == 0, s"$phantom purge-plan rows target non-corpus ids")
     val purges = plan.filter(col("action") === "purge").count()
     val keeps = plan.filter(col("action") === "keep").count()
-    val members = clusters.count()
-    assert(keeps + purges == members)
-    val singletons = corpus - members
-    assert(corpus - purges == keeps + singletons,
-      "purge list does not reduce the corpus to representatives + singletons")
+    assert(keeps + purges == clusters.count())
+    // applying the plan keeps ≥ 1 member (the representative) of every
+    // cluster: no cluster may be purged to extinction
+    val extinct = plan.groupBy(col("cluster"))
+      .agg(sum(when(col("action") === "keep", 1).otherwise(0)).as("kept"))
+      .filter(col("kept") === 0).count()
+    assert(extinct == 0, "a cluster lost all members to the purge list")
   }
 
   test("image, audio, and video cluster chains satisfy the same invariants") {
