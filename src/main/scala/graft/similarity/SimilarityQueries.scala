@@ -498,14 +498,19 @@ object SimilarityQueries {
     * every SF gets its own index (deterministic rebuild — same data,
     * same 3dp-quantized model, same index bytes' values).
     */
-  private def ivfIndexDir(sfDir: String, k: Int = GateK): String = {
+  private def ivfIndexDir(sfDir: String, k: Int = GateK,
+      fp: String = ""): String = {
     // sanitized path + hash: humanly readable AND collision-free across
     // data directories that sanitize to the same token; a non-gate cell
-    // count gets its own suffix so differently-shaped indexes coexist
+    // count gets its own suffix so differently-shaped indexes coexist;
+    // `fp` carries the SOURCE DATA's identity (embeddings file
+    // length+mtime) so a regenerated corpus at the same path can never
+    // be served a stale index (the buildTextIndex discipline)
     val slug = sfDir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
     val kSuffix = if (k == GateK) "" else s"_k$k"
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${slug}_" +
-      java.lang.Integer.toHexString(sfDir.hashCode) + kSuffix
+      java.lang.Integer.toHexString(sfDir.hashCode) + kSuffix +
+      (if (fp.isEmpty) "" else s"_$fp")
   }
 
   /** Build-and-persist the IVF index — the OFFLINE half of a real ANN
@@ -517,8 +522,11 @@ object SimilarityQueries {
     *    nprobe=2 cells then partition-prunes to 2/16ths of the index at
     *    planning time (asserted in SimilaritySpec), the disk analog of
     *    the inverted file.
-    * Idempotent: a `_built` marker short-circuits rebuilds; the build
-    * itself is the [[trainIvfCentroids]] pass + one assignment scan.
+    * Idempotent: a `_built` marker short-circuits rebuilds, and the
+    * directory is keyed by the embeddings file's (length, mtime) so a
+    * regenerated corpus gets a fresh index rather than the stale one;
+    * the build itself is the [[trainIvfCentroids]] pass + one
+    * assignment scan.
     */
   def buildIvfIndex(s: SparkSession, dir: String,
       k: Int = GateK): String = synchronized {
@@ -527,8 +535,10 @@ object SimilarityQueries {
     // index directory is keyed by the RESOLVED cell count so
     // differently-shaped indexes never collide
     val kk     = if (k > 0) k else sqrtCellCount(e.count())
-    val idx    = ivfIndexDir(dir, kk)
     val conf   = s.sparkContext.hadoopConfiguration
+    val src    = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val st     = src.getFileSystem(conf).getFileStatus(src)
+    val idx    = ivfIndexDir(dir, kk, s"${st.getLen}_${st.getModificationTime}")
     val marker = new org.apache.hadoop.fs.Path(s"$idx/_built")
     val fs     = marker.getFileSystem(conf)
     if (fs.exists(marker)) return idx
