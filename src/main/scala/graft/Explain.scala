@@ -13,10 +13,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    // an arg is the sf directory if it LOOKS like a path (absolute, or
-    // an existing relative directory) — query names never contain '/'
-    val (dirs, names) = args.partition(a =>
-      a.contains("/") || new java.io.File(a).isDirectory)
+    // the documented rule, applied literally: the sf directory is the
+    // argument starting with '/' (query names never do); anything else
+    // is a query name. At most ONE directory may be supplied — extra
+    // dir-like args are a usage error, never silently dropped.
+    val (dirs, names) = args.partition(_.startsWith("/"))
+    require(dirs.length <= 1,
+      s"at most one sf directory argument allowed, got: ${dirs.mkString(", ")}")
     val sfDir = dirs.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[4]")

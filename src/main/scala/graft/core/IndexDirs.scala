@@ -1,0 +1,71 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Publish discipline for persisted tmpdir indexes keyed by
+  * source-data identity (the `buildTextIndex` / `buildIvfIndex`
+  * family).
+  *
+  * The naive build-in-place these replaced had two hazards (round-10
+  * advice):
+  *  - `synchronized` is JVM-local, so two concurrent JVMs could
+  *    interleave the overwrite writes and the `_built` marker on the
+  *    SAME directory, and a crash mid-build left a half-written index
+  *    observable at the final path;
+  *  - fingerprint-keyed directories stranded every PREVIOUS corpus
+  *    generation's full index in java.io.tmpdir forever.
+  *
+  * [[publish]] fixes both: the build writes into a `.build_<nonce>`
+  * sibling, the `_built` marker lands INSIDE the temp, and the whole
+  * directory renames into place in one atomic move (rename(2) on the
+  * local FS, atomic directory rename on HDFS) — a half-written index
+  * is never observable at the published path, and a builder that
+  * loses a cross-JVM race deletes its own temp and serves the
+  * winner's (same fingerprint = same source bytes = equivalent
+  * index). After a successful publish, sibling PUBLISHED directories
+  * with the same `prefix` but a different fingerprint — previous
+  * corpus generations — are deleted; in-flight `.build_` temps of
+  * other processes are left alone.
+  */
+object IndexDirs {
+
+  /** Return `idx`, building it first via `build(tmpDir)` if no
+    * published index exists there. `prefix` is the directory-name
+    * prefix shared by all generations of THIS index (everything
+    * before the source-data fingerprint) — used to garbage-collect
+    * stale generations, so it must be specific enough to never match
+    * a differently-keyed index family.
+    */
+  def publish(conf: Configuration, idx: String, prefix: String)(
+      build: String => Unit): String = {
+    val target = new Path(idx)
+    val fs     = target.getFileSystem(conf)
+    if (fs.exists(new Path(target, "_built"))) return idx
+    val tmp = new Path(
+      idx + ".build_" + java.lang.Long.toHexString(System.nanoTime()))
+    build(tmp.toString)
+    fs.create(new Path(tmp, "_built"), true).close()
+    if (!fs.rename(tmp, target)) {
+      // lost the publish race to another process; drop our copy and
+      // serve the winner's — but never return an unpublished path
+      fs.delete(tmp, true)
+      require(fs.exists(new Path(target, "_built")),
+        s"index publish failed and no concurrent publish exists: $idx")
+    }
+    gcStaleGenerations(fs, target, prefix)
+    idx
+  }
+
+  private def gcStaleGenerations(fs: FileSystem, target: Path,
+      prefix: String): Unit = {
+    val parent = target.getParent
+    if (parent == null || !fs.exists(parent)) return
+    fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(prefix) && n != target.getName &&
+          !n.contains(".build_"))
+        fs.delete(st.getPath, true)
+    }
+  }
+}

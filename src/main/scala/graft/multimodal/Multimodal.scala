@@ -746,9 +746,13 @@ object Multimodal {
     * Scale shape: image verdicts compute in the codec decode seam
     * (blobs never shuffle); the caption verdict is per-row expression
     * work on the same documents scan, joined on doc_id (co-partitioned
-    * scans of the same key); the cluster frame is bounded by the
-    * banded near-dup pairs and broadcasts. No corpus-sized shuffle
-    * beyond the presentation sort.
+    * scans of the same key); the cluster frame is CORPUS-derived (one
+    * row per image in any near-dup pair — at web scale a large
+    * corpus fraction), so it is joined PLAIN and AQE decides the
+    * strategy at runtime: broadcast when it measures small, shuffled
+    * hash join when it doesn't — the same discipline as the text
+    * side's `dd_cluster_split`. No corpus-sized shuffle beyond the
+    * presentation sort at test SFs.
     */
   val pairManifest = Query(
     "mm_pair_manifest",
@@ -782,7 +786,7 @@ object Multimodal {
       val captions = graft.text.TextQueries.qualityScored(s, dir)
         .select(col("doc_id"), (col("verdict") === "keep").as("text_keep"))
       imgQ
-        .join(broadcast(clusters), Seq("media_id"), "left")
+        .join(clusters, Seq("media_id"), "left")
         .join(captions, col("media_id") === col("doc_id"))
         .withColumn("is_rep",
           col("cluster").isNull || col("cluster") === col("media_id"))

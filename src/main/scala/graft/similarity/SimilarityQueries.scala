@@ -508,9 +508,12 @@ object SimilarityQueries {
     // be served a stale index (the buildTextIndex discipline)
     val slug = sfDir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
     val kSuffix = if (k == GateK) "" else s"_k$k"
+    // the fingerprint rides behind an explicit `_fp` separator so the
+    // GC prefix for one cell-count's family (`..._fp`) can never be a
+    // prefix of a DIFFERENT cell-count's directories (`..._k23_fp...`)
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${slug}_" +
       java.lang.Integer.toHexString(sfDir.hashCode) + kSuffix +
-      (if (fp.isEmpty) "" else s"_$fp")
+      (if (fp.isEmpty) "_fp" else s"_fp$fp")
   }
 
   /** Build-and-persist the IVF index — the OFFLINE half of a real ANN
@@ -538,13 +541,14 @@ object SimilarityQueries {
     val conf   = s.sparkContext.hadoopConfiguration
     val src    = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val st     = src.getFileSystem(conf).getFileStatus(src)
+    val prefix = new org.apache.hadoop.fs.Path(ivfIndexDir(dir, kk)).getName
     val idx    = ivfIndexDir(dir, kk, s"${st.getLen}_${st.getModificationTime}")
-    val marker = new org.apache.hadoop.fs.Path(s"$idx/_built")
-    val fs     = marker.getFileSystem(conf)
-    if (fs.exists(marker)) return idx
-    writeIvfIndex(s, e, trainIvfCentroids(e, kk), idx)
-    fs.create(marker, true).close()
-    idx
+    // atomic publish + stale-generation GC (the buildTextIndex
+    // discipline): build in a temp sibling, rename into place, then
+    // drop this family's previous-fingerprint directories
+    graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+      writeIvfIndex(s, e, trainIvfCentroids(e, kk), tmp)
+    }
   }
 
   /** Write the centroid model + cell-partitioned assignments for `e`

@@ -1476,7 +1476,7 @@ object TextQueries {
         Seq("hsh" -> true, "doc_id" -> true), 5)
       val w = Window.partitionBy(col("lang"), col("verdict"))
         .orderBy(col("hsh"), col("doc_id"))
-      kept.withColumn("rk", row_number().over(w))
+      kept.withColumn("rk", row_number().over(w).cast("long"))
         .select(col("lang"), col("verdict"), col("rk"), col("doc_id"),
           col("hsh"))
         .orderBy(col("lang"), col("verdict"), col("rk"))
@@ -1579,30 +1579,48 @@ object TextQueries {
     // — so a regenerated corpus at the same path can never be served a
     // stale index (a bare `_built` marker would survive the regen and
     // silently diverge the probe from tx_bm25 and its oracle), and two
-    // long paths with the same sanitized 40-char tail cannot collide
-    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val st  = src.getFileSystem(conf).getFileStatus(src)
-    val fp  = s"${dir.hashCode & 0x7fffffff}_${st.getLen}_${st.getModificationTime}"
-    val idx = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft_text_index_${slug}_$fp"
-    val marker = new org.apache.hadoop.fs.Path(s"$idx/_built")
-    val fs     = marker.getFileSystem(conf)
-    if (fs.exists(marker)) return idx
+    // long paths with the same sanitized 40-char tail cannot collide.
+    // The prefix (everything before the file fingerprint) identifies
+    // THIS corpus path's index family: IndexDirs.publish builds into a
+    // temp sibling renamed atomically into place (a half-written index
+    // is never observable, even across JVMs) and garbage-collects the
+    // previous generations' directories after a successful build.
+    val src    = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val st     = src.getFileSystem(conf).getFileStatus(src)
+    val prefix = s"graft_text_index_${slug}_${dir.hashCode & 0x7fffffff}_"
+    val idx    = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"$prefix${st.getLen}_${st.getModificationTime}"
+    graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+      writeTextIndex(s, dir, tmp)
+    }
+  }
+
+  /** Write the stats + term-bucket-partitioned postings of `dir`'s
+    * documents under `idx` — shared by the from-scratch build and the
+    * rebuild oracle in TextIndexUpsertSpec.
+    */
+  private[graft] def writeTextIndex(s: SparkSession, dir: String,
+      idx: String): Unit = {
     val d = Tables(s, dir).documents
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) > 0)
     d.agg(count(lit(1)).as("n_docs"), avg(size(col("t"))).as("avgdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    postingsOf(d)
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$idx/postings")
+  }
+
+  /** (doc_id, t) tokenized docs → the postings payload (term, doc_id,
+    * dl, tf, bkt) — the ONE definition of a posting row, shared by the
+    * full build and the incremental upsert so their rows can't drift.
+    */
+  private def postingsOf(d: DataFrame): DataFrame =
     graft.core.Par.spreadBy(d, col("doc_id"))
       .select(col("doc_id"), size(col("t")).as("dl"),
         explode(col("t")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bkt", pmod(hash(col("term")), lit(TextIndexBuckets)))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$idx/postings")
-    fs.create(marker, true).close()
-    idx
-  }
 
 
   /** DuckDB CTE chain ending in `scored(doc_id, bm25)` — the oracle
@@ -1818,7 +1836,8 @@ object TextQueries {
           col("doc_id"))
         .select(col("doc_id"), toks(col("text")).as("t"), b.as("b"))
       val docTrigrams = d.filter(size(col("t")) >= 3)
-        .select(col("doc_id"), col("b"), (size(col("t")) - 2).as("n_trigrams"),
+        .select(col("doc_id"), col("b"),
+          (size(col("t")) - 2).cast("long").as("n_trigrams"),
           explode(expr(
             "transform(sequence(0, size(t) - 3)," +
               " i -> struct(concat(t[i], ' ', t[i + 1]) AS ctx," +
