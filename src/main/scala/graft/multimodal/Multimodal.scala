@@ -726,6 +726,45 @@ object Multimodal {
     """),
   )
 
+  /** Per-shard deletion lists over the IMAGE near-dup clusters — the
+    * second modality routed through the generic
+    * [[graft.dedup.DedupQueries.purgePlan]] emitter (the text chain is
+    * `dd_purge_plan`), making "purgePlan works for any modality's
+    * cluster frame" a driver-verified fact rather than a spec-only
+    * claim: same keep-one-representative rule, same purge rows, same
+    * salted-md5 shard routing — one definition of the deletion action
+    * across modalities, consuming the SAME [[imageClusterFrame]] the
+    * clustering report and the pair manifest use. Images in no cluster
+    * are implicit keeps and carry no row.
+    *
+    * Scale shape: inherited — the cluster chain is the banded/capped
+    * near-dup pipeline (`dd_image_clusters`), and the emitter adds
+    * per-row hash work plus ZERO shuffles beyond the presentation
+    * sort (PurgePlanSpec pins keep-one-per-cluster, purge + keep =
+    * members, and corpus identity for this chain).
+    */
+  val imagePurge = Query(
+    "dd_image_purge",
+    (s, dir) => graft.dedup.DedupQueries
+      .purgePlan(imageClusterFrame(s, dir)
+        .withColumnRenamed("media_id", "doc_id"))
+      .withColumnRenamed("doc_id", "media_id")
+      .orderBy(col("media_id")),
+    oracle = Some(s"""
+      WITH RECURSIVE $imagePairCtes,
+      edges AS (SELECT id_a, id_b FROM pairs),
+      ${graft.dedup.DedupQueries.ccWalkSql},
+      cl AS (SELECT id AS media_id, min(lbl) AS cluster
+             FROM walk GROUP BY id)
+      SELECT ('0x' || substr(md5('shard1:' || media_id::VARCHAR), 1, 8))::BIGINT
+               % 16 AS shard,
+             media_id, cluster,
+             CASE WHEN media_id = cluster THEN 'keep' ELSE 'purge' END
+               AS action
+      FROM cl ORDER BY media_id
+    """),
+  )
+
   /** Cross-modal PAIR CURATION — the LAION-style joint filter that
     * turns per-modality verdicts into ONE decision per (media,
     * caption) pair: an image-text pair survives only if the image
@@ -1652,5 +1691,5 @@ object Multimodal {
       videoDecode, audioRms, imageDhash, imageDups, imageClusters,
       spectrogram, sceneCut, audioVad, audioDups, audioClusters,
       videoDups, videoClusters, storyboard, imageQuality, audioQuality,
-      pairManifest, avSync)
+      pairManifest, avSync, imagePurge)
 }

@@ -84,4 +84,18 @@ class PurgePlanSpec extends SparkSuite {
       checkInvariants(q.split("_")(1), clustersOf(q, idCol))
     }
   }
+
+  test("dd_image_purge IS purgePlan over the shared image cluster frame") {
+    // the registry row must be the generic emitter applied to the same
+    // clusters dd_image_clusters reports — byte-identical rows, so the
+    // oracle-gated image purge can never drift from the spec-checked
+    // emitter invariants above
+    val row = QueryRegistry.byName("dd_image_purge").run(spark, dir)
+      .withColumnRenamed("media_id", "doc_id")
+    val emitter = DedupQueries
+      .purgePlan(clustersOf("dd_image_clusters", "media_id"))
+    assert(row.exceptAll(emitter).count() == 0 &&
+      emitter.exceptAll(row).count() == 0,
+      "dd_image_purge diverges from purgePlan(imageClusterFrame)")
+  }
 }
