@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.{Query, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -647,7 +647,11 @@ object Multimodal {
   /** The SQL twin of [[imagePairs]] up to a `pairs` CTE (closed-form
     * hashes from the synthesis parameters — everything integer).
     */
-  private val imagePairCtes = """
+  /** The image synthesis-parameter CTE (one row per re-encoded image)
+    * — the root of both the near-dup pair chain and the alignment
+    * oracle.
+    */
+  private val imageParamsCte = """
       p AS (
         SELECT doc_id AS media_id,
                doc_id - (doc_id % 3) AS g,
@@ -655,7 +659,9 @@ object Multimodal {
                ((doc_id - (doc_id % 3)) % 31) + 1 AS w,
                ((doc_id - (doc_id % 3)) % 17) + 1 AS h
         FROM documents
-      ), hh AS (
+      )"""
+
+  private val imagePairCtes = s"""$imageParamsCte, hh AS (
         SELECT media_id,
           list_sum(list_transform(range(0, 60), b ->
             CASE WHEN
@@ -793,38 +799,179 @@ object Multimodal {
     * side's `dd_cluster_split`. No corpus-sized shuffle beyond the
     * presentation sort at test SFs.
     */
+  /** ONE decode pass per image producing BOTH the quality verdict and
+    * the 8-dim alignment feature vector — the shared seam behind
+    * [[pairManifest]] and [[alignScore]], so the manifest's gates and
+    * the standalone score can never disagree AND the blobs are walked
+    * once. The quality reduction is [[imageQuality]]'s (generalized to
+    * the full [[imagePairs]] re-encode corpus via the (g, v) synthesis
+    * parameters); the feature vector is the 8 index-strided mean
+    * intensities m_j = (Σ_{i ≡ j mod 8} grey_i) / |{i ≡ j mod 8}| —
+    * integer-exact moments of the REAL decoded pixels (truncating
+    * division, identical in both engines).
+    */
+  private[multimodal] def imageFeatureFrame(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val params = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+    params.mapPartitions { it =>
+      it.map { id =>
+        val g = id - (id % 3) // base image id (the imagePairs corpus)
+        val v = (id % 3).toInt // brightness shift of this re-encode
+        val w = (g % 31 + 1).toInt
+        val h = (g % 17 + 1).toInt
+        val bytes = BmpCodec.encode(w, h,
+          (x, y) => ((g * 7 + (y.toLong * w + x) * 3 + v) % 256).toInt)
+        val (dw, dh, grey) = BmpCodec.decodeGrey(bytes)
+        val n = dw.toLong * dh
+        var sum = 0L; var ss = 0L; var sharp = 0L
+        val js = new Array[Long](8); val jc = new Array[Long](8)
+        var i = 0
+        while (i < grey.length) {
+          val gg = grey(i).toLong
+          sum += gg; ss += gg * gg
+          js(i % 8) += gg; jc(i % 8) += 1
+          if (i % dw < dw - 1) sharp += math.abs(grey(i + 1).toLong - gg)
+          i += 1
+        }
+        val lowContrast = ss * n - sum * sum < 400L * n * n
+        val flat = sharp < 8L * (dw - 1) * dh
+        val m = Array.tabulate(8)(j => js(j) / math.max(1L, jc(j)))
+        (id, !(lowContrast || flat), m)
+      }
+    }.toDF("media_id", "img_pass", "m")
+  }
+
+  /** The paired embedding reduced to the feature space's 8 dimensions:
+    * e_j = Σ_{i ≡ j mod 8} ⌊emb_i · 1000⌋ — each float component
+    * floored to an exact per-mille INTEGER before any summation (the
+    * ss_index_stats discipline) so summation order cannot move the
+    * result, and the magnitudes keep every downstream product inside
+    * int64 (|e_j| ≤ 8 000, m_j ≤ 255 ⇒ |dot| ≤ 1.6·10⁷,
+    * 100·dot² ≤ 2.7·10¹⁶, 9·‖m‖²‖e‖² ≤ 2.4·10¹⁵).
+    */
+  private[multimodal] def embReduced(s: SparkSession,
+      dir: String): DataFrame =
+    Tables(s, dir).embeddings.select(col("vec_id").as("media_id"),
+      array((0 until 8).map { j =>
+        (0 until 64 by 8).map { k =>
+          floor(element_at(col("embedding"), j + k + 1).cast("double") *
+            lit(1000.0)).cast("long")
+        }.reduce(_ + _)
+      }: _*).as("e"))
+
+  /** The ONE alignment formula, as column expressions over the `m`
+    * (image features) and `e` (reduced embedding) arrays — shared by
+    * [[alignScore]] and [[pairManifest]] so the manifest's fourth gate
+    * IS the scored query's verdict. `aligned` ⇔ cos(m, e) ≥ 0.3 via
+    * the divisionless integer compare dot > 0 ∧ 100·dot² ≥ 9·‖m‖²‖e‖²
+    * (θ² = 9/100 exactly; no division, no sqrt inside the gate).
+    */
+  private[multimodal] object Align {
+    private def pairSum(f: (Column, Column) => Column): Column =
+      (0 until 8).map { j =>
+        f(element_at(col("m"), j + 1), element_at(col("e"), j + 1))
+      }.reduce(_ + _)
+    def dot: Column = pairSum(_ * _)
+    def mm: Column  = pairSum((a, _) => a * a)
+    def ee: Column  = pairSum((_, b) => b * b)
+    def aligned(dot: Column, mm: Column, ee: Column): Column =
+      dot > 0 && lit(100L) * dot * dot >= lit(9L) * mm * ee
+  }
+
+  /** Shared DuckDB CTE chain ending in `adots(media_id, dot, mm, ee)`
+    * — the oracle twin of [[imageFeatureFrame]] × [[embReduced]],
+    * recomputing the strided image moments from the synthesis formula
+    * and the per-mille-floored embedding reduction; shared verbatim by
+    * `mm_align_score` and `mm_pair_manifest`. Depends on the `p`
+    * params CTE ([[imageParamsCte]]).
+    */
+  private val alignDotsSql = """
+      afeats AS (
+        SELECT media_id, j.j,
+          list_sum(list_transform(
+            list_filter(range(0, w*h), i -> i % 8 = j.j),
+            i -> (g * 7 + i * 3 + v) % 256))::BIGINT
+          // greatest(1,
+               len(list_filter(range(0, w*h), i -> i % 8 = j.j))) AS fm
+        FROM p, (SELECT unnest(range(0, 8)) AS j) j
+      ), aef AS (
+        SELECT vec_id AS media_id, j.j,
+          list_sum(list_transform(
+            list_filter(range(0, 64), i -> i % 8 = j.j),
+            i -> floor(embedding[i+1]::DOUBLE * 1000)::BIGINT))::BIGINT AS e
+        FROM embeddings, (SELECT unnest(range(0, 8)) AS j) j
+      ), adots AS (
+        SELECT f.media_id, sum(f.fm * e.e)::BIGINT AS dot,
+          sum(f.fm * f.fm)::BIGINT AS mm, sum(e.e * e.e)::BIGINT AS ee
+        FROM afeats f JOIN aef e ON f.media_id = e.media_id AND f.j = e.j
+        GROUP BY 1)"""
+
+  /** Cross-modal ALIGNMENT scoring — the CLIP-style caption↔media
+    * similarity filter, the single highest-impact gate in LAION-class
+    * pair curation: pairs whose media content and caption embedding
+    * disagree are mislabeled scrapes that poison contrastive training.
+    * The media side is a deterministic 8-dim integer feature vector
+    * from the REAL decoded pixels (the quality seam's strided means —
+    * no second decode, [[imageFeatureFrame]] computes both); the text
+    * side is the paired doc's `embeddings` vector reduced to the same
+    * 8 dims by per-mille-floored integer sums. Similarity is exact
+    * integer arithmetic end-to-end: `aligned` is the divisionless
+    * cos ≥ 0.3 compare (100·dot² vs 9·‖m‖²‖e‖², dot > 0), and the
+    * reported `align_cos` divides exact integers once at the end
+    * (sqrt is IEEE-correctly-rounded in both engines; 4 dp). θ = 0.3
+    * was probed against the corpus synthesis first: it splits every
+    * SF (95/500 at sf0.001, 425/2000 at sf0.1) — the r9
+    * flag-threshold lesson. Pairs with no embedding row have no score
+    * (inner join; the manifest LEFT-joins and fails them closed).
+    *
+    * Scale shape: one codec decode seam (shared with the manifest),
+    * one narrow embeddings scan, one equi-join on media_id, per-row
+    * integer expression work; no shuffle beyond the join and the
+    * presentation sort.
+    */
+  val alignScore = Query(
+    "mm_align_score",
+    (s, dir) => {
+      imageFeatureFrame(s, dir)
+        .join(embReduced(s, dir), Seq("media_id"))
+        .withColumn("dot", Align.dot)
+        .withColumn("mmag", Align.mm)
+        .withColumn("emag", Align.ee)
+        .select(col("media_id"), col("dot"),
+          when(col("mmag") > 0 && col("emag") > 0,
+            round(col("dot") / (sqrt(col("mmag")) * sqrt(col("emag"))), 4))
+            .otherwise(lit(0.0)).as("align_cos"),
+          Align.aligned(col("dot"), col("mmag"), col("emag")).as("aligned"))
+        .orderBy(col("media_id"))
+    },
+    oracle = Some(s"""
+      WITH $imageParamsCte,
+      $alignDotsSql
+      SELECT media_id, dot,
+        CASE WHEN mm > 0 AND ee > 0
+             THEN round(dot / (sqrt(mm) * sqrt(ee)), 4)
+             ELSE 0.0 END AS align_cos,
+        (dot > 0 AND 100*dot*dot >= 9*mm*ee) AS aligned
+      FROM adots ORDER BY media_id
+    """),
+  )
+
   val pairManifest = Query(
     "mm_pair_manifest",
     (s, dir) => {
-      import s.implicits._
-      val params = Tables(s, dir).documents.select(col("doc_id")).as[Long]
-      val imgQ = params.mapPartitions { it =>
-        it.map { id =>
-          val g = id - (id % 3) // base image id (the imagePairs corpus)
-          val v = (id % 3).toInt // brightness shift of this re-encode
-          val w = (g % 31 + 1).toInt
-          val h = (g % 17 + 1).toInt
-          val bytes = BmpCodec.encode(w, h,
-            (x, y) => ((g * 7 + (y.toLong * w + x) * 3 + v) % 256).toInt)
-          val (dw, dh, grey) = BmpCodec.decodeGrey(bytes)
-          val n = dw.toLong * dh
-          var sum = 0L; var ss = 0L; var sharp = 0L
-          var i = 0
-          while (i < grey.length) {
-            val gg = grey(i).toLong
-            sum += gg; ss += gg * gg
-            if (i % dw < dw - 1) sharp += math.abs(grey(i + 1).toLong - gg)
-            i += 1
-          }
-          val lowContrast = ss * n - sum * sum < 400L * n * n
-          val flat = sharp < 8L * (dw - 1) * dh
-          (id, !(lowContrast || flat))
-        }
-      }.toDF("media_id", "img_pass")
+      val imgQ = imageFeatureFrame(s, dir)
       val clusters = imageClusterFrame(s, dir)
       val captions = graft.text.TextQueries.qualityScored(s, dir)
         .select(col("doc_id"), (col("verdict") === "keep").as("text_keep"))
       imgQ
+        .join(embReduced(s, dir), Seq("media_id"), "left")
+        // the fourth gate: the shared Align formula; a pair with no
+        // embedding row has no score and FAILS CLOSED (a curation
+        // manifest must not certify alignment it never measured)
+        .withColumn("aligned",
+          coalesce(Align.aligned(Align.dot, Align.mm, Align.ee),
+            lit(false)))
         .join(clusters, Seq("media_id"), "left")
         .join(captions, col("media_id") === col("doc_id"))
         .withColumn("is_rep",
@@ -833,9 +980,11 @@ object Multimodal {
           when(!col("img_pass"), "image_quality")
             .when(!col("is_rep"), "image_dup")
             .when(!col("text_keep"), "text_quality")
+            .when(!col("aligned"), "misaligned")
             .otherwise("ok"))
         .select(col("media_id"), col("doc_id"),
           col("img_pass"), col("is_rep").as("img_rep"), col("text_keep"),
+          col("aligned"),
           (col("drop_reason") === "ok").as("keep"), col("drop_reason"))
         .orderBy(col("media_id"))
     },
@@ -862,23 +1011,32 @@ object Multimodal {
         SELECT media_id,
           NOT ((ss * n - s * s < 400 * n * n)
             OR (sharp < 8 * (w - 1) * h)) AS img_pass
-        FROM iq)
+        FROM iq),
+      $alignDotsSql,
+      al AS (
+        SELECT media_id,
+          (dot > 0 AND 100*dot*dot >= 9*mm*ee) AS aligned
+        FROM adots)
       SELECT v.media_id, t.doc_id,
         v.img_pass,
         (cl.cluster IS NULL OR cl.cluster = v.media_id) AS img_rep,
         t.verdict = 'keep' AS text_keep,
+        coalesce(al.aligned, FALSE) AS aligned,
         (CASE WHEN NOT v.img_pass THEN 'image_quality'
               WHEN cl.cluster IS NOT NULL AND cl.cluster <> v.media_id
                 THEN 'image_dup'
               WHEN t.verdict <> 'keep' THEN 'text_quality'
+              WHEN NOT coalesce(al.aligned, FALSE) THEN 'misaligned'
               ELSE 'ok' END) = 'ok' AS keep,
         CASE WHEN NOT v.img_pass THEN 'image_quality'
              WHEN cl.cluster IS NOT NULL AND cl.cluster <> v.media_id
                THEN 'image_dup'
              WHEN t.verdict <> 'keep' THEN 'text_quality'
+             WHEN NOT coalesce(al.aligned, FALSE) THEN 'misaligned'
              ELSE 'ok' END AS drop_reason
       FROM verdicts v
       LEFT JOIN cl USING (media_id)
+      LEFT JOIN al USING (media_id)
       JOIN txq t ON t.doc_id = v.media_id
       ORDER BY v.media_id
     """),
@@ -1691,5 +1849,5 @@ object Multimodal {
       videoDecode, audioRms, imageDhash, imageDups, imageClusters,
       spectrogram, sceneCut, audioVad, audioDups, audioClusters,
       videoDups, videoClusters, storyboard, imageQuality, audioQuality,
-      pairManifest, avSync, imagePurge)
+      pairManifest, avSync, imagePurge, alignScore)
 }

@@ -23,21 +23,36 @@ class PairManifestSpec extends SparkSuite {
     assert(manifest.filter(col("media_id") =!= col("doc_id")).count() == 0)
   }
 
-  test("keep is the conjunction of the three gates; drop_reason is the " +
+  test("keep is the conjunction of the four gates; drop_reason is the " +
       "first failure in priority order") {
     val bad = manifest.filter(
-      col("keep") =!= (col("img_pass") && col("img_rep") && col("text_keep")) ||
+      col("keep") =!= (col("img_pass") && col("img_rep") &&
+        col("text_keep") && col("aligned")) ||
         col("drop_reason") =!= when(!col("img_pass"), "image_quality")
           .when(!col("img_rep"), "image_dup")
           .when(!col("text_keep"), "text_quality")
+          .when(!col("aligned"), "misaligned")
           .otherwise("ok"))
       .count()
     assert(bad == 0)
     // the gates genuinely split this corpus (not vacuously true flags)
-    Seq("img_pass", "img_rep", "text_keep").foreach { c =>
+    Seq("img_pass", "img_rep", "text_keep", "aligned").foreach { c =>
       assert(manifest.select(col(c)).distinct().count() == 2,
         s"$c does not split the corpus")
     }
+  }
+
+  test("pairs with no embedding row fail the alignment gate closed") {
+    // only sf0.1 has documents beyond the embeddings table (5000 docs,
+    // 2000 vectors) — the manifest must not certify alignment it never
+    // measured
+    val m01 = QueryRegistry.byName("mm_pair_manifest").run(spark, sf("sf0.1"))
+    val emb = graft.Tables(spark, sf("sf0.1")).embeddings
+      .select(col("vec_id").as("media_id"))
+    val unscored = m01.join(emb, Seq("media_id"), "left_anti")
+    assert(unscored.count() > 0, "fixture lost its unscored pairs")
+    assert(unscored.filter(col("aligned")).count() == 0,
+      "an unscored pair passed the alignment gate")
   }
 
   test("component columns agree with the single-modality kernels") {
@@ -61,5 +76,12 @@ class PairManifestSpec extends SparkSuite {
     val tqBad = manifest.join(tq, "doc_id")
       .filter(col("text_keep") =!= col("want")).count()
     assert(tqBad == 0, "text_keep drifted from tx_quality")
+    // alignment gate: on the scored subset the manifest's aligned must
+    // equal mm_align_score's verdict (one Align formula, shared)
+    val al = QueryRegistry.byName("mm_align_score").run(spark, dir)
+      .select(col("media_id"), col("aligned").as("want_al"))
+    val alBad = manifest.join(al, "media_id")
+      .filter(col("aligned") =!= col("want_al")).count()
+    assert(alBad == 0, "aligned drifted from mm_align_score")
   }
 }
