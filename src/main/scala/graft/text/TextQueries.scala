@@ -1591,20 +1591,24 @@ object TextQueries {
     val idx    = s"${System.getProperty("java.io.tmpdir")}/" +
       s"$prefix${st.getLen}_${st.getModificationTime}"
     graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
-      writeTextIndex(s, dir, tmp)
+      writeTextIndex(s, Tables(s, dir).documents, tmp)
     }
   }
 
-  /** Write the stats + term-bucket-partitioned postings of `dir`'s
-    * documents under `idx` — shared by the from-scratch build and the
-    * rebuild oracle in TextIndexUpsertSpec.
+  /** Write the stats + term-bucket-partitioned postings of `docs`
+    * (doc_id, text) under `idx` — shared by the from-scratch build,
+    * the upsert demo's base build, and the rebuild oracle in
+    * TextIndexUpsertSpec. Stats carry the EXACT integer `sum_dl`
+    * alongside the derived avgdl so the incremental upsert can
+    * maintain them without float reconstruction.
     */
-  private[graft] def writeTextIndex(s: SparkSession, dir: String,
+  private[graft] def writeTextIndex(s: SparkSession, docs: DataFrame,
       idx: String): Unit = {
-    val d = Tables(s, dir).documents
+    val d = docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) > 0)
-    d.agg(count(lit(1)).as("n_docs"), avg(size(col("t"))).as("avgdl"))
+    d.agg(count(lit(1)).as("n_docs"), avg(size(col("t"))).as("avgdl"),
+        sum(size(col("t"))).cast("long").as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
     postingsOf(d)
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$idx/postings")
@@ -1681,33 +1685,186 @@ object TextQueries {
     * reuses its string — object-init order matters for interpolated
     * vals.)
     */
+  /** The ONE probe kernel against a persisted text index: resolve the
+    * query terms' buckets (bounded: ≤ |terms| hash evaluations) so the
+    * postings scan carries a STATIC partition filter, recompute df
+    * from the pruned postings, broadcast the 1-row stats, score with
+    * the shared [[bm25Contrib]], heap-limited tail. Shared by
+    * `tx_bm25_probe` (probe after build) and `tx_index_upsert` (probe
+    * after incremental maintenance) so the two serving paths cannot
+    * drift.
+    */
+  private[graft] def probeTextIndex(s: SparkSession, idx: String): DataFrame = {
+    import s.implicits._
+    val qTerms = Seq("join", "vector", "window", "stream")
+    val bkts = qTerms.toDF("term")
+      .select(pmod(hash(col("term")), lit(TextIndexBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val posts = s.read.parquet(s"$idx/postings")
+      .filter(col("bkt").isin(bkts.map(Integer.valueOf): _*))
+      .filter(col("term").isin(qTerms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val dfT = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = s.read.parquet(s"$idx/stats")
+      .select(col("n_docs"), col("avgdl"))
+    posts.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(bm25Contrib), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(25)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("rk"), col("doc_id"), col("bm25"))
+      .orderBy(col("rk"))
+  }
+
   val bm25Probe = Query(
     "tx_bm25_probe",
-    (s, dir) => {
-      import s.implicits._
-      val qTerms = Seq("join", "vector", "window", "stream")
-      val idx = buildTextIndex(s, dir)
-      val bkts = qTerms.toDF("term")
-        .select(pmod(hash(col("term")), lit(TextIndexBuckets)).as("b"))
-        .distinct().collect().map(_.getInt(0)).sorted
-      val posts = s.read.parquet(s"$idx/postings")
-        .filter(col("bkt").isin(bkts.map(Integer.valueOf): _*))
-        .filter(col("term").isin(qTerms: _*))
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-      val dfT = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val stats = s.read.parquet(s"$idx/stats")
-      posts.join(broadcast(dfT), "term")
-        .crossJoin(broadcast(stats))
-        .groupBy(col("doc_id"))
-        .agg(round(sum(bm25Contrib), 4).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id")).limit(25)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))))
-        .select(col("rk"), col("doc_id"), col("bm25"))
-        .orderBy(col("rk"))
-    },
+    (s, dir) => probeTextIndex(s, buildTextIndex(s, dir)),
     // the persisted index encodes the same corpus, statistics, and
     // scoring formula, so the index-less oracle applies verbatim
+    oracle = bm25.oracle,
+  )
+
+  /** Incremental maintenance for the PERSISTED inverted index — the
+    * sparse twin of `Maintenance.upsertIvfIndex`: a retrieval tier
+    * re-ingests documents daily, and rebuilding the postings from
+    * scratch per batch is O(corpus); this is O(batch + touched
+    * buckets). MERGE semantics: a batch doc's postings REPLACE its
+    * existing ones (anti join on doc_id + union), new docs append;
+    * duplicate doc_ids in one batch fail loudly; docs that tokenize
+    * empty are not indexed (the build's own rule — deletions are the
+    * purge tier's job, not the indexer's). Only the TOUCHED term
+    * buckets — the batch's own postings' buckets plus every bucket
+    * currently holding a replaced doc's postings (a changed doc's
+    * removed terms must not survive in their old buckets) — are
+    * merged, COMPACTED to a size-derived file count, and crash-safely
+    * swapped via [[graft.operators.Maintenance.swapDirs]]; untouched
+    * bucket directories keep their files byte-identical. Stats refresh
+    * is exact integer arithmetic (n_docs ± new, sum_dl − replaced +
+    * batch; avgdl = one final division), never a float reconstruction,
+    * so a probe after any upsert chain equals a from-scratch rebuild
+    * bit-for-bit (TextIndexUpsertSpec pins it). Locating replaced
+    * docs' buckets reads only the (doc_id, dl, bkt) columns — parquet
+    * column pruning makes that a few percent of index bytes. Returns
+    * the touched bucket ids (sorted).
+    */
+  def upsertTextIndex(s: SparkSession, idx: String,
+      batch: DataFrame): Seq[Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val postingsRoot = new org.apache.hadoop.fs.Path(s"$idx/postings")
+    val fs = postingsRoot.getFileSystem(conf)
+    require(fs.exists(postingsRoot), s"no text index at $idx — build it first")
+    val d = batch.select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    val dup = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsertTextIndex: duplicate doc_id in batch (${dup.head.get(0)}) " +
+          "— MERGE needs one row per doc")
+    val ids = d.select(col("doc_id"))
+    val newPosts = postingsOf(d).persist()
+    try {
+      val newBkts = newPosts.select(col("bkt")).distinct()
+        .collect().map(_.getInt(0)).toSet // bounded: ≤ TextIndexBuckets
+      val oldInfo = s.read.parquet(s"$idx/postings")
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("dl"), col("bkt")).persist()
+      val oldBkts = oldInfo.select(col("bkt")).distinct()
+        .collect().map(_.getInt(0)).toSet // bounded: ≤ TextIndexBuckets
+      // exact-integer stats deltas (replaced docs each carry ONE dl)
+      val replaced = oldInfo.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).cast("long").as("s"))
+        .head() // 1-row bounded collect
+      val (nReplaced, sumOldDl) = (replaced.getLong(0), replaced.getLong(1))
+      val batchAgg = d
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(size(col("t"))), lit(0L)).cast("long").as("s"))
+        .head() // 1-row bounded collect
+      val (nBatch, sumNewDl) = (batchAgg.getLong(0), batchAgg.getLong(1))
+      oldInfo.unpersist()
+      val touched = (newBkts ++ oldBkts).toSeq.sorted
+      touched.foreach { b =>
+        val part     = s"$idx/postings/bkt=$b"
+        val partPath = new org.apache.hadoop.fs.Path(part)
+        val partNew  = newPosts.filter(col("bkt") === b).drop("bkt")
+        val merged =
+          if (fs.exists(partPath))
+            s.read.parquet(part)
+              .join(ids, Seq("doc_id"), "left_anti")
+              .unionByName(partNew)
+          else partNew // first postings for a previously-empty bucket
+        // per-bucket compaction: the compactParquet size rule, so a
+        // nightly upsert chain cannot accrete a small-files pathology
+        val bytes = merged.queryExecution.optimizedPlan.stats.sizeInBytes
+        val parts = math.max(1,
+          (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
+        val tmp = part + "__upserting"
+        merged.coalesce(parts).write.mode("overwrite").parquet(tmp)
+        if (fs.exists(partPath))
+          graft.operators.Maintenance.swapDirs(s, tmp, part)
+        else if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), partPath))
+          throw new java.io.IOException(s"rename $tmp -> $part failed")
+      }
+      // stats refresh — exact integers in, one division out
+      val st = s.read.parquet(s"$idx/stats")
+        .select(col("n_docs"), col("sum_dl")).head()
+      val nDocs = st.getLong(0) + (nBatch - nReplaced)
+      val sumDl = st.getLong(1) - sumOldDl + sumNewDl
+      import s.implicits._
+      val statsTmp = s"$idx/stats__upserting"
+      Seq((nDocs, sumDl.toDouble / nDocs, sumDl))
+        .toDF("n_docs", "avgdl", "sum_dl")
+        .coalesce(1).write.mode("overwrite").parquet(statsTmp)
+      graft.operators.Maintenance.swapDirs(s, statsTmp, s"$idx/stats")
+      touched
+    } finally newPosts.unpersist()
+  }
+
+  /** The maintenance demo behind `tx_index_upsert`: a base index built
+    * (and atomically published, once per corpus generation) over the
+    * corpus MINUS the doc_id % 5 == 0 slice, then an idempotent upsert
+    * of that slice as the "nightly batch" — plus the doc_id % 10 == 1
+    * docs already in the base, exercising the REPLACE path. The final
+    * index state is exactly the full corpus, which is what makes the
+    * row oracle-gateable against tx_bm25's index-less pipeline.
+    */
+  private def upsertDemoIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+      val conf = s.sparkContext.hadoopConfiguration
+      val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val st   = src.getFileSystem(conf).getFileStatus(src)
+      val prefix =
+        s"graft_text_upsert_${slug}_${dir.hashCode & 0x7fffffff}_"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"$prefix${st.getLen}_${st.getModificationTime}"
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+        writeTextIndex(s, docs.filter(col("doc_id") % 5 =!= 0), tmp)
+      }
+      // the upsert runs EVERY time (a published dir may already be
+      // post-upsert from a previous run — MERGE is idempotent, so
+      // re-applying the batch converges to the same index)
+      upsertTextIndex(s, idx,
+        docs.filter(col("doc_id") % 5 === 0 || col("doc_id") % 10 === 1))
+      idx
+    }
+
+  /** Sparse-index MAINTENANCE under the gate — `Maintenance
+    * .upsertIvfIndex`'s discipline for the inverted index: the row
+    * probes the index AFTER a base-build + nightly-batch upsert
+    * (append path: the held-out 20 % slice; replace path: unchanged
+    * re-ingests), and the oracle is tx_bm25's VERBATIM — the
+    * probe-after-upsert must equal the index-less pipeline over the
+    * full corpus, which it can only do if the merge, the bucket
+    * routing, and the exact-integer stats refresh are all right.
+    */
+  val indexUpsert = Query(
+    "tx_index_upsert",
+    (s, dir) => probeTextIndex(s, upsertDemoIndex(s, dir)),
     oracle = bm25.oracle,
   )
 
@@ -2889,6 +3046,6 @@ object TextQueries {
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
-    sourceCap, bm25, bm25Probe, lmScore, lmHoldout, bpeTrain, bpeEncode, bpeVocab, countMin, packEval, evalSample,
+    sourceCap, bm25, bm25Probe, indexUpsert, lmScore, lmHoldout, bpeTrain, bpeEncode, bpeVocab, countMin, packEval, evalSample,
     novelty, datasetCard, sftFormat, pplBuckets, tokenizerEval, sourceOverlap)
 }

@@ -379,7 +379,7 @@ class PipelineOpsSpec extends SparkSuite {
     bySt.foreach { case (st, rows) =>
       val want = strata(st).map(_._3).sortBy(id => (h(id), id))
         .take(5).toVector
-      val gotIds = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("doc_id"))
+      val gotIds = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("doc_id"))
         .toVector
       assert(gotIds == want, s"stratum $st: $gotIds != $want")
       assert(rows.length == math.min(5, strata(st).length))

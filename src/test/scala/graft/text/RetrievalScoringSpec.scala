@@ -154,7 +154,7 @@ class RetrievalScoringSpec extends SparkSuite {
         math.log((cb.getOrElse(g, 0L) + 1.0) / (cl.getOrElse(c, 0L) + v))
       }.sum
       val r = got(id)
-      assert(r.getInt(1) == t.size - 2, s"doc $id n_trigrams")
+      assert(r.getLong(1) == t.size - 2, s"doc $id n_trigrams")
       assert(r.getLong(2) == tgs.count(x => !cb.contains(x._2)),
         s"doc $id oov_trigrams")
       val want = BigDecimal(slp / (t.size - 2))
