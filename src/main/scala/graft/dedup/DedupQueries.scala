@@ -588,11 +588,13 @@ object DedupQueries {
     * members, and corpus = members + untouched singletons, for ALL
     * FOUR modality chains.
     */
-  val purgePlanQ = Query(
-    "dd_purge_plan",
-    (s, dir) => purgePlan(textClusters(s, dir)).orderBy(col("doc_id")),
-    oracle = Some(s"""
-      WITH RECURSIVE corpus AS ($dupCorpusSql),
+  /** Shared oracle chain ending in `cl(doc_id, cluster)` — the DuckDB
+    * twin of [[textClusters]] (planted corpus → banded candidates →
+    * Jaccard ≥ 0.5 edges → recursive closure → min-label clusters);
+    * callers prepend `WITH RECURSIVE`. Used by `dd_purge_plan` and
+    * `tx_corpus_ledger` so the oracles consume the one clustering.
+    */
+  private[graft] val textClusterCtes = s"""corpus AS ($dupCorpusSql),
       ${bandCandSql()},
       edges AS (
         SELECT id_a, id_b FROM cands
@@ -604,7 +606,13 @@ object DedupQueries {
       ),
       $ccWalkSql,
       cl AS (SELECT id AS doc_id, min(lbl) AS cluster
-             FROM walk GROUP BY id)
+             FROM walk GROUP BY id)"""
+
+  val purgePlanQ = Query(
+    "dd_purge_plan",
+    (s, dir) => purgePlan(textClusters(s, dir)).orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH RECURSIVE $textClusterCtes
       SELECT ('0x' || substr(md5('shard1:' || doc_id::VARCHAR), 1, 8))::BIGINT
                % 16 AS shard,
              doc_id, cluster,

@@ -994,6 +994,145 @@ object TextQueries {
     """),
   )
 
+  /** Cross-module ATTRITION LEDGER — the "where did my corpus go"
+    * table across the whole curation chain, not within one module:
+    * corpus → quality gate → near-dup purge → decontamination → split
+    * assignment, one row per stage with in/out/dropped counts that
+    * provably telescope (stage k's docs_in = stage k−1's docs_out;
+    * the split fan-out's outs sum to the survivors). Every stage rule
+    * is the SHARED kernel of the query that owns it — `qualityScored`
+    * (tx_quality / tx_filter_funnel / mm_pair_manifest's caption
+    * gate), `DedupQueries.textClusters`' keep-the-representative rule
+    * (dd_dup_clusters / dd_purge_plan), the 8-gram `shingleHash32`
+    * benchmark overlap (dd_decontaminate, with the `% 97` eval slice
+    * itself removed from training — a pipeline never trains on its
+    * benchmark), and tx_split's salted-md5 bucket — so the ledger
+    * cannot drift from the stages it reconciles.
+    *
+    * Scale shape: per-doc flags are one pass over kernels already
+    * adjudicated (the cluster chain banded+capped, the bench gram set
+    * eval-sized, hashes per-row); the ledger itself collapses to ONE
+    * 1-row aggregate plus a ≤3-row split rollup — a 4-field exchange
+    * at any corpus size. The stage rows explode from the 1-row
+    * aggregate; the split rows' docs_in is a window sum over ≤3 rows
+    * (bounded by construction, no corpus window).
+    */
+  val corpusLedger = Query(
+    "tx_corpus_ledger",
+    (s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val q = qualityScored(s, dir)
+        .select(col("doc_id"), (col("verdict") === "keep").as("keep_q"))
+      val cl = graft.dedup.DedupQueries.textClusters(s, dir)
+      val grams = graft.core.Par.spreadBy(d, col("doc_id"))
+        .select(col("doc_id"),
+          explode(graft.functions.HashFunctions.shingleHash32(col("text"), 8))
+            .as("h"))
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("h")).distinct()
+      val hits = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(bench, "h") // AQE broadcasts the eval-sized gram set
+        .select(col("doc_id")).distinct()
+        .withColumn("hit", lit(true))
+      val b = conv(
+        substring(md5(concat(lit("split1:"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") % 100
+      val flags = d.select(col("doc_id"))
+        .join(q, "doc_id")
+        .join(cl, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("keep_q"),
+          (col("cluster").isNull || col("cluster") === col("doc_id"))
+            .as("is_rep"),
+          (col("doc_id") % 97 === 0 || coalesce(col("hit"), lit(false)))
+            .as("contam"),
+          when(b < 2, "test").when(b < 5, "val").otherwise("train")
+            .as("split"))
+      val a = flags.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("keep_q"), 1L).otherwise(0L)).as("k1"),
+        sum(when(col("keep_q") && col("is_rep"), 1L).otherwise(0L))
+          .as("k2"),
+        sum(when(col("keep_q") && col("is_rep") && !col("contam"), 1L)
+          .otherwise(0L)).as("k3"))
+      val stages = a.select(explode(array(
+        struct(lit(0L).as("stage_no"), lit("corpus").as("stage"),
+          col("n").as("docs_in"), col("n").as("docs_out")),
+        struct(lit(1L).as("stage_no"), lit("quality").as("stage"),
+          col("n").as("docs_in"), col("k1").as("docs_out")),
+        struct(lit(2L).as("stage_no"), lit("dedup_purge").as("stage"),
+          col("k1").as("docs_in"), col("k2").as("docs_out")),
+        struct(lit(3L).as("stage_no"), lit("decontaminate").as("stage"),
+          col("k2").as("docs_in"), col("k3").as("docs_out")))).as("r"))
+        .select(col("r.stage_no"), col("r.stage"),
+          col("r.docs_in"), col("r.docs_out"),
+          (col("r.docs_in") - col("r.docs_out")).as("docs_dropped"))
+      val splitRows = flags
+        .filter(col("keep_q") && col("is_rep") && !col("contam"))
+        .groupBy(col("split")).agg(count(lit(1)).as("c"))
+        .select(lit(4L).as("stage_no"),
+          concat(lit("split:"), col("split")).as("stage"),
+          // the fan-out's input = its own outs' total (≤3-row window)
+          sum(col("c")).over(Window.partitionBy()).as("docs_in"),
+          col("c").as("docs_out"), lit(0L).as("docs_dropped"))
+      stages.unionByName(splitRows).orderBy(col("stage_no"), col("stage"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE ${graft.dedup.DedupQueries.textClusterCtes},
+      $qualityScoredSql,
+      lt AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        FROM documents
+      ), lg AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(
+            list_transform(range(1, greatest(len(t) - 6, 1)),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                || ' ' || t[i+7]),
+            x -> ('0x' || substr(md5(x), 1, 8))::BIGINT))) AS h
+        FROM lt
+      ), lbench AS (SELECT DISTINCT h FROM lg WHERE doc_id % 97 = 0),
+      lhits AS (
+        SELECT DISTINCT doc_id FROM lg JOIN lbench USING (h)
+        WHERE doc_id % 97 <> 0
+      ), flags AS (
+        SELECT d.doc_id,
+          (q.verdict = 'keep') AS keep_q,
+          (c.cluster IS NULL OR c.cluster = d.doc_id) AS is_rep,
+          (d.doc_id % 97 = 0 OR hh.doc_id IS NOT NULL) AS contam,
+          CASE WHEN d.b < 2 THEN 'test' WHEN d.b < 5 THEN 'val'
+               ELSE 'train' END AS split
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5('split1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 100 AS b
+              FROM documents) d
+        JOIN txq q USING (doc_id)
+        LEFT JOIN cl c USING (doc_id)
+        LEFT JOIN lhits hh USING (doc_id)
+      ), a AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(CASE WHEN keep_q THEN 1 ELSE 0 END)::BIGINT AS k1,
+          sum(CASE WHEN keep_q AND is_rep THEN 1 ELSE 0 END)::BIGINT AS k2,
+          sum(CASE WHEN keep_q AND is_rep AND NOT contam
+              THEN 1 ELSE 0 END)::BIGINT AS k3
+        FROM flags
+      ), sp AS (
+        SELECT split, count(*)::BIGINT AS c,
+          sum(count(*)) OVER ()::BIGINT AS tot
+        FROM flags WHERE keep_q AND is_rep AND NOT contam GROUP BY 1)
+      SELECT * FROM (
+        SELECT 0::BIGINT AS stage_no, 'corpus' AS stage,
+          n AS docs_in, n AS docs_out, 0::BIGINT AS docs_dropped FROM a
+        UNION ALL SELECT 1, 'quality', n, k1, n - k1 FROM a
+        UNION ALL SELECT 2, 'dedup_purge', k1, k2, k1 - k2 FROM a
+        UNION ALL SELECT 3, 'decontaminate', k2, k3, k2 - k3 FROM a
+        UNION ALL SELECT 4, 'split:' || split, tot, c, 0 FROM sp
+      ) ORDER BY stage_no, stage
+    """),
+  )
+
   /** Deterministic global-shuffle shard manifest — the data-loader
     * layout op: documents are scattered into 16 shards by a salted
     * hash (the distributed equivalent of "shuffle the corpus and cut
@@ -3044,7 +3183,7 @@ object TextQueries {
 
   def all: Seq[Query] = Seq(tokenStats, quality, langid, langidNgram,
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
-    repetition, piiRedact, entropy, sample, trainSplit, shards, mixRebalance,
+    repetition, piiRedact, entropy, sample, trainSplit, corpusLedger, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
     sourceCap, bm25, bm25Probe, indexUpsert, lmScore, lmHoldout, bpeTrain, bpeEncode, bpeVocab, countMin, packEval, evalSample,
     novelty, datasetCard, sftFormat, pplBuckets, tokenizerEval, sourceOverlap)
