@@ -2965,12 +2965,24 @@ object TextQueries {
     * partitions (the sort key carries score+doc_id), where a
     * hash-by-lang window would drop half the corpus into one task.
     */
-  private[graft] def pplScoredByLang(s: SparkSession, dir: String): DataFrame = {
-    val nPart = s.sessionState.conf.numShufflePartitions
+  private[graft] def pplScoredByLang(s: SparkSession, dir: String): DataFrame =
+    sortPplByLang(s, pplScoredBase(s, dir))
+
+  /** The scored (lang, avg_logp, doc_id) frame BEFORE the range
+    * exchange — split out so [[pplBuckets]] can checkpoint it: range
+    * partitioning SAMPLES its child to pick bounds, so an
+    * un-materialized child pays the whole lmScored pipeline twice
+    * (once for the sampler, once for the shuffle). Checkpointing here
+    * makes both reads block-cached.
+    */
+  private def pplScoredBase(s: SparkSession, dir: String): DataFrame =
     lmScored(s, dir)
       .join(Tables(s, dir).documents.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("lang"), col("avg_logp"), col("doc_id"))
-      .repartitionByRange(nPart, col("lang"), col("avg_logp").desc, col("doc_id"))
+
+  private def sortPplByLang(s: SparkSession, df: DataFrame): DataFrame = {
+    val nPart = s.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(nPart, col("lang"), col("avg_logp").desc, col("doc_id"))
       .sortWithinPartitions(col("lang"), col("avg_logp").desc, col("doc_id"))
   }
 
@@ -2985,12 +2997,25 @@ object TextQueries {
       // boundary RANKS per language (SQL ntile: first n%3 buckets get
       // ⌈n/3⌉ rows), (4) a second pass fetches ONLY the sort-key tuple
       // sitting at each boundary rank (≤ 2 × langs rows), (5) rows
-      // bucket by comparing (avg_logp, doc_id) against the broadcast
-      // cut tuples — doc_id makes the order total, so the comparison
-      // reproduces ntile exactly. localCheckpoint materializes the
-      // scored frame once across the two passes and the final plan.
-      val sorted = pplScoredByLang(s, dir).localCheckpoint(true)
-      val rows = sorted.rdd
+      // buckets are PURE RANK ARITHMETIC over the total order: ntile's
+      // bucket of a row is a function of its global (lang, rank) alone,
+      // so once per-(partition, lang) counts are known, every output
+      // column is computable WITHOUT re-reading the corpus — n_docs
+      // and share from count arithmetic, min/max logp from the keys at
+      // each bucket's first/last rank (sorted desc ⇒ first = max). The
+      // round-11 shape: (1) the pre-shuffle localCheckpoint stops the
+      // range sampler from re-running the whole lmScored pipeline
+      // (range partitioning executes its child twice — bounds sample +
+      // shuffle); (2) ONE range shuffle materializes under the counts
+      // job and its map stage is REUSED by the boundary fetch (same
+      // RDD lineage — no post-sort checkpoint needed now that nothing
+      // re-reads the sorted corpus); (3) the boundary fetch schedules
+      // only the ≤ 6×langs partitions holding a bucket edge; (4) the
+      // result assembles on the driver (the q_percentiles precedent),
+      // driver state O(partitions × langs).
+      val base   = pplScoredBase(s, dir).localCheckpoint(true)
+      val sorted = sortPplByLang(s, base)
+      val rows = sorted.rdd // shared: the 2nd job reuses the shuffle stage
       val counts: Array[((Int, String), Long)] =
         rows.mapPartitionsWithIndex { (pid, it) =>
           val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -3001,11 +3026,19 @@ object TextQueries {
         }.collect()
       val totals: Map[String, Long] =
         counts.groupBy(_._1._2).map { case (g, a) => g -> a.map(_._2).sum }
-      // 0-based global rank of the FIRST middle / first tail row
-      val wanted: Map[String, Seq[Long]] = totals.map { case (g, n) =>
+      // ntile(3) bucket edges as 0-based global rank ranges
+      // [0, b1) / [b1, b2) / [b2, n) (SQL ntile: the first n%3 buckets
+      // get ⌈n/3⌉ rows); the fetched ranks are each nonempty bucket's
+      // FIRST and LAST row — the min/max score carriers
+      def bucketRanges(n: Long): Seq[(String, Long, Long)] = {
         val b1 = n / 3 + (if (n % 3 >= 1) 1L else 0L)
         val b2 = b1 + n / 3 + (if (n % 3 >= 2) 1L else 0L)
-        g -> Seq(b1, b2).filter(_ < n).distinct
+        Seq(("head", 0L, b1), ("middle", b1, b2), ("tail", b2, n))
+      }
+      val wanted: Map[String, Seq[Long]] = totals.map { case (g, n) =>
+        g -> bucketRanges(n).flatMap { case (_, lo, hi) =>
+          if (hi > lo) Seq(lo, hi - 1) else Nil
+        }.distinct
       }
       val perPartTargets: Map[Int, Map[String, Map[Long, Long]]] = {
         val acc = scala.collection.mutable.HashMap
@@ -3026,54 +3059,50 @@ object TextQueries {
           pid -> entries.map { case ((_, g), m) => g -> m.toMap }.toMap
         }
       }
+      // the boundary fetch schedules ONLY the partitions that hold a
+      // boundary (runJob with an explicit partition list — ≤ 2×langs
+      // of them) and each task stops consuming its iterator once its
+      // last target rank is found, so the second pass costs a handful
+      // of prefix reads, not a full corpus decode
+      val targetPids = perPartTargets.keys.toSeq.sorted
       val picked: Array[((String, Long), (Double, Long))] =
-        rows.mapPartitionsWithIndex { (pid, it) =>
-          perPartTargets.get(pid) match {
-            case None => Iterator.empty
-            case Some(byG) =>
-              val local = scala.collection.mutable.HashMap.empty[String, Long]
-              it.flatMap { r =>
-                val g = r.getString(0)
-                val i = local.getOrElse(g, 0L)
-                local.update(g, i + 1L)
-                byG.get(g).flatMap(_.get(i)).map(globalRank =>
-                  ((g, globalRank), (r.getDouble(1), r.getLong(2))))
+        if (targetPids.isEmpty) Array.empty
+        else s.sparkContext.runJob(rows,
+          (ctx: org.apache.spark.TaskContext,
+              it: Iterator[org.apache.spark.sql.Row]) => {
+            val byG = perPartTargets(ctx.partitionId())
+            var left = byG.valuesIterator.map(_.size).sum
+            val local = scala.collection.mutable.HashMap.empty[String, Long]
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[((String, Long), (Double, Long))]
+            while (it.hasNext && left > 0) {
+              val r = it.next()
+              val g = r.getString(0)
+              val i = local.getOrElse(g, 0L)
+              local.update(g, i + 1L)
+              byG.get(g).flatMap(_.get(i)).foreach { globalRank =>
+                out += (((g, globalRank), (r.getDouble(1), r.getLong(2))))
+                left -= 1
               }
-          }
-        }.collect()
+            }
+            out.toArray
+          }, targetPids).flatten
       val keyAt = picked.toMap
-      // Missing cut (bucket boundary ≥ n) → sentinel BELOW every real
-      // key in (logp desc, doc_id asc) order, so "before cut" is
-      // all-true and the later buckets stay empty — matches ntile with
-      // fewer rows than buckets.
-      def cut(g: String, rank: Long): (Double, Long) =
-        keyAt.getOrElse((g, rank), (Double.NegativeInfinity, Long.MaxValue))
+      // driver assembly (≤ langs×3 rows): scores at bucket edges ARE
+      // the bucket's min/max because the order is total and descending;
+      // share divides two exact integers with the same HALF_UP 4-dp
+      // rounding Spark's round() applies
+      def r4(v: Double): Double = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       import s.implicits._
-      val cuts = totals.keys.toSeq.sorted.map { g =>
-        val b1 = totals(g) / 3 + (if (totals(g) % 3 >= 1) 1L else 0L)
-        val b2 = b1 + totals(g) / 3 + (if (totals(g) % 3 >= 2) 1L else 0L)
-        val (c1lp, c1id) = cut(g, b1)
-        val (c2lp, c2id) = cut(g, b2)
-        (g, c1lp, c1id, c2lp, c2id)
-      }.toDF("lang", "c1_lp", "c1_id", "c2_lp", "c2_id")
-      def before(lp: String, id: String) =
-        col("avg_logp") > col(lp) ||
-          (col("avg_logp") === col(lp) && col("doc_id") < col(id))
-      val agg = sorted
-        .join(broadcast(cuts), "lang")
-        .withColumn("bucket", when(before("c1_lp", "c1_id"), "head")
-          .when(before("c2_lp", "c2_id"), "middle").otherwise("tail"))
-        .groupBy(col("lang"), col("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-          round(min(col("avg_logp")), 4).as("min_logp"),
-          round(max(col("avg_logp")), 4).as("max_logp"))
-      // ≤ langs×3 rows from here on — bounded by construction
-      val wShare = Window.partitionBy(col("lang"))
-      agg
-        .withColumn("share",
-          round(col("n_docs") * 1.0 / sum(col("n_docs")).over(wShare), 4))
-        .select(col("lang"), col("bucket"), col("n_docs"), col("share"),
-          col("min_logp"), col("max_logp"))
+      val out = totals.keys.toSeq.sorted.flatMap { g =>
+        val n = totals(g)
+        bucketRanges(n).collect { case (name, lo, hi) if hi > lo =>
+          (g, name, hi - lo, r4((hi - lo).toDouble / n),
+            keyAt((g, hi - 1))._1, keyAt((g, lo))._1)
+        }
+      }
+      out.toDF("lang", "bucket", "n_docs", "share", "min_logp", "max_logp")
         .orderBy(col("lang"), col("bucket"))
     },
     eagerPlan = Some(pplScoredByLang),

@@ -207,8 +207,7 @@ class PlanAuditSpec extends SparkSuite {
       "stats" -> "1-row (n_docs, avgdl) corpus statistics",
       "total" -> "1-row total-token aggregate",
       "voc" -> "1-row vocabulary-size aggregate",
-      "topLang" -> "<=|sources| top-language rows",
-      "cuts" -> "<=2 x |langs| percentile cut tuples (rank method)"),
+      "topLang" -> "<=|sources| top-language rows"),
     "streaming/StreamingQueries.scala" -> Map(
       "dim" -> "customer x nation dimension join (star-schema dim side)",
       "sk" -> "1-row quantile-sketch aggregate"),
