@@ -194,8 +194,10 @@ class PlanAuditSpec extends SparkSuite {
         "fixed 50-row probe subset (declared in ss_brute_pairs)"),
     "dedup/DedupQueries.scala" -> Map(
       "leaked" -> "1-row leaked-cluster count aggregate",
-      "bandsOf(shI)" -> ("ingest-BATCH band signatures (dd_incremental: " +
+      "cdcBandsOf(shI)" -> ("ingest-BATCH band keys (dd_minhash_cdc: " +
         "the batch is the bounded nightly unit, not the corpus)"),
+      "bandsI" -> ("ingest-batch band keys, persisted-index probe " +
+        "(dd_band_probe: same bounded-batch contract)"),
       "shI.select" -> "ingest-batch minhash signatures (same bound)",
       "flags" -> "<=|batch| per-new-doc verdict frame",
       "bench" -> ("benchmark-suite n-gram set (eval suites are fixed-" +
