@@ -1042,7 +1042,15 @@ object DedupQueries {
         .distinct()
       cdcVerdict(incoming, cands, shI, shE)
     },
-    oracle = {
+    oracle = Some(cdcOracle("SELECT doc_id, text FROM documents")),
+  )
+
+  /** The CDC screen's DuckDB oracle, parameterized over the EXISTING
+    * corpus (`dd_minhash_cdc` screens against `documents`;
+    * `dd_band_upsert` screens against documents ∪ the ingested batch)
+    * — one oracle text, so the two screens' truths cannot drift.
+    */
+  private def cdcOracle(existingSql: String): String = {
       val mhList = hashParams.map { case (a, b) =>
         s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashP))"
       }.mkString("[", ", ", "]")
@@ -1050,8 +1058,8 @@ object DedupQueries {
         val parts = (0 until 4).map(r => s"mh[${b * 4 + r + 1}]::VARCHAR")
         s"'$b:' || " + parts.mkString(" || ':' || ")
       }.mkString("[", ", ", "]")
-      Some(s"""
-      WITH existing AS (SELECT doc_id, text FROM documents),
+      s"""
+      WITH existing AS ($existingSql),
       incoming AS (
         SELECT doc_id + 500000 AS doc_id, text FROM documents
         WHERE source = 'src0'
@@ -1103,9 +1111,8 @@ object DedupQueries {
         round(coalesce(f.best, 0.0), 4) AS best_jac
       FROM incoming i LEFT JOIN flags f ON f.new_id = i.doc_id
       ORDER BY i.doc_id
-    """)
-    },
-  )
+    """
+  }
 
   /** Build-and-persist the corpus MinHash band index — the dedup
     * channel's persisted serving structure, completing the trilogy
@@ -1125,28 +1132,238 @@ object DedupQueries {
     * Atomic publish + stale-generation GC via [[graft.core.IndexDirs]],
     * keyed by the documents file's identity like its two siblings.
     */
-  def buildBandIndex(s: SparkSession, dir: String): String = synchronized {
+  def buildBandIndex(s: SparkSession, dir: String): String =
+    publishBandIndex(s, dir, "graft_band_index_v2",
+      Tables(s, dir).documents.select(col("doc_id"), col("text")))
+
+  private def publishBandIndex(s: SparkSession, dir: String, family: String,
+      docs: DataFrame): String = synchronized {
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
     val conf = s.sparkContext.hadoopConfiguration
     val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val st   = src.getFileSystem(conf).getFileStatus(src)
-    val prefix =
-      s"graft_band_index_${slug}_${dir.hashCode & 0x7fffffff}_"
+    val prefix = s"${family}_${slug}_${dir.hashCode & 0x7fffffff}_"
     val idx = s"${System.getProperty("java.io.tmpdir")}/" +
       s"$prefix${st.getLen}_${st.getModificationTime}"
     graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
-      val shE = cdcSigs(
-        spread(Tables(s, dir).documents.select(col("doc_id"), col("text"))))
-      shE.write.mode("overwrite").parquet(s"$tmp/sigs")
-      val wBand = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("bh"))
-      cdcBandsOf(shE)
-        .withColumn("bc", count(lit(1)).over(wBand))
-        .filter(col("bc") <= 50).drop("bc")
-        .withColumn("bkt", pmod(hash(col("bh")), lit(16)))
-        .write.mode("overwrite").partitionBy("bkt").parquet(s"$tmp/bands")
+      writeBandIndex(s, docs, tmp)
     }
   }
+
+  /** Write sigs + capped bands + hot-band tombstones for `docs`
+    * (doc_id, text) under `idx` — shared by the from-scratch build and
+    * the rebuild oracle in BandUpsertSpec. `hot/` carries the KEYS of
+    * bands whose member count exceeds the cap: the rows themselves are
+    * dropped (a hot band is boilerplate, useless as a candidate
+    * generator), but the key must persist so incremental maintenance
+    * can tell "capped out" from "never seen" — a band can only ever
+    * GAIN members under the append-only admission contract, so a
+    * key-only tombstone set (no counts) is sufficient AND idempotent.
+    */
+  /** Explicit read schemas for the band index's three tables: an index
+    * over a fully-boilerplate corpus legitimately has an EMPTY bands
+    * table (every band hot), and Spark cannot infer a schema from an
+    * empty partitioned directory — the format must stay readable in
+    * every reachable state.
+    */
+  private val bandsSchema = "doc_id LONG, bh STRING, bkt INT"
+  private val bucketSchema = "doc_id LONG, bh STRING"
+  private val hotSchema = "bh STRING, bkt INT"
+  private val sigsSchema = "doc_id LONG, sh ARRAY<LONG>"
+
+  private[graft] def writeBandIndex(s: SparkSession, docs: DataFrame,
+      idx: String): Unit = {
+    val shE = cdcSigs(spread(docs))
+    shE.write.mode("overwrite").parquet(s"$idx/sigs")
+    val wBand = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bh"))
+    val counted = cdcBandsOf(shE)
+      .withColumn("bc", count(lit(1)).over(wBand))
+      .withColumn("bkt", pmod(hash(col("bh")), lit(16)))
+    counted.filter(col("bc") <= 50).drop("bc")
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$idx/bands")
+    // plain (not partitioned) on purpose: the tombstone set is the
+    // heavy-hitter band keys — tiny at any scale, and an empty
+    // partitioned write would leave a schema-less directory
+    counted.filter(col("bc") > 50)
+      .select(col("bh"), col("bkt")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$idx/hot")
+  }
+
+  /** The ONE probe kernel against a persisted band index: compute only
+    * the batch's signatures + bands, statically prune the index scan
+    * to their buckets, candidate-join against the broadcast batch
+    * bands, confirm with the shared exact-Jaccard tail over the
+    * persisted signatures. Shared by `dd_band_probe` (probe after
+    * build) and `dd_band_upsert` (probe after incremental ingest).
+    */
+  private[graft] def probeBandIndex(s: SparkSession, idx: String,
+      incoming: DataFrame): DataFrame = {
+    val shI = cdcSigs(incoming)
+    val bandsI = cdcBandsOf(shI)
+    val bkts = bandsI
+      .select(pmod(hash(col("bh")), lit(16)).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted // bounded: ≤ 16
+    val bandsE = s.read.schema(bandsSchema).parquet(s"$idx/bands")
+      .filter(col("bkt").isin(bkts.map(Integer.valueOf): _*))
+      .select(col("doc_id"), col("bh"))
+    val shE = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
+    val cands = bandsE.as("e")
+      .join(broadcast(bandsI.as("i")), col("e.bh") === col("i.bh"))
+      .select(col("i.doc_id").as("new_id"), col("e.doc_id").as("old_id"))
+      .distinct()
+    cdcVerdict(incoming, cands, shI, shE)
+  }
+
+  /** Incremental maintenance for the persisted band index — the
+    * admission tier's INGEST step: the docs a screen admitted as 'new'
+    * append into the index so tomorrow's screen sees them. Contract is
+    * APPEND-ONLY (a re-submitted doc is 'dup' and never re-ingested;
+    * replacements are the purge/re-ingest tier's job): a batch id
+    * already present in the signatures fails loudly, duplicate ids
+    * within a batch fail loudly, docs that tokenize to no shingles are
+    * not indexed (the build's own rule). Only the batch's ≤16 band
+    * buckets rewrite; within each, the hot-band cap is RE-CHECKED —
+    * a stored band pushed past the cap by the batch drops its rows and
+    * gains a tombstone, exactly what a from-scratch rebuild over the
+    * extended corpus produces (BandUpsertSpec pins the equivalence,
+    * including the over-cap transition). Per-bucket writes are
+    * crash-safe swaps ordered bands → hot → sigs, with the bucket
+    * merges anti-joined on the batch ids, so a crashed run re-applies
+    * cleanly (the sigs append is the batch's commit point — the
+    * presence check reads sigs). Returns the touched bucket ids.
+    */
+  def upsertBandIndex(s: SparkSession, idx: String,
+      batch: DataFrame): Seq[Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sigsRoot = new org.apache.hadoop.fs.Path(s"$idx/sigs")
+    val fs = sigsRoot.getFileSystem(conf)
+    require(fs.exists(sigsRoot), s"no band index at $idx — build it first")
+    val shI = cdcSigs(batch)
+    val dup = shI.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsertBandIndex: duplicate doc_id in batch (${dup.head.get(0)})")
+    val ids = shI.select(col("doc_id"))
+    val existing = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
+      .join(ids, Seq("doc_id"), "left_semi").limit(1).collect()
+    if (existing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsertBandIndex: doc ${existing.head.get(0)} already indexed — " +
+          "admission is append-only; replacements go through purge + " +
+          "re-ingest")
+    val newBands = cdcBandsOf(shI)
+      .withColumn("bkt", pmod(hash(col("bh")), lit(16)))
+      .persist()
+    try {
+      val touched = newBands.select(col("bkt")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: ≤ 16
+      val hotTbl = s.read.schema(hotSchema).parquet(s"$idx/hot") // tiny tombstone set
+      val staging = s"$idx/hot__new"
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true) // crash leftovers
+      touched.foreach { b =>
+        val bandPart = s"$idx/bands/bkt=$b"
+        val bandPath = new org.apache.hadoop.fs.Path(bandPart)
+        val partNew  = newBands.filter(col("bkt") === b).drop("bkt")
+        val stored =
+          if (fs.exists(bandPath))
+            s.read.schema(bucketSchema).parquet(bandPart)
+              .join(ids, Seq("doc_id"), "left_anti") // crashed-run rows
+          else partNew.limit(0)
+        val hot0 = hotTbl.filter(col("bkt") === b).select(col("bh"))
+        // a band is suppressed if already hot, or if its full member
+        // count (stored rows are complete for non-hot bands) + the
+        // batch's rows passes the cap; counts only grow under
+        // append-only admission, so suppression is monotone and the
+        // key-only tombstone needs no count
+        val merged = stored.unionByName(
+          partNew.join(hot0, Seq("bh"), "left_anti"))
+        val wBand = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bh"))
+        val counted = merged.withColumn("bc", count(lit(1)).over(wBand))
+        val keep    = counted.filter(col("bc") <= 50).drop("bc")
+        val newHot  = counted.filter(col("bc") > 50)
+          .select(col("bh")).distinct().withColumn("bkt", lit(b))
+        // BOTH writes happen before the swap: keep and newHot share
+        // the `stored` scan, and a write executed after the bands swap
+        // would try to re-read the replaced files; new tombstones park
+        // in a staging dir and merge into hot/ once, after the loop
+        val bandTmp = bandPart + "__upserting"
+        keep.write.mode("overwrite").parquet(bandTmp)
+        newHot.coalesce(1).write.mode("overwrite").parquet(s"$staging/b=$b")
+        if (fs.exists(bandPath))
+          graft.operators.Maintenance.swapDirs(s, bandTmp, bandPart)
+        else if (!fs.rename(new org.apache.hadoop.fs.Path(bandTmp), bandPath))
+          throw new java.io.IOException(s"rename $bandTmp -> $bandPart failed")
+      }
+      // one whole-table tombstone merge (the set is tiny at any scale)
+      val newHotAll = s.read.schema(hotSchema)
+        .parquet(touched.map(b => s"$staging/b=$b"): _*)
+      val hotTmp = s"$idx/hot__upserting"
+      hotTbl.unionByName(newHotAll).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(hotTmp)
+      graft.operators.Maintenance.swapDirs(s, hotTmp, s"$idx/hot")
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      // the batch's commit point: sigs append LAST, so a crashed run
+      // re-applies (the presence check above reads sigs)
+      shI.write.mode("append").parquet(s"$idx/sigs")
+      // swapped directories keep their paths — drop any cached file
+      // listings so later reads can't resolve to replaced files
+      s.catalog.refreshByPath(idx)
+      touched
+    } finally newBands.unpersist()
+  }
+
+  /** The maintenance demo behind `dd_band_upsert`: its OWN index
+    * family (never the one `dd_band_probe` serves — ingest mutates the
+    * index, and the probe row's oracle is the un-extended corpus),
+    * built over the corpus, then tonight's fresh documents ingested
+    * once (a re-run sees them in sigs and skips — deterministic either
+    * way).
+    */
+  private def upsertBandDemoIndex(s: SparkSession, dir: String): String = {
+    val d = Tables(s, dir).documents
+    val idx = publishBandIndex(s, dir, "graft_band_upsert_v2",
+      d.select(col("doc_id"), col("text")))
+    val fresh = d.filter(col("source") === "src1")
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(lit("fresh content row "), col("doc_id").cast("string"),
+          lit(" batch nightly ingest")).as("text"))
+    val already = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
+      .join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    if (already.isEmpty) upsertBandIndex(s, idx, fresh)
+    idx
+  }
+
+  /** Band-index MAINTENANCE under the gate — the ingest step after
+    * admission: tonight's fresh documents append into the persisted
+    * band index (touched-buckets-only, cap re-checked, tombstoned),
+    * then the SAME nightly batch screens again — re-submissions are
+    * still dups against the corpus, and the just-ingested fresh docs
+    * now flag 'dup' against themselves (except where their shared
+    * boilerplate bands went hot — exactly what the cap is for). The
+    * oracle recomputes the whole screen over the EXTENDED corpus
+    * (documents ∪ ingested), so the row passes only if the bucket
+    * merges, the cap transitions, and the signature appends all
+    * reproduce a from-scratch view.
+    */
+  val bandUpsert = Query(
+    "dd_band_upsert",
+    (s, dir) => {
+      val idx = upsertBandDemoIndex(s, dir)
+      probeBandIndex(s, idx, cdcIncoming(Tables(s, dir).documents))
+    },
+    oracle = Some(cdcOracle(
+      """SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 600000 AS doc_id,
+          'fresh content row ' || doc_id::VARCHAR || ' batch nightly ingest'
+            AS text
+        FROM documents WHERE source = 'src1'""")),
+  )
 
   /** Near-dup admission served from the PERSISTED band index —
     * identical semantics to [[minhashCdc]] (same oracle, the
@@ -1163,24 +1380,8 @@ object DedupQueries {
     */
   val bandProbe = Query(
     "dd_band_probe",
-    (s, dir) => {
-      val idx = buildBandIndex(s, dir)
-      val incoming = cdcIncoming(Tables(s, dir).documents)
-      val shI = cdcSigs(incoming)
-      val bandsI = cdcBandsOf(shI)
-      val bkts = bandsI
-        .select(pmod(hash(col("bh")), lit(16)).as("b"))
-        .distinct().collect().map(_.getInt(0)).sorted // bounded: ≤ 16
-      val bandsE = s.read.parquet(s"$idx/bands")
-        .filter(col("bkt").isin(bkts.map(Integer.valueOf): _*))
-        .select(col("doc_id"), col("bh"))
-      val shE = s.read.parquet(s"$idx/sigs")
-      val cands = bandsE.as("e")
-        .join(broadcast(bandsI.as("i")), col("e.bh") === col("i.bh"))
-        .select(col("i.doc_id").as("new_id"), col("e.doc_id").as("old_id"))
-        .distinct()
-      cdcVerdict(incoming, cands, shI, shE)
-    },
+    (s, dir) => probeBandIndex(s, buildBandIndex(s, dir),
+      cdcIncoming(Tables(s, dir).documents)),
     // the persisted index encodes the same signatures, banding, and
     // hot-band cap, so the index-less oracle applies verbatim
     oracle = minhashCdc.oracle,
@@ -1650,7 +1851,7 @@ object DedupQueries {
   )
 
   def all: Seq[Query] =
-    Seq(exact, dupStats, minhashLsh, minhashCdc, bandProbe, simhash, ngramJaccard,
+    Seq(exact, dupStats, minhashLsh, minhashCdc, bandProbe, bandUpsert, simhash, ngramJaccard,
       cleanCorpus, dupPassages, dupClusters, clusterSplit, decontaminate,
       bloomDecontaminate, incrementalDedup, lshTuning, minhashRecall,
       purgePlanQ)

@@ -141,6 +141,7 @@ object Maintenance {
       val tmp = dir + "__upserting"
       merged.write.mode("overwrite").parquet(tmp)
       swapDirs(spark, tmp, dir)
+      spark.catalog.refreshByPath(dir)
       return
     }
     val nBuckets = {
@@ -166,6 +167,7 @@ object Maintenance {
         throw new java.io.IOException(s"rename $tmp -> $part failed")
     }
     upd.unpersist()
+    spark.catalog.refreshByPath(dir) // swapped paths: drop cached listings
   }
 
   /** Directory swap that never leaves a window without the data: the

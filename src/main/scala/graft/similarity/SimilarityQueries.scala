@@ -658,6 +658,7 @@ object SimilarityQueries {
         else if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), partPath))
           throw new java.io.IOException(s"rename $tmp -> $part failed")
       }
+      s.catalog.refreshByPath(idx) // swapped paths: drop cached listings
       touched
     } finally assigned.unpersist()
   }

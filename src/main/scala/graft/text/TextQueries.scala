@@ -1958,6 +1958,9 @@ object TextQueries {
         .toDF("n_docs", "avgdl", "sum_dl")
         .coalesce(1).write.mode("overwrite").parquet(statsTmp)
       graft.operators.Maintenance.swapDirs(s, statsTmp, s"$idx/stats")
+      // swapped directories keep their paths — drop any cached file
+      // listings so later reads can't resolve to replaced files
+      s.catalog.refreshByPath(idx)
       touched
     } finally newPosts.unpersist()
   }

@@ -1,0 +1,99 @@
+package graft.dedup
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins upsertBandIndex's maintenance contract against the one oracle
+  * that matters: a from-scratch writeBandIndex over the same final
+  * corpus — bands row-set, hot-tombstone key-set, and signature-set
+  * all identical, INCLUDING the over-cap transition (a stored band
+  * pushed past 50 members by the batch must drop its rows and gain a
+  * tombstone). The append-only admission preconditions fail loudly.
+  */
+class BandUpsertSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+
+  private def docs: DataFrame =
+    graft.Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+
+  private def tmpIdx(tag: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_bandup_spec_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/idx"
+  }
+
+  private def bandsOf(idx: String): Set[(Long, String)] =
+    spark.read.schema("doc_id LONG, bh STRING, bkt INT").parquet(s"$idx/bands").select(col("doc_id"), col("bh"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def hotOf(idx: String): Set[String] =
+    spark.read.schema("bh STRING, bkt INT").parquet(s"$idx/hot").select(col("bh"))
+      .collect().map(_.getString(0)).toSet
+
+  private def sigIdsOf(idx: String): Set[Long] =
+    spark.read.schema("doc_id LONG, sh ARRAY<LONG>").parquet(s"$idx/sigs").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+
+  test("index after upsert equals a from-scratch rebuild") {
+    val fresh = docs.filter(col("source").isNull || lit(true))
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+    val upserted = tmpIdx("u")
+    DedupQueries.writeBandIndex(spark, docs, upserted)
+    val touched = DedupQueries.upsertBandIndex(spark, upserted, fresh)
+    assert(touched.nonEmpty && touched.forall(b => b >= 0 && b < 16))
+
+    val rebuilt = tmpIdx("r")
+    DedupQueries.writeBandIndex(spark, docs.unionByName(fresh), rebuilt)
+
+    assert(bandsOf(upserted) == bandsOf(rebuilt),
+      "upserted bands diverge from the rebuild")
+    assert(hotOf(upserted) == hotOf(rebuilt),
+      "hot tombstones diverge from the rebuild")
+    assert(sigIdsOf(upserted) == sigIdsOf(rebuilt),
+      "signatures diverge from the rebuild")
+  }
+
+  test("a band pushed past the cap drops its rows and gains a tombstone") {
+    // synthetic corpus engineered for the transition: 30 near-identical
+    // docs share every band; 25 more arrive in the batch, pushing the
+    // shared bands to 55 > 50 — the rebuild caps them out, and the
+    // upsert must reproduce that exactly
+    import spark.implicits._
+    def clones(ids: Range): DataFrame = ids
+      .map(i => (i.toLong, "the same boilerplate sentence repeated verbatim"))
+      .toDF("doc_id", "text")
+    val idx = tmpIdx("h")
+    DedupQueries.writeBandIndex(spark, clones(0 until 30), idx)
+    assert(hotOf(idx).isEmpty && bandsOf(idx).nonEmpty)
+    DedupQueries.upsertBandIndex(spark, idx, clones(30 until 55))
+    assert(bandsOf(idx).isEmpty,
+      "rows of an over-cap band survived the upsert")
+    assert(hotOf(idx).nonEmpty, "no tombstone for the over-cap band")
+    val rebuilt = tmpIdx("h2")
+    DedupQueries.writeBandIndex(spark, clones(0 until 55), rebuilt)
+    assert(hotOf(idx) == hotOf(rebuilt) && bandsOf(idx) == bandsOf(rebuilt))
+    // and hot stays hot: another batch of clones must not resurrect it
+    DedupQueries.upsertBandIndex(spark, idx, clones(55 until 60))
+    assert(bandsOf(idx).isEmpty && hotOf(idx) == hotOf(rebuilt))
+  }
+
+  test("append-only admission: existing or duplicate ids fail loudly") {
+    val idx = tmpIdx("a")
+    DedupQueries.writeBandIndex(spark, docs, idx)
+    val resubmit = docs.filter(col("doc_id") === 0)
+    val e1 = intercept[IllegalArgumentException] {
+      DedupQueries.upsertBandIndex(spark, idx, resubmit)
+    }
+    assert(e1.getMessage.contains("already indexed"))
+    val fresh = docs.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+    val e2 = intercept[IllegalArgumentException] {
+      DedupQueries.upsertBandIndex(spark, idx, fresh.unionAll(fresh))
+    }
+    assert(e2.getMessage.contains("duplicate doc_id"))
+  }
+}
