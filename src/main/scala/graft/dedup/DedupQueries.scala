@@ -989,7 +989,7 @@ object DedupQueries {
     * 1.0) plus genuinely fresh synthetic texts under `src1` ids (must
     * pass 'new') — non-vacuous at any SF.
     */
-  private def cdcIncoming(d: DataFrame): DataFrame =
+  private[graft] def cdcIncoming(d: DataFrame): DataFrame =
     d.filter(col("source") === "src0")
       .select((col("doc_id") + 500000).as("doc_id"), col("text"))
       .unionAll(d.filter(col("source") === "src1")

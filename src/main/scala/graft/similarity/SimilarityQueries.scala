@@ -653,7 +653,13 @@ object SimilarityQueries {
               .unionByName(partBatch)
           else partBatch // first rows for a previously-empty cell
         val tmp = part + "__upserting"
-        merged.write.mode("overwrite").parquet(tmp)
+        // per-cell compaction (the compactParquet size rule, matching
+        // upsertTextIndex): a nightly upsert chain must not accrete a
+        // small-files pathology into the cells it keeps rewriting
+        val bytes = merged.queryExecution.optimizedPlan.stats.sizeInBytes
+        val parts = math.max(1,
+          (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
+        merged.coalesce(parts).write.mode("overwrite").parquet(tmp)
         if (fs.exists(partPath)) graft.operators.Maintenance.swapDirs(s, tmp, part)
         else if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), partPath))
           throw new java.io.IOException(s"rename $tmp -> $part failed")

@@ -1127,10 +1127,75 @@ object StreamingQueries {
         count(lit(1)).as("n"))),
   )
 
+  /** Streaming near-dup ADMISSION — the CDC screen as the long-running
+    * service it actually is: document batches arrive on a stream and
+    * each one screens against the PERSISTED band index inside
+    * `foreachBatch` via the exact batch kernel
+    * ([[graft.dedup.DedupQueries.probeBandIndex]] — the ss_stream_topk
+    * discipline applied to the dedup channel, completing streaming
+    * serving across the index trilogy). Serving is STATELESS (each
+    * batch is screened independently against the index; no cross-batch
+    * state store), so per-batch cost is O(batch bands × pruned
+    * buckets) and the accumulated output is one verdict row per
+    * incoming doc — bounded by the batch. A production deployment
+    * points the same foreachBatch at a Kafka ingest stream; nightly
+    * `upsertBandIndex` calls swap admitted docs in under it. The
+    * oracle is `dd_minhash_cdc`'s verbatim — streaming admission must
+    * return the batch screen's answer.
+    */
+  val streamAdmission = Query(
+    "dd_stream_admission",
+    (s, dir) => {
+      import graft.dedup.{DedupQueries => DQ}
+      import scala.jdk.CollectionConverters._
+      val idx = DQ.buildBandIndex(s, dir)
+      val child = graft.core.Sessions.withConf(s,
+        "spark.sql.shuffle.partitions" -> streamPartitions)
+      val schema = child.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = child.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft_stream_admission")
+      val out = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, String, Double)]())
+      try {
+        val q = docsStream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val incoming = DQ.cdcIncoming(batch)
+            // one verdict row per incoming doc — bounded accumulate
+            out.addAll(DQ.probeBandIndex(child, idx, incoming)
+              .collect().toSeq
+              .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+              .asJava)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import s.implicits._
+        out.asScala.toSeq.sortBy(_._1).toDF("doc_id", "status", "best_jac")
+      } finally {
+        import java.nio.file.Files
+        Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    },
+    // streaming admission must return the batch screen's answer: the
+    // persisted index encodes the same signatures, banding, and cap
+    oracle = graft.dedup.DedupQueries.minhashCdc.oracle,
+    eagerPlan = Some((s, dir) => {
+      import graft.dedup.{DedupQueries => DQ}
+      DQ.probeBandIndex(s, DQ.buildBandIndex(s, dir),
+        DQ.cdcIncoming(Tables(s, dir).documents))
+    }),
+  )
+
   def all: Seq[Query] =
     Seq(streamHourly, streamSessions, streamRangeJoin, streamLeftJoin,
       streamWordcount, streamEnrich, streamUpsert, streamClean,
       streamHeavyHitters, streamScd2, streamSliding, streamCountMin,
       streamTopk, streamFunnel, streamHourlyUsers, streamAsof,
-      streamAnomaly, streamQuantiles)
+      streamAnomaly, streamQuantiles, streamAdmission)
 }
