@@ -569,15 +569,20 @@ object DedupQueries {
     * the text modality. Per-row integer/hash work only: the plan adds
     * ZERO shuffles beyond the cluster chain it consumes.
     */
-  private[graft] def purgePlan(clusters: DataFrame): DataFrame = {
-    val shard = conv(
-      substring(md5(concat(lit("shard1:"), col("doc_id"))), 1, 8), 16, 10)
-      .cast("long") % 16
+  /** The tx_shards salted-md5 shard key — ONE definition across the
+    * lake layout ([[shardedCorpus]]), the deletion lists
+    * ([[purgePlan]]), and the deletion pass ([[applyPurge]]), so a
+    * purge row can never route to a shard its document doesn't live in.
+    */
+  private[graft] def shardOf(id: Column): Column = conv(
+    substring(md5(concat(lit("shard1:"), id)), 1, 8), 16, 10)
+    .cast("long") % 16
+
+  private[graft] def purgePlan(clusters: DataFrame): DataFrame =
     clusters.select(
-      shard.as("shard"), col("doc_id"), col("cluster"),
+      shardOf(col("doc_id")).as("shard"), col("doc_id"), col("cluster"),
       when(col("doc_id") === col("cluster"), "keep")
         .otherwise("purge").as("action"))
-  }
 
   /** Per-shard dedup deletion lists over the text near-dup clusters —
     * [[dupClusters]]' transitive closure turned into the action a
@@ -619,6 +624,128 @@ object DedupQueries {
              CASE WHEN doc_id = cluster THEN 'keep' ELSE 'purge' END
                AS action
       FROM cl ORDER BY doc_id
+    """),
+  )
+
+  /** The corpus laid out as the shard-partitioned lake [[purgePlan]]
+    * routes against: one Hive partition per tx_shards shard key,
+    * published once per corpus generation (atomic build + stale-
+    * generation GC, the persisted-index discipline). This is the
+    * layout that makes the deletion pass embarrassingly parallel: a
+    * shard's purge list lands exactly on the directory holding its
+    * documents.
+    */
+  private[graft] def shardedCorpus(s: SparkSession, dir: String): String =
+    synchronized {
+      val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+      val conf = s.sparkContext.hadoopConfiguration
+      val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val st   = src.getFileSystem(conf).getFileStatus(src)
+      val prefix =
+        s"graft_shard_corpus_${slug}_${dir.hashCode & 0x7fffffff}_"
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"$prefix${st.getLen}_${st.getModificationTime}"
+      graft.core.IndexDirs.publish(conf, root, prefix) { tmp =>
+        Tables(s, dir).documents
+          .withColumn("shard", shardOf(col("doc_id")))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$tmp/docs")
+      }
+    }
+
+  /** Execute a purge plan against the sharded lake — the deletion pass
+    * SCALE.md promises: each TOUCHED shard directory rewrites as an
+    * anti-join of its own rows against its own deletion list (an
+    * embarrassingly-parallel per-shard operation — the plan arrives
+    * pre-routed on the same key the layout partitions by), compacted
+    * to a size-derived file count and swapped crash-safely; untouched
+    * shard directories keep their files byte-identical. Idempotent: a
+    * re-applied list anti-joins to a no-op. Returns the touched shards.
+    */
+  def applyPurge(s: SparkSession, layout: String,
+      plan: DataFrame): Seq[Long] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val docsRoot = new org.apache.hadoop.fs.Path(s"$layout/docs")
+    val fs = docsRoot.getFileSystem(conf)
+    require(fs.exists(docsRoot), s"no sharded corpus at $layout")
+    val routed = plan.select(col("shard"), col("doc_id")).persist()
+    try {
+      val touched = routed.select(col("shard")).distinct()
+        .collect().map(_.getLong(0)).sorted // bounded: ≤ 16 shards
+      touched.foreach { k =>
+        val part     = s"$layout/docs/shard=$k"
+        val partPath = new org.apache.hadoop.fs.Path(part)
+        if (fs.exists(partPath)) {
+          val ids = routed.filter(col("shard") === k).select(col("doc_id"))
+          val surviving = s.read.parquet(part)
+            .join(ids, Seq("doc_id"), "left_anti")
+          val bytes =
+            surviving.queryExecution.optimizedPlan.stats.sizeInBytes
+          val parts = math.max(1,
+            (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
+          val tmp = part + "__purging"
+          surviving.coalesce(parts).write.mode("overwrite").parquet(tmp)
+          graft.operators.Maintenance.swapDirs(s, tmp, part)
+        }
+      }
+      s.catalog.refreshByPath(layout) // swapped paths: drop cached listings
+      touched
+    } finally routed.unpersist()
+  }
+
+  /** The deletion pass under the gate — [[purgePlanQ]] emits the
+    * lists; this row EXECUTES them against the sharded lake and
+    * reports, per shard, the surviving document count READ BACK FROM
+    * THE LAYOUT next to the plan's purge count — so the row passes
+    * only if the physical deletion removed exactly the planned rows in
+    * exactly the planned shards (surviving + purged must reconcile to
+    * the corpus, which the oracle recomputes from scratch). Purge ids
+    * are intersected with the real corpus first: the cluster frame
+    * also names the PLANTED duplicate ids, which never entered the
+    * lake. Applied once per corpus generation (a re-run sees no plan
+    * id in the layout and skips — the deletion is already durable;
+    * idempotence itself is PurgeApplySpec's pin).
+    */
+  val purgeApply = Query(
+    "dd_purge_apply",
+    (s, dir) => {
+      val layout = shardedCorpus(s, dir)
+      val plan = purgePlan(textClusters(s, dir))
+        .filter(col("action") === "purge")
+        .join(Tables(s, dir).documents.select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .select(col("shard"), col("doc_id"))
+      val remaining = s.read.parquet(s"$layout/docs")
+        .join(plan.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .limit(1).collect()
+      if (remaining.nonEmpty) applyPurge(s, layout, plan)
+      val survived = s.read.parquet(s"$layout/docs")
+        .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+      val purged = plan.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_purged"))
+      survived.join(purged, Seq("shard"), "left")
+        // the layout's partition column reads back int32 — put int64
+        // on the wire like every other query
+        .select(col("shard").cast("long").as("shard"), col("n_docs"),
+          coalesce(col("n_purged"), lit(0L)).as("n_purged"))
+        .orderBy(col("shard"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE $textClusterCtes,
+      purged AS (
+        SELECT doc_id FROM cl
+        WHERE doc_id <> cluster AND doc_id IN (SELECT doc_id FROM documents)
+      ),
+      routed AS (
+        SELECT d.doc_id,
+          ('0x' || substr(md5('shard1:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+            % 16 AS shard,
+          (p.doc_id IS NOT NULL) AS is_purged
+        FROM documents d LEFT JOIN purged p USING (doc_id))
+      SELECT shard,
+        sum(CASE WHEN is_purged THEN 0 ELSE 1 END)::BIGINT AS n_docs,
+        sum(CASE WHEN is_purged THEN 1 ELSE 0 END)::BIGINT AS n_purged
+      FROM routed GROUP BY 1 ORDER BY 1
     """),
   )
 
@@ -1854,5 +1981,5 @@ object DedupQueries {
     Seq(exact, dupStats, minhashLsh, minhashCdc, bandProbe, bandUpsert, simhash, ngramJaccard,
       cleanCorpus, dupPassages, dupClusters, clusterSplit, decontaminate,
       bloomDecontaminate, incrementalDedup, lshTuning, minhashRecall,
-      purgePlanQ)
+      purgePlanQ, purgeApply)
 }
