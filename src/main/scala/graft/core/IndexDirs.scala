@@ -46,7 +46,19 @@ object IndexDirs {
       idx + ".build_" + java.lang.Long.toHexString(System.nanoTime()))
     build(tmp.toString)
     fs.create(new Path(tmp, "_built"), true).close()
-    if (!fs.rename(tmp, target)) {
+    // Re-check for a concurrent winner BEFORE renaming: on the local
+    // FS, Hadoop's RawLocalFileSystem.rename falls back to
+    // FileUtil.copy(deleteSource = true) when renameTo(2) fails, and
+    // that copy NESTS the source inside an existing destination
+    // directory and returns true — so a loser's rename would "succeed"
+    // and strand a full duplicate index at target/.build_<nonce>/.
+    // Checking _built first makes the loser delete its temp without
+    // ever calling rename onto an existing directory. The residual
+    // exists→rename window is closed by the require below plus the
+    // fact that both copies are byte-equivalent (same fingerprint).
+    if (fs.exists(new Path(target, "_built"))) {
+      fs.delete(tmp, true)
+    } else if (!fs.rename(tmp, target)) {
       // lost the publish race to another process; drop our copy and
       // serve the winner's — but never return an unpublished path
       fs.delete(tmp, true)

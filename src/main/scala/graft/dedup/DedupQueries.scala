@@ -721,12 +721,18 @@ object DedupQueries {
       if (remaining.nonEmpty) applyPurge(s, layout, plan)
       val survived = s.read.parquet(s"$layout/docs")
         .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+        // the layout's partition column reads back int32 — put int64
+        // on the wire like every other query (and match the plan's key)
+        .select(col("shard").cast("long").as("shard"), col("n_docs"))
       val purged = plan.groupBy(col("shard"))
         .agg(count(lit(1)).as("n_purged"))
-      survived.join(purged, Seq("shard"), "left")
-        // the layout's partition column reads back int32 — put int64
-        // on the wire like every other query
-        .select(col("shard").cast("long").as("shard"), col("n_docs"),
+      // FULL outer: a shard whose documents were ALL purged has no
+      // surviving row to group, but the oracle still reports it with
+      // n_docs = 0 — a left join would drop it (r11 advice; unreachable
+      // at the tested SFs, divergent at other corpus shapes)
+      survived.join(purged, Seq("shard"), "full")
+        .select(col("shard"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
           coalesce(col("n_purged"), lit(0L)).as("n_purged"))
         .orderBy(col("shard"))
     },
@@ -1355,11 +1361,15 @@ object DedupQueries {
     * a stored band pushed past the cap by the batch drops its rows and
     * gains a tombstone, exactly what a from-scratch rebuild over the
     * extended corpus produces (BandUpsertSpec pins the equivalence,
-    * including the over-cap transition). Per-bucket writes are
-    * crash-safe swaps ordered bands → hot → sigs, with the bucket
-    * merges anti-joined on the batch ids, so a crashed run re-applies
-    * cleanly (the sigs append is the batch's commit point — the
-    * presence check reads sigs). Returns the touched bucket ids.
+    * including the over-cap transition). Crash safety: ALL temp writes
+    * land first, then hot/ (the tombstones) swaps, then each bucket's
+    * bands, then the sigs append — the batch's commit point (the
+    * presence check reads sigs), with the bucket merges anti-joined on
+    * the batch ids AND on the tombstone keys, so a crashed run at any
+    * point re-applies cleanly: a bands swap that dropped an over-cap
+    * band's rows is never durable before its tombstone is, and the
+    * re-run's tombstone anti-join finishes any half-applied bucket.
+    * Returns the touched bucket ids.
     */
   def upsertBandIndex(s: SparkSession, idx: String,
       batch: DataFrame): Seq[Int] = {
@@ -1387,9 +1397,16 @@ object DedupQueries {
     try {
       val touched = newBands.select(col("bkt")).distinct()
         .collect().map(_.getInt(0)).sorted // bounded: ≤ 16
+      // docs that tokenize to no shingles are not indexed (the build's
+      // own rule) — a batch of only such docs is a documented no-op,
+      // not a zero-paths read error downstream
+      if (touched.isEmpty) return Nil
       val hotTbl = s.read.schema(hotSchema).parquet(s"$idx/hot") // tiny tombstone set
       val staging = s"$idx/hot__new"
       fs.delete(new org.apache.hadoop.fs.Path(staging), true) // crash leftovers
+      // PHASE 1 — compute and write every temp; NOTHING swaps yet.
+      // keep and newHot share the `stored` scan, so a write executed
+      // after a swap would try to re-read replaced files.
       touched.foreach { b =>
         val bandPart = s"$idx/bands/bkt=$b"
         val bandPath = new org.apache.hadoop.fs.Path(bandPart)
@@ -1404,34 +1421,48 @@ object DedupQueries {
         // count (stored rows are complete for non-hot bands) + the
         // batch's rows passes the cap; counts only grow under
         // append-only admission, so suppression is monotone and the
-        // key-only tombstone needs no count
-        val merged = stored.unionByName(
-          partNew.join(hot0, Seq("bh"), "left_anti"))
+        // key-only tombstone needs no count. STORED rows anti-join the
+        // tombstones too: a no-op in normal operation (the invariant
+        // says a hot band has no stored rows), but after a crash
+        // between the hot swap below and this bucket's bands swap it
+        // repairs the bucket — the re-run sees the new tombstone in
+        // hot/ and drops the now-hot band's surviving stored rows,
+        // exactly what the from-scratch rebuild produces.
+        val merged = stored.join(hot0, Seq("bh"), "left_anti")
+          .unionByName(partNew.join(hot0, Seq("bh"), "left_anti"))
         val wBand = org.apache.spark.sql.expressions.Window
           .partitionBy(col("bh"))
         val counted = merged.withColumn("bc", count(lit(1)).over(wBand))
         val keep    = counted.filter(col("bc") <= 50).drop("bc")
         val newHot  = counted.filter(col("bc") > 50)
           .select(col("bh")).distinct().withColumn("bkt", lit(b))
-        // BOTH writes happen before the swap: keep and newHot share
-        // the `stored` scan, and a write executed after the bands swap
-        // would try to re-read the replaced files; new tombstones park
-        // in a staging dir and merge into hot/ once, after the loop
-        val bandTmp = bandPart + "__upserting"
-        keep.write.mode("overwrite").parquet(bandTmp)
+        keep.write.mode("overwrite").parquet(bandPart + "__upserting")
         newHot.coalesce(1).write.mode("overwrite").parquet(s"$staging/b=$b")
-        if (fs.exists(bandPath))
-          graft.operators.Maintenance.swapDirs(s, bandTmp, bandPart)
-        else if (!fs.rename(new org.apache.hadoop.fs.Path(bandTmp), bandPath))
-          throw new java.io.IOException(s"rename $bandTmp -> $bandPart failed")
       }
-      // one whole-table tombstone merge (the set is tiny at any scale)
+      // PHASE 2 — hot/ swaps FIRST (one whole-table tombstone merge;
+      // the set is tiny at any scale). Ordering the tombstone publish
+      // BEFORE any bands swap closes the r11-advice crash window: a
+      // bucket swap that dropped an over-cap band's rows can never be
+      // durable while hot/ still lacks that band's tombstone, so no
+      // crash point loses a band's pre-existing rows without also
+      // suppressing the band (the repair anti-join above finishes the
+      // job on re-run).
       val newHotAll = s.read.schema(hotSchema)
         .parquet(touched.map(b => s"$staging/b=$b"): _*)
       val hotTmp = s"$idx/hot__upserting"
       hotTbl.unionByName(newHotAll).distinct()
         .coalesce(1).write.mode("overwrite").parquet(hotTmp)
       graft.operators.Maintenance.swapDirs(s, hotTmp, s"$idx/hot")
+      // PHASE 3 — bands swap per bucket, already fully written.
+      touched.foreach { b =>
+        val bandPart = s"$idx/bands/bkt=$b"
+        val bandPath = new org.apache.hadoop.fs.Path(bandPart)
+        val bandTmp  = bandPart + "__upserting"
+        if (fs.exists(bandPath))
+          graft.operators.Maintenance.swapDirs(s, bandTmp, bandPart)
+        else if (!fs.rename(new org.apache.hadoop.fs.Path(bandTmp), bandPath))
+          throw new java.io.IOException(s"rename $bandTmp -> $bandPart failed")
+      }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       // the batch's commit point: sigs append LAST, so a crashed run
       // re-applies (the presence check above reads sigs)

@@ -81,6 +81,49 @@ class BandUpsertSpec extends SparkSuite {
     assert(bandsOf(idx).isEmpty && hotOf(idx) == hotOf(rebuilt))
   }
 
+  test("a batch whose docs all tokenize to zero shingles is a no-op") {
+    import spark.implicits._
+    val idx = tmpIdx("z")
+    DedupQueries.writeBandIndex(spark, docs, idx)
+    val (b0, h0, s0) = (bandsOf(idx), hotOf(idx), sigIdsOf(idx))
+    // shingling needs ≥ 3 tokens; these produce no signature at all
+    val shingleless = Seq((910000L, "too short"), (910001L, "x"))
+      .toDF("doc_id", "text")
+    val touched = DedupQueries.upsertBandIndex(spark, idx, shingleless)
+    assert(touched.isEmpty, "zero-shingle batch touched buckets")
+    assert(bandsOf(idx) == b0 && hotOf(idx) == h0 && sigIdsOf(idx) == s0,
+      "zero-shingle batch mutated the index")
+  }
+
+  test("crash between hot swap and bands swap repairs on re-run") {
+    // reproduce the exact r11-advice crash window: the upsert published
+    // the new tombstones to hot/ but crashed before swapping the bands
+    // buckets and before the sigs commit point. The re-run (sigs says
+    // the batch never applied) must converge to the rebuild — the
+    // repair anti-join drops the now-hot band's surviving stored rows.
+    import spark.implicits._
+    def clones(ids: Range): DataFrame = ids
+      .map(i => (i.toLong, "the same boilerplate sentence repeated verbatim"))
+      .toDF("doc_id", "text")
+    val idx = tmpIdx("c")
+    DedupQueries.writeBandIndex(spark, clones(0 until 30), idx)
+    val rebuilt = tmpIdx("c2")
+    DedupQueries.writeBandIndex(spark, clones(0 until 55), rebuilt)
+    // plant the post-crash state: hot/ = the new tombstones (the batch
+    // pushes every shared band past the cap), bands + sigs untouched
+    val plantedHot = spark.read
+      .schema("bh STRING, bkt INT").parquet(s"$rebuilt/hot")
+    val hotTmp = s"$idx/hot__crashplant"
+    plantedHot.coalesce(1).write.mode("overwrite").parquet(hotTmp)
+    graft.operators.Maintenance.swapDirs(spark, hotTmp, s"$idx/hot")
+    spark.catalog.refreshByPath(idx)
+    assert(bandsOf(idx).nonEmpty && hotOf(idx) == hotOf(rebuilt))
+    DedupQueries.upsertBandIndex(spark, idx, clones(30 until 55))
+    assert(bandsOf(idx) == bandsOf(rebuilt),
+      "post-crash re-run left stored rows of a tombstoned band")
+    assert(hotOf(idx) == hotOf(rebuilt) && sigIdsOf(idx) == sigIdsOf(rebuilt))
+  }
+
   test("append-only admission: existing or duplicate ids fail loudly") {
     val idx = tmpIdx("a")
     DedupQueries.writeBandIndex(spark, docs, idx)

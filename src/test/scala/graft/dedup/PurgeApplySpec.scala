@@ -62,6 +62,46 @@ class PurgeApplySpec extends SparkSuite {
       s"(${rewrittenAnyway.size} files rewritten)")
   }
 
+  test("a fully-purged shard still reports, with n_docs = 0") {
+    // r11 advice: the report used to LEFT-join purged onto survived, so
+    // a shard whose documents were ALL purged (no surviving row to
+    // group) silently vanished from the report while the oracle's
+    // GROUP BY over documents still emits it. Unreachable at the
+    // tested SFs — force it on a private 1-shard-heavy layout.
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_purge_fullshard_spec").toFile
+    root.deleteOnExit()
+    val layout = root.getAbsolutePath + "/layout"
+    // two docs; compute their real shards, purge EVERYTHING in one
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    docs.withColumn("shard", DedupQueries.shardOf(col("doc_id")))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$layout/docs")
+    val shards = docs.select(DedupQueries.shardOf(col("doc_id")).as("s"),
+        col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val victimShard = shards.head._1
+    val plan = shards.filter(_._1 == victimShard)
+      .toSeq.toDF("shard", "doc_id")
+    DedupQueries.applyPurge(spark, layout, plan)
+    val survivedByShard = spark.read.parquet(s"$layout/docs")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!survivedByShard.contains(victimShard),
+      "fixture did not fully purge the victim shard")
+    // the registry row's FULL-outer report shape over this layout
+    val purged = plan.groupBy(col("shard")).agg(count(lit(1)).as("n_purged"))
+    val survived = spark.read.parquet(s"$layout/docs")
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"))
+    val report = survived.join(purged, Seq("shard"), "full")
+      .select(col("shard"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_purged"), lit(0L)).as("n_purged"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(report.exists(t => t._1 == victimShard && t._2 == 0L),
+      s"fully-purged shard $victimShard missing from the report: $report")
+  }
+
   test("the registry row reconciles per shard and replays byte-stable") {
     val rows = QueryRegistry.byName("dd_purge_apply").run(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
