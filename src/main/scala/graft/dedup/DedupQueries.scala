@@ -613,6 +613,29 @@ object DedupQueries {
       cl AS (SELECT id AS doc_id, min(lbl) AS cluster
              FROM walk GROUP BY id)"""
 
+  /** THE corpus purge list — [[purgePlan]]'s purge rows intersected
+    * with the real corpus (the cluster frame also names the PLANTED
+    * duplicate ids, which never entered the lake), carrying the shard
+    * routing. One definition shared by `dd_purge_apply` (the lake
+    * deletion) and every persisted-index delete path (`tx_index_delete`,
+    * `dd_band_delete`), so the lake and the serving indexes are always
+    * cut against the SAME list — the purge-propagation invariant.
+    */
+  private[graft] def textPurgeIds(s: SparkSession, dir: String): DataFrame =
+    purgePlan(textClusters(s, dir))
+      .filter(col("action") === "purge")
+      .join(Tables(s, dir).documents.select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(col("shard"), col("doc_id"))
+
+  /** Oracle CTE `purged(doc_id)` — the DuckDB twin of [[textPurgeIds]];
+    * callers prepend `WITH RECURSIVE $textClusterCtes`.
+    */
+  private[graft] val textPurgedCte = """purged AS (
+        SELECT doc_id FROM cl
+        WHERE doc_id <> cluster AND doc_id IN (SELECT doc_id FROM documents)
+      )"""
+
   val purgePlanQ = Query(
     "dd_purge_plan",
     (s, dir) => purgePlan(textClusters(s, dir)).orderBy(col("doc_id")),
@@ -710,11 +733,7 @@ object DedupQueries {
     "dd_purge_apply",
     (s, dir) => {
       val layout = shardedCorpus(s, dir)
-      val plan = purgePlan(textClusters(s, dir))
-        .filter(col("action") === "purge")
-        .join(Tables(s, dir).documents.select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-        .select(col("shard"), col("doc_id"))
+      val plan = textPurgeIds(s, dir)
       val remaining = s.read.parquet(s"$layout/docs")
         .join(plan.select(col("doc_id")), Seq("doc_id"), "left_semi")
         .limit(1).collect()
@@ -738,10 +757,7 @@ object DedupQueries {
     },
     oracle = Some(s"""
       WITH RECURSIVE $textClusterCtes,
-      purged AS (
-        SELECT doc_id FROM cl
-        WHERE doc_id <> cluster AND doc_id IN (SELECT doc_id FROM documents)
-      ),
+      $textPurgedCte,
       routed AS (
         SELECT d.doc_id,
           ('0x' || substr(md5('shard1:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
@@ -1180,10 +1196,14 @@ object DedupQueries {
 
   /** The CDC screen's DuckDB oracle, parameterized over the EXISTING
     * corpus (`dd_minhash_cdc` screens against `documents`;
-    * `dd_band_upsert` screens against documents ∪ the ingested batch)
-    * — one oracle text, so the two screens' truths cannot drift.
+    * `dd_band_upsert` screens against documents ∪ the ingested batch;
+    * `dd_band_delete` against documents minus the purge list) — one
+    * oracle text, so the screens' truths cannot drift. `prelude` lets a
+    * caller prepend CTEs the existing-corpus SQL refers to (e.g.
+    * `RECURSIVE` + the cluster chain behind the purge list).
     */
-  private def cdcOracle(existingSql: String): String = {
+  private def cdcOracle(existingSql: String,
+      prelude: String = ""): String = {
       val mhList = hashParams.map { case (a, b) =>
         s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashP))"
       }.mkString("[", ", ", "]")
@@ -1192,7 +1212,7 @@ object DedupQueries {
         s"'$b:' || " + parts.mkString(" || ':' || ")
       }.mkString("[", ", ", "]")
       s"""
-      WITH existing AS ($existingSql),
+      WITH ${prelude}existing AS ($existingSql),
       incoming AS (
         SELECT doc_id + 500000 AS doc_id, text FROM documents
         WHERE source = 'src0'
@@ -1225,7 +1245,9 @@ object DedupQueries {
         WHERE bc <= 50
       ),
       bandi AS (SELECT doc_id, unnest($bandList) AS bh FROM mhi),
-      cands AS (
+      -- cdc_-prefixed: a caller's prelude may carry the cluster-chain
+      -- CTEs, which define their own `cands`
+      cdc_cands AS (
         SELECT DISTINCT i.doc_id AS new_id, e.doc_id AS old_id
         FROM bandi i JOIN bande e ON e.bh = i.bh
       ),
@@ -1234,7 +1256,7 @@ object DedupQueries {
           CAST(len(list_intersect(si.sh, se.sh)) AS DOUBLE) /
             (len(si.sh) + len(se.sh) - len(list_intersect(si.sh, se.sh)))
             AS jac
-        FROM cands
+        FROM cdc_cands
           JOIN shi si ON si.doc_id = new_id
           JOIN she se ON se.doc_id = old_id
       ),
@@ -1521,6 +1543,179 @@ object DedupQueries {
           'fresh content row ' || doc_id::VARCHAR || ' batch nightly ingest'
             AS text
         FROM documents WHERE source = 'src1'""")),
+  )
+
+  /** Purge propagation into the persisted band index — the DELETE path
+    * through [[upsertBandIndex]]'s touched-bucket discipline, closing
+    * the r11 gap: `dd_purge_apply` cleans the LAKE, but a probe against
+    * an unmaintained index still serves the purged docs as candidates.
+    * Semantics = a from-scratch [[writeBandIndex]] over the surviving
+    * corpus:
+    *  - purged docs' rows leave `bands/` (anti-join, touched buckets
+    *    only) and `sigs/`;
+    *  - a TOMBSTONED band whose surviving member count drops to ≤ 50
+    *    must RESURRECT — its tombstone leaves `hot/` and its surviving
+    *    rows return to `bands/` (a rebuild over the survivors would
+    *    carry them). A hot band's rows exist nowhere but the
+    *    signatures, so resurrection recomputes membership from `sigs/`
+    *    — ONE narrow pass, filtered by the broadcast ≤ 4×|batch|
+    *    affected tombstone keys, and it runs at all only when the
+    *    purge actually touches a hot band. A tombstone ALL of whose
+    *    members are purged also leaves hot/ (zero-member resurrection).
+    * Crash safety: every temp writes first, then buckets swap, then
+    * hot/, then sigs/ — the commit point (a re-run sees purged ids
+    * still in sigs and re-applies; the bucket merges anti-join on both
+    * the purge ids and the resurrected keys, so every intermediate
+    * state converges). Idempotent once sigs swap. Returns the touched
+    * bucket ids.
+    */
+  def deleteFromBandIndex(s: SparkSession, idx: String,
+      purge0: DataFrame): Seq[Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sigsRoot = new org.apache.hadoop.fs.Path(s"$idx/sigs")
+    val fs = sigsRoot.getFileSystem(conf)
+    require(fs.exists(sigsRoot), s"no band index at $idx — build it first")
+    val purge = purge0.select(col("doc_id"))
+    val purgedSigs = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
+      .join(purge, Seq("doc_id"), "left_semi").persist()
+    var members: Option[DataFrame] = None
+    try {
+      // ids with no signature were never indexed — purging them is the
+      // documented no-op, mirroring the build's own rule
+      if (purgedSigs.limit(1).collect().isEmpty) return Nil
+      val purgedBands = cdcBandsOf(purgedSigs)
+        .withColumn("bkt", pmod(hash(col("bh")), lit(16))).persist()
+      try {
+        import s.implicits._
+        val hotTbl = s.read.schema(hotSchema).parquet(s"$idx/hot")
+        // tombstones the purge might un-cap — bounded: ≤ 4 × |batch|
+        val affectedHot = hotTbl
+          .join(purgedBands.select(col("bh")).distinct(),
+            Seq("bh"), "left_semi")
+          .collect().map(r => (r.getString(0), r.getInt(1)))
+        val (resKeysArr, resRows) =
+          if (affectedHot.isEmpty)
+            (Array.empty[(String, Int)],
+              purgedBands.select(col("doc_id"), col("bh"), col("bkt"))
+                .limit(0))
+          else {
+            val keys = affectedHot.toSeq.toDF("bh", "bkt")
+            val m = cdcBandsOf(
+                s.read.schema(sigsSchema).parquet(s"$idx/sigs"))
+              .join(broadcast(keys.select(col("bh"))), Seq("bh"))
+              .join(purge, Seq("doc_id"), "left_anti")
+              .persist()
+            members = Some(m)
+            // per-key surviving counts, LEFT from the keys so an
+            // all-members-purged tombstone (count 0) still resurrects
+            val counts = keys
+              .join(m.groupBy(col("bh")).agg(count(lit(1)).as("n")),
+                Seq("bh"), "left")
+              .select(col("bh"), col("bkt"),
+                coalesce(col("n"), lit(0L)).as("n"))
+              .collect() // bounded: ≤ |affectedHot| tombstones
+            val rk = counts.filter(_.getLong(2) <= 50)
+              .map(r => (r.getString(0), r.getInt(1)))
+            val rkDf = broadcast(rk.toSeq.map(_._1).toDF("bh"))
+            (rk, m.join(rkDf, Seq("bh"))
+              .withColumn("bkt", pmod(hash(col("bh")), lit(16)))
+              .select(col("doc_id"), col("bh"), col("bkt")))
+          }
+        val resKeysDf = broadcast(resKeysArr.toSeq.map(_._1).toDF("bh"))
+        val touched = (purgedBands.select(col("bkt")).distinct()
+          .collect().map(_.getInt(0)) ++ resKeysArr.map(_._2))
+          .distinct.sorted // bounded: ≤ 16
+        // PHASE 1 — write every temp; nothing swaps yet
+        touched.foreach { b =>
+          val bandPart = s"$idx/bands/bkt=$b"
+          val bandPath = new org.apache.hadoop.fs.Path(bandPart)
+          val stored =
+            if (fs.exists(bandPath))
+              s.read.schema(bucketSchema).parquet(bandPart)
+            else resRows.limit(0).select(col("doc_id"), col("bh"))
+          // drop purged docs' rows AND any rows of a resurrecting band
+          // (none in normal operation; after a crash mid-delete the
+          // re-run re-adds the freshly computed surviving set instead
+          // of duplicating it), then add the resurrected survivors
+          val merged = stored
+            .join(purge, Seq("doc_id"), "left_anti")
+            .join(resKeysDf, Seq("bh"), "left_anti")
+            .unionByName(resRows.filter(col("bkt") === b)
+              .select(col("doc_id"), col("bh")))
+          merged.write.mode("overwrite").parquet(bandPart + "__deleting")
+        }
+        val newHot = hotTbl.join(resKeysDf, Seq("bh"), "left_anti")
+        val hotTmp = s"$idx/hot__deleting"
+        newHot.coalesce(1).write.mode("overwrite").parquet(hotTmp)
+        val survivors = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
+          .join(purge, Seq("doc_id"), "left_anti")
+        val bytes = survivors.queryExecution.optimizedPlan.stats.sizeInBytes
+        val parts = math.max(1,
+          (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
+        val sigsTmp = s"$idx/sigs__deleting"
+        survivors.coalesce(parts).write.mode("overwrite").parquet(sigsTmp)
+        // PHASE 2 — swap buckets, then hot, then sigs (the commit)
+        touched.foreach { b =>
+          val bandPart = s"$idx/bands/bkt=$b"
+          val bandPath = new org.apache.hadoop.fs.Path(bandPart)
+          val bandTmp  = bandPart + "__deleting"
+          if (fs.exists(bandPath))
+            graft.operators.Maintenance.swapDirs(s, bandTmp, bandPart)
+          else if (!fs.rename(new org.apache.hadoop.fs.Path(bandTmp),
+              bandPath))
+            throw new java.io.IOException(
+              s"rename $bandTmp -> $bandPart failed")
+        }
+        graft.operators.Maintenance.swapDirs(s, hotTmp, s"$idx/hot")
+        graft.operators.Maintenance.swapDirs(s, sigsTmp, s"$idx/sigs")
+        // swapped directories keep their paths — drop cached listings
+        s.catalog.refreshByPath(idx)
+        touched.toSeq
+      } finally purgedBands.unpersist()
+    } finally {
+      members.foreach(_.unpersist())
+      purgedSigs.unpersist()
+    }
+  }
+
+  /** The purge-propagation demo behind `dd_band_delete`: its OWN index
+    * family (deletion mutates the index; the probe/upsert rows' oracles
+    * assume other corpora), built over the full corpus, then the
+    * [[textPurgeIds]] deletion list — the SAME list `dd_purge_apply`
+    * executes against the lake — propagated once per corpus generation
+    * (a re-run sees no purged id in sigs and skips; the deletion is
+    * already durable).
+    */
+  private def deleteBandDemoIndex(s: SparkSession, dir: String): String = {
+    val d = Tables(s, dir).documents
+    val idx = publishBandIndex(s, dir, "graft_band_delete_v1",
+      d.select(col("doc_id"), col("text")))
+    val purge = textPurgeIds(s, dir).select(col("doc_id"))
+    val present = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
+      .join(purge, Seq("doc_id"), "left_semi").limit(1).collect()
+    if (present.nonEmpty) deleteFromBandIndex(s, idx, purge)
+    idx
+  }
+
+  /** Purge propagation under the gate — the serving-tier invariant the
+    * r11 verdict called every real pipeline's nastiest operational bug:
+    * after the dedup purge, a probe of the band index must behave as if
+    * the index were REBUILT over the surviving corpus. The nightly
+    * batch screens against the post-delete index, and the oracle
+    * recomputes the whole screen over documents MINUS the purge list
+    * (the same recursive cluster chain `dd_purge_apply` gates on) — so
+    * the row passes only if the purged docs are gone from bands AND
+    * sigs, and any un-capped tombstones resurrected, exactly as a
+    * rebuild would have them.
+    */
+  val bandDelete = Query(
+    "dd_band_delete",
+    (s, dir) => probeBandIndex(s, deleteBandDemoIndex(s, dir),
+      cdcIncoming(Tables(s, dir).documents)),
+    oracle = Some(cdcOracle(
+      """SELECT doc_id, text FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM purged)""",
+      prelude = s"RECURSIVE $textClusterCtes,\n      $textPurgedCte,\n      ")),
   )
 
   /** Near-dup admission served from the PERSISTED band index —
@@ -2009,7 +2204,8 @@ object DedupQueries {
   )
 
   def all: Seq[Query] =
-    Seq(exact, dupStats, minhashLsh, minhashCdc, bandProbe, bandUpsert, simhash, ngramJaccard,
+    Seq(exact, dupStats, minhashLsh, minhashCdc, bandProbe, bandUpsert,
+      bandDelete, simhash, ngramJaccard,
       cleanCorpus, dupPassages, dupClusters, clusterSplit, decontaminate,
       bloomDecontaminate, incrementalDedup, lshTuning, minhashRecall,
       purgePlanQ, purgeApply)

@@ -699,6 +699,114 @@ object SimilarityQueries {
     oracle = ivfTopk.oracle,
   )
 
+  /** Purge propagation into the persisted IVF index — the DELETE path
+    * through [[upsertIvfIndex]]'s touched-cell discipline, closing the
+    * r11 gap: the lake purge removes vectors, but a probe against an
+    * unmaintained index still serves them as neighbors. The centroid
+    * model stays FIXED (the upsert's own contract — drift is absorbed
+    * at the next full build), so semantics = [[writeIvfIndex]] over the
+    * surviving vectors with the same model: only the cells currently
+    * holding a purged vec_id are anti-joined, compacted, and
+    * crash-safely swapped; untouched cell directories keep their files
+    * byte-identical. Idempotent (a re-applied list anti-joins to a
+    * no-op); locating the purged ids' cells reads only the
+    * (vec_id, cell) columns. Returns the touched cell ids (sorted).
+    */
+  def deleteFromIvfIndex(s: SparkSession, idx: String,
+      purge0: DataFrame): Seq[Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val cellsRoot = new org.apache.hadoop.fs.Path(s"$idx/cells")
+    val fs = cellsRoot.getFileSystem(conf)
+    require(fs.exists(cellsRoot), s"no IVF index at $idx — build it first")
+    val purge = purge0.select(col("vec_id"))
+    val touched = s.read.parquet(s"$idx/cells")
+      .join(purge, Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: ≤ k cells
+    touched.foreach { c =>
+      val part = s"$idx/cells/cell=$c"
+      val surviving = s.read.parquet(part)
+        .join(purge, Seq("vec_id"), "left_anti")
+      val bytes = surviving.queryExecution.optimizedPlan.stats.sizeInBytes
+      val parts = math.max(1,
+        (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
+      val tmp = part + "__deleting"
+      surviving.coalesce(parts).write.mode("overwrite").parquet(tmp)
+      graft.operators.Maintenance.swapDirs(s, tmp, part)
+    }
+    if (touched.nonEmpty)
+      s.catalog.refreshByPath(idx) // swapped paths: drop cached listings
+    touched.toSeq
+  }
+
+  /** The purge-propagation demo behind `ss_index_delete`: its OWN index
+    * family (deletion mutates the index; the shared probe index's
+    * oracle assumes the full corpus), built over the full embeddings at
+    * the gate cell count, then the embedding tier's routed deletion
+    * list — the deterministic `vec_id % 7 = 3` slice standing in for a
+    * semantic-dedup purge — propagated once per corpus generation.
+    */
+  private def deleteDemoIvfIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val e = Tables(s, dir).embeddings
+      val conf = s.sparkContext.hadoopConfiguration
+      val src  = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val st   = src.getFileSystem(conf).getFileStatus(src)
+      val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+      val prefix = s"graft_ivf_delete_${slug}_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_fp"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"$prefix${st.getLen}_${st.getModificationTime}"
+      graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+        writeIvfIndex(s, e, trainIvfCentroids(e, GateK), tmp)
+      }
+      val purge = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      val present = s.read.parquet(s"$idx/cells")
+        .join(purge, Seq("vec_id"), "left_semi").limit(1).collect()
+      if (present.nonEmpty) deleteFromIvfIndex(s, idx, purge)
+      idx
+    }
+
+  /** Purge propagation under the gate — after the embedding purge, an
+    * IVF probe must behave as if the cells were rebuilt over the
+    * surviving vectors under the SAME model. The oracle trains the
+    * model over the full corpus (fixed-model contract) and excludes the
+    * purged slice from the candidate side only — exactly "the index
+    * minus the purged vectors". Queries stay the full vec_id < 20 set:
+    * a purged query vector still probes (it is an external query now),
+    * it just can never be RETURNED.
+    */
+  val ivfDelete = Query(
+    "ss_index_delete",
+    (s, dir) => {
+      val idx = deleteDemoIvfIndex(s, dir)
+      val cents = loadCentroids(s, idx)
+      val probes = probesOf(Tables(s, dir).embeddings, cents)
+      val cells = probes.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: ≤ nprobe × |queries|
+      val assigned = s.read.parquet(s"$idx/cells")
+        .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      rankTail(assigned, probes)
+    },
+    oracle = Some(s"""
+      WITH ${ivfAssignCtes("16")}, probes AS (
+        SELECT vec_id AS qid, embedding AS qv, cid AS cell
+        FROM ranked_cells WHERE rk <= 2 AND vec_id < 20
+      ), cand AS (
+        SELECT p.qid, a.vec_id AS nid,
+               ${cosineSqlExpr2("p.qv", "a.embedding")} AS cos
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.qid AND a.vec_id % 7 <> 3
+      ), ranked AS (
+        SELECT qid, nid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        FROM cand)
+      SELECT qid, rk, nid, round(cos, 4) AS cos
+      FROM ranked WHERE rk <= 5 ORDER BY qid, rk
+    """),
+  )
+
   /** The shared deterministic k-means-8 trainer (seeds = first k
     * vectors, two Lloyd iterations, centroid components quantized to
     * 3 dp floats so both engines agree bit-for-bit) — the model behind
@@ -2159,7 +2267,8 @@ object SimilarityQueries {
   )
 
   def all: Seq[Query] =
-    Seq(bruteTopk, lshTopk, ivfTopk, ivfSqrtK, ivfProbe, pqTopk, ivfPqTopk,
+    Seq(bruteTopk, lshTopk, ivfTopk, ivfSqrtK, ivfProbe, ivfDelete,
+      pqTopk, ivfPqTopk,
       kmeans, cosineNearDup, semanticDedup, vectorStats, quantize, coverage,
       recall, maxsim, matryoshka, filteredTopk, hybridRrf, indexStats,
       hardNegatives, mmr, outliers)

@@ -1767,13 +1767,16 @@ object TextQueries {
 
 
   /** DuckDB CTE chain ending in `scored(doc_id, bm25)` — the oracle
-    * twin of [[bm25Scored]], shared by `tx_bm25` and `ss_hybrid_rrf`.
+    * twin of [[bm25Scored]], parameterized over the corpus relation so
+    * `tx_index_delete` can score the SURVIVING corpus with the same
+    * text. `bm25ScoredSql` below is the `documents` instance shared by
+    * `tx_bm25` and `ss_hybrid_rrf`.
     */
-  private[graft] val bm25ScoredSql = """
+  private[graft] def bm25ScoredSqlFrom(rel: String): String = s"""
       d AS (
         SELECT doc_id,
           list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
-        FROM documents
+        FROM $rel
       ), nz AS (SELECT doc_id, t, len(t) AS dl FROM d WHERE len(t) > 0),
       stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM nz),
       tf AS (
@@ -1789,6 +1792,8 @@ object TextQueries {
             (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
         FROM tf JOIN dfc USING (term) CROSS JOIN stats
         GROUP BY 1)"""
+
+  private[graft] val bm25ScoredSql = bm25ScoredSqlFrom("documents")
 
   val bm25 = Query(
     "tx_bm25",
@@ -2013,6 +2018,129 @@ object TextQueries {
     "tx_index_upsert",
     (s, dir) => probeTextIndex(s, upsertDemoIndex(s, dir)),
     oracle = bm25.oracle,
+  )
+
+  /** Purge propagation into the persisted inverted index — the DELETE
+    * path through [[upsertTextIndex]]'s touched-bucket discipline,
+    * closing the r11 gap: `dd_purge_apply` cleans the LAKE, but a probe
+    * against an unmaintained index still scores (and can return) the
+    * purged docs. Semantics = a from-scratch [[writeTextIndex]] over
+    * the surviving corpus: the purged docs' postings leave their
+    * buckets (anti-join, touched buckets only, compacted, crash-safe
+    * swaps), and the (n_docs, avgdl, sum_dl) stats are RECOMPUTED from
+    * the SURVIVING postings (the anti-join view) — one narrow
+    * (doc_id, dl) column-pruned pass, NOT a delta: a delta computed
+    * before the swaps cannot tell, on a crashed-and-rerun delete,
+    * whether it was already applied; the survivor recompute is
+    * invariant across every partial-swap state, so re-running from any
+    * crash point converges. Swap order is stats FIRST, buckets after:
+    * the delete's commit point is then the LAST bucket swap, which is
+    * exactly the condition callers already test for idempotence
+    * ("any purged id still in the postings?") — a crash anywhere
+    * leaves purged postings behind and the re-run finishes the job
+    * (re-writing the identical stats on the way). distinct(doc_id, dl)
+    * → integer (count, sum) → one final division = bit-identical to
+    * the build's avg. Purges are rare relative to probes and upserts,
+    * so the narrow pass amortizes; ids with no postings (never
+    * indexed, or zero-token docs) are the documented no-op. Returns
+    * the touched bucket ids (sorted).
+    */
+  def deleteFromTextIndex(s: SparkSession, idx: String,
+      purge0: DataFrame): Seq[Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val postingsRoot = new org.apache.hadoop.fs.Path(s"$idx/postings")
+    val fs = postingsRoot.getFileSystem(conf)
+    require(fs.exists(postingsRoot), s"no text index at $idx — build it first")
+    val purge = purge0.select(col("doc_id"))
+    val touched = s.read.parquet(s"$idx/postings")
+      .join(purge, Seq("doc_id"), "left_semi")
+      .select(col("bkt")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: ≤ TextIndexBuckets
+    if (touched.isEmpty) return Nil
+    // survivor stats from the anti-join view — the same values the
+    // post-delete postings would yield, in every partial-swap state
+    val st = s.read.parquet(s"$idx/postings")
+      .join(purge, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("s"))
+      .head() // 1-row bounded collect
+    val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
+    import s.implicits._
+    val statsTmp = s"$idx/stats__deleting"
+    Seq((nDocs, if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs, sumDl))
+      .toDF("n_docs", "avgdl", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(statsTmp)
+    graft.operators.Maintenance.swapDirs(s, statsTmp, s"$idx/stats")
+    touched.foreach { b =>
+      val part = s"$idx/postings/bkt=$b"
+      val surviving = s.read.parquet(part)
+        .join(purge, Seq("doc_id"), "left_anti")
+      // per-bucket compaction, the upsert's own size rule
+      val bytes = surviving.queryExecution.optimizedPlan.stats.sizeInBytes
+      val parts = math.max(1,
+        (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
+      val tmp = part + "__deleting"
+      surviving.coalesce(parts).write.mode("overwrite").parquet(tmp)
+      graft.operators.Maintenance.swapDirs(s, tmp, part)
+    }
+    s.catalog.refreshByPath(idx) // swapped paths: drop cached listings
+    touched
+  }
+
+  /** The purge-propagation demo behind `tx_index_delete`: its OWN index
+    * family (deletion mutates the index), built over the full corpus,
+    * then the dedup tier's deletion list — the SAME
+    * [[graft.dedup.DedupQueries.textPurgeIds]] list `dd_purge_apply`
+    * executes against the lake — propagated once per corpus generation
+    * (a re-run sees no purged id in the postings and skips; the
+    * deletion is already durable).
+    */
+  private def deleteDemoIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+      val conf = s.sparkContext.hadoopConfiguration
+      val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val st   = src.getFileSystem(conf).getFileStatus(src)
+      val prefix =
+        s"graft_text_delete_${slug}_${dir.hashCode & 0x7fffffff}_"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"$prefix${st.getLen}_${st.getModificationTime}"
+      graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+        writeTextIndex(s, Tables(s, dir).documents, tmp)
+      }
+      val purge = graft.dedup.DedupQueries.textPurgeIds(s, dir)
+        .select(col("doc_id"))
+      val present = s.read.parquet(s"$idx/postings")
+        .join(purge, Seq("doc_id"), "left_semi").limit(1).collect()
+      if (present.nonEmpty) deleteFromTextIndex(s, idx, purge)
+      idx
+    }
+
+  /** Purge propagation under the gate — the serving-tier invariant the
+    * r11 verdict ranked first: after the dedup purge, a BM25 probe of
+    * the inverted index must behave as if the index were REBUILT over
+    * the surviving corpus. The oracle recomputes the index-less BM25
+    * pipeline over documents MINUS the purge list (the same recursive
+    * cluster chain `dd_purge_apply` gates on) — n_docs and avgdl enter
+    * every score, so the row is sensitive to the stats recompute, not
+    * just to the postings anti-join.
+    */
+  val indexDelete = Query(
+    "tx_index_delete",
+    (s, dir) => probeTextIndex(s, deleteDemoIndex(s, dir)),
+    oracle = Some(s"""
+      WITH RECURSIVE ${graft.dedup.DedupQueries.textClusterCtes},
+      ${graft.dedup.DedupQueries.textPurgedCte},
+      survivors AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM purged)
+      ),
+      ${bm25ScoredSqlFrom("survivors")}
+      SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk,
+             doc_id, bm25
+      FROM scored ORDER BY bm25 DESC, doc_id LIMIT 25
+    """),
   )
 
   /** Bigram language-model scoring — the KenLM-style perplexity
@@ -3222,6 +3350,6 @@ object TextQueries {
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, corpusLedger, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
-    sourceCap, bm25, bm25Probe, indexUpsert, lmScore, lmHoldout, bpeTrain, bpeEncode, bpeVocab, countMin, packEval, evalSample,
+    sourceCap, bm25, bm25Probe, indexUpsert, indexDelete, lmScore, lmHoldout, bpeTrain, bpeEncode, bpeVocab, countMin, packEval, evalSample,
     novelty, datasetCard, sftFormat, pplBuckets, tokenizerEval, sourceOverlap)
 }

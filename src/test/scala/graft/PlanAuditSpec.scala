@@ -43,10 +43,10 @@ class PlanAuditSpec extends SparkSuite {
     "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery",
     "q_approx_distinct", "q_approx_quantiles", "tx_tfidf", "tx_vocab", "ss_recall",
     "ss_maxsim", "tx_bm25", "tx_lm_score", "q_skyline",
-    // tx_bm25_probe / tx_index_upsert cross the persisted index's
-    // 1-row stats table in as a broadcast — the same bm25Scored
-    // corpus-stats contract (one probeTextIndex kernel).
-    "tx_bm25_probe", "tx_index_upsert",
+    // tx_bm25_probe / tx_index_upsert / tx_index_delete cross the
+    // persisted index's 1-row stats table in as a broadcast — the same
+    // bm25Scored corpus-stats contract (one probeTextIndex kernel).
+    "tx_bm25_probe", "tx_index_upsert", "tx_index_delete",
     // tx_lm_holdout crosses the 1-row train-vocabulary size in as a
     // broadcast — the tx_lm_score contract at order 3.
     "tx_lm_holdout",
@@ -201,7 +201,14 @@ class PlanAuditSpec extends SparkSuite {
       "shI.select" -> "ingest-batch minhash signatures (same bound)",
       "flags" -> "<=|batch| per-new-doc verdict frame",
       "bench" -> ("benchmark-suite n-gram set (eval suites are fixed-" +
-        "size and corpus-independent; modeled as the 1/97 slice)")),
+        "size and corpus-independent; modeled as the 1/97 slice)"),
+      "keys.select" -> ("affected tombstone keys in deleteFromBandIndex " +
+        "(<= 4 x |purge batch| band keys — the purge batch is the " +
+        "bounded maintenance unit)"),
+      "rk.toSeq" -> ("resurrected tombstone keys (subset of the " +
+        "affected keys above)"),
+      "resKeysArr.toSeq" -> ("resurrected tombstone keys (same bound; " +
+        "driver-collected, <= |affectedHot|)")),
     "text/TextQueries.scala" -> Map(
       "df" -> "<=|query terms| document-frequency rows",
       "dfT" -> "<=|query terms| document-frequency rows",
