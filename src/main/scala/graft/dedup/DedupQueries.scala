@@ -1194,6 +1194,84 @@ object DedupQueries {
     oracle = Some(cdcOracle("SELECT doc_id, text FROM documents")),
   )
 
+  /** The nightly batch [[cdcIncoming]] as DuckDB SQL — shared by every
+    * oracle that screens it. A `def`, not a `val`: [[minhashCdc]] is
+    * declared ABOVE this point and evaluates its oracle at object init,
+    * so a val here would read as null (Scala object-init order).
+    */
+  private[graft] def cdcIncomingSql: String = """
+        SELECT doc_id + 500000 AS doc_id, text FROM documents
+        WHERE source = 'src0'
+        UNION ALL
+        SELECT doc_id + 600000 AS doc_id,
+          'fresh content row ' || doc_id::VARCHAR || ' batch nightly ingest'
+            AS text
+        FROM documents WHERE source = 'src1'"""
+
+  /** The whole CDC screen as a suffix-parameterized DuckDB CTE chain
+    * ending in `verdict_<sfx>(doc_id, status, best_jac)` — the ONE
+    * oracle-side screen, instantiable more than once in a single query
+    * text so `dd_stream_ingest` can chain sequential screens (batch 2
+    * screens against existing ∪ batch 1's admissions). All CTE names
+    * carry the suffix; nothing here collides with a caller's prelude
+    * CTEs (e.g. the recursive cluster chain behind a purge list).
+    */
+  private[graft] def cdcScreenCtes(sfx: String, existingSql: String,
+      incomingSql: String): String = {
+      val mhList = hashParams.map { case (a, b) =>
+        s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashP))"
+      }.mkString("[", ", ", "]")
+      val bandList = (0 until 4).map { b =>
+        val parts = (0 until 4).map(r => s"mh[${b * 4 + r + 1}]::VARCHAR")
+        s"'$b:' || " + parts.mkString(" || ':' || ")
+      }.mkString("[", ", ", "]")
+      s"""existing_$sfx AS ($existingSql),
+      incoming_$sfx AS ($incomingSql),
+      she_$sfx AS (
+        SELECT doc_id, $shingleHashSql AS sh
+        FROM (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+              FROM existing_$sfx)
+        WHERE len(t) >= 3
+      ),
+      shi_$sfx AS (
+        SELECT doc_id, $shingleHashSql AS sh
+        FROM (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+              FROM incoming_$sfx)
+        WHERE len(t) >= 3
+      ),
+      mhe_$sfx AS (SELECT doc_id, $mhList AS mh FROM she_$sfx),
+      mhi_$sfx AS (SELECT doc_id, $mhList AS mh FROM shi_$sfx),
+      bande0_$sfx AS (SELECT doc_id, unnest($bandList) AS bh FROM mhe_$sfx),
+      bande_$sfx AS (
+        SELECT doc_id, bh FROM (
+          SELECT doc_id, bh, count(*) OVER (PARTITION BY bh) AS bc
+          FROM bande0_$sfx)
+        WHERE bc <= 50
+      ),
+      bandi_$sfx AS (SELECT doc_id, unnest($bandList) AS bh FROM mhi_$sfx),
+      cdc_cands_$sfx AS (
+        SELECT DISTINCT i.doc_id AS new_id, e.doc_id AS old_id
+        FROM bandi_$sfx i JOIN bande_$sfx e ON e.bh = i.bh
+      ),
+      jac_$sfx AS (
+        SELECT new_id,
+          CAST(len(list_intersect(si.sh, se.sh)) AS DOUBLE) /
+            (len(si.sh) + len(se.sh) - len(list_intersect(si.sh, se.sh)))
+            AS jac
+        FROM cdc_cands_$sfx
+          JOIN shi_$sfx si ON si.doc_id = new_id
+          JOIN she_$sfx se ON se.doc_id = old_id
+      ),
+      flags_$sfx AS (SELECT new_id, max(jac) AS best FROM jac_$sfx GROUP BY 1),
+      verdict_$sfx AS (
+        SELECT i.doc_id,
+          CASE WHEN f.best >= 0.8 THEN 'dup' ELSE 'new' END AS status,
+          round(coalesce(f.best, 0.0), 4) AS best_jac
+        FROM incoming_$sfx i LEFT JOIN flags_$sfx f ON f.new_id = i.doc_id)"""
+  }
+
   /** The CDC screen's DuckDB oracle, parameterized over the EXISTING
     * corpus (`dd_minhash_cdc` screens against `documents`;
     * `dd_band_upsert` screens against documents ∪ the ingested batch;
@@ -1203,71 +1281,63 @@ object DedupQueries {
     * `RECURSIVE` + the cluster chain behind the purge list).
     */
   private def cdcOracle(existingSql: String,
-      prelude: String = ""): String = {
-      val mhList = hashParams.map { case (a, b) =>
-        s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashP))"
-      }.mkString("[", ", ", "]")
-      val bandList = (0 until 4).map { b =>
-        val parts = (0 until 4).map(r => s"mh[${b * 4 + r + 1}]::VARCHAR")
-        s"'$b:' || " + parts.mkString(" || ':' || ")
-      }.mkString("[", ", ", "]")
-      s"""
-      WITH ${prelude}existing AS ($existingSql),
-      incoming AS (
-        SELECT doc_id + 500000 AS doc_id, text FROM documents
-        WHERE source = 'src0'
-        UNION ALL
-        SELECT doc_id + 600000 AS doc_id,
+      prelude: String = ""): String = s"""
+      WITH $prelude${cdcScreenCtes("0", existingSql, cdcIncomingSql)}
+      SELECT doc_id, status, best_jac FROM verdict_0 ORDER BY doc_id
+    """
+
+  /** The SECOND nightly batch of the admit-and-ingest loop
+    * (`dd_stream_ingest`): batch 1's fresh src1 texts RE-SUBMITTED
+    * verbatim under new ids — these flag 'dup' ONLY IF batch 1's
+    * admissions were actually ingested between the batches (the
+    * cross-batch near-dup the composed loop exists to catch; a
+    * stateless screen admits them twice) — plus a genuinely new second
+    * wave, so the batch keeps both verdicts at every SF.
+    */
+  private[graft] def ingestBatch2(d: DataFrame): DataFrame = {
+    val s1 = d.filter(col("source") === "src1")
+    s1.select((col("doc_id") + 700000).as("doc_id"),
+        concat(lit("fresh content row "), col("doc_id").cast("string"),
+          lit(" batch nightly ingest")).as("text"))
+      .unionAll(s1.select((col("doc_id") + 800000).as("doc_id"),
+        concat(lit("second wave row "), col("doc_id").cast("string"),
+          lit(" ingest window probe")).as("text")))
+  }
+
+  private[graft] def ingestBatch2Sql: String = """
+        SELECT doc_id + 700000 AS doc_id,
           'fresh content row ' || doc_id::VARCHAR || ' batch nightly ingest'
             AS text
-        FROM documents WHERE source = 'src1'),
-      she AS (
-        SELECT doc_id, $shingleHashSql AS sh
-        FROM (SELECT doc_id,
-                list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
-              FROM existing)
-        WHERE len(t) >= 3
-      ),
-      shi AS (
-        SELECT doc_id, $shingleHashSql AS sh
-        FROM (SELECT doc_id,
-                list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
-              FROM incoming)
-        WHERE len(t) >= 3
-      ),
-      mhe AS (SELECT doc_id, $mhList AS mh FROM she),
-      mhi AS (SELECT doc_id, $mhList AS mh FROM shi),
-      bande0 AS (SELECT doc_id, unnest($bandList) AS bh FROM mhe),
-      bande AS (
-        SELECT doc_id, bh FROM (
-          SELECT doc_id, bh, count(*) OVER (PARTITION BY bh) AS bc
-          FROM bande0)
-        WHERE bc <= 50
-      ),
-      bandi AS (SELECT doc_id, unnest($bandList) AS bh FROM mhi),
-      -- cdc_-prefixed: a caller's prelude may carry the cluster-chain
-      -- CTEs, which define their own `cands`
-      cdc_cands AS (
-        SELECT DISTINCT i.doc_id AS new_id, e.doc_id AS old_id
-        FROM bandi i JOIN bande e ON e.bh = i.bh
-      ),
-      jac AS (
-        SELECT new_id,
-          CAST(len(list_intersect(si.sh, se.sh)) AS DOUBLE) /
-            (len(si.sh) + len(se.sh) - len(list_intersect(si.sh, se.sh)))
-            AS jac
-        FROM cdc_cands
-          JOIN shi si ON si.doc_id = new_id
-          JOIN she se ON se.doc_id = old_id
-      ),
-      flags AS (SELECT new_id, max(jac) AS best FROM jac GROUP BY 1)
-      SELECT i.doc_id,
-        CASE WHEN f.best >= 0.8 THEN 'dup' ELSE 'new' END AS status,
-        round(coalesce(f.best, 0.0), 4) AS best_jac
-      FROM incoming i LEFT JOIN flags f ON f.new_id = i.doc_id
-      ORDER BY i.doc_id
+        FROM documents WHERE source = 'src1'
+        UNION ALL
+        SELECT doc_id + 800000 AS doc_id,
+          'second wave row ' || doc_id::VARCHAR || ' ingest window probe'
+            AS text
+        FROM documents WHERE source = 'src1'"""
+
+  /** The sequential-screen oracle for `dd_stream_ingest`: screen 1 runs
+    * batch 1 against the corpus; its admissions join the corpus for
+    * screen 2 over batch 2 — the from-scratch recomputation of exactly
+    * what screen-then-upsert inside foreachBatch must produce
+    * (including any hot-band transitions the ingested docs trigger,
+    * because the screen CTEs re-derive the cap over the extended
+    * corpus and upsert ≡ rebuild by BandUpsertSpec).
+    */
+  private[graft] def streamIngestOracle: String = s"""
+      WITH ${cdcScreenCtes("1",
+        "SELECT doc_id, text FROM documents", cdcIncomingSql)},
+      admitted_1 AS (
+        SELECT i.doc_id, i.text FROM incoming_1 i
+        JOIN verdict_1 v ON v.doc_id = i.doc_id AND v.status = 'new'),
+      ${cdcScreenCtes("2",
+        "SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id, text FROM admitted_1",
+        ingestBatch2Sql)}
+      SELECT doc_id, status, best_jac FROM verdict_1
+      UNION ALL
+      SELECT doc_id, status, best_jac FROM verdict_2
+      ORDER BY doc_id
     """
-  }
 
   /** Build-and-persist the corpus MinHash band index — the dedup
     * channel's persisted serving structure, completing the trilogy

@@ -1192,10 +1192,119 @@ object StreamingQueries {
     }),
   )
 
+  /** Admit-AND-ingest streaming admission — the FULL admission service
+    * [[streamAdmission]] is the stateless half of: inside each
+    * micro-batch the incoming docs first SCREEN against the persisted
+    * band index ([[graft.dedup.DedupQueries.probeBandIndex]]), then the
+    * admitted ('new') docs INGEST into it
+    * ([[graft.dedup.DedupQueries.upsertBandIndex]]) — so a near-dup
+    * arriving in batch 2 of an original admitted in batch 1 is caught,
+    * which a stateless screen provably misses (StreamIngestSpec plants
+    * exactly that cross-batch pair and checks both behaviors). Two
+    * deterministic nightly files stream through `maxFilesPerTrigger=1`
+    * in mtime order: batch 1 is the standard nightly batch
+    * ([[graft.dedup.DedupQueries.cdcIncoming]]), batch 2 re-submits
+    * batch 1's fresh texts verbatim under new ids (dup ONLY because
+    * batch 1 ingested) plus a genuinely new second wave. Per-batch cost
+    * = the screen's O(batch bands × pruned buckets) + the upsert's
+    * O(batch + touched buckets); no cross-batch state store — the
+    * INDEX is the state, exactly how a production admission tier
+    * holds it. The index is a PRIVATE throwaway build per run (the
+    * loop mutates it; a production deployment points at the published
+    * family and keeps it — determinism across gate runs requires the
+    * pristine starting state). The oracle recomputes the sequential
+    * chain from scratch: screen 1 over documents, screen 2 over
+    * documents ∪ screen 1's admissions.
+    */
+  val streamIngest = Query(
+    "dd_stream_ingest",
+    (s, dir) => {
+      import graft.dedup.{DedupQueries => DQ}
+      import scala.jdk.CollectionConverters._
+      import java.nio.file.Files
+      val d = Tables(s, dir).documents
+      val root = Files.createTempDirectory("graft_stream_ingest")
+      val idx = s"$root/idx"
+      DQ.writeBandIndex(s, d.select(col("doc_id"), col("text")), idx)
+      val child = graft.core.Sessions.withConf(s,
+        "spark.sql.shuffle.partitions" -> streamPartitions)
+      // stage the two nightly files with ordered mtimes so
+      // maxFilesPerTrigger=1 feeds them as two micro-batches, oldest
+      // first — the deterministic stand-in for two nights of ingest
+      val stage = s"$root/in"
+      Files.createDirectories(java.nio.file.Paths.get(stage))
+      def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$root/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$stage/$name.parquet")
+        Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+      }
+      val t0 = 1700000000000L // fixed epoch: only the ORDER matters
+      stageBatch(DQ.cdcIncoming(d), "batch1", t0)
+      stageBatch(DQ.ingestBatch2(d), "batch2", t0 + 120000L)
+      val docsStream = child.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+      val ckpt = Files.createTempDirectory("graft_stream_ingest_ckpt")
+      val out = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, String, Double)]())
+      try {
+        val q = docsStream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // SCREEN: one verdict row per incoming doc. The collect is
+            // the gate's memory sink AND the admission routing input —
+            // bounded by the batch (the nightly unit); a production
+            // run writes verdicts to a sink instead.
+            val verdicts = DQ.probeBandIndex(child, idx, batch).collect()
+            out.addAll(verdicts.toSeq
+              .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+              .asJava)
+            // INGEST: the admitted docs join the index so the NEXT
+            // batch screens against them. The anti-join on the stored
+            // signatures makes a foreachBatch retry after a committed
+            // upsert re-apply cleanly (append-only admission would
+            // otherwise fail it loudly).
+            import child.implicits._
+            val newIds = verdicts.filter(_.getString(1) == "new")
+              .map(_.getLong(0)).toSeq.toDF("doc_id")
+            val admitted = batch.join(newIds, Seq("doc_id"), "left_semi")
+              .join(child.read.schema("doc_id LONG, sh ARRAY<LONG>")
+                  .parquet(s"$idx/sigs").select(col("doc_id")),
+                Seq("doc_id"), "left_anti")
+            DQ.upsertBandIndex(child, idx, admitted)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import s.implicits._
+        out.asScala.toSeq.sortBy(_._1).toDF("doc_id", "status", "best_jac")
+      } finally {
+        Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    },
+    oracle = Some(graft.dedup.DedupQueries.streamIngestOracle),
+    eagerPlan = Some((s, dir) => {
+      import graft.dedup.{DedupQueries => DQ}
+      // the declared batch shape: the screen over the persisted index
+      // (the upsert half's plan is pinned by BandUpsertSpec)
+      DQ.probeBandIndex(s, DQ.buildBandIndex(s, dir),
+        DQ.ingestBatch2(Tables(s, dir).documents))
+    }),
+  )
+
   def all: Seq[Query] =
     Seq(streamHourly, streamSessions, streamRangeJoin, streamLeftJoin,
       streamWordcount, streamEnrich, streamUpsert, streamClean,
       streamHeavyHitters, streamScd2, streamSliding, streamCountMin,
       streamTopk, streamFunnel, streamHourlyUsers, streamAsof,
-      streamAnomaly, streamQuantiles, streamAdmission)
+      streamAnomaly, streamQuantiles, streamAdmission, streamIngest)
 }
