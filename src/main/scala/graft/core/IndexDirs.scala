@@ -69,6 +69,34 @@ object IndexDirs {
     idx
   }
 
+  /** The published generations of `idx`'s family that do NOT carry the
+    * current source fingerprint `fp` — the serving-tier audit behind
+    * `ss_index_manifest`: a multi-index deployment checks, before going
+    * live, that every index family serves exactly one generation and
+    * that it is the current one. Normal operation keeps this empty
+    * ([[publish]] GCs previous generations after a successful build);
+    * a non-empty result means a GC failure or an index built from a
+    * source regenerated underneath it. The family prefix is derived
+    * from the served directory's name by stripping the fingerprint
+    * suffix, so callers need not re-derive the family's naming rule.
+    */
+  private[graft] def stalePublishedGenerations(conf: Configuration,
+      idx: String, fp: String): Seq[String] = {
+    val target = new Path(idx)
+    val name   = target.getName
+    require(name.endsWith(fp),
+      s"served index $name does not carry the current fingerprint $fp")
+    val prefix = name.dropRight(fp.length)
+    val fs     = target.getFileSystem(conf)
+    val parent = target.getParent
+    if (parent == null || !fs.exists(parent)) return Nil
+    fs.listStatus(parent).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+        st.getPath.getName != name && !st.getPath.getName.contains(".build_") &&
+        fs.exists(new Path(st.getPath, "_built")))
+      .map(_.getPath.getName)
+  }
+
   private def gcStaleGenerations(fs: FileSystem, target: Path,
       prefix: String): Unit = {
     val parent = target.getParent

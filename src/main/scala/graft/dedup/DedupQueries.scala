@@ -684,24 +684,28 @@ object DedupQueries {
     * to a size-derived file count and swapped crash-safely; untouched
     * shard directories keep their files byte-identical. Idempotent: a
     * re-applied list anti-joins to a no-op. Returns the touched shards.
+    * Layout-generic: `sub` is the partitioned table's subdirectory and
+    * `key` its id column — the text lake is `docs`/`doc_id`, the media
+    * lake `media`/`media_id` (the blob column rides through the
+    * rewrite untouched; only its shard's rows ever move).
     */
-  def applyPurge(s: SparkSession, layout: String,
-      plan: DataFrame): Seq[Long] = {
+  def applyPurge(s: SparkSession, layout: String, plan: DataFrame,
+      sub: String = "docs", key: String = "doc_id"): Seq[Long] = {
     val conf = s.sparkContext.hadoopConfiguration
-    val docsRoot = new org.apache.hadoop.fs.Path(s"$layout/docs")
+    val docsRoot = new org.apache.hadoop.fs.Path(s"$layout/$sub")
     val fs = docsRoot.getFileSystem(conf)
     require(fs.exists(docsRoot), s"no sharded corpus at $layout")
-    val routed = plan.select(col("shard"), col("doc_id")).persist()
+    val routed = plan.select(col("shard"), col(key)).persist()
     try {
       val touched = routed.select(col("shard")).distinct()
         .collect().map(_.getLong(0)).sorted // bounded: ≤ 16 shards
       touched.foreach { k =>
-        val part     = s"$layout/docs/shard=$k"
+        val part     = s"$layout/$sub/shard=$k"
         val partPath = new org.apache.hadoop.fs.Path(part)
         if (fs.exists(partPath)) {
-          val ids = routed.filter(col("shard") === k).select(col("doc_id"))
+          val ids = routed.filter(col("shard") === k).select(col(key))
           val surviving = s.read.parquet(part)
-            .join(ids, Seq("doc_id"), "left_anti")
+            .join(ids, Seq(key), "left_anti")
           val bytes =
             surviving.queryExecution.optimizedPlan.stats.sizeInBytes
           val parts = math.max(1,

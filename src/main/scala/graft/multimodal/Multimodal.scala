@@ -771,6 +771,117 @@ object Multimodal {
     """),
   )
 
+  /** The image corpus as (media_id, width, height, content) — the SAME
+    * per-row BMP synthesis [[imagePairs]] decodes, shared as the
+    * media-lake row set so the lake's blobs are exactly the bytes the
+    * near-dup chain fingerprinted.
+    */
+  private def imageBlobRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id - (id % 3)
+          val v = (id % 3).toInt
+          val w = (g % 31 + 1).toInt
+          val h = (g % 17 + 1).toInt
+          (id, w, h, BmpCodec.encode(w, h,
+            (x, y) => ((g * 7 + (y.toLong * w + x) * 3 + v) % 256).toInt))
+        }
+      }.toDF("media_id", "width", "height", "content")
+  }
+
+  /** The media corpus laid out as the shard-partitioned BLOB lake the
+    * image purge routes against — `shardedCorpus`'s discipline with the
+    * content column carried: one Hive partition per tx_shards shard key
+    * of media_id (the SAME salted-md5 function that routes the purge
+    * plan), published once per corpus generation. Blobs never shuffle:
+    * the layout write is a per-row synthesis + partitioned write, and a
+    * purge later rewrites only the touched shard directories' rows.
+    */
+  private[multimodal] def shardedMediaLake(s: SparkSession,
+      dir: String): String = synchronized {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+    val conf = s.sparkContext.hadoopConfiguration
+    val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val st   = src.getFileSystem(conf).getFileStatus(src)
+    val prefix = s"graft_media_lake_${slug}_${dir.hashCode & 0x7fffffff}_"
+    val root = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"$prefix${st.getLen}_${st.getModificationTime}"
+    graft.core.IndexDirs.publish(conf, root, prefix) { tmp =>
+      imageBlobRows(s, dir)
+        .withColumn("shard",
+          graft.dedup.DedupQueries.shardOf(col("media_id")))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$tmp/media")
+    }
+  }
+
+  /** The image deletion pass EXECUTED against the media lake —
+    * `dd_purge_apply`'s contract for the blob modality (the r11
+    * verdict's "purge execution for non-text modalities" gap):
+    * [[imagePurge]] emits the lists; this row applies them to the
+    * shard-partitioned blob lake through the SAME generic
+    * `applyPurge` (per-shard anti-join on media_id, blobs moved only
+    * within their own shard's rewrite, compacted, crash-safe swaps,
+    * untouched shards byte-identical) and reports per-shard surviving
+    * media counts READ BACK FROM THE POST-DELETE LAYOUT next to the
+    * plan's purge counts. The oracle reconciles both from scratch over
+    * the image cluster closure, so the row passes only if the physical
+    * deletion removed exactly the planned blobs in exactly the planned
+    * shards. Applied once per corpus generation; idempotence is
+    * PurgeApplySpec's pin.
+    */
+  val imagePurgeApply = Query(
+    "dd_image_purge_apply",
+    (s, dir) => {
+      val layout = shardedMediaLake(s, dir)
+      val plan = graft.dedup.DedupQueries
+        .purgePlan(imageClusterFrame(s, dir)
+          .withColumnRenamed("media_id", "doc_id"))
+        .filter(col("action") === "purge")
+        .select(col("shard"), col("doc_id").as("media_id"))
+      val remaining = s.read.parquet(s"$layout/media")
+        .join(plan.select(col("media_id")), Seq("media_id"), "left_semi")
+        .limit(1).collect()
+      if (remaining.nonEmpty)
+        graft.dedup.DedupQueries.applyPurge(s, layout, plan,
+          sub = "media", key = "media_id")
+      val survived = s.read.parquet(s"$layout/media")
+        .groupBy(col("shard")).agg(count(lit(1)).as("n_media"))
+        // the layout's partition column reads back int32 — int64 on
+        // the wire, and match the plan's key type for the join
+        .select(col("shard").cast("long").as("shard"), col("n_media"))
+      val purged = plan.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_purged"))
+      // FULL outer (the dd_purge_apply rule): a shard whose media were
+      // all purged still reports with n_media = 0
+      survived.join(purged, Seq("shard"), "full")
+        .select(col("shard"),
+          coalesce(col("n_media"), lit(0L)).as("n_media"),
+          coalesce(col("n_purged"), lit(0L)).as("n_purged"))
+        .orderBy(col("shard"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE $imagePairCtes,
+      edges AS (SELECT id_a, id_b FROM pairs),
+      ${graft.dedup.DedupQueries.ccWalkSql},
+      cl AS (SELECT id AS media_id, min(lbl) AS cluster
+             FROM walk GROUP BY id),
+      purged AS (SELECT media_id FROM cl WHERE media_id <> cluster),
+      routed AS (
+        SELECT d.doc_id AS media_id,
+          ('0x' || substr(md5('shard1:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+            % 16 AS shard,
+          (p.media_id IS NOT NULL) AS is_purged
+        FROM documents d LEFT JOIN purged p ON p.media_id = d.doc_id)
+      SELECT shard,
+        sum(CASE WHEN is_purged THEN 0 ELSE 1 END)::BIGINT AS n_media,
+        sum(CASE WHEN is_purged THEN 1 ELSE 0 END)::BIGINT AS n_purged
+      FROM routed GROUP BY 1 ORDER BY 1
+    """),
+  )
+
   /** Cross-modal PAIR CURATION — the LAION-style joint filter that
     * turns per-modality verdicts into ONE decision per (media,
     * caption) pair: an image-text pair survives only if the image
@@ -1849,5 +1960,5 @@ object Multimodal {
       videoDecode, audioRms, imageDhash, imageDups, imageClusters,
       spectrogram, sceneCut, audioVad, audioDups, audioClusters,
       videoDups, videoClusters, storyboard, imageQuality, audioQuality,
-      pairManifest, avSync, imagePurge, alignScore)
+      pairManifest, avSync, imagePurge, imagePurgeApply, alignScore)
 }

@@ -807,6 +807,88 @@ object SimilarityQueries {
     """),
   )
 
+  /** Cross-index generation-consistency audit — the serving-tier
+    * invariant a multi-index deployment checks BEFORE going live: the
+    * three persisted indexes (inverted postings, MinHash band index,
+    * IVF cells) are each keyed by their source file's identity
+    * independently, so nothing structural stops one of them serving a
+    * previous corpus generation while the others serve the current one
+    * (a GC failure, a source regenerated mid-build). The manifest
+    * lists, per index family: the item count read FROM THE INDEX
+    * ITSELF (postings stats n_docs / signature rows / cell rows — the
+    * oracle recomputes each from the raw tables, so a stale or
+    * corrupted index fails on count) and `generation_ok` — true iff
+    * the family publishes exactly one generation and it carries the
+    * CURRENT source fingerprint
+    * ([[graft.core.IndexDirs.stalePublishedGenerations]];
+    * IndexManifestSpec proves a planted stale generation flips it).
+    * Cheap by construction: three 1-row/narrow-count reads plus three
+    * directory listings — nothing corpus-sized moves.
+    */
+  val indexManifest = Query(
+    "ss_index_manifest",
+    (s, dir) => {
+      import s.implicits._
+      val conf = s.sparkContext.hadoopConfiguration
+      def fpOf(file: String): String = {
+        val p  = new org.apache.hadoop.fs.Path(s"$dir/$file")
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"${st.getLen}_${st.getModificationTime}"
+      }
+      val docsFp = fpOf("documents.parquet")
+      val embFp  = fpOf("embeddings.parquet")
+      def ok(idx: String, fp: String): Boolean =
+        graft.core.IndexDirs.stalePublishedGenerations(conf, idx, fp).isEmpty
+      val textIdx = graft.text.TextQueries.buildTextIndex(s, dir)
+      val bandIdx = graft.dedup.DedupQueries.buildBandIndex(s, dir)
+      val ivfIdx  = buildIvfIndex(s, dir)
+      val nText = s.read.parquet(s"$textIdx/stats")
+        .select(col("n_docs")).head().getLong(0) // 1-row stats
+      val nBand = s.read.schema("doc_id LONG, sh ARRAY<LONG>")
+        .parquet(s"$bandIdx/sigs").count()
+      val nIvf = s.read.parquet(s"$ivfIdx/cells")
+        .select(col("vec_id")).count()
+      Seq(
+        ("band_index", nBand, ok(bandIdx, docsFp)),
+        ("ivf_index", nIvf, ok(ivfIdx, embFp)),
+        ("text_index", nText, ok(textIdx, docsFp)))
+        .toDF("artifact", "n_items", "generation_ok")
+        .orderBy(col("artifact"))
+    },
+    oracle = Some("""
+      SELECT 'band_index' AS artifact,
+        (SELECT count(*) FROM documents
+         WHERE len(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) >= 3)::BIGINT AS n_items,
+        true AS generation_ok
+      UNION ALL
+      SELECT 'ivf_index',
+        (SELECT count(*) FROM embeddings)::BIGINT, true
+      UNION ALL
+      SELECT 'text_index',
+        (SELECT count(*) FROM documents
+         WHERE len(list_filter(string_split(text, ' '),
+                               x -> length(x) > 0)) >= 1)::BIGINT, true
+      ORDER BY artifact
+    """),
+    // `run` assembles a 3-row local report from bounded collects; the
+    // auditable distributed work is the narrow index-table reads
+    eagerPlan = Some((s, dir) => {
+      val textIdx = graft.text.TextQueries.buildTextIndex(s, dir)
+      val bandIdx = graft.dedup.DedupQueries.buildBandIndex(s, dir)
+      val ivfIdx  = buildIvfIndex(s, dir)
+      s.read.parquet(s"$textIdx/stats")
+        .select(lit("text_index").as("artifact"), col("n_docs").as("n_items"))
+        .unionByName(s.read.schema("doc_id LONG, sh ARRAY<LONG>")
+          .parquet(s"$bandIdx/sigs")
+          .agg(count(lit(1)).as("n_items"))
+          .select(lit("band_index").as("artifact"), col("n_items")))
+        .unionByName(s.read.parquet(s"$ivfIdx/cells")
+          .agg(count(lit(1)).as("n_items"))
+          .select(lit("ivf_index").as("artifact"), col("n_items")))
+    }),
+  )
+
   /** The shared deterministic k-means-8 trainer (seeds = first k
     * vectors, two Lloyd iterations, centroid components quantized to
     * 3 dp floats so both engines agree bit-for-bit) — the model behind
@@ -2268,7 +2350,7 @@ object SimilarityQueries {
 
   def all: Seq[Query] =
     Seq(bruteTopk, lshTopk, ivfTopk, ivfSqrtK, ivfProbe, ivfDelete,
-      pqTopk, ivfPqTopk,
+      indexManifest, pqTopk, ivfPqTopk,
       kmeans, cosineNearDup, semanticDedup, vectorStats, quantize, coverage,
       recall, maxsim, matryoshka, filteredTopk, hybridRrf, indexStats,
       hardNegatives, mmr, outliers)

@@ -102,6 +102,49 @@ class PurgeApplySpec extends SparkSuite {
       s"fully-purged shard $victimShard missing from the report: $report")
   }
 
+  test("the image chain executes against the blob lake: exact removal, " +
+      "blobs intact") {
+    // r12: dd_image_purge_apply — the media (blob) lake leg of the
+    // generic applyPurge. Private layout; surviving blob BYTES must be
+    // untouched (content equality against a pre-purge snapshot), and
+    // exactly the planned media removed.
+    val mmRows = graft.QueryRegistry.byName("dd_image_purge_apply")
+      .run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val corpus = graft.Tables(spark, dir).documents.count()
+    assert(mmRows.map(t => t._2 + t._3).sum == corpus,
+      "surviving + purged media do not reconcile to the corpus")
+    assert(mmRows.exists(_._3 > 0), "no shard purged any media — vacuous")
+
+    // direct applyPurge on a private lake with content verification
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_media_purge_spec").toFile
+    root.deleteOnExit()
+    val layout = root.getAbsolutePath + "/lake"
+    val media = (0L until 60L).map(i =>
+      (i, Array.fill((i % 7).toInt + 1)((i % 251).toByte)))
+      .toDF("media_id", "content")
+    media.withColumn("shard", DedupQueries.shardOf(col("media_id")))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$layout/media")
+    val before = spark.read.parquet(s"$layout/media")
+      .select(col("media_id"), col("content")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val planDf = (0L until 60L).filter(_ % 5 == 2).toDF("media_id")
+      .select(DedupQueries.shardOf(col("media_id")).as("shard"),
+        col("media_id"))
+    val purgedIds = (0L until 60L).filter(_ % 5 == 2).toSet
+    DedupQueries.applyPurge(spark, layout, planDf,
+      sub = "media", key = "media_id")
+    val after = spark.read.parquet(s"$layout/media")
+      .select(col("media_id"), col("content")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(after.keySet == before.keySet -- purgedIds,
+      "surviving media ids diverge from corpus minus plan")
+    assert(after.forall { case (id, bytes) => before(id) == bytes },
+      "a surviving blob's bytes changed during the purge rewrite")
+  }
+
   test("the registry row reconciles per shard and replays byte-stable") {
     val rows = QueryRegistry.byName("dd_purge_apply").run(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

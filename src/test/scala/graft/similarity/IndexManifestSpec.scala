@@ -1,0 +1,59 @@
+package graft.similarity
+
+import graft.{QueryRegistry, SparkSuite}
+import org.apache.hadoop.fs.Path
+
+/** Pins ss_index_manifest's audit contract: the healthy state reports
+  * every index family generation_ok, and a PLANTED stale published
+  * generation — the exact failure the audit exists to catch (a GC
+  * failure or an index keyed to a source regenerated underneath it) —
+  * flips the verdict. The stale-scan helper is exercised on a private
+  * synthetic family so no shared index state is mutated.
+  */
+class IndexManifestSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  test("the healthy trilogy audits generation_ok across all families") {
+    val rows = QueryRegistry.byName("ss_index_manifest").run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("band_index", "ivf_index", "text_index"))
+    assert(rows.forall(_._3), s"healthy deployment audited stale: $rows")
+    assert(rows.forall(_._2 > 0))
+  }
+
+  test("a planted stale published generation fails the audit") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_manifest_spec").toFile
+    root.deleteOnExit()
+    val fs = new Path(root.getAbsolutePath).getFileSystem(conf)
+    // the served generation, carrying the "current" fingerprint
+    val served = s"${root.getAbsolutePath}/fam_100_200"
+    fs.mkdirs(new Path(served))
+    fs.create(new Path(served, "_built"), true).close()
+    assert(graft.core.IndexDirs
+      .stalePublishedGenerations(conf, served, "100_200").isEmpty)
+    // a stale sibling: published (_built) but a previous fingerprint
+    val stale = s"${root.getAbsolutePath}/fam_99_150"
+    fs.mkdirs(new Path(stale))
+    fs.create(new Path(stale, "_built"), true).close()
+    val hits = graft.core.IndexDirs
+      .stalePublishedGenerations(conf, served, "100_200")
+    assert(hits == Seq("fam_99_150"),
+      s"stale generation not flagged: $hits")
+    // an in-flight temp build is NOT stale (another process mid-publish)
+    fs.mkdirs(new Path(s"${root.getAbsolutePath}/fam_88_120.build_abc"))
+    val hits2 = graft.core.IndexDirs
+      .stalePublishedGenerations(conf, served, "100_200")
+    assert(hits2 == Seq("fam_99_150"),
+      "an in-flight .build_ temp was wrongly flagged as stale")
+    // an unpublished (no _built) leftover is not stale either
+    fs.mkdirs(new Path(s"${root.getAbsolutePath}/fam_77_110"))
+    assert(graft.core.IndexDirs
+      .stalePublishedGenerations(conf, served, "100_200") ==
+      Seq("fam_99_150"))
+  }
+}
