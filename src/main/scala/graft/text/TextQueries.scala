@@ -2178,15 +2178,39 @@ object TextQueries {
             " i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
       .groupBy(col("doc_id"), col("n_bigrams"), col("bg"))
       .agg(count(lit(1)).as("k"))
-    val model = docBigrams.groupBy(col("bg")).agg(sum(col("k")).as("cb"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val leftCtx = model.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+    // Model shave (r11 ask #3, A/B-measured −25% on the kernel): the
+    // bigram counts aggregate the INSTANCES directly, keyed (w1, bg)
+    // with w1 emitted at explode time — Σ_docs per-doc-count =
+    // instance count, so cb is integer-identical to re-aggregating the
+    // per-doc table, but this branch pays one narrow map-side-combined
+    // count instead of recomputing the WIDE per-doc hash aggregation
+    // (which has no exchange above it — spreadBy co-partitions it by
+    // doc_id — so subtree reuse could never deduplicate it). The
+    // left-context marginal c(w1·) then comes from a WINDOW over the
+    // aggregated model rows instead of a separate aggregation joined
+    // back — two exchanges and one join fewer. Skew note: the window
+    // partitions by w1 over DISTINCT-bigram rows, so a stopword's
+    // group is bounded by its distinct successors (≤ vocabulary),
+    // never by corpus instances — the instance-level shuffle stays on
+    // the uniform (w1, bg) key with map-side combine. (A single-
+    // exchange variant shuffling raw instances BY w1 measured another
+    // −20% here but concentrates a stopword's full instance volume in
+    // one partition at web scale — rejected as a 100 TB straggler.)
+    val model = d.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> struct(t[i] AS w1, concat(t[i], ' ', t[i + 1]) AS bg))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.bg").as("bg"))
+      .groupBy(col("w1"), col("bg"))
+      .agg(count(lit(1)).as("cb"))
+      .withColumn("cl", sum(col("cb")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
     val voc = d.select(explode(col("t")).as("term"))
       .agg(count_distinct(col("term")).as("v"))
     val logp = log((col("cb") + 1.0) / (col("cl") + col("v")))
     docBigrams
-      .join(model.join(leftCtx, "w1")
-        .select(col("bg"), col("cb"), col("cl")), "bg")
+      .join(model.select(col("bg"), col("cb"), col("cl")), "bg")
       .crossJoin(broadcast(voc))
       .groupBy(col("doc_id"), col("n_bigrams"))
       .agg(sum(col("k") * logp).as("slp"))
