@@ -1163,7 +1163,11 @@ object StreamingQueries {
         val q = docsStream.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val incoming = DQ.cdcIncoming(batch)
-            // one verdict row per incoming doc — bounded accumulate
+            // one verdict row per incoming doc — bounded accumulate.
+            // The collect is the GATE's memory sink (the driver hashes
+            // the rows); a production deployment writes each batch's
+            // verdicts to a real sink instead and nothing reaches the
+            // driver.
             out.addAll(DQ.probeBandIndex(child, idx, incoming)
               .collect().toSeq
               .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))

@@ -192,6 +192,51 @@ class PurgePropagationSpec extends SparkSuite {
     assertBandEquals(idx, rebuilt)
   }
 
+  test("text chain: upsert → delete → re-ingest equals the final rebuild") {
+    // the full maintenance lifecycle the Scaladocs promise —
+    // "replacements go through purge + re-ingest": after a delete, a
+    // purged id is re-ingestable with NEW content, and the chained
+    // index equals a from-scratch build over the final corpus
+    val base  = docs.filter(col("doc_id") % 5 =!= 0)
+    val night = docs.filter(col("doc_id") % 5 === 0)
+    val idx = tmpIdx("txchain")
+    graft.text.TextQueries.writeTextIndex(spark, base, idx)
+    graft.text.TextQueries.upsertTextIndex(spark, idx, night)
+    val purge = docs.filter(purgeSlice).select(col("doc_id"))
+    graft.text.TextQueries.deleteFromTextIndex(spark, idx, purge)
+    val reborn = docs.filter(purgeSlice && col("doc_id") % 8 === 1)
+      .select(col("doc_id"), concat(col("text"), lit(" reborn")).as("text"))
+    graft.text.TextQueries.upsertTextIndex(spark, idx, reborn)
+    val rebuilt = tmpIdx("txchain_r")
+    graft.text.TextQueries.writeTextIndex(spark,
+      docs.filter(!purgeSlice).unionByName(reborn), rebuilt)
+    assert(postingsOf(idx) == postingsOf(rebuilt),
+      "chained postings diverge from the final rebuild")
+    assert(statsOf(idx) == statsOf(rebuilt),
+      "chained stats diverge from the final rebuild")
+  }
+
+  test("band chain: a delete unblocks re-ingestion of a purged id") {
+    val idx = tmpIdx("bdchain")
+    DedupQueries.writeBandIndex(spark, docs, idx)
+    val purge = docs.filter(purgeSlice).select(col("doc_id"))
+    // append-only admission refuses the id while it is indexed...
+    val reborn = docs.filter(purgeSlice)
+      .select(col("doc_id"), concat(col("text"), lit(" reborn")).as("text"))
+    val e = intercept[IllegalArgumentException] {
+      DedupQueries.upsertBandIndex(spark, idx, reborn)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    // ...and accepts it after the purge propagates — the documented
+    // replacement path (purge + re-ingest)
+    DedupQueries.deleteFromBandIndex(spark, idx, purge)
+    DedupQueries.upsertBandIndex(spark, idx, reborn)
+    val rebuilt = tmpIdx("bdchain_r")
+    DedupQueries.writeBandIndex(spark,
+      docs.filter(!purgeSlice).unionByName(reborn), rebuilt)
+    assertBandEquals(idx, rebuilt)
+  }
+
   test("the registry delete rows serve no purged doc as a candidate") {
     // dd_band_delete's probe: every candidate the verdict tail ever
     // considered comes from the post-delete index; assert the purge

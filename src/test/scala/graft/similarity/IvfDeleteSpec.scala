@@ -64,6 +64,26 @@ class IvfDeleteSpec extends SparkSuite {
     assert(SimilarityQueries.deleteFromIvfIndex(spark, idx, purge).isEmpty)
   }
 
+  test("chain: upsert → delete → re-upsert equals the fixed-model rebuild") {
+    val e = graft.Tables(spark, dir).embeddings
+    val idx = tmpIdx("c")
+    val cents = SimilarityQueries.trainIvfCentroids(e, 16)
+    val base  = e.filter(col("vec_id") % 3 =!= 0)
+    val night = e.filter(col("vec_id") % 3 === 0)
+    SimilarityQueries.writeIvfIndex(spark, base, cents, idx)
+    SimilarityQueries.upsertIvfIndex(spark, idx, night)
+    val purge = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    SimilarityQueries.deleteFromIvfIndex(spark, idx, purge)
+    // a purged id re-ingests (MERGE semantics — new vector, same id)
+    val reborn = e.filter(col("vec_id") % 7 === 3 && col("vec_id") % 2 === 0)
+    SimilarityQueries.upsertIvfIndex(spark, idx, reborn)
+    val rebuilt = tmpIdx("c_r")
+    SimilarityQueries.writeIvfIndex(spark,
+      e.filter(col("vec_id") % 7 =!= 3).unionByName(reborn), cents, rebuilt)
+    assert(cellRows(idx) == cellRows(rebuilt),
+      "chained cells diverge from the fixed-model rebuild")
+  }
+
   test("a purged vector can never be returned by the probe tail") {
     val e = graft.Tables(spark, dir).embeddings
     val idx = tmpIdx("p")
