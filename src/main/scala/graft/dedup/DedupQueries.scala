@@ -1756,18 +1756,29 @@ object DedupQueries {
     * family (deletion mutates the index; the probe/upsert rows' oracles
     * assume other corpora), built over the full corpus, then the
     * [[textPurgeIds]] deletion list — the SAME list `dd_purge_apply`
-    * executes against the lake — propagated once per corpus generation
-    * (a re-run sees no purged id in sigs and skips; the deletion is
-    * already durable).
+    * executes against the lake — propagated once per corpus generation.
+    * A `_purge_applied` marker records the completed propagation so
+    * re-runs skip without RE-DERIVING the purge list (the cluster
+    * chain costs more than the probe; an applied deletion is durable
+    * and its application is recorded, the production bookkeeping).
+    * Crash between the delete's sigs commit and the marker: the re-run
+    * re-derives the list once, anti-joins to a no-op, and writes the
+    * marker — idempotent.
     */
   private def deleteBandDemoIndex(s: SparkSession, dir: String): String = {
     val d = Tables(s, dir).documents
     val idx = publishBandIndex(s, dir, "graft_band_delete_v1",
       d.select(col("doc_id"), col("text")))
-    val purge = textPurgeIds(s, dir).select(col("doc_id"))
-    val present = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
-      .join(purge, Seq("doc_id"), "left_semi").limit(1).collect()
-    if (present.nonEmpty) deleteFromBandIndex(s, idx, purge)
+    val conf = s.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/_purge_applied")
+    val fs = marker.getFileSystem(conf)
+    if (!fs.exists(marker)) {
+      val purge = textPurgeIds(s, dir).select(col("doc_id"))
+      val present = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
+        .join(purge, Seq("doc_id"), "left_semi").limit(1).collect()
+      if (present.nonEmpty) deleteFromBandIndex(s, idx, purge)
+      fs.create(marker, true).close()
+    }
     idx
   }
 

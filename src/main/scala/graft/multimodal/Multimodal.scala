@@ -799,7 +799,7 @@ object Multimodal {
     * the layout write is a per-row synthesis + partitioned write, and a
     * purge later rewrites only the touched shard directories' rows.
     */
-  private[multimodal] def shardedMediaLake(s: SparkSession,
+  private[graft] def shardedMediaLake(s: SparkSession,
       dir: String): String = synchronized {
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
     val conf = s.sparkContext.hadoopConfiguration

@@ -2092,9 +2092,13 @@ object TextQueries {
     * family (deletion mutates the index), built over the full corpus,
     * then the dedup tier's deletion list — the SAME
     * [[graft.dedup.DedupQueries.textPurgeIds]] list `dd_purge_apply`
-    * executes against the lake — propagated once per corpus generation
-    * (a re-run sees no purged id in the postings and skips; the
-    * deletion is already durable).
+    * executes against the lake — propagated once per corpus generation.
+    * A `_purge_applied` marker records the completed propagation so
+    * re-runs skip without RE-DERIVING the purge list (the cluster
+    * chain costs more than the probe; an applied deletion is durable
+    * and its application is recorded). Crash between the delete's
+    * commit (last bucket swap) and the marker: the re-run re-derives
+    * the list once, anti-joins to a no-op, and writes the marker.
     */
   private def deleteDemoIndex(s: SparkSession, dir: String): String =
     synchronized {
@@ -2109,11 +2113,16 @@ object TextQueries {
       graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
         writeTextIndex(s, Tables(s, dir).documents, tmp)
       }
-      val purge = graft.dedup.DedupQueries.textPurgeIds(s, dir)
-        .select(col("doc_id"))
-      val present = s.read.parquet(s"$idx/postings")
-        .join(purge, Seq("doc_id"), "left_semi").limit(1).collect()
-      if (present.nonEmpty) deleteFromTextIndex(s, idx, purge)
+      val marker = new org.apache.hadoop.fs.Path(s"$idx/_purge_applied")
+      val fs = marker.getFileSystem(conf)
+      if (!fs.exists(marker)) {
+        val purge = graft.dedup.DedupQueries.textPurgeIds(s, dir)
+          .select(col("doc_id"))
+        val present = s.read.parquet(s"$idx/postings")
+          .join(purge, Seq("doc_id"), "left_semi").limit(1).collect()
+        if (present.nonEmpty) deleteFromTextIndex(s, idx, purge)
+        fs.create(marker, true).close()
+      }
       idx
     }
 

@@ -25,6 +25,24 @@ class IndexManifestSpec extends SparkSuite {
     assert(rows.forall(_._2 > 0))
   }
 
+  test("the sharded lakes share the indexes' generation discipline") {
+    // the gated row audits the index trilogy; the two lakes are keyed
+    // by the same source fingerprint and published through the same
+    // IndexDirs — pin that they also audit clean (no stale published
+    // generation, current fingerprint served)
+    val p  = new Path(s"$dir/documents.parquet")
+    val st = p.getFileSystem(conf).getFileStatus(p)
+    val fp = s"${st.getLen}_${st.getModificationTime}"
+    val lake = graft.dedup.DedupQueries.shardedCorpus(spark, dir)
+    assert(graft.core.IndexDirs
+      .stalePublishedGenerations(conf, lake, fp).isEmpty,
+      "text lake serves a stale generation")
+    val media = graft.multimodal.Multimodal.shardedMediaLake(spark, dir)
+    assert(graft.core.IndexDirs
+      .stalePublishedGenerations(conf, media, fp).isEmpty,
+      "media lake serves a stale generation")
+  }
+
   test("a planted stale published generation fails the audit") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_manifest_spec").toFile
