@@ -1299,6 +1299,156 @@ object StreamingQueries {
     s"$root/log"
   }
 
+  /** Streaming VECTOR ingest — [[streamIngest]]'s discipline on the
+    * dense channel, closing the r12 gap (the IVF index had batch
+    * upsert and stream SERVING but no ingest loop, so embeddings
+    * landing between full builds were invisible until a manual
+    * upsert): inside each micro-batch the incoming vectors first
+    * INGEST into the persisted IVF index
+    * ([[graft.similarity.SimilarityQueries.upsertIvfIndex]] — a MERGE,
+    * so a foreachBatch retry after a committed upsert re-applies
+    * cleanly by construction), then the batch's own vectors PROBE the
+    * index they just joined (self excluded) — the freshness contract a
+    * serving tier actually signs: a query vector arriving in batch 2
+    * that duplicates a batch-1 vector must get that vector back at
+    * cos = 1, which a build-time-frozen index provably cannot do
+    * (StreamVecIngestSpec plants exactly that pair and checks the
+    * frozen counterfactual misses it). The centroid model stays FIXED
+    * across batches (the upsert's contract; re-trains are
+    * `ss_index_retrain`'s arc). Two deterministic nightly files stream
+    * through `maxFilesPerTrigger=1` in mtime order: batch 1 = fresh
+    * vectors under new ids (reversed embeddings of vec_id < 8), batch
+    * 2 = the SAME vectors re-submitted under different ids. The loop
+    * runs once per corpus generation under an atomic publish and
+    * persists its probe LOG (the production sink); the gated row reads
+    * the log. The oracle replays the sequential chain from scratch
+    * with the fixed model: serve 1 over embeddings ∪ b1 probed by b1,
+    * serve 2 over embeddings ∪ b1 ∪ b2 probed by b2.
+    */
+  private def vecIngestDemoLog(s: SparkSession, dir: String): String = {
+    import graft.similarity.{SimilarityQueries => SQ}
+    import java.nio.file.Files
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+    val conf = s.sparkContext.hadoopConfiguration
+    val src  = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val st   = src.getFileSystem(conf).getFileStatus(src)
+    val prefix =
+      s"graft_stream_vec_${slug}_${dir.hashCode & 0x7fffffff}_"
+    val root = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"$prefix${st.getLen}_${st.getModificationTime}"
+    graft.core.IndexDirs.publish(conf, root, prefix) { tmp =>
+      val e     = Tables(s, dir).embeddings
+      val idx   = s"$tmp/idx"
+      val cents = SQ.trainIvfCentroids(e, SQ.GateK)
+      SQ.writeIvfIndex(s, e, cents, idx)
+      val child = graft.core.Sessions.withConf(s,
+        "spark.sql.shuffle.partitions" -> streamPartitions)
+      val stage = s"$tmp/in"
+      Files.createDirectories(java.nio.file.Paths.get(stage))
+      def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stmp = s"$tmp/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stmp)
+        val part = new java.io.File(stmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$stage/$name.parquet")
+        Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+      }
+      def freshVecs(idOff: Long): DataFrame =
+        e.filter(col("vec_id") < 8)
+          .select((col("vec_id") + idOff).as("vec_id"),
+            reverse(col("embedding")).as("embedding"))
+      val t0 = 1700000000000L // fixed epoch: only the ORDER matters
+      stageBatch(freshVecs(300000L), "batch1", t0)
+      stageBatch(freshVecs(400000L), "batch2", t0 + 120000L)
+      val vecStream = child.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+      val out = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, Int, Long, Double)]())
+      import scala.jdk.CollectionConverters._
+      val q = vecStream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // INGEST first: the upsert is a MERGE (anti-join on vec_id +
+          // union), so a retried batch re-applies cleanly — no extra
+          // idempotence bookkeeping needed on this channel
+          SQ.upsertIvfIndex(child, idx, batch)
+          // SERVE: the batch's vectors probe the index they just
+          // joined — ≤ 5 rows per batch vector, the bounded probe log
+          val probes = SQ.probesOfAll(batch, cents)
+          val cells = probes.select(col("cell")).distinct()
+            .collect().map(_.getInt(0)).sorted // bounded: ≤ 2 × |batch|
+          val assigned = child.read.parquet(s"$idx/cells")
+            .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+            .select(col("vec_id"), col("embedding"), col("cell"))
+          out.addAll(SQ.rankTail(assigned, probes).collect().toSeq
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+              r.getDouble(3))).asJava)
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import s.implicits._
+      out.asScala.toSeq.sorted.toDF("qid", "rk", "nid", "cos")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/log")
+    }
+    s"$root/log"
+  }
+
+  val streamVecIngest = Query(
+    "ss_stream_ingest",
+    (s, dir) => s.read
+      .schema("qid LONG, rk INT, nid LONG, cos DOUBLE")
+      .parquet(vecIngestDemoLog(s, dir))
+      .orderBy(col("qid"), col("rk")),
+    oracle = Some {
+      import graft.similarity.{SimilarityQueries => SQ}
+      s"""
+      WITH ${SQ.ivfAssignCtes("16")},
+      b1 AS (
+        SELECT vec_id + 300000 AS vec_id,
+               list_reverse(embedding) AS embedding
+        FROM embeddings WHERE vec_id < 8
+      ), b2 AS (
+        SELECT vec_id + 400000 AS vec_id,
+               list_reverse(embedding) AS embedding
+        FROM embeddings WHERE vec_id < 8
+      ), corpus_s1 AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM b1
+      ), corpus_s2 AS (
+        SELECT vec_id, embedding FROM corpus_s1
+        UNION ALL SELECT vec_id, embedding FROM b2
+      ),
+      ${SQ.ivfServeCtes("1", "corpus_s1", "b1")},
+      ${SQ.ivfServeCtes("2", "corpus_s2", "b2")}
+      SELECT qid, rk, nid, cos FROM top_1
+      UNION ALL
+      SELECT qid, rk, nid, cos FROM top_2
+      ORDER BY qid, rk
+    """
+    },
+    eagerPlan = Some((s, dir) => {
+      import graft.similarity.{SimilarityQueries => SQ}
+      // the declared per-batch shape: fixed-model probe of the
+      // persisted index by a bounded batch (the upsert half's plan is
+      // pinned by SimilaritySpec's upsert coverage)
+      val idx   = SQ.buildIvfIndex(s, dir)
+      val cents = SQ.loadCentroids(s, idx)
+      val e     = Tables(s, dir).embeddings
+      val batch = e.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 300000).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val probes = SQ.probesOfAll(batch, cents)
+      val assigned = s.read.parquet(s"$idx/cells")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      SQ.rankTail(assigned, probes)
+    }),
+  )
+
   val streamIngest = Query(
     "dd_stream_ingest",
     (s, dir) => s.read
@@ -1320,5 +1470,6 @@ object StreamingQueries {
       streamWordcount, streamEnrich, streamUpsert, streamClean,
       streamHeavyHitters, streamScd2, streamSliding, streamCountMin,
       streamTopk, streamFunnel, streamHourlyUsers, streamAsof,
-      streamAnomaly, streamQuantiles, streamAdmission, streamIngest)
+      streamAnomaly, streamQuantiles, streamAdmission, streamIngest,
+      streamVecIngest)
 }

@@ -56,7 +56,10 @@ class DocsSyncSpec extends AnyFunSuite {
       "buildTextIndex", "upsertTextIndex", "deleteFromTextIndex",
       "buildBandIndex", "upsertBandIndex", "deleteFromBandIndex",
       "dd_stream_admission", "ss_stream_topk", "dd_minhash_cdc",
-      "dd_purge_apply")
+      "dd_purge_apply",
+      // the r13 lifecycle completions: compressed serving index,
+      // executed re-train cutover, streaming vector ingest
+      "buildIvfPqIndex", "ss_index_retrain", "ss_stream_ingest")
       .foreach(k => assert(scale.contains(k), s"SCALE.md lost its $k entry"))
   }
 }
