@@ -1362,7 +1362,7 @@ object DedupQueries {
     * keyed by the documents file's identity like its two siblings.
     */
   def buildBandIndex(s: SparkSession, dir: String): String =
-    publishBandIndex(s, dir, "graft_band_index_v2",
+    publishBandIndex(s, dir, "graft_band_index_v3",
       Tables(s, dir).documents.select(col("doc_id"), col("text")))
 
   private def publishBandIndex(s: SparkSession, dir: String, family: String,
@@ -1398,12 +1398,24 @@ object DedupQueries {
   private val bandsSchema = "doc_id LONG, bh STRING, bkt INT"
   private val bucketSchema = "doc_id LONG, bh STRING"
   private val hotSchema = "bh STRING, bkt INT"
-  private val sigsSchema = "doc_id LONG, sh ARRAY<LONG>"
+  private val sigsSchema = "doc_id LONG, sh ARRAY<LONG>, sbkt INT"
+  /** A single sigs bucket directory read bare (the partition column is
+    * not in the files). */
+  private val sigBucketSchema = "doc_id LONG, sh ARRAY<LONG>"
+
+  /** The sigs table's id-bucket key — `sigs/` is Hive-partitioned by
+    * it (r12's stated layout evolution, executed in r13) so delete and
+    * crash-repair rewrites prune to the buckets actually holding a
+    * purged id instead of rewriting the table whole; upsert appends
+    * land only in the batch's buckets for free.
+    */
+  private def sigBktOf(id: Column): Column = pmod(hash(id), lit(16))
 
   private[graft] def writeBandIndex(s: SparkSession, docs: DataFrame,
       idx: String): Unit = {
     val shE = cdcSigs(spread(docs))
-    shE.write.mode("overwrite").parquet(s"$idx/sigs")
+    shE.withColumn("sbkt", sigBktOf(col("doc_id")))
+      .write.mode("overwrite").partitionBy("sbkt").parquet(s"$idx/sigs")
     val wBand = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bh"))
     val counted = cdcBandsOf(shE)
@@ -1561,8 +1573,10 @@ object DedupQueries {
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       // the batch's commit point: sigs append LAST, so a crashed run
-      // re-applies (the presence check above reads sigs)
-      shI.write.mode("append").parquet(s"$idx/sigs")
+      // re-applies (the presence check above reads sigs); the
+      // partitioned append writes only the batch's id-buckets
+      shI.withColumn("sbkt", sigBktOf(col("doc_id")))
+        .write.mode("append").partitionBy("sbkt").parquet(s"$idx/sigs")
       // swapped directories keep their paths — drop any cached file
       // listings so later reads can't resolve to replaced files
       s.catalog.refreshByPath(idx)
@@ -1579,7 +1593,7 @@ object DedupQueries {
     */
   private def upsertBandDemoIndex(s: SparkSession, dir: String): String = {
     val d = Tables(s, dir).documents
-    val idx = publishBandIndex(s, dir, "graft_band_upsert_v2",
+    val idx = publishBandIndex(s, dir, "graft_band_upsert_v3",
       d.select(col("doc_id"), col("text")))
     val fresh = d.filter(col("source") === "src1")
       .select((col("doc_id") + 600000).as("doc_id"),
@@ -1721,14 +1735,32 @@ object DedupQueries {
         val newHot = hotTbl.join(resKeysDf, Seq("bh"), "left_anti")
         val hotTmp = s"$idx/hot__deleting"
         newHot.coalesce(1).write.mode("overwrite").parquet(hotTmp)
-        val survivors = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
-          .join(purge, Seq("doc_id"), "left_anti")
-        val bytes = survivors.queryExecution.optimizedPlan.stats.sizeInBytes
-        val parts = math.max(1,
-          (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
-        val sigsTmp = s"$idx/sigs__deleting"
-        survivors.coalesce(parts).write.mode("overwrite").parquet(sigsTmp)
-        // PHASE 2 — swap buckets, then hot, then sigs (the commit)
+        // sigs rewrite prunes to the id-buckets actually holding a
+        // purged signature (the r12 SCALE caveat, executed: the table
+        // no longer rewrites whole) — bounded: ≤ 16 bucket ids. Temps
+        // stage OUTSIDE the partitioned root: a `sbkt=N__deleting`
+        // sibling inside it would parse as a partition value and
+        // corrupt the later buckets' root reads in this very loop.
+        val sigStaging = s"$idx/sigs__deleting"
+        fs.delete(new org.apache.hadoop.fs.Path(sigStaging), true) // crash leftovers
+        val sigBkts = purgedSigs.select(col("sbkt")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        sigBkts.foreach { b =>
+          val surviving = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
+            .filter(col("sbkt") === b) // static partition filter
+            .join(purge, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("sh"))
+          val bytes =
+            surviving.queryExecution.optimizedPlan.stats.sizeInBytes
+          val parts = math.max(1,
+            (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
+          surviving.coalesce(parts).write.mode("overwrite")
+            .parquet(s"$sigStaging/b=$b")
+        }
+        // PHASE 2 — swap buckets, then hot, then the sigs buckets (the
+        // commit = the last sigs-bucket swap; a crash mid-way leaves
+        // purged ids visible in the unswapped buckets, so the re-run's
+        // presence probe re-applies and every anti-join converges)
         touched.foreach { b =>
           val bandPart = s"$idx/bands/bkt=$b"
           val bandPath = new org.apache.hadoop.fs.Path(bandPart)
@@ -1741,7 +1773,11 @@ object DedupQueries {
               s"rename $bandTmp -> $bandPart failed")
         }
         graft.operators.Maintenance.swapDirs(s, hotTmp, s"$idx/hot")
-        graft.operators.Maintenance.swapDirs(s, sigsTmp, s"$idx/sigs")
+        sigBkts.foreach { b =>
+          graft.operators.Maintenance.swapDirs(s,
+            s"$sigStaging/b=$b", s"$idx/sigs/sbkt=$b")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(sigStaging), true)
         // swapped directories keep their paths — drop cached listings
         s.catalog.refreshByPath(idx)
         touched.toSeq
@@ -1767,7 +1803,7 @@ object DedupQueries {
     */
   private def deleteBandDemoIndex(s: SparkSession, dir: String): String = {
     val d = Tables(s, dir).documents
-    val idx = publishBandIndex(s, dir, "graft_band_delete_v1",
+    val idx = publishBandIndex(s, dir, "graft_band_delete_v2",
       d.select(col("doc_id"), col("text")))
     val conf = s.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(s"$idx/_purge_applied")

@@ -900,7 +900,7 @@ object SimilarityQueries {
       val ivfIdx  = buildIvfIndex(s, dir)
       val nText = s.read.parquet(s"$textIdx/stats")
         .select(col("n_docs")).head().getLong(0) // 1-row stats
-      val nBand = s.read.schema("doc_id LONG, sh ARRAY<LONG>")
+      val nBand = s.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
         .parquet(s"$bandIdx/sigs").count()
       val nIvf = s.read.parquet(s"$ivfIdx/cells")
         .select(col("vec_id")).count()
@@ -935,7 +935,7 @@ object SimilarityQueries {
       val ivfIdx  = buildIvfIndex(s, dir)
       s.read.parquet(s"$textIdx/stats")
         .select(lit("text_index").as("artifact"), col("n_docs").as("n_items"))
-        .unionByName(s.read.schema("doc_id LONG, sh ARRAY<LONG>")
+        .unionByName(s.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
           .parquet(s"$bandIdx/sigs")
           .agg(count(lit(1)).as("n_items"))
           .select(lit("band_index").as("artifact"), col("n_items")))

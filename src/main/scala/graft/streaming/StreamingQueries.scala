@@ -1282,7 +1282,7 @@ object StreamingQueries {
           val newIds = verdicts.filter(_.getString(1) == "new")
             .map(_.getLong(0)).toSeq.toDF("doc_id")
           val admitted = batch.join(newIds, Seq("doc_id"), "left_semi")
-            .join(child.read.schema("doc_id LONG, sh ARRAY<LONG>")
+            .join(child.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
                 .parquet(s"$idx/sigs").select(col("doc_id")),
               Seq("doc_id"), "left_anti")
           DQ.upsertBandIndex(child, idx, admitted)

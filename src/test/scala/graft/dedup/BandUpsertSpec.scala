@@ -34,7 +34,8 @@ class BandUpsertSpec extends SparkSuite {
       .collect().map(_.getString(0)).toSet
 
   private def sigIdsOf(idx: String): Set[Long] =
-    spark.read.schema("doc_id LONG, sh ARRAY<LONG>").parquet(s"$idx/sigs").select(col("doc_id"))
+    spark.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
+      .parquet(s"$idx/sigs").select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet
 
   test("index after upsert equals a from-scratch rebuild") {

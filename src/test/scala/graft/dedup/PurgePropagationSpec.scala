@@ -41,7 +41,8 @@ class PurgePropagationSpec extends SparkSuite {
       .select(col("bh")).collect().map(_.getString(0)).toSet
 
   private def sigIdsOf(idx: String): Set[Long] =
-    spark.read.schema("doc_id LONG, sh ARRAY<LONG>").parquet(s"$idx/sigs")
+    spark.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
+      .parquet(s"$idx/sigs")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
 
   private def assertBandEquals(idx: String, rebuilt: String): Unit = {
@@ -176,13 +177,14 @@ class PurgePropagationSpec extends SparkSuite {
     val idx = tmpIdx("bdc")
     DedupQueries.writeBandIndex(spark, docs, idx)
     val sigsSnapshot = tmpIdx("bdc_sigs")
-    spark.read.schema("doc_id LONG, sh ARRAY<LONG>").parquet(s"$idx/sigs")
-      .write.mode("overwrite").parquet(sigsSnapshot)
+    spark.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
+      .parquet(s"$idx/sigs")
+      .write.mode("overwrite").partitionBy("sbkt").parquet(sigsSnapshot)
     val purge = docs.filter(purgeSlice).select(col("doc_id"))
     DedupQueries.deleteFromBandIndex(spark, idx, purge)
     val planted = s"$idx/sigs__crashplant"
     spark.read.parquet(sigsSnapshot)
-      .write.mode("overwrite").parquet(planted)
+      .write.mode("overwrite").partitionBy("sbkt").parquet(planted)
     graft.operators.Maintenance.swapDirs(spark, planted, s"$idx/sigs")
     spark.catalog.refreshByPath(idx)
     // sigs say the purge never applied → the re-run finishes the job
@@ -190,6 +192,72 @@ class PurgePropagationSpec extends SparkSuite {
     val rebuilt = tmpIdx("bdc_r")
     DedupQueries.writeBandIndex(spark, docs.filter(!purgeSlice), rebuilt)
     assertBandEquals(idx, rebuilt)
+  }
+
+  test("band-index delete converges from a PARTIAL sigs-bucket swap") {
+    // the id-bucketed layout's new crash window: some sigs buckets
+    // swapped (their purged ids durably gone), crash before the rest —
+    // plant it by restoring ONE touched bucket's pre-delete contents
+    // over a completed delete, then re-run
+    val idx = tmpIdx("bdp")
+    DedupQueries.writeBandIndex(spark, docs, idx)
+    val sigsSnapshot = tmpIdx("bdp_sigs")
+    spark.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
+      .parquet(s"$idx/sigs")
+      .write.mode("overwrite").partitionBy("sbkt").parquet(sigsSnapshot)
+    val purge = docs.filter(purgeSlice).select(col("doc_id"))
+    // a touched bucket = one holding a purged id
+    val victim = spark.read.parquet(sigsSnapshot)
+      .join(purge, Seq("doc_id"), "left_semi")
+      .select(col("sbkt")).distinct().orderBy(col("sbkt"))
+      .head().getInt(0)
+    DedupQueries.deleteFromBandIndex(spark, idx, purge)
+    val planted = s"$idx/sigs_bucket__crashplant"
+    spark.read.schema("doc_id LONG, sh ARRAY<LONG>")
+      .parquet(s"$sigsSnapshot/sbkt=$victim")
+      .write.mode("overwrite").parquet(planted)
+    graft.operators.Maintenance.swapDirs(spark, planted,
+      s"$idx/sigs/sbkt=$victim")
+    spark.catalog.refreshByPath(idx)
+    // the un-swapped bucket still shows purged ids → re-apply converges
+    DedupQueries.deleteFromBandIndex(spark, idx, purge)
+    val rebuilt = tmpIdx("bdp_r")
+    DedupQueries.writeBandIndex(spark, docs.filter(!purgeSlice), rebuilt)
+    assertBandEquals(idx, rebuilt)
+  }
+
+  test("the delete's sigs rewrite prunes to the purged ids' buckets") {
+    // the layout's point: untouched sigs buckets keep their files
+    // byte-identical through a delete (the r12 SCALE caveat, executed)
+    val idx = tmpIdx("bdprune")
+    DedupQueries.writeBandIndex(spark, docs, idx)
+    // a NARROW purge batch (the realistic nightly shape) — the %4
+    // corpus slice is wide enough to hash into all 16 buckets, which
+    // would make the untouched-bucket pin vacuous
+    val purge = docs.filter(col("doc_id") % 97 === 1).select(col("doc_id"))
+    assert(purge.count() > 0)
+    val touchedBkts = spark.read
+      .schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
+      .parquet(s"$idx/sigs")
+      .join(purge, Seq("doc_id"), "left_semi")
+      .select(col("sbkt")).distinct().collect().map(_.getInt(0)).toSet
+    assert(touchedBkts.nonEmpty)
+    def fileState(): Map[String, (Long, Long)] =
+      new java.io.File(s"$idx/sigs").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("sbkt="))
+        .flatMap(d => d.listFiles().map(f =>
+          f.getPath -> ((f.length(), f.lastModified())))).toMap
+    val before = fileState()
+    DedupQueries.deleteFromBandIndex(spark, idx, purge)
+    val changedUntouched = fileState().filter { case (p, st) =>
+      val b = p.split("sbkt=")(1).split("/")(0).toInt
+      !touchedBkts.contains(b) && before.get(p).exists(_ != st)
+    }
+    assert(changedUntouched.isEmpty,
+      s"untouched sigs buckets rewritten: ${changedUntouched.keys.take(3)}")
+    // non-vacuous: at least one bucket was NOT touched at this SF
+    assert(touchedBkts.size < 16,
+      "fixture touches every sigs bucket — the pruning pin is vacuous")
   }
 
   test("text chain: upsert → delete → re-ingest equals the final rebuild") {
@@ -252,7 +320,7 @@ class PurgePropagationSpec extends SparkSuite {
     row.run(spark, dir).collect() // ensures the demo index is built+deleted
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
     val fam = new java.io.File(System.getProperty("java.io.tmpdir"))
-      .listFiles().filter(f => f.getName.startsWith("graft_band_delete_v1")
+      .listFiles().filter(f => f.getName.startsWith("graft_band_delete_v2")
         && f.getName.contains(slug) && !f.getName.contains(".build_"))
     assert(fam.nonEmpty, "demo index not published")
     fam.foreach { f =>
