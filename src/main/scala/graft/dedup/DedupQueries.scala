@@ -733,15 +733,36 @@ object DedupQueries {
     * id in the layout and skips — the deletion is already durable;
     * idempotence itself is PurgeApplySpec's pin).
     */
-  val purgeApply = Query(
-    "dd_purge_apply",
-    (s, dir) => {
-      val layout = shardedCorpus(s, dir)
+  /** The text lake in its POST-PURGE state — `shardedCorpus` with the
+    * cluster-chain purge durably applied, recorded by a
+    * `_purge_applied` marker so consumers (the manifest's lake audit)
+    * never re-derive the cluster chain once the deletion is durable
+    * (the tx_index_delete marker discipline). Crash between the apply
+    * and the marker: the re-run re-derives the list once, anti-joins
+    * to a no-op, and writes the marker.
+    */
+  private[graft] def ensurePurgedTextLake(s: SparkSession,
+      dir: String): String = {
+    val layout = shardedCorpus(s, dir)
+    val conf   = s.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$layout/_purge_applied")
+    val fs     = marker.getFileSystem(conf)
+    if (!fs.exists(marker)) {
       val plan = textPurgeIds(s, dir)
       val remaining = s.read.parquet(s"$layout/docs")
         .join(plan.select(col("doc_id")), Seq("doc_id"), "left_semi")
         .limit(1).collect()
       if (remaining.nonEmpty) applyPurge(s, layout, plan)
+      fs.create(marker, true).close()
+    }
+    layout
+  }
+
+  val purgeApply = Query(
+    "dd_purge_apply",
+    (s, dir) => {
+      val layout = ensurePurgedTextLake(s, dir)
+      val plan = textPurgeIds(s, dir)
       val survived = s.read.parquet(s"$layout/docs")
         .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
         // the layout's partition column reads back int32 — put int64

@@ -661,7 +661,7 @@ object Multimodal {
         FROM documents
       )"""
 
-  private val imagePairCtes = s"""$imageParamsCte, hh AS (
+  private[graft] val imagePairCtes = s"""$imageParamsCte, hh AS (
         SELECT media_id,
           list_sum(list_transform(range(0, 60), b ->
             CASE WHEN
@@ -906,12 +906,7 @@ object Multimodal {
       .purgePlan(clusters.withColumnRenamed("media_id", "doc_id"))
       .filter(col("action") === "purge")
       .select(col("shard"), col("doc_id").as("media_id"))
-    val remaining = s.read.parquet(s"$layout/media")
-      .join(plan.select(col("media_id")), Seq("media_id"), "left_semi")
-      .limit(1).collect()
-    if (remaining.nonEmpty)
-      graft.dedup.DedupQueries.applyPurge(s, layout, plan,
-        sub = "media", key = "media_id")
+    applyMediaPurge(s, layout, plan)
     val survived = s.read.parquet(s"$layout/media")
       .groupBy(col("shard")).agg(count(lit(1)).as("n_media"))
       // the layout's partition column reads back int32 — int64 on
@@ -926,6 +921,45 @@ object Multimodal {
         coalesce(col("n_media"), lit(0L)).as("n_media"),
         coalesce(col("n_purged"), lit(0L)).as("n_purged"))
       .orderBy(col("shard"))
+  }
+
+  /** Apply a routed media purge plan once, marker-recorded: the
+    * remaining-probe + applyPurge + `_purge_applied` marker shared by
+    * the gated purge rows and [[ensurePurgedMediaLake]], so a durable
+    * deletion is applied exactly once per lake generation.
+    */
+  private def applyMediaPurge(s: SparkSession, layout: String,
+      plan: DataFrame): Unit = {
+    val conf   = s.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$layout/_purge_applied")
+    val fs     = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return
+    val remaining = s.read.parquet(s"$layout/media")
+      .join(plan.select(col("media_id")), Seq("media_id"), "left_semi")
+      .limit(1).collect()
+    if (remaining.nonEmpty)
+      graft.dedup.DedupQueries.applyPurge(s, layout, plan,
+        sub = "media", key = "media_id")
+    fs.create(marker, true).close()
+  }
+
+  /** The image blob lake in its POST-PURGE state — the media-side twin
+    * of `ensurePurgedTextLake`, consumed by the manifest's lake audit.
+    */
+  private[graft] def ensurePurgedMediaLake(s: SparkSession,
+      dir: String): String = {
+    val layout = shardedMediaLake(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$layout/_purge_applied")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val plan = graft.dedup.DedupQueries
+        .purgePlan(imageClusterFrame(s, dir)
+          .withColumnRenamed("media_id", "doc_id"))
+        .filter(col("action") === "purge")
+        .select(col("shard"), col("doc_id").as("media_id"))
+      applyMediaPurge(s, layout, plan)
+    }
+    layout
   }
 
   val imagePurgeApply = Query(

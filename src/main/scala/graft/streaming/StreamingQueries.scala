@@ -1223,7 +1223,7 @@ object StreamingQueries {
     * the sequential chain from scratch: screen 1 over documents,
     * screen 2 over documents ∪ screen 1's admissions.
     */
-  private def ingestDemoLog(s: SparkSession, dir: String): String = {
+  private[graft] def ingestDemoLog(s: SparkSession, dir: String): String = {
     import graft.dedup.{DedupQueries => DQ}
     import java.nio.file.Files
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
