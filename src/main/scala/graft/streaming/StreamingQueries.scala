@@ -1223,6 +1223,26 @@ object StreamingQueries {
     * the sequential chain from scratch: screen 1 over documents,
     * screen 2 over documents ∪ screen 1's admissions.
     */
+  /** Stage `df` as the single parquet file `name.parquet` under
+    * `stage` with the given mtime — one "nightly ingest file" for the
+    * admit-and-ingest loops, which feed these through
+    * `maxFilesPerTrigger=1` in mtime order (the deterministic stand-in
+    * for N nights of arrivals; only the ORDER matters, so callers pass
+    * a fixed epoch + offsets). `scratch` hosts the single-file write.
+    */
+  private def stageBatch(df: DataFrame, scratch: String, stage: String,
+      name: String, mtime: Long): Unit = {
+    import java.nio.file.Files
+    val stmp = s"$scratch/stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(stmp)
+    val part = new java.io.File(stmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$stage/$name.parquet")
+    Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(mtime)
+    ()
+  }
+
   private[graft] def ingestDemoLog(s: SparkSession, dir: String): String = {
     import graft.dedup.{DedupQueries => DQ}
     import java.nio.file.Files
@@ -1245,18 +1265,9 @@ object StreamingQueries {
       // first — the deterministic stand-in for two nights of ingest
       val stage = s"$tmp/in"
       Files.createDirectories(java.nio.file.Paths.get(stage))
-      def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
-        val stmp = s"$tmp/stage_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(stmp)
-        val part = new java.io.File(stmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(s"$stage/$name.parquet")
-        Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(mtime)
-      }
       val t0 = 1700000000000L // fixed epoch: only the ORDER matters
-      stageBatch(DQ.cdcIncoming(d), "batch1", t0)
-      stageBatch(DQ.ingestBatch2(d), "batch2", t0 + 120000L)
+      stageBatch(DQ.cdcIncoming(d), tmp, stage, "batch1", t0)
+      stageBatch(DQ.ingestBatch2(d), tmp, stage, "batch2", t0 + 120000L)
       val docsStream = child.readStream
         .schema("doc_id LONG, text STRING")
         .option("maxFilesPerTrigger", 1)
@@ -1345,22 +1356,13 @@ object StreamingQueries {
         "spark.sql.shuffle.partitions" -> streamPartitions)
       val stage = s"$tmp/in"
       Files.createDirectories(java.nio.file.Paths.get(stage))
-      def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
-        val stmp = s"$tmp/stage_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(stmp)
-        val part = new java.io.File(stmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(s"$stage/$name.parquet")
-        Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(mtime)
-      }
       def freshVecs(idOff: Long): DataFrame =
         e.filter(col("vec_id") < 8)
           .select((col("vec_id") + idOff).as("vec_id"),
             reverse(col("embedding")).as("embedding"))
       val t0 = 1700000000000L // fixed epoch: only the ORDER matters
-      stageBatch(freshVecs(300000L), "batch1", t0)
-      stageBatch(freshVecs(400000L), "batch2", t0 + 120000L)
+      stageBatch(freshVecs(300000L), tmp, stage, "batch1", t0)
+      stageBatch(freshVecs(400000L), tmp, stage, "batch2", t0 + 120000L)
       val vecStream = child.readStream
         .schema("vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", 1)
@@ -1465,11 +1467,136 @@ object StreamingQueries {
     }),
   )
 
+  /** Streaming TEXT ingest — the sparse-channel leg that completes the
+    * admit-and-ingest matrix across all three persisted serving
+    * indexes (band: [[streamIngest]]; IVF: [[streamVecIngest]]; this):
+    * inside each micro-batch the incoming documents INGEST into the
+    * persisted inverted index
+    * ([[graft.text.TextQueries.upsertTextIndex]] — a MERGE whose
+    * replace path makes a foreachBatch retry after a committed upsert
+    * re-apply cleanly by construction), then the standing query-term
+    * probe ([[graft.text.TextQueries.probeTextIndex]]) SERVES from the
+    * index the batch just joined — the freshness contract a retrieval
+    * tier signs: a document landing in batch 1 must be scorable (and
+    * must move the corpus-wide n_docs/avgdl that enter EVERY BM25
+    * score) by batch 2's probes, which a build-time-frozen index
+    * provably cannot do (TextStreamIngestSpec pins both directions).
+    * Two deterministic nightly files stream through
+    * `maxFilesPerTrigger=1` in mtime order: the base index holds the
+    * corpus MINUS the doc_id % 5 == 0 holdout; batch 1 is the
+    * % 10 == 0 half of the holdout, batch 2 the % 10 == 5 half — so
+    * the post-loop index state is exactly the full corpus and batch
+    * 2's logged probe is gateable against tx_bm25's index-less
+    * pipeline verbatim, while batch 1's logged probe pins the
+    * POINT-IN-TIME state (base ∪ batch 1 only — the log is what the
+    * probe returned that night, not a post-hoc recomputation). Per
+    * batch cost = the upsert's O(batch + touched term buckets) + the
+    * probe's pruned-bucket scan; no cross-batch state store — the
+    * INDEX is the state. The loop runs once per corpus generation
+    * under an atomic publish and persists its probe LOG (the
+    * production sink); the gated row reads the log.
+    */
+  private def textIngestDemoLog(s: SparkSession, dir: String): String = {
+    import graft.text.{TextQueries => TQ}
+    import java.nio.file.Files
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+    val conf = s.sparkContext.hadoopConfiguration
+    val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val st   = src.getFileSystem(conf).getFileStatus(src)
+    val prefix =
+      s"graft_stream_text_${slug}_${dir.hashCode & 0x7fffffff}_"
+    val root = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"$prefix${st.getLen}_${st.getModificationTime}"
+    graft.core.IndexDirs.publish(conf, root, prefix) { tmp =>
+      val d   = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val idx = s"$tmp/idx"
+      TQ.writeTextIndex(s, d.filter(col("doc_id") % 5 =!= 0), idx)
+      val child = graft.core.Sessions.withConf(s,
+        "spark.sql.shuffle.partitions" -> streamPartitions)
+      val stage = s"$tmp/in"
+      Files.createDirectories(java.nio.file.Paths.get(stage))
+      val t0 = 1700000000000L // fixed epoch: only the ORDER matters
+      stageBatch(d.filter(col("doc_id") % 10 === 0), tmp, stage,
+        "batch1", t0)
+      stageBatch(d.filter(col("doc_id") % 10 === 5), tmp, stage,
+        "batch2", t0 + 120000L)
+      val docsStream = child.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+      val out = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Int, Int, Long, Double)]())
+      import scala.jdk.CollectionConverters._
+      val q = docsStream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // INGEST first: the upsert MERGEs (replace path), so a
+          // retried batch re-applies cleanly — no extra idempotence
+          // bookkeeping on this channel
+          TQ.upsertTextIndex(child, idx, batch)
+          // SERVE: the standing query-term probe against the index
+          // the batch just joined — ≤ 25 rows per batch, the bounded
+          // probe log (micro-batch ids are 0-based and deterministic
+          // under AvailableNow + maxFilesPerTrigger=1)
+          out.addAll(TQ.probeTextIndex(child, idx).collect().toSeq
+            .map(r => (batchId.toInt + 1, r.getInt(0), r.getLong(1),
+              r.getDouble(2))).asJava)
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import s.implicits._
+      out.asScala.toSeq.sorted.toDF("batch", "rk", "doc_id", "bm25")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/log")
+    }
+    s"$root/log"
+  }
+
+  val streamTextIngest = Query(
+    "tx_stream_ingest",
+    (s, dir) => s.read
+      .schema("batch INT, rk INT, doc_id LONG, bm25 DOUBLE")
+      .parquet(textIngestDemoLog(s, dir))
+      .orderBy(col("batch"), col("rk")),
+    // the oracle replays the sequential corpus states from scratch:
+    // night 1's probe sees base ∪ batch 1, night 2's the full corpus
+    // (= tx_bm25's pipeline verbatim) — n_docs and avgdl differ
+    // between the two states, so the row is sensitive to the per-batch
+    // stats refresh, not just to postings visibility
+    oracle = Some {
+      import graft.text.{TextQueries => TQ}
+      val s1 = "(SELECT doc_id, text FROM documents " +
+        "WHERE doc_id % 5 <> 0 OR doc_id % 10 = 0) base"
+      s"""
+      SELECT 1 AS batch, rk, doc_id, bm25 FROM (
+        WITH ${TQ.bm25ScoredSqlFrom(s1)}
+        SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk,
+               doc_id, bm25
+        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 25)
+      UNION ALL
+      SELECT 2 AS batch, rk, doc_id, bm25 FROM (
+        WITH ${TQ.bm25ScoredSqlFrom("documents")}
+        SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk,
+               doc_id, bm25
+        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 25)
+      ORDER BY batch, rk
+    """
+    },
+    eagerPlan = Some((s, dir) => {
+      import graft.text.{TextQueries => TQ}
+      // the declared per-batch serving shape: the pruned-bucket probe
+      // of the persisted index (the upsert half's plan is pinned by
+      // TextIndexUpsertSpec)
+      TQ.probeTextIndex(s, TQ.buildTextIndex(s, dir))
+    }),
+  )
+
   def all: Seq[Query] =
     Seq(streamHourly, streamSessions, streamRangeJoin, streamLeftJoin,
       streamWordcount, streamEnrich, streamUpsert, streamClean,
       streamHeavyHitters, streamScd2, streamSliding, streamCountMin,
       streamTopk, streamFunnel, streamHourlyUsers, streamAsof,
       streamAnomaly, streamQuantiles, streamAdmission, streamIngest,
-      streamVecIngest)
+      streamVecIngest, streamTextIngest)
 }

@@ -58,8 +58,9 @@ class DocsSyncSpec extends AnyFunSuite {
       "dd_stream_admission", "ss_stream_topk", "dd_minhash_cdc",
       "dd_purge_apply",
       // the r13 lifecycle completions: compressed serving index,
-      // executed re-train cutover, streaming vector ingest
-      "buildIvfPqIndex", "ss_index_retrain", "ss_stream_ingest")
+      // executed re-train cutover, streaming vector + text ingest
+      "buildIvfPqIndex", "ss_index_retrain", "ss_stream_ingest",
+      "tx_stream_ingest")
       .foreach(k => assert(scale.contains(k), s"SCALE.md lost its $k entry"))
   }
 }

@@ -43,10 +43,12 @@ class PlanAuditSpec extends SparkSuite {
     "ss_cosine_topk", "ss_ivf_topk", "q_scalar_subquery",
     "q_approx_distinct", "q_approx_quantiles", "tx_tfidf", "tx_vocab", "ss_recall",
     "ss_maxsim", "tx_bm25", "tx_lm_score", "q_skyline",
-    // tx_bm25_probe / tx_index_upsert / tx_index_delete cross the
-    // persisted index's 1-row stats table in as a broadcast — the same
-    // bm25Scored corpus-stats contract (one probeTextIndex kernel).
+    // tx_bm25_probe / tx_index_upsert / tx_index_delete /
+    // tx_stream_ingest's declared shape cross the persisted index's
+    // 1-row stats table in as a broadcast — the same bm25Scored
+    // corpus-stats contract (one probeTextIndex kernel).
     "tx_bm25_probe", "tx_index_upsert", "tx_index_delete",
+    "tx_stream_ingest",
     // tx_lm_holdout crosses the 1-row train-vocabulary size in as a
     // broadcast — the tx_lm_score contract at order 3.
     "tx_lm_holdout",
