@@ -2138,11 +2138,556 @@ object Multimodal {
     """),
   )
 
+  // ──────────────── persisted image near-dup index (admission) ────
+
+  /** Explicit read schemas for the image index's two tables — the
+    * band-index rule: every reachable state (including a bucket
+    * directory that does not exist yet) must stay readable.
+    */
+  private val imgSigsSchema  = "media_id LONG, dhash LONG, sb INT"
+  private val imgBandsSchema =
+    "media_id LONG, dhash LONG, bno INT, bval LONG, bkt INT"
+  // single bucket directories read bare (the partition column lives in
+  // the directory name, not the files)
+  private val imgSigsBare  = "media_id LONG, dhash LONG"
+  private val imgBandsBare = "media_id LONG, dhash LONG, bno INT, bval LONG"
+  private[graft] final val ImageIndexBuckets = 16
+
+  private def imgSigBkt(id: Column): Column =
+    pmod(hash(id), lit(ImageIndexBuckets))
+  private def imgBandBkt: Column =
+    pmod(hash(col("bno"), col("bval")), lit(ImageIndexBuckets))
+
+  /** Decode-seam hashing: one (media_id, dhash) row per image
+    * described by its synthesis params (media_id, g, v, w, h) — the
+    * blobs are encoded and [[dhash60]]-decoded per partition (the
+    * sanctioned codec seam; a production pipeline reads the blob
+    * column of the media lake here) and never shuffle.
+    */
+  private[graft] def hashesOfParams(params: DataFrame): DataFrame = {
+    import params.sparkSession.implicits._
+    params.select(col("media_id").cast("long"), col("g").cast("long"),
+        col("v").cast("int"), col("w").cast("int"), col("h").cast("int"))
+      .as[(Long, Long, Int, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, g, v, w, h) =>
+          val bytes = BmpCodec.encode(w, h,
+            (x, y) => ((g * 7 + (y.toLong * w + x) * 3 + v) % 256).toInt)
+          (id, dhash60(bytes))
+        }
+      }.toDF("media_id", "dhash")
+  }
+
+  /** The image corpus as synthesis params — the Spark twin of the
+    * oracle's `p` CTE ([[imageParamsCte]]).
+    */
+  private[graft] def imageCorpusParams(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") - col("doc_id") % 3).as("g"),
+        (col("doc_id") % 3).cast("int").as("v"))
+      .withColumn("w", (col("g") % 31 + 1).cast("int"))
+      .withColumn("h", (col("g") % 17 + 1).cast("int"))
+
+  /** Night-1 media arrivals for the image admission demos: a NEW
+    * brightness shift (v = 3) of existing bases — the classic re-export
+    * the screen must catch — plus a genuinely fresh wave of never-seen
+    * base images. The fresh wave uses LARGER canvases (97–127 ×
+    * 53–69) than the corpus's ≤31×17: at corpus dims the 11×6 dhash
+    * sample grid degenerates (few distinct gradient patterns, so any
+    * "fresh" hash collides with some corpus image within Hamming 5)
+    * and the admission demos could not observe their own ingest — a
+    * fresh image must be hashable as genuinely fresh for "batch 2
+    * catches batch 1's re-encode" to be distinguishable from corpus
+    * collisions.
+    */
+  private def freshDims(df: DataFrame): DataFrame = df
+    .withColumn("w", (col("media_id") % 31 + 97).cast("int"))
+    .withColumn("h", (col("media_id") % 17 + 53).cast("int"))
+
+  private[graft] def imageIncoming(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000).as("media_id"),
+        (col("doc_id") - col("doc_id") % 3).as("g"), lit(3).as("v"))
+      .withColumn("w", (col("g") % 31 + 1).cast("int"))
+      .withColumn("h", (col("g") % 17 + 1).cast("int"))
+      .unionByName(freshDims(
+        d.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 600000).as("media_id"),
+            (col("doc_id") + 1000000).as("g"), lit(0).as("v"))))
+
+  /** Night-2 arrivals: re-encodes (v = 1, same canvas) of night 1's
+    * FRESH wave — dups ONLY if night 1's admissions were ingested —
+    * plus a second fresh wave. The re-encode wave keys its canvas off
+    * the night-1 id (media_id − 100000) so the twin pair hashes the
+    * same grid.
+    */
+  private[graft] def imageIncoming2(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 700000).as("media_id"),
+        (col("doc_id") + 1000000).as("g"), lit(1).as("v"),
+        ((col("doc_id") + 600000) % 31 + 97).cast("int").as("w"),
+        ((col("doc_id") + 600000) % 17 + 53).cast("int").as("h"))
+      .unionByName(freshDims(
+        d.filter(col("doc_id") % 7 === 5)
+          .select((col("doc_id") + 800000).as("media_id"),
+            (col("doc_id") + 2000000).as("g"), lit(0).as("v"))))
+
+  /** (media_id, dhash) → the 6 ten-bit band rows — the ONE band
+    * definition, shared by the index write, the probe's query side,
+    * and the incremental upsert so their rows cannot drift.
+    */
+  private def bandsOfHashes(hashes: DataFrame): DataFrame =
+    hashes.select(col("media_id"), col("dhash"),
+      explode(expr("transform(sequence(0, 5), b -> " +
+        "struct(b AS bno, shiftright(dhash, b * 10) & 1023 AS bval))"))
+        .as("b"))
+      .select(col("media_id"), col("dhash"),
+        col("b.bno").cast("int").as("bno"), col("b.bval").as("bval"))
+
+  /** Write the persisted image near-dup index for `hashes`
+    * (media_id, dhash): `sigs/` id-bucketed (delete/crash-repair
+    * rewrites prune to the buckets actually holding a purged id) and
+    * `bands/` band-key-bucketed (a probe's band keys resolve to a
+    * static partition filter). UNLIKE the MinHash band index, bands
+    * are stored UNCAPPED — no hot/ tombstone table: the ≤50-members
+    * hot-band cap is evaluated AT PROBE TIME by [[probeImageIndex]]'s
+    * bounded membership pass, so cap semantics are from-scratch by
+    * construction under ANY maintenance history (the tombstone
+    * machinery the MinHash index needs to keep monotone suppression
+    * consistent across upserts/deletes — including the r12
+    * resurrection pass — is simply not needed here; images carry one
+    * 8-byte hash each, so the 6 uncapped band rows per image are
+    * storage-trivial). Shared by the from-scratch build and the
+    * rebuild oracles in ImageIndexSpec.
+    */
+  private[graft] def writeImageIndex(s: SparkSession, hashes: DataFrame,
+      idx: String): Unit = {
+    hashes.select(col("media_id"), col("dhash"))
+      .withColumn("sb", imgSigBkt(col("media_id")))
+      .write.mode("overwrite").partitionBy("sb").parquet(s"$idx/sigs")
+    bandsOfHashes(hashes)
+      .withColumn("bkt", imgBandBkt)
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$idx/bands")
+  }
+
+  /** Build-and-publish the image index over the media corpus, once per
+    * corpus generation (the buildTextIndex discipline: source-keyed
+    * path, atomic publish, stale-generation GC).
+    */
+  def buildImageIndex(s: SparkSession, dir: String): String = synchronized {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+    val conf = s.sparkContext.hadoopConfiguration
+    val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val st   = src.getFileSystem(conf).getFileStatus(src)
+    val prefix = s"graft_image_index_${slug}_${dir.hashCode & 0x7fffffff}_"
+    val idx = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"$prefix${st.getLen}_${st.getModificationTime}"
+    graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+      writeImageIndex(s, hashesOfParams(imageCorpusParams(s, dir)), tmp)
+    }
+  }
+
+  /** The ONE screen kernel against a persisted image index: the
+    * incoming batch's 6 bands per image resolve to a static partition
+    * filter; a first bounded pass counts stored membership of ONLY the
+    * probed band keys (map-side-combining aggregate, ≤ 6×|batch| keys
+    * out) so hot bands (> 50 members — boilerplate, flat images) are
+    * excluded BEFORE candidate generation rather than via stored
+    * tombstones; a second pass joins the surviving stored bands
+    * against the broadcast batch bands and confirms with
+    * `bit_count(xor) ≤ 5` (dhash is denormalized into the band rows,
+    * so the confirm needs no sigs join). Per-image verdict:
+    * dup/new at Hamming ≤ 5 with the best (minimum) distance, 99 =
+    * no candidate. Shared by `dd_image_probe` (screen after build)
+    * and `dd_image_stream_ingest` (the admission loop).
+    */
+  private[graft] def probeImageIndex(s: SparkSession, idx: String,
+      incomingHashes: DataFrame): DataFrame = {
+    val bandsI = bandsOfHashes(incomingHashes)
+    val keysI  = bandsI.select(col("bno"), col("bval")).distinct()
+    val bkts = keysI.select(imgBandBkt.as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: ≤ ImageIndexBuckets
+    val stored = s.read.schema(imgBandsSchema).parquet(s"$idx/bands")
+      .filter(col("bkt").isin(bkts.map(Integer.valueOf): _*))
+    val okKeys = stored
+      .join(broadcast(keysI), Seq("bno", "bval"), "left_semi")
+      .groupBy(col("bno"), col("bval")).agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= 50).select(col("bno"), col("bval"))
+    val cands = stored
+      .join(broadcast(okKeys), Seq("bno", "bval"), "left_semi").as("e")
+      .join(broadcast(bandsI.as("i")),
+        col("e.bno") === col("i.bno") && col("e.bval") === col("i.bval"))
+      .select(col("i.media_id").as("new_id"),
+        col("e.media_id").as("old_id"),
+        expr("cast(bit_count(e.dhash ^ i.dhash) as int)").as("hamming"))
+      .distinct()
+    val flags = cands.groupBy(col("new_id"))
+      .agg(min(col("hamming")).as("best"))
+      .withColumnRenamed("new_id", "media_id")
+    incomingHashes.select(col("media_id"))
+      .join(broadcast(flags), Seq("media_id"), "left")
+      .select(col("media_id"),
+        when(col("best") <= 5, "dup").otherwise("new").as("status"),
+        coalesce(col("best"), lit(99)).as("best_hamming"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Incremental maintenance for the image index — the admission
+    * tier's INGEST step, APPEND-ONLY like [[graft.dedup.DedupQueries
+    * .upsertBandIndex]] (a re-submitted image is 'dup' and never
+    * re-ingested; replacements are the purge tier's job): batch ids
+    * already in the signatures fail loudly, duplicate ids within a
+    * batch fail loudly. Only the batch's ≤16 band buckets and ≤16 sig
+    * buckets rewrite, each merge anti-joined on the batch ids so a
+    * crashed run at any point re-applies cleanly; band buckets swap
+    * first, sig buckets LAST — the batch's commit point (the presence
+    * check reads sigs). No cap bookkeeping: the cap is probe-time
+    * ([[writeImageIndex]]), so an upsert that pushes a band past 50
+    * members changes nothing in the store — the NEXT probe's
+    * membership pass simply stops emitting that band's candidates,
+    * exactly the from-scratch semantics. Returns the touched band
+    * bucket ids.
+    */
+  def upsertImageIndex(s: SparkSession, idx: String,
+      batchHashes: DataFrame): Seq[Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sigsRoot = new org.apache.hadoop.fs.Path(s"$idx/sigs")
+    val fs = sigsRoot.getFileSystem(conf)
+    require(fs.exists(sigsRoot), s"no image index at $idx — build it first")
+    val hashes = batchHashes.select(col("media_id"), col("dhash")).persist()
+    try {
+      val dup = hashes.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"upsertImageIndex: duplicate media_id in batch " +
+            s"(${dup.head.get(0)})")
+      val ids = hashes.select(col("media_id"))
+      val present = s.read.schema(imgSigsSchema).parquet(s"$idx/sigs")
+        .join(ids, Seq("media_id"), "left_semi").limit(1).collect()
+      if (present.nonEmpty)
+        throw new IllegalArgumentException(
+          s"upsertImageIndex: media ${present.head.get(0)} already " +
+            "indexed — admission is append-only; replacements go through " +
+            "purge + re-ingest")
+      val newBands = bandsOfHashes(hashes).withColumn("bkt", imgBandBkt)
+      // bareSchema: the bucket files WITHOUT the partition column (it
+      // lives in the directory name, not the files)
+      def mergeBuckets(root: String, newRows: DataFrame, part: String,
+          bareSchema: String, keyCol: String): Seq[Int] = {
+        val touched = newRows.select(col(part)).distinct()
+          .collect().map(_.getInt(0)).sorted // bounded: ≤ ImageIndexBuckets
+        touched.foreach { b =>
+          val dirPath = s"$root/$part=$b"
+          val p       = new org.apache.hadoop.fs.Path(dirPath)
+          val partNew = newRows.filter(col(part) === b).drop(part)
+          val merged =
+            if (fs.exists(p))
+              s.read.schema(bareSchema).parquet(dirPath)
+                .join(ids, Seq(keyCol), "left_anti") // crashed-run rows
+                .unionByName(partNew)
+            else partNew
+          val bytes = merged.queryExecution.optimizedPlan.stats.sizeInBytes
+          val parts = math.max(1,
+            (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
+          val tmp = dirPath + "__upserting"
+          merged.coalesce(parts).write.mode("overwrite").parquet(tmp)
+          if (fs.exists(p))
+            graft.operators.Maintenance.swapDirs(s, tmp, dirPath)
+          else if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p))
+            throw new java.io.IOException(s"rename $tmp -> $dirPath failed")
+        }
+        touched.toSeq
+      }
+      // bands first; sigs LAST (the commit point — presence reads sigs)
+      val touched = mergeBuckets(s"$idx/bands", newBands, "bkt",
+        imgBandsBare, "media_id")
+      mergeBuckets(s"$idx/sigs",
+        hashes.withColumn("sb", imgSigBkt(col("media_id"))), "sb",
+        imgSigsBare, "media_id")
+      s.catalog.refreshByPath(idx)
+      touched
+    } finally hashes.unpersist()
+  }
+
+  /** The image screen as a suffix-parameterized DuckDB CTE chain
+    * ending in `iverdict_<sfx>(media_id, status, best_hamming)` —
+    * instantiable more than once per query text so the stream oracle
+    * can chain sequential screens. `existingCte` / `incomingCte` name
+    * params relations (media_id, g, v, w, h) the caller defined. The
+    * cap is per-band membership of the EXISTING side ≤ 50 — the
+    * probe-time evaluation [[probeImageIndex]] performs.
+    */
+  private[graft] def imageScreenCtes(sfx: String, existingCte: String,
+      incomingCte: String): String = {
+    def dh(rel: String) = s"""
+        SELECT media_id,
+          list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN
+              (g * 7 + (((b // 10) * h) // 6 * w
+                 + ((b % 10) * w) // 11) * 3 + v) % 256
+              <
+              (g * 7 + (((b // 10) * h) // 6 * w
+                 + (((b % 10) + 1) * w) // 11) * 3 + v) % 256
+            THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS dhash
+        FROM $rel"""
+    s"""ihe_$sfx AS (${dh(existingCte)}
+      ), ihi_$sfx AS (${dh(incomingCte)}
+      ), ibe0_$sfx AS (
+        SELECT media_id, dhash, unnest(range(0, 6)) AS bno FROM ihe_$sfx
+      ), ibe_$sfx AS (
+        SELECT media_id, dhash, bno,
+               (dhash >> (bno * 10)::INT) & 1023 AS bval
+        FROM ibe0_$sfx
+      ), ibi0_$sfx AS (
+        SELECT media_id, dhash, unnest(range(0, 6)) AS bno FROM ihi_$sfx
+      ), ibi_$sfx AS (
+        SELECT media_id, dhash, bno,
+               (dhash >> (bno * 10)::INT) & 1023 AS bval
+        FROM ibi0_$sfx
+      ), icnt_$sfx AS (
+        SELECT bno, bval, count(*) AS bc FROM ibe_$sfx GROUP BY 1, 2
+      ), icand_$sfx AS (
+        SELECT DISTINCT i.media_id AS new_id, e.media_id AS old_id,
+               bit_count(xor(e.dhash, i.dhash))::INT AS hamming
+        FROM ibe_$sfx e
+        JOIN icnt_$sfx c ON e.bno = c.bno AND e.bval = c.bval AND c.bc <= 50
+        JOIN ibi_$sfx i ON e.bno = i.bno AND e.bval = i.bval
+      ), ibest_$sfx AS (
+        SELECT new_id AS media_id, min(hamming) AS best
+        FROM icand_$sfx GROUP BY 1
+      ), iverdict_$sfx AS (
+        SELECT p.media_id,
+               CASE WHEN b.best <= 5 THEN 'dup' ELSE 'new' END AS status,
+               coalesce(b.best, 99) AS best_hamming
+        FROM $incomingCte p LEFT JOIN ibest_$sfx b USING (media_id)
+      )"""
+  }
+
+  /** The corpus + night-1 params CTEs shared by the image screen
+    * oracles (the Spark twins are [[imageCorpusParams]] /
+    * [[imageIncoming]]).
+    */
+  private[graft] val imageAdmissionParamsCtes = """
+      ipc AS (
+        SELECT doc_id AS media_id,
+               doc_id - (doc_id % 3) AS g,
+               doc_id % 3 AS v,
+               ((doc_id - (doc_id % 3)) % 31) + 1 AS w,
+               ((doc_id - (doc_id % 3)) % 17) + 1 AS h
+        FROM documents
+      ), iin1 AS (
+        SELECT doc_id + 500000 AS media_id,
+               doc_id - (doc_id % 3) AS g, 3 AS v,
+               ((doc_id - (doc_id % 3)) % 31) + 1 AS w,
+               ((doc_id - (doc_id % 3)) % 17) + 1 AS h
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 600000, doc_id + 1000000, 0,
+               ((doc_id + 600000) % 31) + 97,
+               ((doc_id + 600000) % 17) + 53
+        FROM documents WHERE doc_id % 7 = 3
+      )"""
+
+  /** Purge propagation into the image index — the DELETE path, so the
+    * admission tier stops matching arrivals against purged media (the
+    * serving-tier invariant the r11 verdict ranked first, upheld for
+    * this index from its first round): purged ids' band keys resolve
+    * from the ID-PRUNED sigs scan (sb = pmod(hash(media_id), 16) is
+    * computable from the purge list alone, so the locating read
+    * touches only the buckets that can hold a purged id), then the
+    * touched band buckets and sig buckets anti-join the purge list
+    * out — plain rewrites, because the cap is PROBE-TIME: a tombstoned
+    * band "resurrecting" when its membership drops back under the cap
+    * is not an event this index has to handle — the next probe's
+    * membership pass simply sees the smaller count and the band's
+    * candidates reappear, exactly the from-scratch semantics (the
+    * MinHash index needs a dedicated resurrection pass for the same
+    * transition). Swap order: band buckets first, sig buckets LAST —
+    * the commit point, and the callers' idempotence probe ("any
+    * purged id still in sigs?"); a crash anywhere leaves purged ids
+    * in sigs and the re-run finishes the job (the anti-joins are
+    * idempotent). Ids with no sigs row (never indexed) are the
+    * documented no-op. Returns the touched band bucket ids.
+    */
+  def deleteFromImageIndex(s: SparkSession, idx: String,
+      purge0: DataFrame): Seq[Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sigsRoot = new org.apache.hadoop.fs.Path(s"$idx/sigs")
+    val fs = sigsRoot.getFileSystem(conf)
+    require(fs.exists(sigsRoot), s"no image index at $idx — build it first")
+    val purge = purge0.select(col("media_id")).persist()
+    try {
+      val sbs = purge.select(imgSigBkt(col("media_id")).as("b")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: ≤ ImageIndexBuckets
+      if (sbs.isEmpty) return Nil
+      val purgedSigs = s.read.schema(imgSigsSchema).parquet(s"$idx/sigs")
+        .filter(col("sb").isin(sbs.map(Integer.valueOf): _*))
+        .join(purge, Seq("media_id"), "left_semi")
+        .select(col("media_id"), col("dhash"))
+      val touched = bandsOfHashes(purgedSigs)
+        .select(imgBandBkt.as("b")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: ≤ ImageIndexBuckets
+      if (touched.isEmpty) return Nil // no purged id is indexed
+      def rewrite(root: String, part: String, bareSchema: String,
+          buckets: Seq[Int]): Unit =
+        buckets.foreach { b =>
+          val dirPath = s"$root/$part=$b"
+          val p       = new org.apache.hadoop.fs.Path(dirPath)
+          if (fs.exists(p)) {
+            val surviving = s.read.schema(bareSchema).parquet(dirPath)
+              .join(purge, Seq("media_id"), "left_anti")
+            val bytes =
+              surviving.queryExecution.optimizedPlan.stats.sizeInBytes
+            val parts = math.max(1,
+              (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
+            val tmp = dirPath + "__deleting"
+            surviving.coalesce(parts).write.mode("overwrite").parquet(tmp)
+            graft.operators.Maintenance.swapDirs(s, tmp, dirPath)
+          }
+        }
+      // band buckets first; sig buckets LAST (the commit point)
+      rewrite(s"$idx/bands", "bkt", imgBandsBare, touched)
+      rewrite(s"$idx/sigs", "sb", imgSigsBare, sbs.toSeq)
+      s.catalog.refreshByPath(idx)
+      touched.toSeq
+    } finally purge.unpersist()
+  }
+
+  /** The image purge list — the SAME keep-one-representative closure
+    * `dd_image_purge_apply` executes against the blob lake, so lake
+    * and index cut against ONE list.
+    */
+  private def imagePurgeList(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.DedupQueries
+      .purgePlan(imageClusterFrame(s, dir)
+        .withColumnRenamed("media_id", "doc_id"))
+      .filter(col("action") === "purge")
+      .select(col("doc_id").as("media_id"))
+
+  /** The delete demo's index: a fresh family (the shared
+    * `buildImageIndex` generation serves the probe/stream rows and
+    * must not mutate), built over the full corpus and then purged
+    * once per generation — applied-once via the `_purge_applied`
+    * marker with the sigs-presence probe as the idempotence check.
+    */
+  private def deleteDemoImageIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+      val conf = s.sparkContext.hadoopConfiguration
+      val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val st   = src.getFileSystem(conf).getFileStatus(src)
+      val prefix = s"graft_image_delete_${slug}_${dir.hashCode & 0x7fffffff}_"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"$prefix${st.getLen}_${st.getModificationTime}"
+      graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+        writeImageIndex(s, hashesOfParams(imageCorpusParams(s, dir)), tmp)
+      }
+      val fs     = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+      val marker = new org.apache.hadoop.fs.Path(s"$idx/_purge_applied")
+      if (!fs.exists(marker)) {
+        val purge = imagePurgeList(s, dir)
+        val present = s.read.schema(imgSigsSchema).parquet(s"$idx/sigs")
+          .join(purge, Seq("media_id"), "left_semi").limit(1).collect()
+        if (present.nonEmpty) deleteFromImageIndex(s, idx, purge)
+        fs.create(marker, true).close()
+      }
+      idx
+    }
+
+  /** Purge propagation under the gate: after the image purge, the
+    * admission screen must behave as if the index were REBUILT over
+    * the surviving media — the oracle recomputes the screen over the
+    * corpus MINUS the same recursive cluster closure
+    * `dd_image_purge_apply` executes. Because the cap is probe-time,
+    * the row is also sensitive to bands whose membership drops back
+    * under 50: their candidates must REAPPEAR after the purge, with no
+    * resurrection machinery to get wrong.
+    */
+  val imageIndexDelete = Query(
+    "dd_image_index_delete",
+    (s, dir) => probeImageIndex(s, deleteDemoImageIndex(s, dir),
+      hashesOfParams(imageIncoming(Tables(s, dir).documents))),
+    oracle = Some(s"""
+      WITH RECURSIVE $imagePairCtes,
+      edges AS (SELECT id_a, id_b FROM pairs),
+      ${graft.dedup.DedupQueries.ccWalkSql},
+      cl AS (SELECT id AS media_id, min(lbl) AS cluster
+             FROM walk GROUP BY id),
+      ipurged AS (SELECT media_id FROM cl WHERE media_id <> cluster),
+      $imageAdmissionParamsCtes,
+      isur AS (
+        SELECT media_id, g, v, w, h FROM ipc
+        WHERE media_id NOT IN (SELECT media_id FROM ipurged)
+      ),
+      ${imageScreenCtes("d", "isur", "iin1")}
+      SELECT media_id, status, best_hamming FROM iverdict_d
+      ORDER BY media_id
+    """),
+  )
+
+  /** The sequential two-night image admission chain as one DuckDB
+    * query — the oracle of `dd_image_stream_ingest`: night 1 screens
+    * against the corpus, night 2 against the corpus ∪ night 1's
+    * ADMISSIONS (the Spark twins are [[imageIncoming]] /
+    * [[imageIncoming2]]; night 2's first wave re-encodes night 1's
+    * fresh admissions, so it screens 'dup' only if the loop ingested
+    * them).
+    */
+  private[graft] def imageStreamIngestOracle: String = s"""
+      WITH $imageAdmissionParamsCtes,
+      ${imageScreenCtes("1", "ipc", "iin1")},
+      iin2 AS (
+        SELECT doc_id + 700000 AS media_id,
+               doc_id + 1000000 AS g, 1 AS v,
+               ((doc_id + 600000) % 31) + 97 AS w,
+               ((doc_id + 600000) % 17) + 53 AS h
+        FROM documents WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id + 800000, doc_id + 2000000, 0,
+               ((doc_id + 800000) % 31) + 97,
+               ((doc_id + 800000) % 17) + 53
+        FROM documents WHERE doc_id % 7 = 5
+      ), iex2 AS (
+        SELECT media_id, g, v, w, h FROM ipc
+        UNION ALL
+        SELECT i.media_id, i.g, i.v, i.w, i.h FROM iin1 i
+        JOIN iverdict_1 vv USING (media_id) WHERE vv.status = 'new'
+      ),
+      ${imageScreenCtes("2", "iex2", "iin2")}
+      SELECT media_id, status, best_hamming FROM iverdict_1
+      UNION ALL
+      SELECT media_id, status, best_hamming FROM iverdict_2
+      ORDER BY media_id"""
+
+  /** Media admission SCREEN against the persisted image index — the
+    * image-channel twin of `dd_minhash_cdc`/`dd_band_probe`, closing
+    * the gap that media blobs arrived unscreened while text documents
+    * had a full admission tier: nightly media arrivals (re-exported
+    * brightness shifts of existing images + a genuinely fresh wave)
+    * hash in the decode seam and screen against the index built over
+    * the media corpus. The verdict is per-arrival dup/new at Hamming
+    * ≤ 5 with the best distance — integer-exact, so the oracle is
+    * direct SQL over the synthesis params.
+    */
+  val imageProbe = Query(
+    "dd_image_probe",
+    (s, dir) => probeImageIndex(s, buildImageIndex(s, dir),
+      hashesOfParams(imageIncoming(Tables(s, dir).documents))),
+    oracle = Some(s"""
+      WITH $imageAdmissionParamsCtes,
+      ${imageScreenCtes("p", "ipc", "iin1")}
+      SELECT media_id, status, best_hamming FROM iverdict_p
+      ORDER BY media_id
+    """),
+  )
+
   def all: Seq[Query] =
     Seq(features, frames, resized, resizedPx, wavDecode, bmpDecode,
       videoDecode, audioRms, imageDhash, imageDups, imageClusters,
       spectrogram, sceneCut, audioVad, audioDups, audioClusters,
       videoDups, videoClusters, storyboard, imageQuality, audioQuality,
       pairManifest, avSync, imagePurge, imagePurgeApply, audioPurgeApply,
-      videoPurgeApply, alignScore)
+      videoPurgeApply, alignScore, imageProbe, imageIndexDelete)
 }

@@ -898,11 +898,13 @@ object SimilarityQueries {
       val textIdx = graft.text.TextQueries.buildTextIndex(s, dir)
       val bandIdx = graft.dedup.DedupQueries.buildBandIndex(s, dir)
       val ivfIdx  = buildIvfIndex(s, dir)
+      val imgIdx  = graft.multimodal.Multimodal.buildImageIndex(s, dir)
       // the r12 judge's ask #6: the audit covers EVERY persisted
       // artifact — the two lakes are audited in their post-purge state
       // (the only durable one: deletion lists are applied once per
       // generation and marker-recorded) and the admission service's
-      // verdict log is the sixth family
+      // verdict log is the sixth family; the r13 image admission index
+      // joins as the seventh
       val textLake  = graft.dedup.DedupQueries.ensurePurgedTextLake(s, dir)
       val mediaLake = graft.multimodal.Multimodal.ensurePurgedMediaLake(s, dir)
       val logPath   = graft.streaming.StreamingQueries.ingestDemoLog(s, dir)
@@ -920,9 +922,12 @@ object SimilarityQueries {
       val nLog = s.read
         .schema("doc_id LONG, status STRING, best_jac DOUBLE")
         .parquet(logPath).count()
+      val nImg = s.read.schema("media_id LONG, dhash LONG, sb INT")
+        .parquet(s"$imgIdx/sigs").count()
       Seq(
         ("admission_log", nLog, ok(logRoot, docsFp)),
         ("band_index", nBand, ok(bandIdx, docsFp)),
+        ("image_index", nImg, ok(imgIdx, docsFp)),
         ("ivf_index", nIvf, ok(ivfIdx, embFp)),
         ("media_lake", nMediaLake, ok(mediaLake, docsFp)),
         ("text_index", nText, ok(textIdx, docsFp)),
@@ -941,6 +946,9 @@ object SimilarityQueries {
         (SELECT count(*) FROM documents
          WHERE len(list_filter(string_split(text, ' '),
                                x -> length(x) > 0)) >= 3)::BIGINT, true
+      UNION ALL
+      SELECT 'image_index',
+        (SELECT count(*) FROM documents)::BIGINT, true
       UNION ALL
       SELECT 'ivf_index',
         (SELECT count(*) FROM embeddings)::BIGINT, true
@@ -990,6 +998,10 @@ object SimilarityQueries {
         .unionByName(cnt(s.read
           .schema("doc_id LONG, status STRING, best_jac DOUBLE")
           .parquet(logPath), "admission_log"))
+        .unionByName(cnt(s.read
+          .schema("media_id LONG, dhash LONG, sb INT")
+          .parquet(s"${graft.multimodal.Multimodal.buildImageIndex(s, dir)}/sigs"),
+          "image_index"))
     }),
   )
 

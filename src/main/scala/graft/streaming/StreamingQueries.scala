@@ -1592,11 +1592,113 @@ object StreamingQueries {
     }),
   )
 
+  /** Streaming MEDIA admission — [[streamIngest]]'s admit-and-ingest
+    * discipline on the image channel, closing the gap that media
+    * blobs arrived unscreened while text had a full admission tier:
+    * per micro-batch the arrivals hash in the decode seam
+    * ([[graft.multimodal.Multimodal.hashesOfParams]] — the blobs
+    * never shuffle), SCREEN against the persisted image index
+    * ([[graft.multimodal.Multimodal.probeImageIndex]] — probe-time
+    * hot-band cap, so cap semantics stay from-scratch under the
+    * ingest history), then the admitted ('new') images INGEST
+    * ([[graft.multimodal.Multimodal.upsertImageIndex]], append-only;
+    * the stored-sigs anti-join makes a foreachBatch retry after a
+    * committed upsert re-apply cleanly). Night 2's first wave
+    * re-encodes night 1's FRESH admissions — caught as 'dup' ONLY
+    * because night 1 ingested them, which the stateless screen
+    * provably misses (ImageStreamIngestSpec plants the pair and
+    * checks both behaviors). The loop runs once per corpus generation
+    * under an atomic publish and persists its verdict LOG (the
+    * production sink); the gated row reads the log. The oracle
+    * recomputes the sequential chain from scratch: screen 1 over the
+    * corpus, screen 2 over the corpus ∪ screen 1's admissions.
+    */
+  private def imageIngestDemoLog(s: SparkSession, dir: String): String = {
+    import graft.multimodal.{Multimodal => MM}
+    import java.nio.file.Files
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+    val conf = s.sparkContext.hadoopConfiguration
+    val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val st   = src.getFileSystem(conf).getFileStatus(src)
+    val prefix =
+      s"graft_stream_img_${slug}_${dir.hashCode & 0x7fffffff}_"
+    val root = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"$prefix${st.getLen}_${st.getModificationTime}"
+    graft.core.IndexDirs.publish(conf, root, prefix) { tmp =>
+      val d   = Tables(s, dir).documents
+      val idx = s"$tmp/idx"
+      MM.writeImageIndex(s,
+        MM.hashesOfParams(MM.imageCorpusParams(s, dir)), idx)
+      val child = graft.core.Sessions.withConf(s,
+        "spark.sql.shuffle.partitions" -> streamPartitions)
+      val stage = s"$tmp/in"
+      Files.createDirectories(java.nio.file.Paths.get(stage))
+      val t0 = 1700000000000L // fixed epoch: only the ORDER matters
+      stageBatch(MM.imageIncoming(d), tmp, stage, "batch1", t0)
+      stageBatch(MM.imageIncoming2(d), tmp, stage, "batch2", t0 + 120000L)
+      val mediaStream = child.readStream
+        .schema("media_id LONG, g LONG, v INT, w INT, h INT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+      val out = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, String, Int)]())
+      import scala.jdk.CollectionConverters._
+      val q = mediaStream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val hashes = MM.hashesOfParams(batch)
+          // SCREEN: one verdict row per arrival — bounded by the
+          // nightly batch; the verdicts land in the persisted log
+          val verdicts = MM.probeImageIndex(child, idx, hashes).collect()
+          out.addAll(verdicts.toSeq
+            .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+            .asJava)
+          // INGEST: admitted images join the index so the NEXT batch
+          // screens against them; the stored-sigs anti-join makes a
+          // retry after a committed upsert re-apply cleanly (the
+          // append-only upsert would otherwise fail it loudly)
+          import child.implicits._
+          val newIds = verdicts.filter(_.getString(1) == "new")
+            .map(_.getLong(0)).toSeq.toDF("media_id")
+          val admitted = hashes.join(newIds, Seq("media_id"), "left_semi")
+            .join(child.read
+                .schema("media_id LONG, dhash LONG, sb INT")
+                .parquet(s"$idx/sigs").select(col("media_id")),
+              Seq("media_id"), "left_anti")
+          MM.upsertImageIndex(child, idx, admitted)
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import s.implicits._
+      out.asScala.toSeq.sortBy(_._1).toDF("media_id", "status", "best_hamming")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/log")
+    }
+    s"$root/log"
+  }
+
+  val streamImageIngest = Query(
+    "dd_image_stream_ingest",
+    (s, dir) => s.read
+      .schema("media_id LONG, status STRING, best_hamming INT")
+      .parquet(imageIngestDemoLog(s, dir))
+      .orderBy(col("media_id")),
+    oracle = Some(graft.multimodal.Multimodal.imageStreamIngestOracle),
+    eagerPlan = Some((s, dir) => {
+      import graft.multimodal.{Multimodal => MM}
+      // the declared batch shape: the screen over the persisted index
+      // (the ingest half's plan is pinned by ImageIndexSpec)
+      MM.probeImageIndex(s, MM.buildImageIndex(s, dir),
+        MM.hashesOfParams(MM.imageIncoming2(Tables(s, dir).documents)))
+    }),
+  )
+
   def all: Seq[Query] =
     Seq(streamHourly, streamSessions, streamRangeJoin, streamLeftJoin,
       streamWordcount, streamEnrich, streamUpsert, streamClean,
       streamHeavyHitters, streamScd2, streamSliding, streamCountMin,
       streamTopk, streamFunnel, streamHourlyUsers, streamAsof,
       streamAnomaly, streamQuantiles, streamAdmission, streamIngest,
-      streamVecIngest, streamTextIngest)
+      streamVecIngest, streamTextIngest, streamImageIngest)
 }

@@ -58,9 +58,10 @@ class DocsSyncSpec extends AnyFunSuite {
       "dd_stream_admission", "ss_stream_topk", "dd_minhash_cdc",
       "dd_purge_apply",
       // the r13 lifecycle completions: compressed serving index,
-      // executed re-train cutover, streaming vector + text ingest
+      // executed re-train cutover, streaming vector + text ingest,
+      // and the image-channel admission tier
       "buildIvfPqIndex", "ss_index_retrain", "ss_stream_ingest",
-      "tx_stream_ingest")
+      "tx_stream_ingest", "probeImageIndex", "dd_image_stream_ingest")
       .foreach(k => assert(scale.contains(k), s"SCALE.md lost its $k entry"))
   }
 }

@@ -222,6 +222,12 @@ class PlanAuditSpec extends SparkSuite {
     "streaming/StreamingQueries.scala" -> Map(
       "dim" -> "customer x nation dimension join (star-schema dim side)",
       "sk" -> "1-row quantile-sketch aggregate"),
+    "multimodal/Multimodal.scala" -> Map(
+      "keysI" -> ("probed band keys in probeImageIndex (<= 6 x |batch| " +
+        "— the arrival batch is the bounded nightly unit)"),
+      "okKeys" -> "probed un-hot band keys (subset of keysI, same bound)",
+      "bandsI" -> "arrival-batch band rows (6 per image, same bound)",
+      "flags" -> "<=|batch| per-arrival verdict frame"),
     "streaming/EventStreams.scala" -> Map(
       "dim" -> ("caller-declared static dimension frame (the stream-" +
         "static enrich contract: dims are re-resolved per micro-batch)")))

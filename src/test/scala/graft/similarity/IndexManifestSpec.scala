@@ -16,15 +16,16 @@ class IndexManifestSpec extends SparkSuite {
 
   private def conf = spark.sparkContext.hadoopConfiguration
 
-  test("the healthy deployment audits generation_ok across all six families") {
+  test("the healthy deployment audits generation_ok across all seven families") {
     // r13 (the r12 judge's ask #6): the gated row covers every
     // persisted artifact — the index trilogy, both post-purge lakes,
-    // and the admission service's verdict log
+    // the admission service's verdict log, and the image admission
+    // index that joined the fleet this round
     val rows = QueryRegistry.byName("ss_index_manifest").run(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.map(_._1).toSeq ==
-      Seq("admission_log", "band_index", "ivf_index", "media_lake",
-        "text_index", "text_lake"))
+      Seq("admission_log", "band_index", "image_index", "ivf_index",
+        "media_lake", "text_index", "text_lake"))
     assert(rows.forall(_._3), s"healthy deployment audited stale: $rows")
     assert(rows.forall(_._2 > 0))
     // the lakes are audited in their POST-PURGE state: strictly fewer
