@@ -1672,28 +1672,12 @@ object Multimodal {
     * pigeonhole keeps banding lossless at the threshold.
     */
   private def audioPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val params = Tables(s, dir).documents.select(col("doc_id")).as[Long]
-    val hashes = params.mapPartitions { it =>
-      it.map { id =>
-        val g    = id - (id % 3)
-        val gain = 1L << (id % 3).toInt // re-leveling divisor, 1/2/4
-        val rate = 8000 + (g % 5).toInt * 2000
-        val n    = (640 + (g % 5) * 64).toInt
-        // the Knuth-multiplier phase term de-aliases base clips: a
-        // plain g*31 phase walk left 93 of 1.39M group pairs with
-        // IDENTICAL sign fingerprints at sf0.1 (measured); this
-        // family has zero
-        val synth = Array.tabulate(n) { i =>
-          val s0 = (g * 2654435761L + i.toLong * 7 +
-            (g % 13 + 1) * i.toLong * i +
-            (g % 29 + 1) * i.toLong * 11) % 65536 - 32768
-          (s0 / gain).toShort // truncating division (DuckDB `//`)
-        }
-        val samples = WavCodec.decodeSamples(WavCodec.encode(rate, synth))
-        (id, audioHash(samples))
-      }
-    }.toDF("media_id", "ahash")
+    // corpus hashing = the shared decode-seam fingerprint kernel (the
+    // Knuth-multiplier phase term in the synth de-aliases base clips:
+    // a plain g*31 phase walk left 93 of 1.39M group pairs with
+    // IDENTICAL sign fingerprints at sf0.1, measured; this has zero)
+    val hashes = audioHashesOfParams(audioCorpusParams(s, dir))
+      .withColumnRenamed("dhash", "ahash")
     val bands = hashes.select(col("media_id"), col("ahash"),
       explode(expr("transform(sequence(0, 5), b -> " +
         "struct(b AS bno, shiftright(ahash, b * 10) & 1023 AS bval))"))
@@ -1819,31 +1803,9 @@ object Multimodal {
     * verbatim: 6 ten-bit bands, ≤50 hot-band cap, bit_count ≤ 5.
     */
   private def videoPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val params = Tables(s, dir).documents.select(col("doc_id")).as[Long]
-    val hashes = params.mapPartitions { it =>
-      it.map { id =>
-        val g   = id - (id % 3)
-        val v   = (id % 3).toInt // brightness shift of this re-encode
-        val w   = ((g % 8) + 1).toInt * 2
-        val h   = ((g % 4) + 1).toInt * 2
-        val fps = 24 + (g % 4).toInt * 6
-        val nf  = (61 + g % 5).toInt
-        def base(f: Int): Int =
-          (((g * 2654435761L + f.toLong * f * ((g % 97) + 1) * 31 +
-            f.toLong * ((g % 89) + 1) * 7) % 65521) % 200).toInt
-        val bytes = Y4mCodec.encode(w, h, fps, 1, nf,
-          (f, i) => base(f) + (i * 3) % 50 + v)
-        val sums = Y4mCodec.frameLumaSums(bytes)._3
-        var hash = 0L
-        var b = 0
-        while (b < 60) {
-          if (sums(b + 1) < sums(b)) hash |= 1L << b
-          b += 1
-        }
-        (id, hash)
-      }
-    }.toDF("media_id", "vhash")
+    // corpus hashing = the shared decode-seam fingerprint kernel
+    val hashes = videoHashesOfParams(videoCorpusParams(s, dir))
+      .withColumnRenamed("dhash", "vhash")
     val bands = hashes.select(col("media_id"), col("vhash"),
       explode(expr("transform(sequence(0, 5), b -> " +
         "struct(b AS bno, shiftright(vhash, b * 10) & 1023 AS bval))"))
@@ -2144,19 +2106,19 @@ object Multimodal {
     * band-index rule: every reachable state (including a bucket
     * directory that does not exist yet) must stay readable.
     */
-  private val imgSigsSchema  = "media_id LONG, dhash LONG, sb INT"
-  private val imgBandsSchema =
+  private val mediaSigsSchema  = "media_id LONG, dhash LONG, sb INT"
+  private val mediaBandsSchema =
     "media_id LONG, dhash LONG, bno INT, bval LONG, bkt INT"
   // single bucket directories read bare (the partition column lives in
   // the directory name, not the files)
-  private val imgSigsBare  = "media_id LONG, dhash LONG"
-  private val imgBandsBare = "media_id LONG, dhash LONG, bno INT, bval LONG"
-  private[graft] final val ImageIndexBuckets = 16
+  private val mediaSigsBare  = "media_id LONG, dhash LONG"
+  private val mediaBandsBare = "media_id LONG, dhash LONG, bno INT, bval LONG"
+  private[graft] final val MediaIndexBuckets = 16
 
-  private def imgSigBkt(id: Column): Column =
-    pmod(hash(id), lit(ImageIndexBuckets))
-  private def imgBandBkt: Column =
-    pmod(hash(col("bno"), col("bval")), lit(ImageIndexBuckets))
+  private def mediaSigBkt(id: Column): Column =
+    pmod(hash(id), lit(MediaIndexBuckets))
+  private def mediaBandBkt: Column =
+    pmod(hash(col("bno"), col("bval")), lit(MediaIndexBuckets))
 
   /** Decode-seam hashing: one (media_id, dhash) row per image
     * described by its synthesis params (media_id, g, v, w, h) — the
@@ -2251,7 +2213,7 @@ object Multimodal {
     * `bands/` band-key-bucketed (a probe's band keys resolve to a
     * static partition filter). UNLIKE the MinHash band index, bands
     * are stored UNCAPPED — no hot/ tombstone table: the ≤50-members
-    * hot-band cap is evaluated AT PROBE TIME by [[probeImageIndex]]'s
+    * hot-band cap is evaluated AT PROBE TIME by [[probeMediaIndex]]'s
     * bounded membership pass, so cap semantics are from-scratch by
     * construction under ANY maintenance history (the tombstone
     * machinery the MinHash index needs to keep monotone suppression
@@ -2261,32 +2223,146 @@ object Multimodal {
     * storage-trivial). Shared by the from-scratch build and the
     * rebuild oracles in ImageIndexSpec.
     */
-  private[graft] def writeImageIndex(s: SparkSession, hashes: DataFrame,
+  private[graft] def writeMediaIndex(s: SparkSession, hashes: DataFrame,
       idx: String): Unit = {
     hashes.select(col("media_id"), col("dhash"))
-      .withColumn("sb", imgSigBkt(col("media_id")))
+      .withColumn("sb", mediaSigBkt(col("media_id")))
       .write.mode("overwrite").partitionBy("sb").parquet(s"$idx/sigs")
     bandsOfHashes(hashes)
-      .withColumn("bkt", imgBandBkt)
+      .withColumn("bkt", mediaBandBkt)
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$idx/bands")
   }
 
-  /** Build-and-publish the image index over the media corpus, once per
-    * corpus generation (the buildTextIndex discipline: source-keyed
-    * path, atomic publish, stale-generation GC).
+  /** Build-and-publish a media index for one channel, once per corpus
+    * generation (the buildTextIndex discipline: source-keyed path,
+    * atomic publish, stale-generation GC). `family` names the channel
+    * so the three channels' generations GC independently.
     */
-  def buildImageIndex(s: SparkSession, dir: String): String = synchronized {
+  private def publishMediaIndex(s: SparkSession, dir: String,
+      family: String)(hashes: => DataFrame): String = synchronized {
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
     val conf = s.sparkContext.hadoopConfiguration
     val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val st   = src.getFileSystem(conf).getFileStatus(src)
-    val prefix = s"graft_image_index_${slug}_${dir.hashCode & 0x7fffffff}_"
+    val prefix = s"${family}_${slug}_${dir.hashCode & 0x7fffffff}_"
     val idx = s"${System.getProperty("java.io.tmpdir")}/" +
       s"$prefix${st.getLen}_${st.getModificationTime}"
     graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
-      writeImageIndex(s, hashesOfParams(imageCorpusParams(s, dir)), tmp)
+      writeMediaIndex(s, hashes, tmp)
     }
   }
+
+  def buildImageIndex(s: SparkSession, dir: String): String =
+    publishMediaIndex(s, dir, "graft_image_index")(
+      hashesOfParams(imageCorpusParams(s, dir)))
+
+  def buildAudioIndex(s: SparkSession, dir: String): String =
+    publishMediaIndex(s, dir, "graft_audio_index")(
+      audioHashesOfParams(audioCorpusParams(s, dir)))
+
+  def buildVideoIndex(s: SparkSession, dir: String): String =
+    publishMediaIndex(s, dir, "graft_video_index")(
+      videoHashesOfParams(videoCorpusParams(s, dir)))
+
+  /** Decode-seam audio fingerprinting: one (media_id, dhash) row per
+    * clip described by its synthesis params (media_id, g, gain) — the
+    * audio twin of [[hashesOfParams]], shared by [[audioPairs]]'
+    * corpus hashing and the audio admission row so the two cannot
+    * drift. (`dhash` is the media index's fingerprint column name,
+    * introduced by the image channel; here it carries the WHT sign
+    * fingerprint.)
+    */
+  private[graft] def audioHashesOfParams(params: DataFrame): DataFrame = {
+    import params.sparkSession.implicits._
+    params.select(col("media_id").cast("long"), col("g").cast("long"),
+        col("gain").cast("long"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, g, gain) =>
+          val rate = 8000 + (g % 5).toInt * 2000
+          val n    = (640 + (g % 5) * 64).toInt
+          val synth = Array.tabulate(n) { i =>
+            val s0 = (g * 2654435761L + i.toLong * 7 +
+              (g % 13 + 1) * i.toLong * i +
+              (g % 29 + 1) * i.toLong * 11) % 65536 - 32768
+            (s0 / gain).toShort // truncating division (DuckDB `//`)
+          }
+          val samples = WavCodec.decodeSamples(WavCodec.encode(rate, synth))
+          (id, audioHash(samples))
+        }
+      }.toDF("media_id", "dhash")
+  }
+
+  private[graft] def audioCorpusParams(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(col("doc_id").as("media_id"),
+      (col("doc_id") - col("doc_id") % 3).as("g"),
+      expr("shiftleft(cast(1 as bigint), cast(doc_id % 3 as int))")
+        .as("gain"))
+
+  /** Decode-seam video fingerprinting over params (media_id, g, v):
+    * real Y4M bytes encode and the temporal luma-contour hash decodes
+    * them — the video twin of [[hashesOfParams]].
+    */
+  private[graft] def videoHashesOfParams(params: DataFrame): DataFrame = {
+    import params.sparkSession.implicits._
+    params.select(col("media_id").cast("long"), col("g").cast("long"),
+        col("v").cast("int"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, g, v) =>
+          val w   = ((g % 8) + 1).toInt * 2
+          val h   = ((g % 4) + 1).toInt * 2
+          val fps = 24 + (g % 4).toInt * 6
+          val nf  = (61 + g % 5).toInt
+          def base(f: Int): Int =
+            (((g * 2654435761L + f.toLong * f * ((g % 97) + 1) * 31 +
+              f.toLong * ((g % 89) + 1) * 7) % 65521) % 200).toInt
+          val bytes = Y4mCodec.encode(w, h, fps, 1, nf,
+            (f, i) => base(f) + (i * 3) % 50 + v)
+          val sums = Y4mCodec.frameLumaSums(bytes)._3
+          var hash = 0L
+          var b = 0
+          while (b < 60) {
+            if (sums(b + 1) < sums(b)) hash |= 1L << b
+            b += 1
+          }
+          (id, hash)
+        }
+      }.toDF("media_id", "dhash")
+  }
+
+  private[graft] def videoCorpusParams(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.select(col("doc_id").as("media_id"),
+      (col("doc_id") - col("doc_id") % 3).as("g"),
+      (col("doc_id") % 3).cast("int").as("v"))
+
+  /** Night-1 audio arrivals: a NEW re-leveling (gain 8 — the corpus
+    * holds 1/2/4) of existing clips plus a fresh wave of never-heard
+    * clips (new base g, hashes effectively random 60-bit — unlike the
+    * image channel, no dimension trick is needed for freshness).
+    */
+  private[graft] def audioIncoming(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000).as("media_id"),
+        (col("doc_id") - col("doc_id") % 3).as("g"), lit(8L).as("gain"))
+      .unionByName(
+        d.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 600000).as("media_id"),
+            (col("doc_id") + 1000000).as("g"), lit(1L).as("gain")))
+
+  /** Night-1 video arrivals: a NEW brightness re-export (v = 3) of
+    * existing clips — hash-IDENTICAL by the contour fingerprint's
+    * brightness invariance, the dup the screen must catch — plus a
+    * fresh wave.
+    */
+  private[graft] def videoIncoming(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000).as("media_id"),
+        (col("doc_id") - col("doc_id") % 3).as("g"), lit(3).as("v"))
+      .unionByName(
+        d.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 600000).as("media_id"),
+            (col("doc_id") + 1000000).as("g"), lit(0).as("v")))
 
   /** The ONE screen kernel against a persisted image index: the
     * incoming batch's 6 bands per image resolve to a static partition
@@ -2302,13 +2378,13 @@ object Multimodal {
     * no candidate. Shared by `dd_image_probe` (screen after build)
     * and `dd_image_stream_ingest` (the admission loop).
     */
-  private[graft] def probeImageIndex(s: SparkSession, idx: String,
+  private[graft] def probeMediaIndex(s: SparkSession, idx: String,
       incomingHashes: DataFrame): DataFrame = {
     val bandsI = bandsOfHashes(incomingHashes)
     val keysI  = bandsI.select(col("bno"), col("bval")).distinct()
-    val bkts = keysI.select(imgBandBkt.as("b")).distinct()
-      .collect().map(_.getInt(0)).sorted // bounded: ≤ ImageIndexBuckets
-    val stored = s.read.schema(imgBandsSchema).parquet(s"$idx/bands")
+    val bkts = keysI.select(mediaBandBkt.as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: ≤ MediaIndexBuckets
+    val stored = s.read.schema(mediaBandsSchema).parquet(s"$idx/bands")
       .filter(col("bkt").isin(bkts.map(Integer.valueOf): _*))
     val okKeys = stored
       .join(broadcast(keysI), Seq("bno", "bval"), "left_semi")
@@ -2343,13 +2419,13 @@ object Multimodal {
     * crashed run at any point re-applies cleanly; band buckets swap
     * first, sig buckets LAST — the batch's commit point (the presence
     * check reads sigs). No cap bookkeeping: the cap is probe-time
-    * ([[writeImageIndex]]), so an upsert that pushes a band past 50
+    * ([[writeMediaIndex]]), so an upsert that pushes a band past 50
     * members changes nothing in the store — the NEXT probe's
     * membership pass simply stops emitting that band's candidates,
     * exactly the from-scratch semantics. Returns the touched band
     * bucket ids.
     */
-  def upsertImageIndex(s: SparkSession, idx: String,
+  def upsertMediaIndex(s: SparkSession, idx: String,
       batchHashes: DataFrame): Seq[Int] = {
     val conf = s.sparkContext.hadoopConfiguration
     val sigsRoot = new org.apache.hadoop.fs.Path(s"$idx/sigs")
@@ -2361,23 +2437,23 @@ object Multimodal {
         .filter(col("n") > 1).limit(1).collect()
       if (dup.nonEmpty)
         throw new IllegalArgumentException(
-          s"upsertImageIndex: duplicate media_id in batch " +
+          s"upsertMediaIndex: duplicate media_id in batch " +
             s"(${dup.head.get(0)})")
       val ids = hashes.select(col("media_id"))
-      val present = s.read.schema(imgSigsSchema).parquet(s"$idx/sigs")
+      val present = s.read.schema(mediaSigsSchema).parquet(s"$idx/sigs")
         .join(ids, Seq("media_id"), "left_semi").limit(1).collect()
       if (present.nonEmpty)
         throw new IllegalArgumentException(
-          s"upsertImageIndex: media ${present.head.get(0)} already " +
+          s"upsertMediaIndex: media ${present.head.get(0)} already " +
             "indexed — admission is append-only; replacements go through " +
             "purge + re-ingest")
-      val newBands = bandsOfHashes(hashes).withColumn("bkt", imgBandBkt)
+      val newBands = bandsOfHashes(hashes).withColumn("bkt", mediaBandBkt)
       // bareSchema: the bucket files WITHOUT the partition column (it
       // lives in the directory name, not the files)
       def mergeBuckets(root: String, newRows: DataFrame, part: String,
           bareSchema: String, keyCol: String): Seq[Int] = {
         val touched = newRows.select(col(part)).distinct()
-          .collect().map(_.getInt(0)).sorted // bounded: ≤ ImageIndexBuckets
+          .collect().map(_.getInt(0)).sorted // bounded: ≤ MediaIndexBuckets
         touched.foreach { b =>
           val dirPath = s"$root/$part=$b"
           val p       = new org.apache.hadoop.fs.Path(dirPath)
@@ -2402,10 +2478,10 @@ object Multimodal {
       }
       // bands first; sigs LAST (the commit point — presence reads sigs)
       val touched = mergeBuckets(s"$idx/bands", newBands, "bkt",
-        imgBandsBare, "media_id")
+        mediaBandsBare, "media_id")
       mergeBuckets(s"$idx/sigs",
-        hashes.withColumn("sb", imgSigBkt(col("media_id"))), "sb",
-        imgSigsBare, "media_id")
+        hashes.withColumn("sb", mediaSigBkt(col("media_id"))), "sb",
+        mediaSigsBare, "media_id")
       s.catalog.refreshByPath(idx)
       touched
     } finally hashes.unpersist()
@@ -2417,23 +2493,21 @@ object Multimodal {
     * can chain sequential screens. `existingCte` / `incomingCte` name
     * params relations (media_id, g, v, w, h) the caller defined. The
     * cap is per-band membership of the EXISTING side ≤ 50 — the
-    * probe-time evaluation [[probeImageIndex]] performs.
+    * probe-time evaluation [[probeMediaIndex]] performs.
     */
-  private[graft] def imageScreenCtes(sfx: String, existingCte: String,
-      incomingCte: String): String = {
-    def dh(rel: String) = s"""
-        SELECT media_id,
-          list_sum(list_transform(range(0, 60), b ->
-            CASE WHEN
-              (g * 7 + (((b // 10) * h) // 6 * w
-                 + ((b % 10) * w) // 11) * 3 + v) % 256
-              <
-              (g * 7 + (((b // 10) * h) // 6 * w
-                 + (((b % 10) + 1) * w) // 11) * 3 + v) % 256
-            THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS dhash
-        FROM $rel"""
-    s"""ihe_$sfx AS (${dh(existingCte)}
-      ), ihi_$sfx AS (${dh(incomingCte)}
+  /** The ONE oracle-side media screen, generic over the channel's
+    * closed-form fingerprint: `hashSql(rel)` must yield
+    * `SELECT media_id, <formula> AS dhash FROM rel` for a params
+    * relation. Instantiated per channel by [[imageScreenCtes]] /
+    * [[audioScreenCtes]] / [[videoScreenCtes]] — one definition of
+    * banding, probe-time cap, candidate join, and verdict across all
+    * three media channels, mirroring the one [[probeMediaIndex]]
+    * kernel on the Spark side.
+    */
+  private def mediaScreenCtes(sfx: String, existingCte: String,
+      incomingCte: String, hashSql: String => String): String =
+    s"""ihe_$sfx AS (${hashSql(existingCte)}
+      ), ihi_$sfx AS (${hashSql(incomingCte)}
       ), ibe0_$sfx AS (
         SELECT media_id, dhash, unnest(range(0, 6)) AS bno FROM ihe_$sfx
       ), ibe_$sfx AS (
@@ -2463,7 +2537,62 @@ object Multimodal {
                coalesce(b.best, 99) AS best_hamming
         FROM $incomingCte p LEFT JOIN ibest_$sfx b USING (media_id)
       )"""
-  }
+
+  /** The image instance of [[mediaScreenCtes]]: the dHash closed form
+    * over params (media_id, g, v, w, h).
+    */
+  private[graft] def imageScreenCtes(sfx: String, existingCte: String,
+      incomingCte: String): String =
+    mediaScreenCtes(sfx, existingCte, incomingCte, rel => s"""
+        SELECT media_id,
+          list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN
+              (g * 7 + (((b // 10) * h) // 6 * w
+                 + ((b % 10) * w) // 11) * 3 + v) % 256
+              <
+              (g * 7 + (((b // 10) * h) // 6 * w
+                 + (((b % 10) + 1) * w) // 11) * 3 + v) % 256
+            THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS dhash
+        FROM $rel""")
+
+  /** The audio instance: the WHT sign fingerprint closed form over
+    * params (media_id, g, gain) — [[audioPairCtes]]'s `hh` formula.
+    */
+  private[graft] def audioScreenCtes(sfx: String, existingCte: String,
+      incomingCte: String): String =
+    mediaScreenCtes(sfx, existingCte, incomingCte, rel => s"""
+        SELECT media_id,
+          list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN
+              list_sum(list_transform(range(0, 64), j ->
+                (((g * 2654435761 + ((b // 6) * 64 + j) * 7
+                   + (g % 13 + 1) * ((b // 6) * 64 + j) * ((b // 6) * 64 + j)
+                   + (g % 29 + 1) * ((b // 6) * 64 + j) * 11)
+                  % 65536 - 32768) // gain)
+                * (CASE WHEN bit_count(([1,2,4,8,16,32][(b % 6)::INT + 1])
+                                       & j) % 2 = 0
+                   THEN 1 ELSE -1 END))) < 0
+            THEN (1::BIGINT << b::INT) ELSE 0::BIGINT END))::BIGINT AS dhash
+        FROM $rel""")
+
+  /** The video instance: the temporal luma-contour fingerprint closed
+    * form over params (media_id, g) — [[videoPairCtes]]'s `hh`
+    * formula (brightness shifts and per-pixel texture cancel in the
+    * frame-sum gradient, so only g enters).
+    */
+  private[graft] def videoScreenCtes(sfx: String, existingCte: String,
+      incomingCte: String): String =
+    mediaScreenCtes(sfx, existingCte, incomingCte, rel => s"""
+        SELECT media_id,
+          list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN
+              ((g * 2654435761 + (b+1)*(b+1) * ((g % 97) + 1) * 31
+                 + (b+1) * ((g % 89) + 1) * 7) % 65521) % 200
+              <
+              ((g * 2654435761 + b*b * ((g % 97) + 1) * 31
+                 + b * ((g % 89) + 1) * 7) % 65521) % 200
+            THEN (1::BIGINT << b::INT) ELSE 0::BIGINT END))::BIGINT AS dhash
+        FROM $rel""")
 
   /** The corpus + night-1 params CTEs shared by the image screen
     * oracles (the Spark twins are [[imageCorpusParams]] /
@@ -2511,7 +2640,7 @@ object Multimodal {
     * idempotent). Ids with no sigs row (never indexed) are the
     * documented no-op. Returns the touched band bucket ids.
     */
-  def deleteFromImageIndex(s: SparkSession, idx: String,
+  def deleteFromMediaIndex(s: SparkSession, idx: String,
       purge0: DataFrame): Seq[Int] = {
     val conf = s.sparkContext.hadoopConfiguration
     val sigsRoot = new org.apache.hadoop.fs.Path(s"$idx/sigs")
@@ -2519,16 +2648,16 @@ object Multimodal {
     require(fs.exists(sigsRoot), s"no image index at $idx — build it first")
     val purge = purge0.select(col("media_id")).persist()
     try {
-      val sbs = purge.select(imgSigBkt(col("media_id")).as("b")).distinct()
-        .collect().map(_.getInt(0)).sorted // bounded: ≤ ImageIndexBuckets
+      val sbs = purge.select(mediaSigBkt(col("media_id")).as("b")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: ≤ MediaIndexBuckets
       if (sbs.isEmpty) return Nil
-      val purgedSigs = s.read.schema(imgSigsSchema).parquet(s"$idx/sigs")
+      val purgedSigs = s.read.schema(mediaSigsSchema).parquet(s"$idx/sigs")
         .filter(col("sb").isin(sbs.map(Integer.valueOf): _*))
         .join(purge, Seq("media_id"), "left_semi")
         .select(col("media_id"), col("dhash"))
       val touched = bandsOfHashes(purgedSigs)
-        .select(imgBandBkt.as("b")).distinct()
-        .collect().map(_.getInt(0)).sorted // bounded: ≤ ImageIndexBuckets
+        .select(mediaBandBkt.as("b")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: ≤ MediaIndexBuckets
       if (touched.isEmpty) return Nil // no purged id is indexed
       def rewrite(root: String, part: String, bareSchema: String,
           buckets: Seq[Int]): Unit =
@@ -2548,8 +2677,8 @@ object Multimodal {
           }
         }
       // band buckets first; sig buckets LAST (the commit point)
-      rewrite(s"$idx/bands", "bkt", imgBandsBare, touched)
-      rewrite(s"$idx/sigs", "sb", imgSigsBare, sbs.toSeq)
+      rewrite(s"$idx/bands", "bkt", mediaBandsBare, touched)
+      rewrite(s"$idx/sigs", "sb", mediaSigsBare, sbs.toSeq)
       s.catalog.refreshByPath(idx)
       touched.toSeq
     } finally purge.unpersist()
@@ -2582,19 +2711,128 @@ object Multimodal {
       val idx = s"${System.getProperty("java.io.tmpdir")}/" +
         s"$prefix${st.getLen}_${st.getModificationTime}"
       graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
-        writeImageIndex(s, hashesOfParams(imageCorpusParams(s, dir)), tmp)
+        writeMediaIndex(s, hashesOfParams(imageCorpusParams(s, dir)), tmp)
       }
       val fs     = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
       val marker = new org.apache.hadoop.fs.Path(s"$idx/_purge_applied")
       if (!fs.exists(marker)) {
         val purge = imagePurgeList(s, dir)
-        val present = s.read.schema(imgSigsSchema).parquet(s"$idx/sigs")
+        val present = s.read.schema(mediaSigsSchema).parquet(s"$idx/sigs")
           .join(purge, Seq("media_id"), "left_semi").limit(1).collect()
-        if (present.nonEmpty) deleteFromImageIndex(s, idx, purge)
+        if (present.nonEmpty) deleteFromMediaIndex(s, idx, purge)
         fs.create(marker, true).close()
       }
       idx
     }
+
+  /** Audio admission SCREEN against the persisted audio index —
+    * [[imageProbe]]'s contract on the audio channel, through the SAME
+    * media-index kernel (build → static band-bucket pruning →
+    * probe-time cap → Hamming confirm); only the decode-seam
+    * fingerprint changes (WHT signs over gain-normalized PCM).
+    * Arrivals: a NEW re-leveling (gain 8) of existing clips + a fresh
+    * wave.
+    */
+  val audioProbe = Query(
+    "dd_audio_probe",
+    (s, dir) => probeMediaIndex(s, buildAudioIndex(s, dir),
+      audioHashesOfParams(audioIncoming(Tables(s, dir).documents))),
+    oracle = Some(s"""
+      WITH apc AS (
+        SELECT doc_id AS media_id, doc_id - (doc_id % 3) AS g,
+               (1::BIGINT << (doc_id % 3)::INT) AS gain
+        FROM documents
+      ), ain1 AS (
+        SELECT doc_id + 500000 AS media_id,
+               doc_id - (doc_id % 3) AS g, 8 AS gain
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 600000, doc_id + 1000000, 1
+        FROM documents WHERE doc_id % 7 = 3
+      ),
+      ${audioScreenCtes("a", "apc", "ain1")}
+      SELECT media_id, status, best_hamming FROM iverdict_a
+      ORDER BY media_id
+    """),
+  )
+
+  /** Video admission SCREEN — the same kernel on the video channel
+    * (temporal luma-contour fingerprint). The re-export wave (v = 3
+    * brightness shift) is hash-IDENTICAL by the fingerprint's
+    * brightness invariance, so the screen must report it dup at
+    * Hamming 0.
+    */
+  val videoProbe = Query(
+    "dd_video_probe",
+    (s, dir) => probeMediaIndex(s, buildVideoIndex(s, dir),
+      videoHashesOfParams(videoIncoming(Tables(s, dir).documents))),
+    oracle = Some(s"""
+      WITH vpc AS (
+        SELECT doc_id AS media_id, doc_id - (doc_id % 3) AS g
+        FROM documents
+      ), vin1 AS (
+        SELECT doc_id + 500000 AS media_id, doc_id - (doc_id % 3) AS g
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 600000, doc_id + 1000000
+        FROM documents WHERE doc_id % 7 = 3
+      ),
+      ${videoScreenCtes("v", "vpc", "vin1")}
+      SELECT media_id, status, best_hamming FROM iverdict_v
+      ORDER BY media_id
+    """),
+  )
+
+  /** The maintenance demo behind `dd_image_upsert` — the
+    * tx_index_upsert discipline on the image channel: a base index
+    * built (atomically published, once per corpus generation) over the
+    * corpus MINUS the media_id % 5 == 0 slice, then an idempotent
+    * append of that slice as the "nightly batch". The final index
+    * state is exactly the full corpus, which is what makes the row
+    * oracle-gateable against dd_image_probe's screen verbatim.
+    */
+  private def upsertDemoImageIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+      val conf = s.sparkContext.hadoopConfiguration
+      val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val st   = src.getFileSystem(conf).getFileStatus(src)
+      val prefix = s"graft_image_upsert_${slug}_${dir.hashCode & 0x7fffffff}_"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"$prefix${st.getLen}_${st.getModificationTime}"
+      val hashes = hashesOfParams(imageCorpusParams(s, dir))
+      graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+        writeMediaIndex(s, hashes.filter(col("media_id") % 5 =!= 0), tmp)
+      }
+      // apply the nightly batch once per corpus generation (the
+      // applied-once discipline: a serving tier probes an up-to-date
+      // index, it does not re-run last night's ingest per query; the
+      // append-only contract makes re-ingest loud, so presence IS the
+      // marker)
+      val applied = s.read.schema(mediaSigsSchema).parquet(s"$idx/sigs")
+        .filter(col("media_id") % 5 === 0).limit(1).collect()
+      if (applied.isEmpty)
+        upsertMediaIndex(s, idx, hashes.filter(col("media_id") % 5 === 0))
+      idx
+    }
+
+  /** Image-index MAINTENANCE under the gate — the row probes the index
+    * AFTER a base-build + nightly-batch append, and the oracle is
+    * dd_image_probe's VERBATIM: the probe-after-upsert must equal the
+    * screen against the full-corpus index, which it can only do if the
+    * band routing and the id-bucketed sig append are both right.
+    */
+  val imageUpsert = Query(
+    "dd_image_upsert",
+    (s, dir) => probeMediaIndex(s, upsertDemoImageIndex(s, dir),
+      hashesOfParams(imageIncoming(Tables(s, dir).documents))),
+    oracle = Some(s"""
+      WITH $imageAdmissionParamsCtes,
+      ${imageScreenCtes("p", "ipc", "iin1")}
+      SELECT media_id, status, best_hamming FROM iverdict_p
+      ORDER BY media_id
+    """),
+  )
 
   /** Purge propagation under the gate: after the image purge, the
     * admission screen must behave as if the index were REBUILT over
@@ -2607,7 +2845,7 @@ object Multimodal {
     */
   val imageIndexDelete = Query(
     "dd_image_index_delete",
-    (s, dir) => probeImageIndex(s, deleteDemoImageIndex(s, dir),
+    (s, dir) => probeMediaIndex(s, deleteDemoImageIndex(s, dir),
       hashesOfParams(imageIncoming(Tables(s, dir).documents))),
     oracle = Some(s"""
       WITH RECURSIVE $imagePairCtes,
@@ -2673,7 +2911,7 @@ object Multimodal {
     */
   val imageProbe = Query(
     "dd_image_probe",
-    (s, dir) => probeImageIndex(s, buildImageIndex(s, dir),
+    (s, dir) => probeMediaIndex(s, buildImageIndex(s, dir),
       hashesOfParams(imageIncoming(Tables(s, dir).documents))),
     oracle = Some(s"""
       WITH $imageAdmissionParamsCtes,
@@ -2689,5 +2927,6 @@ object Multimodal {
       spectrogram, sceneCut, audioVad, audioDups, audioClusters,
       videoDups, videoClusters, storyboard, imageQuality, audioQuality,
       pairManifest, avSync, imagePurge, imagePurgeApply, audioPurgeApply,
-      videoPurgeApply, alignScore, imageProbe, imageIndexDelete)
+      videoPurgeApply, alignScore, imageProbe, imageUpsert,
+      imageIndexDelete, audioProbe, videoProbe)
 }

@@ -899,6 +899,8 @@ object SimilarityQueries {
       val bandIdx = graft.dedup.DedupQueries.buildBandIndex(s, dir)
       val ivfIdx  = buildIvfIndex(s, dir)
       val imgIdx  = graft.multimodal.Multimodal.buildImageIndex(s, dir)
+      val audIdx  = graft.multimodal.Multimodal.buildAudioIndex(s, dir)
+      val vidIdx  = graft.multimodal.Multimodal.buildVideoIndex(s, dir)
       // the r12 judge's ask #6: the audit covers EVERY persisted
       // artifact — the two lakes are audited in their post-purge state
       // (the only durable one: deletion lists are applied once per
@@ -909,6 +911,11 @@ object SimilarityQueries {
       val mediaLake = graft.multimodal.Multimodal.ensurePurgedMediaLake(s, dir)
       val logPath   = graft.streaming.StreamingQueries.ingestDemoLog(s, dir)
       val logRoot   = logPath.stripSuffix("/log")
+      // the r13 ingest loops' probe/verdict logs — three more
+      // IndexDirs-published families the audit must cover
+      val txLog  = graft.streaming.StreamingQueries.textIngestDemoLog(s, dir)
+      val vecLog = graft.streaming.StreamingQueries.vecIngestDemoLog(s, dir)
+      val imgLog = graft.streaming.StreamingQueries.imageIngestDemoLog(s, dir)
       val nText = s.read.parquet(s"$textIdx/stats")
         .select(col("n_docs")).head().getLong(0) // 1-row stats
       val nBand = s.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
@@ -924,14 +931,30 @@ object SimilarityQueries {
         .parquet(logPath).count()
       val nImg = s.read.schema("media_id LONG, dhash LONG, sb INT")
         .parquet(s"$imgIdx/sigs").count()
+      val nAud = s.read.schema("media_id LONG, dhash LONG, sb INT")
+        .parquet(s"$audIdx/sigs").count()
+      val nVid = s.read.schema("media_id LONG, dhash LONG, sb INT")
+        .parquet(s"$vidIdx/sigs").count()
+      val nTxLog = s.read.schema("batch INT, rk INT, doc_id LONG, bm25 DOUBLE")
+        .parquet(txLog).count()
+      val nVecLog = s.read.schema("qid LONG, rk INT, nid LONG, cos DOUBLE")
+        .parquet(vecLog).count()
+      val nImgLog = s.read
+        .schema("media_id LONG, status STRING, best_hamming INT")
+        .parquet(imgLog).count()
       Seq(
         ("admission_log", nLog, ok(logRoot, docsFp)),
+        ("audio_index", nAud, ok(audIdx, docsFp)),
         ("band_index", nBand, ok(bandIdx, docsFp)),
         ("image_index", nImg, ok(imgIdx, docsFp)),
+        ("video_index", nVid, ok(vidIdx, docsFp)),
         ("ivf_index", nIvf, ok(ivfIdx, embFp)),
+        ("media_ingest_log", nImgLog, ok(imgLog.stripSuffix("/log"), docsFp)),
         ("media_lake", nMediaLake, ok(mediaLake, docsFp)),
         ("text_index", nText, ok(textIdx, docsFp)),
-        ("text_lake", nTextLake, ok(textLake, docsFp)))
+        ("text_ingest_log", nTxLog, ok(txLog.stripSuffix("/log"), docsFp)),
+        ("text_lake", nTextLake, ok(textLake, docsFp)),
+        ("vector_ingest_log", nVecLog, ok(vecLog.stripSuffix("/log"), embFp)))
         .toDF("artifact", "n_items", "generation_ok")
         .orderBy(col("artifact"))
     },
@@ -947,11 +970,32 @@ object SimilarityQueries {
          WHERE len(list_filter(string_split(text, ' '),
                                x -> length(x) > 0)) >= 3)::BIGINT, true
       UNION ALL
+      SELECT 'audio_index',
+        (SELECT count(*) FROM documents)::BIGINT, true
+      UNION ALL
       SELECT 'image_index',
+        (SELECT count(*) FROM documents)::BIGINT, true
+      UNION ALL
+      SELECT 'video_index',
         (SELECT count(*) FROM documents)::BIGINT, true
       UNION ALL
       SELECT 'ivf_index',
         (SELECT count(*) FROM embeddings)::BIGINT, true
+      UNION ALL
+      SELECT 'media_ingest_log',
+        (SELECT count(*) FROM (
+          ${graft.streaming.StreamingQueries.streamImageIngest.oracle.get}
+        ) t)::BIGINT, true
+      UNION ALL
+      SELECT 'text_ingest_log',
+        (SELECT count(*) FROM (
+          ${graft.streaming.StreamingQueries.streamTextIngest.oracle.get}
+        ) t)::BIGINT, true
+      UNION ALL
+      SELECT 'vector_ingest_log',
+        (SELECT count(*) FROM (
+          ${graft.streaming.StreamingQueries.streamVecIngest.oracle.get}
+        ) t)::BIGINT, true
       UNION ALL
       SELECT 'media_lake',
         ((SELECT count(*) FROM documents) -
@@ -1002,6 +1046,26 @@ object SimilarityQueries {
           .schema("media_id LONG, dhash LONG, sb INT")
           .parquet(s"${graft.multimodal.Multimodal.buildImageIndex(s, dir)}/sigs"),
           "image_index"))
+        .unionByName(cnt(s.read
+          .schema("media_id LONG, dhash LONG, sb INT")
+          .parquet(s"${graft.multimodal.Multimodal.buildAudioIndex(s, dir)}/sigs"),
+          "audio_index"))
+        .unionByName(cnt(s.read
+          .schema("media_id LONG, dhash LONG, sb INT")
+          .parquet(s"${graft.multimodal.Multimodal.buildVideoIndex(s, dir)}/sigs"),
+          "video_index"))
+        .unionByName(cnt(s.read
+          .schema("batch INT, rk INT, doc_id LONG, bm25 DOUBLE")
+          .parquet(graft.streaming.StreamingQueries.textIngestDemoLog(s, dir)),
+          "text_ingest_log"))
+        .unionByName(cnt(s.read
+          .schema("qid LONG, rk INT, nid LONG, cos DOUBLE")
+          .parquet(graft.streaming.StreamingQueries.vecIngestDemoLog(s, dir)),
+          "vector_ingest_log"))
+        .unionByName(cnt(s.read
+          .schema("media_id LONG, status STRING, best_hamming INT")
+          .parquet(graft.streaming.StreamingQueries.imageIngestDemoLog(s, dir)),
+          "media_ingest_log"))
     }),
   )
 

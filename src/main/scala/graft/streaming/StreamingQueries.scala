@@ -1336,7 +1336,7 @@ object StreamingQueries {
     * with the fixed model: serve 1 over embeddings ∪ b1 probed by b1,
     * serve 2 over embeddings ∪ b1 ∪ b2 probed by b2.
     */
-  private def vecIngestDemoLog(s: SparkSession, dir: String): String = {
+  private[graft] def vecIngestDemoLog(s: SparkSession, dir: String): String = {
     import graft.similarity.{SimilarityQueries => SQ}
     import java.nio.file.Files
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
@@ -1496,7 +1496,7 @@ object StreamingQueries {
     * under an atomic publish and persists its probe LOG (the
     * production sink); the gated row reads the log.
     */
-  private def textIngestDemoLog(s: SparkSession, dir: String): String = {
+  private[graft] def textIngestDemoLog(s: SparkSession, dir: String): String = {
     import graft.text.{TextQueries => TQ}
     import java.nio.file.Files
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
@@ -1598,10 +1598,10 @@ object StreamingQueries {
     * per micro-batch the arrivals hash in the decode seam
     * ([[graft.multimodal.Multimodal.hashesOfParams]] — the blobs
     * never shuffle), SCREEN against the persisted image index
-    * ([[graft.multimodal.Multimodal.probeImageIndex]] — probe-time
+    * ([[graft.multimodal.Multimodal.probeMediaIndex]] — probe-time
     * hot-band cap, so cap semantics stay from-scratch under the
     * ingest history), then the admitted ('new') images INGEST
-    * ([[graft.multimodal.Multimodal.upsertImageIndex]], append-only;
+    * ([[graft.multimodal.Multimodal.upsertMediaIndex]], append-only;
     * the stored-sigs anti-join makes a foreachBatch retry after a
     * committed upsert re-apply cleanly). Night 2's first wave
     * re-encodes night 1's FRESH admissions — caught as 'dup' ONLY
@@ -1613,7 +1613,7 @@ object StreamingQueries {
     * recomputes the sequential chain from scratch: screen 1 over the
     * corpus, screen 2 over the corpus ∪ screen 1's admissions.
     */
-  private def imageIngestDemoLog(s: SparkSession, dir: String): String = {
+  private[graft] def imageIngestDemoLog(s: SparkSession, dir: String): String = {
     import graft.multimodal.{Multimodal => MM}
     import java.nio.file.Files
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
@@ -1627,7 +1627,7 @@ object StreamingQueries {
     graft.core.IndexDirs.publish(conf, root, prefix) { tmp =>
       val d   = Tables(s, dir).documents
       val idx = s"$tmp/idx"
-      MM.writeImageIndex(s,
+      MM.writeMediaIndex(s,
         MM.hashesOfParams(MM.imageCorpusParams(s, dir)), idx)
       val child = graft.core.Sessions.withConf(s,
         "spark.sql.shuffle.partitions" -> streamPartitions)
@@ -1648,7 +1648,7 @@ object StreamingQueries {
           val hashes = MM.hashesOfParams(batch)
           // SCREEN: one verdict row per arrival — bounded by the
           // nightly batch; the verdicts land in the persisted log
-          val verdicts = MM.probeImageIndex(child, idx, hashes).collect()
+          val verdicts = MM.probeMediaIndex(child, idx, hashes).collect()
           out.addAll(verdicts.toSeq
             .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
             .asJava)
@@ -1664,7 +1664,7 @@ object StreamingQueries {
                 .schema("media_id LONG, dhash LONG, sb INT")
                 .parquet(s"$idx/sigs").select(col("media_id")),
               Seq("media_id"), "left_anti")
-          MM.upsertImageIndex(child, idx, admitted)
+          MM.upsertMediaIndex(child, idx, admitted)
           ()
         }
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -1689,7 +1689,7 @@ object StreamingQueries {
       import graft.multimodal.{Multimodal => MM}
       // the declared batch shape: the screen over the persisted index
       // (the ingest half's plan is pinned by ImageIndexSpec)
-      MM.probeImageIndex(s, MM.buildImageIndex(s, dir),
+      MM.probeMediaIndex(s, MM.buildImageIndex(s, dir),
         MM.hashesOfParams(MM.imageIncoming2(Tables(s, dir).documents)))
     }),
   )

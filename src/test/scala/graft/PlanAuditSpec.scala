@@ -223,7 +223,7 @@ class PlanAuditSpec extends SparkSuite {
       "dim" -> "customer x nation dimension join (star-schema dim side)",
       "sk" -> "1-row quantile-sketch aggregate"),
     "multimodal/Multimodal.scala" -> Map(
-      "keysI" -> ("probed band keys in probeImageIndex (<= 6 x |batch| " +
+      "keysI" -> ("probed band keys in probeMediaIndex (<= 6 x |batch| " +
         "— the arrival batch is the bounded nightly unit)"),
       "okKeys" -> "probed un-hot band keys (subset of keysI, same bound)",
       "bandsI" -> "arrival-batch band rows (6 per image, same bound)",

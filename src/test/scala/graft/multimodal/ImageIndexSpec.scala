@@ -20,12 +20,12 @@ class ImageIndexSpec extends SparkSuite {
   private def freshIdx(hashes: org.apache.spark.sql.DataFrame): String = {
     val idx = java.nio.file.Files
       .createTempDirectory("imgidx").toString
-    Multimodal.writeImageIndex(spark, hashes, idx)
+    Multimodal.writeMediaIndex(spark, hashes, idx)
     idx
   }
 
   private def probeRows(idx: String) =
-    Multimodal.probeImageIndex(spark, idx,
+    Multimodal.probeMediaIndex(spark, idx,
       Multimodal.hashesOfParams(
         Multimodal.imageIncoming(Tables(spark, dir).documents)))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
@@ -35,7 +35,7 @@ class ImageIndexSpec extends SparkSuite {
     try {
       val held = all.filter(col("media_id") % 5 === 0)
       val base = freshIdx(all.filter(col("media_id") % 5 =!= 0))
-      val touched = Multimodal.upsertImageIndex(spark, base, held)
+      val touched = Multimodal.upsertMediaIndex(spark, base, held)
       assert(touched.nonEmpty, "upsert touched no band bucket")
       assert(probeRows(base).sameElements(probeRows(freshIdx(all))),
         "probe after upsert != from-scratch rebuild over the full corpus")
@@ -47,14 +47,14 @@ class ImageIndexSpec extends SparkSuite {
     val idx = freshIdx(all)
     // re-ingesting an already-indexed id
     val ex = intercept[IllegalArgumentException] {
-      Multimodal.upsertImageIndex(spark, idx, all.limit(1))
+      Multimodal.upsertMediaIndex(spark, idx, all.limit(1))
     }
     assert(ex.getMessage.contains("append-only"))
     // duplicate ids within one batch
     val one = all.limit(1).select(
       (col("media_id") + 900000).as("media_id"), col("dhash"))
     val ex2 = intercept[IllegalArgumentException] {
-      Multimodal.upsertImageIndex(spark, idx, one.unionAll(one))
+      Multimodal.upsertMediaIndex(spark, idx, one.unionAll(one))
     }
     assert(ex2.getMessage.contains("duplicate"))
   }
@@ -66,12 +66,12 @@ class ImageIndexSpec extends SparkSuite {
       val base = all.filter(col("media_id") % 5 =!= 0)
       // done: the committed upsert
       val done = freshIdx(base)
-      Multimodal.upsertImageIndex(spark, done, held)
+      Multimodal.upsertMediaIndex(spark, done, held)
       // crashed: bands already carry the batch (swap order: bands
       // first), sigs still pre-batch (the commit point never landed)
       val crashed = freshIdx(base)
       val doneBands = freshIdx(base) // scratch source of post-batch bands
-      Multimodal.upsertImageIndex(spark, doneBands, held)
+      Multimodal.upsertMediaIndex(spark, doneBands, held)
       import java.nio.file.{Files, Paths, StandardCopyOption}
       def replace(dst: String, src: String): Unit = {
         def rm(p: java.nio.file.Path): Unit = if (Files.exists(p))
@@ -89,7 +89,7 @@ class ImageIndexSpec extends SparkSuite {
       // the re-run sees the batch absent from sigs and finishes the
       // job; the bucket merges anti-join the batch ids, so the
       // already-swapped bands rows do not duplicate
-      Multimodal.upsertImageIndex(spark, crashed, held)
+      Multimodal.upsertMediaIndex(spark, crashed, held)
       assert(probeRows(crashed).sameElements(probeRows(done)),
         "crash re-apply diverged from the committed upsert")
     } finally all.unpersist()
@@ -103,7 +103,7 @@ class ImageIndexSpec extends SparkSuite {
       val idx = freshIdx(all)
       val purge = all.filter(col("media_id") % 9 === 0)
         .select(col("media_id"))
-      val touched = Multimodal.deleteFromImageIndex(spark, idx, purge)
+      val touched = Multimodal.deleteFromMediaIndex(spark, idx, purge)
       assert(touched.nonEmpty, "delete touched no band bucket")
       assert(probeRows(idx).sameElements(
         probeRows(freshIdx(all.filter(col("media_id") % 9 =!= 0)))),
@@ -118,7 +118,7 @@ class ImageIndexSpec extends SparkSuite {
         }
       // re-apply: nothing to locate, nothing rewritten
       val before = probeRows(idx)
-      assert(Multimodal.deleteFromImageIndex(spark, idx, purge).isEmpty,
+      assert(Multimodal.deleteFromMediaIndex(spark, idx, purge).isEmpty,
         "re-applied delete claims touched buckets")
       assert(probeRows(idx).sameElements(before), "re-apply changed the probe")
     } finally all.unpersist()
@@ -131,12 +131,12 @@ class ImageIndexSpec extends SparkSuite {
       val purge = all.filter(col("media_id") % 9 === 0)
         .select(col("media_id"))
       val done = freshIdx(all)
-      Multimodal.deleteFromImageIndex(spark, done, purge)
+      Multimodal.deleteFromMediaIndex(spark, done, purge)
       // crashed: bands already purged (swap order: bands first), sigs
       // still pre-delete — the commit point never landed
       val crashed   = freshIdx(all)
       val doneBands = freshIdx(all)
-      Multimodal.deleteFromImageIndex(spark, doneBands, purge)
+      Multimodal.deleteFromMediaIndex(spark, doneBands, purge)
       import java.nio.file.{Files, Paths, StandardCopyOption}
       def replace(dst: String, src: String): Unit = {
         val d = Paths.get(dst)
@@ -153,7 +153,7 @@ class ImageIndexSpec extends SparkSuite {
       spark.catalog.refreshByPath(crashed)
       // purged ids are still in sigs, so the re-run locates them and
       // finishes the job; the band anti-joins are idempotent
-      Multimodal.deleteFromImageIndex(spark, crashed, purge)
+      Multimodal.deleteFromMediaIndex(spark, crashed, purge)
       assert(probeRows(crashed).sameElements(probeRows(done)),
         "delete crash re-apply diverged from the committed delete")
     } finally all.unpersist()
@@ -166,15 +166,15 @@ class ImageIndexSpec extends SparkSuite {
     val hot = (1L to 51L).map(i => (i, 123456789L)).toDF("media_id", "dhash")
     val idx = freshIdx(hot)
     val probe = Seq((999L, 123456789L)).toDF("media_id", "dhash")
-    val before = Multimodal.probeImageIndex(spark, idx, probe).collect()
+    val before = Multimodal.probeMediaIndex(spark, idx, probe).collect()
     assert(before.head.getString(1) == "new" && before.head.getInt(2) == 99,
       "the engineered hot band still generated candidates")
     // deleting two members drops membership to 49 — under the cap;
     // the next probe's membership pass sees it with NO maintenance
     // event (the MinHash index needs a resurrection pass here)
-    Multimodal.deleteFromImageIndex(spark, idx,
+    Multimodal.deleteFromMediaIndex(spark, idx,
       Seq(50L, 51L).toDF("media_id"))
-    val after = Multimodal.probeImageIndex(spark, idx, probe).collect()
+    val after = Multimodal.probeMediaIndex(spark, idx, probe).collect()
     assert(after.head.getString(1) == "dup" && after.head.getInt(2) == 0,
       "the un-hot band's candidates did not reappear after deletion")
   }

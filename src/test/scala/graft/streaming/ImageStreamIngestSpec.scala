@@ -28,7 +28,7 @@ class ImageStreamIngestSpec extends SparkSuite {
     // yet when night 1 ran)
     val night1 = rows.filter(_._1 < 700000)
     val frozenIdx = MM.buildImageIndex(spark, dir)
-    val screen1 = MM.probeImageIndex(spark, frozenIdx,
+    val screen1 = MM.probeMediaIndex(spark, frozenIdx,
         MM.hashesOfParams(MM.imageIncoming(d)))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     assert(night1.sameElements(screen1),
@@ -39,7 +39,7 @@ class ImageStreamIngestSpec extends SparkSuite {
     // 800000) of an ADMITTED night-1 fresh image is 'dup' in the log
     // but 'new' against the frozen index
     val night2 = rows.filter(_._1 >= 700000).map(t => t._1 -> t).toMap
-    val frozen2 = MM.probeImageIndex(spark, frozenIdx,
+    val frozen2 = MM.probeMediaIndex(spark, frozenIdx,
         MM.hashesOfParams(MM.imageIncoming2(d)))
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
       .toMap
