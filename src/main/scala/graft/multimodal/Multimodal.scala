@@ -2233,6 +2233,25 @@ object Multimodal {
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$idx/bands")
   }
 
+  /** Arrival-fixture headroom guard (r13 advice): the media arrival
+    * waves stack at +500000/+600000/+700000/+800000 offsets and key
+    * re-encode twins at media_id − 100000, which silently assumes
+    * doc_id < 100000 (true at every shipped SF; sf0.1 tops out at
+    * 4999). Checked once per corpus GENERATION — inside the index
+    * publish blocks, never per probe — so a grown corpus fails with
+    * THIS message instead of a confusing duplicate-id ingest error
+    * deep in the stream loop.
+    */
+  private[graft] def assertWaveHeadroom(s: SparkSession, dir: String): Unit = {
+    val mx = Tables(s, dir).documents
+      .agg(max(col("doc_id"))).head().getLong(0)
+    require(mx < 100000,
+      s"media arrival fixtures assume doc_id < 100000 (corpus max is " +
+        s"$mx): the +500000..+800000 wave offsets and the " +
+        "media_id-100000 twin keying would collide — re-derive the " +
+        "offsets from max(doc_id) before growing the corpus")
+  }
+
   /** Build-and-publish a media index for one channel, once per corpus
     * generation (the buildTextIndex discipline: source-keyed path,
     * atomic publish, stale-generation GC). `family` names the channel
@@ -2248,6 +2267,7 @@ object Multimodal {
     val idx = s"${System.getProperty("java.io.tmpdir")}/" +
       s"$prefix${st.getLen}_${st.getModificationTime}"
     graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+      assertWaveHeadroom(s, dir)
       writeMediaIndex(s, hashes, tmp)
     }
   }
@@ -2350,6 +2370,23 @@ object Multimodal {
           .select((col("doc_id") + 600000).as("media_id"),
             (col("doc_id") + 1000000).as("g"), lit(1L).as("gain")))
 
+  /** Night-2 audio arrivals: a re-leveling (gain 2) of night 1's FRESH
+    * wave — near-dups ONLY if night 1's admissions were ingested (the
+    * corpus never saw base g = doc_id + 1000000) — plus a second fresh
+    * wave. The re-level keeps the night-1 twin's g (twin keyed at
+    * media_id − 100000), so the WHT sign fingerprint lands within the
+    * gain-invariance band, the same planted relationship as the
+    * corpus's own gain 1/2/4 triples.
+    */
+  private[graft] def audioIncoming2(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 700000).as("media_id"),
+        (col("doc_id") + 1000000).as("g"), lit(2L).as("gain"))
+      .unionByName(
+        d.filter(col("doc_id") % 7 === 5)
+          .select((col("doc_id") + 800000).as("media_id"),
+            (col("doc_id") + 2000000).as("g"), lit(1L).as("gain")))
+
   /** Night-1 video arrivals: a NEW brightness re-export (v = 3) of
     * existing clips — hash-IDENTICAL by the contour fingerprint's
     * brightness invariance, the dup the screen must catch — plus a
@@ -2440,11 +2477,21 @@ object Multimodal {
           s"upsertMediaIndex: duplicate media_id in batch " +
             s"(${dup.head.get(0)})")
       val ids = hashes.select(col("media_id"))
-      val present = s.read.schema(mediaSigsSchema).parquet(s"$idx/sigs")
-        .join(ids, Seq("media_id"), "left_semi").limit(1).collect()
-      if (present.nonEmpty)
+      // The presence check distinguishes a TRUE re-ingest (every batch
+      // id already in sigs → throw: admission is append-only) from a
+      // crashed run's partial sig commit (some-but-not-all ids present
+      // → continue: sig buckets swap one at a time below, so a crash
+      // between two swaps leaves exactly this state, and the
+      // per-bucket anti-joins make finishing the job the repair — an
+      // any-id-present throw would brick such a batch forever, the
+      // r13 advice finding). Both counts are bounded by the nightly
+      // batch.
+      val nPresent = s.read.schema(mediaSigsSchema).parquet(s"$idx/sigs")
+        .join(ids, Seq("media_id"), "left_semi")
+        .select(col("media_id")).distinct().count()
+      if (nPresent > 0 && nPresent == ids.distinct().count())
         throw new IllegalArgumentException(
-          s"upsertMediaIndex: media ${present.head.get(0)} already " +
+          s"upsertMediaIndex: all $nPresent batch ids already " +
             "indexed — admission is append-only; replacements go through " +
             "purge + re-ingest")
       val newBands = bandsOfHashes(hashes).withColumn("bkt", mediaBandBkt)
@@ -2684,39 +2731,40 @@ object Multimodal {
     } finally purge.unpersist()
   }
 
-  /** The image purge list — the SAME keep-one-representative closure
-    * `dd_image_purge_apply` executes against the blob lake, so lake
-    * and index cut against ONE list.
+  /** A channel's purge list — the SAME keep-one-representative closure
+    * its `dd_*_purge_apply` row executes against the blob lake, so
+    * lake and index cut against ONE list.
     */
-  private def imagePurgeList(s: SparkSession, dir: String): DataFrame =
+  private def mediaPurgeList(clusters: DataFrame): DataFrame =
     graft.dedup.DedupQueries
-      .purgePlan(imageClusterFrame(s, dir)
-        .withColumnRenamed("media_id", "doc_id"))
+      .purgePlan(clusters.withColumnRenamed("media_id", "doc_id"))
       .filter(col("action") === "purge")
       .select(col("doc_id").as("media_id"))
 
-  /** The delete demo's index: a fresh family (the shared
-    * `buildImageIndex` generation serves the probe/stream rows and
+  /** The delete demo's index for one channel: a fresh family (the
+    * shared `build*Index` generation serves the probe/stream rows and
     * must not mutate), built over the full corpus and then purged
     * once per generation — applied-once via the `_purge_applied`
     * marker with the sigs-presence probe as the idempotence check.
     */
-  private def deleteDemoImageIndex(s: SparkSession, dir: String): String =
+  private def deleteDemoMediaIndex(s: SparkSession, dir: String,
+      family: String, hashes: DataFrame, purgeList: => DataFrame): String =
     synchronized {
       val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
       val conf = s.sparkContext.hadoopConfiguration
       val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
       val st   = src.getFileSystem(conf).getFileStatus(src)
-      val prefix = s"graft_image_delete_${slug}_${dir.hashCode & 0x7fffffff}_"
+      val prefix = s"${family}_${slug}_${dir.hashCode & 0x7fffffff}_"
       val idx = s"${System.getProperty("java.io.tmpdir")}/" +
         s"$prefix${st.getLen}_${st.getModificationTime}"
       graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
-        writeMediaIndex(s, hashesOfParams(imageCorpusParams(s, dir)), tmp)
+        assertWaveHeadroom(s, dir)
+        writeMediaIndex(s, hashes, tmp)
       }
       val fs     = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
       val marker = new org.apache.hadoop.fs.Path(s"$idx/_purge_applied")
       if (!fs.exists(marker)) {
-        val purge = imagePurgeList(s, dir)
+        val purge = purgeList
         val present = s.read.schema(mediaSigsSchema).parquet(s"$idx/sigs")
           .join(purge, Seq("media_id"), "left_semi").limit(1).collect()
         if (present.nonEmpty) deleteFromMediaIndex(s, idx, purge)
@@ -2724,6 +2772,43 @@ object Multimodal {
       }
       idx
     }
+
+  private def deleteDemoImageIndex(s: SparkSession, dir: String): String =
+    deleteDemoMediaIndex(s, dir, "graft_image_delete",
+      hashesOfParams(imageCorpusParams(s, dir)),
+      mediaPurgeList(imageClusterFrame(s, dir)))
+
+  /** The corpus + night-1 params CTEs shared by the audio admission
+    * oracles (`dd_audio_probe`/`dd_audio_upsert`/
+    * `dd_audio_index_delete`/`dd_audio_stream_ingest`) — the audio
+    * twin of [[imageAdmissionParamsCtes]].
+    */
+  private[graft] val audioAdmissionParamsCtes = """
+      apc AS (
+        SELECT doc_id AS media_id, doc_id - (doc_id % 3) AS g,
+               (1::BIGINT << (doc_id % 3)::INT) AS gain
+        FROM documents
+      ), ain1 AS (
+        SELECT doc_id + 500000 AS media_id,
+               doc_id - (doc_id % 3) AS g, 8 AS gain
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 600000, doc_id + 1000000, 1
+        FROM documents WHERE doc_id % 7 = 3
+      )"""
+
+  /** The video twin of [[imageAdmissionParamsCtes]]. */
+  private[graft] val videoAdmissionParamsCtes = """
+      vpc AS (
+        SELECT doc_id AS media_id, doc_id - (doc_id % 3) AS g
+        FROM documents
+      ), vin1 AS (
+        SELECT doc_id + 500000 AS media_id, doc_id - (doc_id % 3) AS g
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 600000, doc_id + 1000000
+        FROM documents WHERE doc_id % 7 = 3
+      )"""
 
   /** Audio admission SCREEN against the persisted audio index —
     * [[imageProbe]]'s contract on the audio channel, through the SAME
@@ -2738,18 +2823,7 @@ object Multimodal {
     (s, dir) => probeMediaIndex(s, buildAudioIndex(s, dir),
       audioHashesOfParams(audioIncoming(Tables(s, dir).documents))),
     oracle = Some(s"""
-      WITH apc AS (
-        SELECT doc_id AS media_id, doc_id - (doc_id % 3) AS g,
-               (1::BIGINT << (doc_id % 3)::INT) AS gain
-        FROM documents
-      ), ain1 AS (
-        SELECT doc_id + 500000 AS media_id,
-               doc_id - (doc_id % 3) AS g, 8 AS gain
-        FROM documents WHERE doc_id % 7 = 0
-        UNION ALL
-        SELECT doc_id + 600000, doc_id + 1000000, 1
-        FROM documents WHERE doc_id % 7 = 3
-      ),
+      WITH $audioAdmissionParamsCtes,
       ${audioScreenCtes("a", "apc", "ain1")}
       SELECT media_id, status, best_hamming FROM iverdict_a
       ORDER BY media_id
@@ -2767,41 +2841,34 @@ object Multimodal {
     (s, dir) => probeMediaIndex(s, buildVideoIndex(s, dir),
       videoHashesOfParams(videoIncoming(Tables(s, dir).documents))),
     oracle = Some(s"""
-      WITH vpc AS (
-        SELECT doc_id AS media_id, doc_id - (doc_id % 3) AS g
-        FROM documents
-      ), vin1 AS (
-        SELECT doc_id + 500000 AS media_id, doc_id - (doc_id % 3) AS g
-        FROM documents WHERE doc_id % 7 = 0
-        UNION ALL
-        SELECT doc_id + 600000, doc_id + 1000000
-        FROM documents WHERE doc_id % 7 = 3
-      ),
+      WITH $videoAdmissionParamsCtes,
       ${videoScreenCtes("v", "vpc", "vin1")}
       SELECT media_id, status, best_hamming FROM iverdict_v
       ORDER BY media_id
     """),
   )
 
-  /** The maintenance demo behind `dd_image_upsert` — the
-    * tx_index_upsert discipline on the image channel: a base index
-    * built (atomically published, once per corpus generation) over the
-    * corpus MINUS the media_id % 5 == 0 slice, then an idempotent
-    * append of that slice as the "nightly batch". The final index
-    * state is exactly the full corpus, which is what makes the row
-    * oracle-gateable against dd_image_probe's screen verbatim.
+  /** The maintenance demo behind `dd_image_upsert` (and its audio and
+    * video twins) — the tx_index_upsert discipline through the shared
+    * media kernel, generic over the channel's corpus hashes: a base
+    * index built (atomically published, once per corpus generation)
+    * over the corpus MINUS the media_id % 5 == 0 slice, then an
+    * idempotent append of that slice as the "nightly batch". The final
+    * index state is exactly the full corpus, which is what makes each
+    * row oracle-gateable against its channel's probe screen verbatim.
     */
-  private def upsertDemoImageIndex(s: SparkSession, dir: String): String =
+  private def upsertDemoMediaIndex(s: SparkSession, dir: String,
+      family: String, hashes: DataFrame): String =
     synchronized {
       val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
       val conf = s.sparkContext.hadoopConfiguration
       val src  = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
       val st   = src.getFileSystem(conf).getFileStatus(src)
-      val prefix = s"graft_image_upsert_${slug}_${dir.hashCode & 0x7fffffff}_"
+      val prefix = s"${family}_${slug}_${dir.hashCode & 0x7fffffff}_"
       val idx = s"${System.getProperty("java.io.tmpdir")}/" +
         s"$prefix${st.getLen}_${st.getModificationTime}"
-      val hashes = hashesOfParams(imageCorpusParams(s, dir))
       graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+        assertWaveHeadroom(s, dir)
         writeMediaIndex(s, hashes.filter(col("media_id") % 5 =!= 0), tmp)
       }
       // apply the nightly batch once per corpus generation (the
@@ -2815,6 +2882,10 @@ object Multimodal {
         upsertMediaIndex(s, idx, hashes.filter(col("media_id") % 5 === 0))
       idx
     }
+
+  private def upsertDemoImageIndex(s: SparkSession, dir: String): String =
+    upsertDemoMediaIndex(s, dir, "graft_image_upsert",
+      hashesOfParams(imageCorpusParams(s, dir)))
 
   /** Image-index MAINTENANCE under the gate — the row probes the index
     * AFTER a base-build + nightly-batch append, and the oracle is
@@ -2833,6 +2904,126 @@ object Multimodal {
       ORDER BY media_id
     """),
   )
+
+  /** Audio-index MAINTENANCE under the gate — [[imageUpsert]]'s
+    * contract through the channel-generic kernel (the r13 verdict's
+    * ask: `upsertMediaIndex` was already channel-generic but nothing
+    * GATED it on the audio channel): base build minus the
+    * media_id % 5 == 0 slice, nightly append of that slice, then the
+    * admission screen — whose oracle is dd_audio_probe's VERBATIM.
+    */
+  val audioUpsert = Query(
+    "dd_audio_upsert",
+    (s, dir) => probeMediaIndex(s,
+      upsertDemoMediaIndex(s, dir, "graft_audio_upsert",
+        audioHashesOfParams(audioCorpusParams(s, dir))),
+      audioHashesOfParams(audioIncoming(Tables(s, dir).documents))),
+    oracle = audioProbe.oracle,
+  )
+
+  /** Video-index MAINTENANCE under the gate — the video leg of the
+    * same contract; oracle = dd_video_probe's verbatim.
+    */
+  val videoUpsert = Query(
+    "dd_video_upsert",
+    (s, dir) => probeMediaIndex(s,
+      upsertDemoMediaIndex(s, dir, "graft_video_upsert",
+        videoHashesOfParams(videoCorpusParams(s, dir))),
+      videoHashesOfParams(videoIncoming(Tables(s, dir).documents))),
+    oracle = videoProbe.oracle,
+  )
+
+  /** Purge propagation into the audio index under the gate —
+    * [[imageIndexDelete]]'s contract on the audio channel: after the
+    * audio purge (the SAME keep-one-representative closure
+    * `dd_audio_purge_apply` executes against the audio lake), the
+    * admission screen must behave as if the index were REBUILT over
+    * the surviving clips; the oracle recomputes the screen over the
+    * corpus minus the recursive cluster closure.
+    */
+  val audioIndexDelete = Query(
+    "dd_audio_index_delete",
+    (s, dir) => probeMediaIndex(s,
+      deleteDemoMediaIndex(s, dir, "graft_audio_delete",
+        audioHashesOfParams(audioCorpusParams(s, dir)),
+        mediaPurgeList(audioClusterFrame(s, dir))),
+      audioHashesOfParams(audioIncoming(Tables(s, dir).documents))),
+    oracle = Some(s"""
+      WITH RECURSIVE $audioPairCtes,
+      edges AS (SELECT id_a, id_b FROM pairs),
+      ${graft.dedup.DedupQueries.ccWalkSql},
+      cl AS (SELECT id AS media_id, min(lbl) AS cluster
+             FROM walk GROUP BY id),
+      apurged AS (SELECT media_id FROM cl WHERE media_id <> cluster),
+      $audioAdmissionParamsCtes,
+      asur AS (
+        SELECT media_id, g, gain FROM apc
+        WHERE media_id NOT IN (SELECT media_id FROM apurged)
+      ),
+      ${audioScreenCtes("d", "asur", "ain1")}
+      SELECT media_id, status, best_hamming FROM iverdict_d
+      ORDER BY media_id
+    """),
+  )
+
+  /** Purge propagation into the video index under the gate — the
+    * fourth modality leg, completing the maintenance matrix: every
+    * persisted media admission index now has gated upsert AND delete.
+    */
+  val videoIndexDelete = Query(
+    "dd_video_index_delete",
+    (s, dir) => probeMediaIndex(s,
+      deleteDemoMediaIndex(s, dir, "graft_video_delete",
+        videoHashesOfParams(videoCorpusParams(s, dir)),
+        mediaPurgeList(videoClusterFrame(s, dir))),
+      videoHashesOfParams(videoIncoming(Tables(s, dir).documents))),
+    oracle = Some(s"""
+      WITH RECURSIVE $videoPairCtes,
+      edges AS (SELECT id_a, id_b FROM pairs),
+      ${graft.dedup.DedupQueries.ccWalkSql},
+      cl AS (SELECT id AS media_id, min(lbl) AS cluster
+             FROM walk GROUP BY id),
+      vpurged AS (SELECT media_id FROM cl WHERE media_id <> cluster),
+      $videoAdmissionParamsCtes,
+      vsur AS (
+        SELECT media_id, g FROM vpc
+        WHERE media_id NOT IN (SELECT media_id FROM vpurged)
+      ),
+      ${videoScreenCtes("d", "vsur", "vin1")}
+      SELECT media_id, status, best_hamming FROM iverdict_d
+      ORDER BY media_id
+    """),
+  )
+
+  /** The sequential two-night audio admission chain as one DuckDB
+    * query — the oracle of `dd_audio_stream_ingest`: night 1 screens
+    * against the corpus, night 2 against the corpus ∪ night 1's
+    * ADMISSIONS (the Spark twins are [[audioIncoming]] /
+    * [[audioIncoming2]]; night 2's first wave re-levels night 1's
+    * fresh admissions, so it screens 'dup' only if the loop ingested
+    * them).
+    */
+  private[graft] def audioStreamIngestOracle: String = s"""
+      WITH $audioAdmissionParamsCtes,
+      ${audioScreenCtes("1", "apc", "ain1")},
+      ain2 AS (
+        SELECT doc_id + 700000 AS media_id,
+               doc_id + 1000000 AS g, 2 AS gain
+        FROM documents WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id + 800000, doc_id + 2000000, 1
+        FROM documents WHERE doc_id % 7 = 5
+      ), aex2 AS (
+        SELECT media_id, g, gain FROM apc
+        UNION ALL
+        SELECT i.media_id, i.g, i.gain FROM ain1 i
+        JOIN iverdict_1 vv USING (media_id) WHERE vv.status = 'new'
+      ),
+      ${audioScreenCtes("2", "aex2", "ain2")}
+      SELECT media_id, status, best_hamming FROM iverdict_1
+      UNION ALL
+      SELECT media_id, status, best_hamming FROM iverdict_2
+      ORDER BY media_id"""
 
   /** Purge propagation under the gate: after the image purge, the
     * admission screen must behave as if the index were REBUILT over
@@ -2928,5 +3119,6 @@ object Multimodal {
       videoDups, videoClusters, storyboard, imageQuality, audioQuality,
       pairManifest, avSync, imagePurge, imagePurgeApply, audioPurgeApply,
       videoPurgeApply, alignScore, imageProbe, imageUpsert,
-      imageIndexDelete, audioProbe, videoProbe)
+      imageIndexDelete, audioProbe, videoProbe, audioUpsert, videoUpsert,
+      audioIndexDelete, videoIndexDelete)
 }
