@@ -1445,11 +1445,24 @@ object SimilarityQueries {
   /** The shared PQ oracle chain (subspace melt → seed assignment →
     * one Lloyd step → codebook → per-vector codes → per-query LUT),
     * replayed identically by the [[pqTopk]] and [[ivfPqTopk]] oracles.
+    * `trainRel` is the relation the model trains on (and the query
+    * vectors come from); `corpusRel` the relation that gets ENCODED —
+    * they differ exactly when the index was maintained under FIXED
+    * models (`ss_ivfpq_upsert`/`ss_ivfpq_delete`: train on embeddings,
+    * encode embeddings ∪ batch / the survivors).
     */
-  private def pqOracleCtes: String = s"""sub AS (
+  private def pqOracleCtesFor(trainRel: String,
+      corpusRel: String): String = {
+    val csub =
+      if (corpusRel == trainRel) "SELECT vec_id, s, v FROM sub"
+      else s"""
         SELECT vec_id, s.s AS s,
           list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS v
-        FROM embeddings, (SELECT unnest(range(0, 4)) AS s) s
+        FROM $corpusRel, (SELECT unnest(range(0, 4)) AS s) s"""
+    s"""sub AS (
+        SELECT vec_id, s.s AS s,
+          list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS v
+        FROM $trainRel, (SELECT unnest(range(0, 4)) AS s) s
       ), pseeds AS (
         SELECT vec_id::INT AS cid, s, v AS cv FROM sub WHERE vec_id < $PqK
       ), a0 AS (
@@ -1466,17 +1479,22 @@ object SimilarityQueries {
           FROM a0 CROSS JOIN (SELECT unnest(range(1, 17)) AS pos) i
           GROUP BY 1, 2, 3)
         GROUP BY s, cid
+      ), csub AS ($csub
       ), codes AS (
         SELECT vec_id, s, cid FROM (
           SELECT e.vec_id, e.s, c.cid,
             row_number() OVER (PARTITION BY e.vec_id, e.s
               ORDER BY ${sqdistSqlExpr("e.v", "c.cv")} ASC, c.cid ASC) AS rk
-          FROM sub e JOIN cb c ON c.s = e.s) WHERE rk = 1
+          FROM csub e JOIN cb c ON c.s = e.s) WHERE rk = 1
       ), lut AS (
         SELECT q.vec_id AS qid, c.s, c.cid,
           ${sqdistSqlExpr("q.v", "c.cv")} AS d
         FROM sub q JOIN cb c ON c.s = q.s WHERE q.vec_id < 20
       )"""
+  }
+
+  private def pqOracleCtes: String =
+    pqOracleCtesFor("embeddings", "embeddings")
 
   /** The shared PQ rank tail: top-5 per query by (adist ASC, nid). */
   private def pqRankTail(adist: DataFrame): DataFrame = {
@@ -1597,21 +1615,38 @@ object SimilarityQueries {
     pqRankTail(adist)
   }
 
-  val ivfPqTopk = Query(
-    "ss_ivfpq_topk",
-    (s, dir) => {
-      val e = Tables(s, dir).embeddings
-      val codebook = trainPqCodebooks(e)
-      ivfPqServe(e, trainIvfCentroids(e, GateK), codebook, pqLuts(e, codebook))
-    },
-    oracle = Some(s"""
-      WITH $pqOracleCtes, iseeds AS (
-        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  /** The full IVF-PQ oracle (coarse IVF training + assignment composed
+    * with the PQ chain of [[pqOracleCtesFor]]) over parameterized
+    * relations: coarse centroids and PQ codebooks train on `trainRel`,
+    * queries are trainRel's vec_id < 20, and `corpusRel` is what gets
+    * assigned + encoded — the candidate side. trainRel == corpusRel is
+    * the in-job `ss_ivfpq_topk`/persisted `ss_ivfpq_probe` chain;
+    * they differ for the fixed-model maintenance rows
+    * (`ss_ivfpq_upsert`: corpus = embeddings ∪ batch;
+    * `ss_ivfpq_delete`: corpus = the purge survivors) and coincide
+    * again — both swapped to the post-upsert corpus — for
+    * `ss_ivfpq_retrain`.
+    */
+  private def ivfPqOracleSql(trainRel: String = "embeddings",
+      corpusRel: String = "embeddings", prelude: String = ""): String = {
+    val corpusAssign =
+      if (corpusRel == trainRel)
+        "SELECT vec_id, cid AS cell FROM iranked WHERE rk = 1"
+      else s"""
+        SELECT vec_id, cid AS cell FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosineSqlExpr2("e.embedding", "c.cv")} DESC,
+                       c.cid DESC) AS rk
+          FROM $corpusRel e, icents c) WHERE rk = 1"""
+    s"""
+      WITH $prelude${pqOracleCtesFor(trainRel, corpusRel)}, iseeds AS (
+        SELECT vec_id AS cid, embedding AS cv FROM $trainRel
         WHERE vec_id < 16
       ), iseed_scored AS (
         SELECT e.vec_id, e.embedding, c.cid,
                ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos
-        FROM embeddings e, iseeds c
+        FROM $trainRel e, iseeds c
       ), iseed_ranked AS (
         SELECT vec_id, embedding, cid,
           row_number() OVER (PARTITION BY vec_id
@@ -1631,14 +1666,13 @@ object SimilarityQueries {
       ), iscored AS (
         SELECT e.vec_id, c.cid,
                ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos
-        FROM embeddings e, icents c
+        FROM $trainRel e, icents c
       ), iranked AS (
         SELECT vec_id, cid,
           row_number() OVER (PARTITION BY vec_id
                              ORDER BY ccos DESC, cid DESC) AS rk
         FROM iscored
-      ), iassigned AS (
-        SELECT vec_id, cid AS cell FROM iranked WHERE rk = 1
+      ), iassigned AS ($corpusAssign
       ), iprobes AS (
         SELECT vec_id AS qid, cid AS cell
         FROM iranked WHERE rk <= 2 AND vec_id < 20
@@ -1658,7 +1692,17 @@ object SimilarityQueries {
         FROM adist)
       SELECT qid, rk, nid, round(adist, 4) AS adist
       FROM ranked WHERE rk <= 5 ORDER BY qid, rk
-    """),
+    """
+  }
+
+  val ivfPqTopk = Query(
+    "ss_ivfpq_topk",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val codebook = trainPqCodebooks(e)
+      ivfPqServe(e, trainIvfCentroids(e, GateK), codebook, pqLuts(e, codebook))
+    },
+    oracle = Some(ivfPqOracleSql()),
   )
 
   /** Build-and-persist the COMPRESSED ANN index — the serving shape
@@ -1740,31 +1784,297 @@ object SimilarityQueries {
     * to the probed cells. Ranking is 4 LUT lookups + adds per
     * candidate; the full-width vector appears nowhere in the plan.
     */
+  /** The standard probe tail against a persisted IVF-PQ index — the
+    * models load from the index (bounded collects), the per-query ADC
+    * LUTs compute on the driver, and the only corpus-sized read is the
+    * code-only cells table, partition-pruned to the probed cells.
+    * Shared by `ss_ivfpq_probe` and every maintenance row's
+    * probe-after-mutation.
+    */
+  private def ivfPqProbeTail(s: SparkSession, dir: String,
+      idx: String): DataFrame = {
+    val cents    = loadCentroids(s, idx)
+    val codebook = loadCodebooks(s, idx)
+    val e        = Tables(s, dir).embeddings
+    val luts     = pqLuts(e, codebook)
+    val probes   = probesOf(e, cents).select(col("qid"), col("cell"))
+    // bounded: ≤ nprobe × |queries| cells — resolved first so the
+    // codes scan carries a STATIC partition filter
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val encoded = s.read.parquet(s"$idx/cells")
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(Seq(col("vec_id").as("nid"), col("cell")) ++
+        (0 until PqM).map(sub => col(s"c$sub")): _*)
+    val adist = encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), adcDistCol(luts).as("adist"))
+    pqRankTail(adist)
+  }
+
   val ivfPqProbe = Query(
     "ss_ivfpq_probe",
-    (s, dir) => {
-      val idx      = buildIvfPqIndex(s, dir)
-      val cents    = loadCentroids(s, idx)
-      val codebook = loadCodebooks(s, idx)
-      val e        = Tables(s, dir).embeddings
-      val luts     = pqLuts(e, codebook)
-      val probes   = probesOf(e, cents).select(col("qid"), col("cell"))
-      // bounded: ≤ nprobe × |queries| cells — resolved first so the
-      // codes scan carries a STATIC partition filter
-      val cells = probes.select(col("cell")).distinct()
-        .collect().map(_.getInt(0)).sorted
-      val encoded = s.read.parquet(s"$idx/cells")
-        .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
-        .select(Seq(col("vec_id").as("nid"), col("cell")) ++
-          (0 until PqM).map(sub => col(s"c$sub")): _*)
-      val adist = encoded.join(broadcast(probes), Seq("cell"))
-        .filter(col("nid") =!= col("qid"))
-        .select(col("qid"), col("nid"), adcDistCol(luts).as("adist"))
-      pqRankTail(adist)
-    },
+    (s, dir) => ivfPqProbeTail(s, dir, buildIvfPqIndex(s, dir)),
     // the persisted index encodes the same coarse + PQ models, so the
     // in-job train+serve oracle applies verbatim
     oracle = ivfPqTopk.oracle,
+  )
+
+  /** The batch's (cell, c0..c3) encoding under the index's FIXED
+    * models — ONE projection, the [[writeIvfPqIndex]] encode pass;
+    * shared by the upsert and the retrain's generation-2 rebuild.
+    */
+  private def encodePq(batch: DataFrame, cents: Seq[(Int, Array[Float])],
+      codebook: Map[Int, Seq[(Int, Array[Float])]]): DataFrame =
+    batch.select(Seq(col("vec_id"), argmaxCell(cents).as("cell")) ++
+      (0 until PqM).map(sub =>
+        pqArgminCode(sub, codebook(sub)).cast("tinyint").as(s"c$sub")): _*)
+
+  /** Incremental maintenance for the COMPRESSED index — the r13
+    * verdict's top gap: the PQ family (the one a 100 TB tier actually
+    * serves) was build+probe only, so any nightly batch forced a full
+    * rebuild. [[upsertIvfIndex]]'s touched-cell MERGE discipline on
+    * code-only rows: the batch encodes under the FIXED models (coarse
+    * cell + 4 PQ codes in one projection — model drift is absorbed at
+    * the next retrain, `ss_ivfpq_retrain`'s arc), touched cells = the
+    * batch's new cells ∪ every cell currently holding an updated
+    * vec_id, each merged (anti-join on vec_id + union), compacted, and
+    * crash-safely swapped; untouched cell directories keep their files
+    * byte-identical (IvfPqProbeSpec). Cheaper than the raw leg by
+    * construction: the locating read and the rewrites move 4 payload
+    * bytes per vector, not 256. MERGE semantics: duplicate vec_ids in
+    * one batch fail loudly. Returns the touched cell ids (sorted).
+    */
+  def upsertIvfPqIndex(s: SparkSession, idx: String,
+      batch: DataFrame): Seq[Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val cellsRoot = new org.apache.hadoop.fs.Path(s"$idx/cells")
+    val fs = cellsRoot.getFileSystem(conf)
+    require(fs.exists(cellsRoot), s"no IVF-PQ index at $idx — build it first")
+    val dup = batch.groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsertIvfPqIndex: duplicate vec_id in batch (${dup.head.get(0)}) " +
+          "— MERGE needs one row per key")
+    val cents    = loadCentroids(s, idx)
+    val codebook = loadCodebooks(s, idx)
+    val assigned = encodePq(batch, cents, codebook).persist()
+    try {
+      val newCells = assigned.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet // bounded: ≤ k cells
+      val oldCells = s.read.parquet(s"$idx/cells")
+        .join(assigned.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet // bounded: ≤ k cells
+      val touched = (newCells ++ oldCells).toSeq.sorted
+      touched.foreach { c =>
+        val part      = s"$idx/cells/cell=$c"
+        val partPath  = new org.apache.hadoop.fs.Path(part)
+        val partBatch = assigned.filter(col("cell") === c).drop("cell")
+        val merged =
+          if (fs.exists(partPath))
+            s.read.parquet(part)
+              .join(assigned.select(col("vec_id")), Seq("vec_id"), "left_anti")
+              .unionByName(partBatch)
+          else partBatch // first rows for a previously-empty cell
+        val bytes = merged.queryExecution.optimizedPlan.stats.sizeInBytes
+        val parts = math.max(1,
+          (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
+        val tmp = part + "__upserting"
+        merged.coalesce(parts).write.mode("overwrite").parquet(tmp)
+        if (fs.exists(partPath))
+          graft.operators.Maintenance.swapDirs(s, tmp, part)
+        else if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), partPath))
+          throw new java.io.IOException(s"rename $tmp -> $part failed")
+      }
+      s.catalog.refreshByPath(idx) // swapped paths: drop cached listings
+      touched
+    } finally assigned.unpersist()
+  }
+
+  /** Purge propagation into the COMPRESSED index. The body is
+    * [[deleteFromIvfIndex]] verbatim — the per-cell anti-join on
+    * vec_id never touches the payload columns, so the one definition
+    * serves both layouts — and on this index it moves 4 bytes per
+    * surviving vector instead of 256.
+    */
+  def deleteFromIvfPqIndex(s: SparkSession, idx: String,
+      purge: DataFrame): Seq[Int] = deleteFromIvfIndex(s, idx, purge)
+
+  /** The maintenance demo behind `ss_ivfpq_upsert`: the index builds
+    * over the full embeddings (models trained there — and FROZEN),
+    * then the deterministic nightly batch ([[retrainBatch]]'s reversed
+    * vectors under new ids — genuinely new geometry, so the batch's
+    * cells and codes are non-trivial) merges in once per corpus
+    * generation, presence-probed for idempotence (the MERGE makes
+    * re-application a semantic no-op; the probe keeps it from running
+    * per query).
+    */
+  private def upsertDemoIvfPqIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val e    = Tables(s, dir).embeddings
+      val conf = s.sparkContext.hadoopConfiguration
+      val src  = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val st   = src.getFileSystem(conf).getFileStatus(src)
+      val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+      val prefix = s"graft_ivfpq_upsert_${slug}_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_fp"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"$prefix${st.getLen}_${st.getModificationTime}"
+      graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+        writeIvfPqIndex(s, e, trainIvfCentroids(e, GateK),
+          trainPqCodebooks(e), tmp)
+      }
+      val batch = retrainBatch(e)
+      val present = s.read.parquet(s"$idx/cells")
+        .join(batch.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .limit(1).collect()
+      if (present.isEmpty) upsertIvfPqIndex(s, idx, batch)
+      idx
+    }
+
+  /** Compressed-index MAINTENANCE under the gate — the probe after a
+    * nightly merge must equal the fixed-model chain over
+    * embeddings ∪ batch: models train on embeddings only (the oracle's
+    * trainRel), the candidate side is the merged corpus (corpusRel),
+    * and batch ids (≥ 200000) are eligible neighbors — so the row is
+    * sensitive to the merge actually landing code rows in the right
+    * cells under the frozen models.
+    */
+  val ivfPqUpsert = Query(
+    "ss_ivfpq_upsert",
+    (s, dir) => ivfPqProbeTail(s, dir, upsertDemoIvfPqIndex(s, dir)),
+    oracle = Some(ivfPqOracleSql("embeddings", "pqcorpus2",
+      prelude = """pqcorpus2 AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 200000 AS vec_id,
+               list_reverse(embedding) AS embedding
+        FROM embeddings WHERE vec_id < 100
+      ), """)),
+  )
+
+  /** The purge demo behind `ss_ivfpq_delete` — [[deleteDemoIvfIndex]]'s
+    * arc on the compressed family: its own index over the full
+    * embeddings, then the routed deletion list (the deterministic
+    * `vec_id % 7 = 3` slice standing in for a semantic-dedup purge)
+    * propagated once per generation, presence-probed for idempotence.
+    */
+  private def deleteDemoIvfPqIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val e    = Tables(s, dir).embeddings
+      val conf = s.sparkContext.hadoopConfiguration
+      val src  = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val st   = src.getFileSystem(conf).getFileStatus(src)
+      val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+      val prefix = s"graft_ivfpq_delete_${slug}_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_fp"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"$prefix${st.getLen}_${st.getModificationTime}"
+      graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+        writeIvfPqIndex(s, e, trainIvfCentroids(e, GateK),
+          trainPqCodebooks(e), tmp)
+      }
+      val purge = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      val present = s.read.parquet(s"$idx/cells")
+        .join(purge, Seq("vec_id"), "left_semi").limit(1).collect()
+      if (present.nonEmpty) deleteFromIvfPqIndex(s, idx, purge)
+      idx
+    }
+
+  /** Purge propagation in the compressed family under the gate — after
+    * the deletion, an ADC probe must behave as if the code cells were
+    * rebuilt over the survivors under the SAME models: trainRel stays
+    * embeddings (fixed-model contract — purged query vectors still
+    * probe as external queries), corpusRel is the survivors, so a
+    * purged vector can never be RETURNED.
+    */
+  val ivfPqDelete = Query(
+    "ss_ivfpq_delete",
+    (s, dir) => ivfPqProbeTail(s, dir, deleteDemoIvfPqIndex(s, dir)),
+    oracle = Some(ivfPqOracleSql("embeddings", "pqsur",
+      prelude = """pqsur AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3
+      ), """)),
+  )
+
+  /** The re-train arc on the COMPRESSED family — the r13 verdict's
+    * "point the retrain arc at it": generation 1 publishes over
+    * embeddings, the nightly batch merges in under the FIXED models
+    * ([[upsertIvfPqIndex]]), the drift gate runs (bounded ≤ k rows),
+    * then BOTH models — coarse centroids and PQ codebooks — retrain
+    * over the post-upsert corpus and publish as generation 2 under the
+    * same family prefix (atomic cutover + generation-1 GC). One
+    * structural difference from the raw arc: the PQ index persists
+    * CODES, not vectors, so the retrain reads its training corpus from
+    * the SOURCE lake (embeddings ∪ the deterministic batch) — exactly
+    * what a production tier does, since the serving index is derived
+    * from the vector lake, never the reverse. Re-entry is ordered on
+    * the generation-2 marker FIRST so a completed retrain serves
+    * directly.
+    */
+  private[similarity] def retrainDemoIvfPqIndex(s: SparkSession,
+      dir: String): String =
+    synchronized {
+      val e    = Tables(s, dir).embeddings
+      val conf = s.sparkContext.hadoopConfiguration
+      val src  = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val st   = src.getFileSystem(conf).getFileStatus(src)
+      val fp   = s"${st.getLen}_${st.getModificationTime}"
+      val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+      val prefix = s"graft_ivfpq_retrain_${slug}_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_fp"
+      val root = s"${System.getProperty("java.io.tmpdir")}/$prefix$fp"
+      val gen2 = s"${root}_g2"
+      val fs   = new org.apache.hadoop.fs.Path(gen2).getFileSystem(conf)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$gen2/_built")))
+        return gen2
+      val gen1 = s"${root}_g1"
+      graft.core.IndexDirs.publish(conf, gen1, prefix) { tmp =>
+        writeIvfPqIndex(s, e, trainIvfCentroids(e, GateK),
+          trainPqCodebooks(e), tmp)
+      }
+      val batch = retrainBatch(e)
+      val present = s.read.parquet(s"$gen1/cells")
+        .join(batch.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .limit(1).collect()
+      // the drift gate runs BEFORE the upsert (the nightly order: a
+      // batch is scored against the serving model as it lands)
+      val drift = centroidDrift(s, gen1, batch).collect() // bounded ≤ k
+      if (present.isEmpty) upsertIvfPqIndex(s, gen1, batch)
+      require(drift.nonEmpty, "PQ retrain demo: empty drift frame — " +
+        "the batch must assign to at least one cell")
+      // the gate tripped: BOTH models retrain over the post-upsert
+      // corpus (read from the source lake — the index holds codes),
+      // published as the next generation (gen1 GC'd by the publish)
+      val corpus2 = e.select(col("vec_id"), col("embedding"))
+        .unionByName(batch)
+      graft.core.IndexDirs.publish(conf, gen2, prefix) { tmp =>
+        writeIvfPqIndex(s, corpus2, trainIvfCentroids(corpus2, GateK),
+          trainPqCodebooks(corpus2), tmp)
+      }
+      gen2
+    }
+
+  /** The executed compressed-family re-train under the gate: the
+    * served generation-2 probe must equal a FRESH IVF-PQ BUILD over
+    * embeddings ∪ batch — the oracle recomputes the whole chain
+    * (coarse + codebooks + codes + LUTs) with BOTH relations swapped
+    * to the post-upsert corpus. Batch ids (≥ 200000) are eligible
+    * neighbors AND first-class training data.
+    */
+  val ivfPqRetrain = Query(
+    "ss_ivfpq_retrain",
+    (s, dir) => ivfPqProbeTail(s, dir, retrainDemoIvfPqIndex(s, dir)),
+    oracle = Some(ivfPqOracleSql("pqcorpus2", "pqcorpus2",
+      prelude = """pqcorpus2 AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 200000 AS vec_id,
+               list_reverse(embedding) AS embedding
+        FROM embeddings WHERE vec_id < 100
+      ), """)),
   )
 
   /** The deterministic nightly-upsert batch behind the re-train demo:
@@ -2756,6 +3066,7 @@ object SimilarityQueries {
   def all: Seq[Query] =
     Seq(cosineNearDup, bruteTopk, lshTopk, ivfTopk, ivfSqrtK, ivfProbe,
       ivfDelete, ivfRetrain, indexManifest, pqTopk, ivfPqTopk, ivfPqProbe,
+      ivfPqUpsert, ivfPqDelete, ivfPqRetrain,
       kmeans, semanticDedup, vectorStats, quantize, coverage,
       recall, maxsim, matryoshka, filteredTopk, hybridRrf, indexStats,
       hardNegatives, mmr, outliers)

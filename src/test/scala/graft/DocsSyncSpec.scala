@@ -61,7 +61,9 @@ class DocsSyncSpec extends AnyFunSuite {
       // executed re-train cutover, streaming vector + text ingest,
       // and the image-channel admission tier
       "buildIvfPqIndex", "ss_index_retrain", "ss_stream_ingest",
-      "tx_stream_ingest", "probeMediaIndex", "dd_image_stream_ingest")
+      "tx_stream_ingest", "probeMediaIndex", "dd_image_stream_ingest",
+      // the r14 compressed-index lifecycle completion
+      "upsertIvfPqIndex", "deleteFromIvfPqIndex", "ss_ivfpq_retrain")
       .foreach(k => assert(scale.contains(k), s"SCALE.md lost its $k entry"))
   }
 }
