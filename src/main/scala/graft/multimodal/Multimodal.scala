@@ -2401,6 +2401,21 @@ object Multimodal {
           .select((col("doc_id") + 600000).as("media_id"),
             (col("doc_id") + 1000000).as("g"), lit(0).as("v")))
 
+  /** Night-2 video arrivals: a brightness re-export (v = 1) of night
+    * 1's FRESH wave — hash-IDENTICAL to its night-1 twin by the
+    * contour fingerprint's brightness invariance, so it screens dup at
+    * Hamming 0 ONLY if night 1's admissions were ingested (the corpus
+    * never saw base g = doc_id + 1000000) — plus a second fresh wave.
+    */
+  private[graft] def videoIncoming2(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 700000).as("media_id"),
+        (col("doc_id") + 1000000).as("g"), lit(1).as("v"))
+      .unionByName(
+        d.filter(col("doc_id") % 7 === 5)
+          .select((col("doc_id") + 800000).as("media_id"),
+            (col("doc_id") + 2000000).as("g"), lit(0).as("v")))
+
   /** The ONE screen kernel against a persisted image index: the
     * incoming batch's 6 bands per image resolve to a static partition
     * filter; a first bounded pass counts stored membership of ONLY the
@@ -2994,6 +3009,33 @@ object Multimodal {
       ORDER BY media_id
     """),
   )
+
+  /** The sequential two-night video admission chain — the oracle of
+    * `dd_video_stream_ingest`. Night 2's first wave re-exports night
+    * 1's fresh admissions at a shifted brightness; the contour hash is
+    * invariant to the shift, so those rows screen dup at Hamming 0
+    * exactly when the loop ingested night 1.
+    */
+  private[graft] def videoStreamIngestOracle: String = s"""
+      WITH $videoAdmissionParamsCtes,
+      ${videoScreenCtes("1", "vpc", "vin1")},
+      vin2 AS (
+        SELECT doc_id + 700000 AS media_id, doc_id + 1000000 AS g
+        FROM documents WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id + 800000, doc_id + 2000000
+        FROM documents WHERE doc_id % 7 = 5
+      ), vex2 AS (
+        SELECT media_id, g FROM vpc
+        UNION ALL
+        SELECT i.media_id, i.g FROM vin1 i
+        JOIN iverdict_1 vv USING (media_id) WHERE vv.status = 'new'
+      ),
+      ${videoScreenCtes("2", "vex2", "vin2")}
+      SELECT media_id, status, best_hamming FROM iverdict_1
+      UNION ALL
+      SELECT media_id, status, best_hamming FROM iverdict_2
+      ORDER BY media_id"""
 
   /** The sequential two-night audio admission chain as one DuckDB
     * query — the oracle of `dd_audio_stream_ingest`: night 1 screens

@@ -927,6 +927,7 @@ object SimilarityQueries {
       val vecLog = graft.streaming.StreamingQueries.vecIngestDemoLog(s, dir)
       val imgLog = graft.streaming.StreamingQueries.imageIngestDemoLog(s, dir)
       val audLog = graft.streaming.StreamingQueries.audioIngestDemoLog(s, dir)
+      val vidLog = graft.streaming.StreamingQueries.videoIngestDemoLog(s, dir)
       val nText = s.read.parquet(s"$textIdx/stats")
         .select(col("n_docs")).head().getLong(0) // 1-row stats
       val nBand = s.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
@@ -956,6 +957,9 @@ object SimilarityQueries {
       val nAudLog = s.read
         .schema("media_id LONG, status STRING, best_hamming INT")
         .parquet(audLog).count()
+      val nVidLog = s.read
+        .schema("media_id LONG, status STRING, best_hamming INT")
+        .parquet(vidLog).count()
       val nPq   = s.read.parquet(s"$pqIdx/cells")
         .select(col("vec_id")).count()
       val nRt   = s.read.parquet(s"$rtIdx/cells")
@@ -978,7 +982,8 @@ object SimilarityQueries {
         ("text_index", nText, ok(textIdx, docsFp)),
         ("text_ingest_log", nTxLog, ok(txLog.stripSuffix("/log"), docsFp)),
         ("text_lake", nTextLake, ok(textLake, docsFp)),
-        ("vector_ingest_log", nVecLog, ok(vecLog.stripSuffix("/log"), embFp)))
+        ("vector_ingest_log", nVecLog, ok(vecLog.stripSuffix("/log"), embFp)),
+        ("video_ingest_log", nVidLog, ok(vidLog.stripSuffix("/log"), docsFp)))
         .toDF("artifact", "n_items", "generation_ok")
         .orderBy(col("artifact"))
     },
@@ -1022,6 +1027,11 @@ object SimilarityQueries {
       SELECT 'audio_ingest_log',
         (SELECT count(*) FROM (
           ${graft.streaming.StreamingQueries.streamAudioIngest.oracle.get}
+        ) t)::BIGINT, true
+      UNION ALL
+      SELECT 'video_ingest_log',
+        (SELECT count(*) FROM (
+          ${graft.streaming.StreamingQueries.streamVideoIngest.oracle.get}
         ) t)::BIGINT, true
       UNION ALL
       SELECT 'media_ingest_log',
@@ -1112,6 +1122,10 @@ object SimilarityQueries {
           .schema("media_id LONG, status STRING, best_hamming INT")
           .parquet(graft.streaming.StreamingQueries.audioIngestDemoLog(s, dir)),
           "audio_ingest_log"))
+        .unionByName(cnt(s.read
+          .schema("media_id LONG, status STRING, best_hamming INT")
+          .parquet(graft.streaming.StreamingQueries.videoIngestDemoLog(s, dir)),
+          "video_ingest_log"))
         .unionByName(cnt(s.read
           .parquet(s"${buildIvfPqIndex(s, dir)}/cells")
           .select(col("vec_id")), "ivfpq_index"))

@@ -1698,6 +1698,43 @@ object StreamingQueries {
     }),
   )
 
+  private[graft] def videoIngestDemoLog(s: SparkSession, dir: String): String = {
+    import graft.multimodal.{Multimodal => MM}
+    mediaIngestDemoLog(s, dir, "graft_stream_vid",
+      "media_id LONG, g LONG, v INT",
+      ss => MM.videoHashesOfParams(MM.videoCorpusParams(ss, dir)),
+      MM.videoHashesOfParams,
+      ss => {
+        val d = Tables(ss, dir).documents
+        Seq(MM.videoIncoming(d), MM.videoIncoming2(d))
+      })
+  }
+
+  /** Streaming VIDEO admission — the last modality leg, completing the
+    * admit-and-ingest matrix across every channel (band/vector/text/
+    * image/audio/video, all through the one [[ingestLoop]] scaffold):
+    * night 2's first wave brightness-re-exports night 1's fresh
+    * admissions — hash-IDENTICAL by the contour fingerprint's
+    * invariance, so it screens dup AT HAMMING 0 exactly when the loop
+    * ingested night 1 (VideoStreamIngestSpec pins the frozen
+    * counterfactual).
+    */
+  val streamVideoIngest = Query(
+    "dd_video_stream_ingest",
+    (s, dir) => s.read
+      .schema("media_id LONG, status STRING, best_hamming INT")
+      .parquet(videoIngestDemoLog(s, dir))
+      .orderBy(col("media_id")),
+    oracle = Some(graft.multimodal.Multimodal.videoStreamIngestOracle),
+    eagerPlan = Some((s, dir) => {
+      import graft.multimodal.{Multimodal => MM}
+      // the declared batch shape: the screen over the persisted index
+      // (the ingest half's plan is pinned by MediaProbeSpec)
+      MM.probeMediaIndex(s, MM.buildVideoIndex(s, dir),
+        MM.videoHashesOfParams(MM.videoIncoming2(Tables(s, dir).documents)))
+    }),
+  )
+
   def all: Seq[Query] =
     Seq(streamHourly, streamSessions, streamRangeJoin, streamLeftJoin,
       streamWordcount, streamEnrich, streamUpsert, streamClean,
@@ -1705,5 +1742,5 @@ object StreamingQueries {
       streamTopk, streamFunnel, streamHourlyUsers, streamAsof,
       streamAnomaly, streamQuantiles, streamAdmission, streamIngest,
       streamVecIngest, streamTextIngest, streamImageIngest,
-      streamAudioIngest)
+      streamAudioIngest, streamVideoIngest)
 }
