@@ -272,6 +272,17 @@ object SimilarityQueries {
     */
   private val Dim = 64 // embeddings are 64-dim (TESTDATA.md; oracle range(1,65))
 
+  // product-quantization geometry: 4 subspaces × 16 dims, 16 codes
+  // each. Declared HERE, at the top of the object, because defs that
+  // interpolate them ([[pqFixedModelCtes]]) are called re-entrantly
+  // during THIS object's initialization (indexManifest's oracle touches
+  // StreamingQueries, whose streamPqIngest oracle calls back) — a val
+  // declared below that point would still read 0 (the tx_pack_bpe
+  // object-init-order lesson; it burned this file once already).
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 16
+
   /** Per-cell (cosine, cid) score structs over literal centroids:
     * lexicographic struct ordering = (ccos DESC, cid DESC) ranking.
     */
@@ -928,6 +939,7 @@ object SimilarityQueries {
       val imgLog = graft.streaming.StreamingQueries.imageIngestDemoLog(s, dir)
       val audLog = graft.streaming.StreamingQueries.audioIngestDemoLog(s, dir)
       val vidLog = graft.streaming.StreamingQueries.videoIngestDemoLog(s, dir)
+      val pqLog  = graft.streaming.StreamingQueries.pqIngestDemoLog(s, dir)
       val nText = s.read.parquet(s"$textIdx/stats")
         .select(col("n_docs")).head().getLong(0) // 1-row stats
       val nBand = s.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
@@ -960,6 +972,9 @@ object SimilarityQueries {
       val nVidLog = s.read
         .schema("media_id LONG, status STRING, best_hamming INT")
         .parquet(vidLog).count()
+      val nPqLog = s.read
+        .schema("qid LONG, rk INT, nid LONG, adist DOUBLE")
+        .parquet(pqLog).count()
       val nPq   = s.read.parquet(s"$pqIdx/cells")
         .select(col("vec_id")).count()
       val nRt   = s.read.parquet(s"$rtIdx/cells")
@@ -977,6 +992,7 @@ object SimilarityQueries {
         ("ivfpq_index", nPq, ok(pqIdx, embFp)),
         ("media_ingest_log", nImgLog, ok(imgLog.stripSuffix("/log"), docsFp)),
         ("media_lake", nMediaLake, ok(mediaLake, docsFp)),
+        ("pq_ingest_log", nPqLog, ok(pqLog.stripSuffix("/log"), embFp)),
         ("pq_retrain_index", nPqRt, ok(pqRtIdx, s"${embFp}_g2")),
         ("retrain_index", nRt, ok(rtIdx, s"${embFp}_g2")),
         ("text_index", nText, ok(textIdx, docsFp)),
@@ -1032,6 +1048,11 @@ object SimilarityQueries {
       SELECT 'video_ingest_log',
         (SELECT count(*) FROM (
           ${graft.streaming.StreamingQueries.streamVideoIngest.oracle.get}
+        ) t)::BIGINT, true
+      UNION ALL
+      SELECT 'pq_ingest_log',
+        (SELECT count(*) FROM (
+          ${graft.streaming.StreamingQueries.streamPqIngest.oracle.get}
         ) t)::BIGINT, true
       UNION ALL
       SELECT 'media_ingest_log',
@@ -1126,6 +1147,10 @@ object SimilarityQueries {
           .schema("media_id LONG, status STRING, best_hamming INT")
           .parquet(graft.streaming.StreamingQueries.videoIngestDemoLog(s, dir)),
           "video_ingest_log"))
+        .unionByName(cnt(s.read
+          .schema("qid LONG, rk INT, nid LONG, adist DOUBLE")
+          .parquet(graft.streaming.StreamingQueries.pqIngestDemoLog(s, dir)),
+          "pq_ingest_log"))
         .unionByName(cnt(s.read
           .parquet(s"${buildIvfPqIndex(s, dir)}/cells")
           .select(col("vec_id")), "ivfpq_index"))
@@ -1428,12 +1453,9 @@ object SimilarityQueries {
     * is what persists and shuffles — the [[ivfProbe]] persisted-index
     * pattern applies to it verbatim.
     */
-  // product-quantization geometry: 4 subspaces × 16 dims, 16 codes
-  // each (codes still fit one byte; K=16 over K=8 doubled measured
-  // recall@5 on the isotropic fixtures at ~2× encode kernels/row)
-  private val PqM = 4
-  private val PqSubDim = 16
-  private val PqK = 16
+  // (PqM/PqSubDim/PqK are declared at the top of the object — init
+  // order; K=16 over K=8 doubled measured recall@5 on the isotropic
+  // fixtures at ~2× encode kernels/row, codes still fit one byte)
 
   /** Codegen'd argmin code for one PQ subspace: least() over (d, cid)
     * structs — ties to the lower code id.
@@ -1451,7 +1473,7 @@ object SimilarityQueries {
     * means rounded to 3 dp floats); collects only the 4×16×16-float
     * codebook.
     */
-  private[similarity] def trainPqCodebooks(
+  private[graft] def trainPqCodebooks(
       e: DataFrame): Map[Int, Seq[(Int, Array[Float])]] = {
     val seedRows = e.filter(col("vec_id") < PqK)
       .select(col("vec_id").cast("int"), col("embedding"))
@@ -1489,11 +1511,21 @@ object SimilarityQueries {
     */
   private[similarity] def pqLuts(e: DataFrame,
       codebook: Map[Int, Seq[(Int, Array[Float])]])
-      : Seq[(Int, IndexedSeq[Array[Double]])] = {
-    val probeRows = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").cast("int"), col("embedding"))
+      : Seq[(Long, IndexedSeq[Array[Double]])] =
+    pqLutsOf(e.filter(col("vec_id") < 20), codebook)
+
+  /** [[pqLuts]] without the gate's vec_id < 20 query-set convention:
+    * the caller owns the bound (`ss_pq_stream_ingest` routes each
+    * micro-BATCH's vectors — the bounded nightly unit — as the query
+    * side after ingesting them). Collects only the query batch.
+    */
+  private[similarity] def pqLutsOf(q: DataFrame,
+      codebook: Map[Int, Seq[(Int, Array[Float])]])
+      : Seq[(Long, IndexedSeq[Array[Double]])] = {
+    val probeRows = q
+      .select(col("vec_id").cast("long"), col("embedding"))
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq.sortBy(_._1)
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq.sortBy(_._1)
     def sq(q: Array[Float], sub: Int, cv: Array[Float]): Double = {
       var acc = 0.0; var i = 0
       while (i < PqSubDim) {
@@ -1582,13 +1614,13 @@ object SimilarityQueries {
     */
   private[similarity] def pqServe(e: DataFrame,
       codebook: Map[Int, Seq[(Int, Array[Float])]],
-      luts: Seq[(Int, IndexedSeq[Array[Double]])]): DataFrame = {
+      luts: Seq[(Long, IndexedSeq[Array[Double]])]): DataFrame = {
     // serve: encode once, ADC per query via literal-array lookups
     val encoded = e.select(col("vec_id").as("nid") +:
       (0 until PqM).map(sub =>
         pqArgminCode(sub, codebook(sub)).as(s"c$sub")): _*)
     val qCols = luts.map { case (qid, lut) =>
-      struct(lit(qid).cast("long").as("qid"),
+      struct(lit(qid).as("qid"),
         (0 until PqM).map(sub =>
           element_at(typedlit(lut(sub).toSeq), col(s"c$sub") + 1))
           .reduce(_ + _).as("adist"))
@@ -1657,10 +1689,10 @@ object SimilarityQueries {
     * the asymmetric distance.
     */
   private def adcDistCol(
-      luts: Seq[(Int, IndexedSeq[Array[Double]])]): Column = {
+      luts: Seq[(Long, IndexedSeq[Array[Double]])]): Column = {
     val lutMaps = (0 until PqM).map { sub =>
       typedlit(luts.map { case (qid, l) =>
-        qid.toLong -> l(sub).toSeq }.toMap)
+        qid -> l(sub).toSeq }.toMap)
     }
     (0 until PqM).map(sub =>
       element_at(element_at(lutMaps(sub), col("qid")), col(s"c$sub") + 1))
@@ -1670,7 +1702,7 @@ object SimilarityQueries {
   private[similarity] def ivfPqServe(e: DataFrame,
       cents: Seq[(Int, Array[Float])],
       codebook: Map[Int, Seq[(Int, Array[Float])]],
-      luts: Seq[(Int, IndexedSeq[Array[Double]])]): DataFrame = {
+      luts: Seq[(Long, IndexedSeq[Array[Double]])]): DataFrame = {
     // corpus pass: coarse cell + PQ codes in one projection
     val encoded = e.select(Seq(
       col("vec_id").as("nid"),
@@ -1861,12 +1893,21 @@ object SimilarityQueries {
     * probe-after-mutation.
     */
   private def ivfPqProbeTail(s: SparkSession, dir: String,
-      idx: String): DataFrame = {
+      idx: String): DataFrame =
+    ivfPqProbeBatch(s, idx,
+      Tables(s, dir).embeddings.filter(col("vec_id") < 20))
+
+  /** [[ivfPqProbeTail]] without the gate's vec_id < 20 query-set
+    * convention — the caller owns the bound (`ss_pq_stream_ingest`
+    * routes each micro-batch's vectors as the query side after
+    * ingesting them, the probesOfAll precedent).
+    */
+  private[graft] def ivfPqProbeBatch(s: SparkSession, idx: String,
+      q: DataFrame): DataFrame = {
     val cents    = loadCentroids(s, idx)
     val codebook = loadCodebooks(s, idx)
-    val e        = Tables(s, dir).embeddings
-    val luts     = pqLuts(e, codebook)
-    val probes   = probesOf(e, cents).select(col("qid"), col("cell"))
+    val luts     = pqLutsOf(q, codebook)
+    val probes   = probesOfAll(q, cents).select(col("qid"), col("cell"))
     // bounded: ≤ nprobe × |queries| cells — resolved first so the
     // codes scan carries a STATIC partition filter
     val cells = probes.select(col("cell")).distinct()
@@ -2145,6 +2186,117 @@ object SimilarityQueries {
         FROM embeddings WHERE vec_id < 100
       ), """)),
   )
+
+  /** The FIXED IVF-PQ models as standalone CTEs ending in `cb` (the
+    * per-subspace codebooks) and `icents` (the coarse centroids), both
+    * trained over embeddings — the model prelude of the streaming
+    * oracle, where sequential per-batch serves ([[ivfPqServeCtes]])
+    * reuse ONE model text, mirroring the Spark side's models being
+    * written once at build and FROZEN across upserts.
+    */
+  private[graft] def pqFixedModelCtes: String = s"""sub AS (
+        SELECT vec_id, s.s AS s,
+          list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS v
+        FROM embeddings, (SELECT unnest(range(0, 4)) AS s) s
+      ), pseeds AS (
+        SELECT vec_id::INT AS cid, s, v AS cv FROM sub WHERE vec_id < $PqK
+      ), a0 AS (
+        SELECT s, v, cid FROM (
+          SELECT e.s, e.v, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id, e.s
+              ORDER BY ${sqdistSqlExpr("e.v", "c.cv")} ASC, c.cid ASC) AS rk
+          FROM sub e JOIN pseeds c ON c.s = e.s) WHERE rk = 1
+      ), cb AS (
+        SELECT s, cid,
+          list_transform(list(round(m, 3) ORDER BY pos), x -> x::FLOAT) AS cv
+        FROM (
+          SELECT s, cid, i.pos, avg(v[i.pos]) AS m
+          FROM a0 CROSS JOIN (SELECT unnest(range(1, 17)) AS pos) i
+          GROUP BY 1, 2, 3)
+        GROUP BY s, cid
+      ), iseeds AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id < 16
+      ), iseed_scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ${cosineSqlExpr2("e.embedding", "c.cv")} AS ccos
+        FROM embeddings e, iseeds c
+      ), iseed_ranked AS (
+        SELECT vec_id, embedding, cid,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY ccos DESC, cid DESC) AS rk
+        FROM iseed_scored
+      ), iassigned0 AS (
+        SELECT embedding, cid FROM iseed_ranked WHERE rk = 1
+      ), icomp AS (
+        SELECT cid, i.pos, avg(embedding[i.pos]) AS m
+        FROM iassigned0
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) i
+        GROUP BY 1, 2
+      ), icents AS (
+        SELECT cid, list_transform(list(round(m, 3) ORDER BY pos),
+                                   x -> x::FLOAT) AS cv
+        FROM icomp GROUP BY cid
+      )"""
+
+  /** One fixed-model IVF-PQ serve pass as suffixed CTEs — assignment +
+    * encode of `corpusRel` and ADC probe of `queryRel` against the
+    * `cb`/`icents` model CTEs ([[pqFixedModelCtes]]), ending in
+    * `ptop_<sfx>(qid, rk, nid, adist)`. Instantiable more than once in
+    * one oracle text so `ss_pq_stream_ingest` can chain sequential
+    * serves (batch 2 probes the index that already ingested batch 1) —
+    * the [[ivfServeCtes]] precedent on the compressed family.
+    */
+  private[graft] def ivfPqServeCtes(sfx: String, corpusRel: String,
+      queryRel: String): String = s"""
+      qsub_$sfx AS (
+        SELECT vec_id, s.s AS s,
+          list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS v
+        FROM $queryRel, (SELECT unnest(range(0, 4)) AS s) s
+      ), qlut_$sfx AS (
+        SELECT q.vec_id AS qid, c.s, c.cid,
+          ${sqdistSqlExpr("q.v", "c.cv")} AS d
+        FROM qsub_$sfx q JOIN cb c ON c.s = q.s
+      ), qprobes_$sfx AS (
+        SELECT vec_id AS qid, cid AS cell FROM (
+          SELECT q.vec_id, c.cid,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosineSqlExpr2("q.embedding", "c.cv")} DESC,
+                       c.cid DESC) AS rk
+          FROM $queryRel q, icents c) WHERE rk <= 2
+      ), csub_$sfx AS (
+        SELECT vec_id, s.s AS s,
+          list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS v
+        FROM $corpusRel, (SELECT unnest(range(0, 4)) AS s) s
+      ), codes_$sfx AS (
+        SELECT vec_id, s, cid FROM (
+          SELECT e.vec_id, e.s, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id, e.s
+              ORDER BY ${sqdistSqlExpr("e.v", "c.cv")} ASC, c.cid ASC) AS rk
+          FROM csub_$sfx e JOIN cb c ON c.s = e.s) WHERE rk = 1
+      ), cassigned_$sfx AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosineSqlExpr2("e.embedding", "c.cv")} DESC,
+                       c.cid DESC) AS rk
+          FROM $corpusRel e, icents c) WHERE rk = 1
+      ), adist_$sfx AS (
+        SELECT p.qid, a.vec_id AS nid,
+          list_sum(list(l.d ORDER BY l.s)) AS adist
+        FROM cassigned_$sfx a
+          JOIN qprobes_$sfx p ON p.cell = a.cell
+          JOIN codes_$sfx e ON e.vec_id = a.vec_id
+          JOIN qlut_$sfx l ON l.qid = p.qid AND l.s = e.s AND l.cid = e.cid
+        WHERE a.vec_id <> p.qid
+        GROUP BY 1, 2
+      ), ptop_$sfx AS (
+        SELECT qid, rk, nid, round(adist, 4) AS adist FROM (
+          SELECT qid, nid, adist,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY adist ASC, nid) AS rk
+          FROM adist_$sfx) WHERE rk <= 5
+      )"""
 
   /** The deterministic nightly-upsert batch behind the re-train demo:
     * fresh vectors under new ids whose geometry genuinely differs from

@@ -1460,6 +1460,92 @@ object StreamingQueries {
     }),
   )
 
+  /** Streaming COMPRESSED-vector ingest — [[streamVecIngest]]'s
+    * discipline on the PQ channel, removing the last raw-vs-compressed
+    * asymmetry: per micro-batch the incoming vectors MERGE into the
+    * persisted IVF-PQ index
+    * ([[graft.similarity.SimilarityQueries.upsertIvfPqIndex]] — encode
+    * under the FIXED models, touched code cells only; retry-idempotent
+    * by construction), then the batch's own vectors probe the index
+    * they just joined via ADC. Batch 2 re-submits batch 1's vectors
+    * verbatim under new ids: identical vectors encode to identical
+    * codes, so each batch-2 query must get its batch-1 twin back at
+    * the query's own reconstruction distance — possible only because
+    * batch 1's CODES are in the served index (StreamPqIngestSpec pins
+    * the frozen counterfactual). The oracle chains two fixed-model ADC
+    * serves over the sequential corpus states.
+    */
+  private[graft] def pqIngestDemoLog(s: SparkSession, dir: String): String = {
+    import graft.similarity.{SimilarityQueries => SQ}
+    def freshVecs(ss: SparkSession, idOff: Long): DataFrame =
+      Tables(ss, dir).embeddings.filter(col("vec_id") < 8)
+        .select((col("vec_id") + idOff).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+    ingestLoop(s, dir, "graft_stream_pq", "embeddings.parquet",
+      "vec_id LONG, embedding ARRAY<FLOAT>",
+      "qid LONG, rk INT, nid LONG, adist DOUBLE",
+      ss => Seq(freshVecs(ss, 300000L), freshVecs(ss, 400000L)),
+      (child, idx) => {
+        val e = Tables(s, dir).embeddings
+        SQ.writeIvfPqIndex(s, e, SQ.trainIvfCentroids(e, SQ.GateK),
+          SQ.trainPqCodebooks(e), idx)
+        (batch, _) => {
+          // INGEST first: the upsert MERGEs code rows under the fixed
+          // models, so a retried batch re-applies cleanly
+          SQ.upsertIvfPqIndex(child, idx, batch)
+          // SERVE: ADC probe of the batch against the index it just
+          // joined — ≤ 5 rows per batch vector, the bounded probe log
+          SQ.ivfPqProbeBatch(child, idx, batch).collect().toSeq
+        }
+      })
+  }
+
+  val streamPqIngest = Query(
+    "ss_pq_stream_ingest",
+    (s, dir) => s.read
+      .schema("qid LONG, rk INT, nid LONG, adist DOUBLE")
+      .parquet(pqIngestDemoLog(s, dir))
+      .orderBy(col("qid"), col("rk")),
+    oracle = Some {
+      import graft.similarity.{SimilarityQueries => SQ}
+      s"""
+      WITH ${SQ.pqFixedModelCtes},
+      b1 AS (
+        SELECT vec_id + 300000 AS vec_id,
+               list_reverse(embedding) AS embedding
+        FROM embeddings WHERE vec_id < 8
+      ), b2 AS (
+        SELECT vec_id + 400000 AS vec_id,
+               list_reverse(embedding) AS embedding
+        FROM embeddings WHERE vec_id < 8
+      ), corpus_p1 AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM b1
+      ), corpus_p2 AS (
+        SELECT vec_id, embedding FROM corpus_p1
+        UNION ALL SELECT vec_id, embedding FROM b2
+      ),
+      ${SQ.ivfPqServeCtes("1", "corpus_p1", "b1")},
+      ${SQ.ivfPqServeCtes("2", "corpus_p2", "b2")}
+      SELECT qid, rk, nid, adist FROM ptop_1
+      UNION ALL
+      SELECT qid, rk, nid, adist FROM ptop_2
+      ORDER BY qid, rk
+    """
+    },
+    eagerPlan = Some((s, dir) => {
+      import graft.similarity.{SimilarityQueries => SQ}
+      // the declared per-batch serving shape: the fixed-model ADC
+      // probe of the persisted compressed index by a bounded batch
+      // (the upsert half's plan is pinned by IvfPqProbeSpec)
+      val idx = SQ.buildIvfPqIndex(s, dir)
+      val batch = Tables(s, dir).embeddings.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 300000).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      SQ.ivfPqProbeBatch(s, idx, batch)
+    }),
+  )
+
   val streamIngest = Query(
     "dd_stream_ingest",
     (s, dir) => s.read
@@ -1742,5 +1828,5 @@ object StreamingQueries {
       streamTopk, streamFunnel, streamHourlyUsers, streamAsof,
       streamAnomaly, streamQuantiles, streamAdmission, streamIngest,
       streamVecIngest, streamTextIngest, streamImageIngest,
-      streamAudioIngest, streamVideoIngest)
+      streamAudioIngest, streamVideoIngest, streamPqIngest)
 }
