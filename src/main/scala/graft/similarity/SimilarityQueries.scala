@@ -2403,6 +2403,81 @@ object SimilarityQueries {
       ), """)),
   )
 
+  /** Codebook-drift monitor for the compressed family —
+    * [[centroidDrift]]'s twin on the PQ model, completing the
+    * monitoring story (the coarse quantizer was watched, the codebooks
+    * were not — yet ADC quality decays with CODEBOOK fit, not cell
+    * routing): per subspace, the nightly batch's reconstruction-error
+    * profile under the index's FIXED codebooks, reported against the
+    * TRAINING corpus's worst error. `n_worse` — how many batch
+    * vectors quantize worse than anything the codebook was trained on
+    * — is the integer drift signal that schedules
+    * `ss_ivfpq_retrain`'s rebuild. Every aggregate is min/max or an
+    * integer count (never a float sum), the [[quantize]]
+    * bit-reproducibility discipline, so the row is oracle-gateable;
+    * the per-row error is the same pinned-order
+    * [[graft.functions.SubvecSqDist]] kernel as encode, evaluated as a
+    * codegen'd `least()` over the codebook literals riding the scan.
+    * Scale shape: one narrow corpus pass (for the 4-row per-subspace
+    * max) + one batch pass; the 4-row corpus profile broadcasts onto
+    * the batch — nothing corpus-sized shuffles, and a deployment would
+    * persist the corpus profile next to the codebooks at build time
+    * and skip the corpus pass entirely.
+    */
+  val pqDrift = Query(
+    "ss_pq_drift",
+    (s, dir) => {
+      val idx      = buildIvfPqIndex(s, dir)
+      val codebook = loadCodebooks(s, idx)
+      val e        = Tables(s, dir).embeddings
+      def errCol(sub: Int): Column = least(codebook(sub).map { case (_, cv) =>
+        VectorFunctions.subvecSqDist(col("embedding"), sub * PqSubDim, cv)
+      }: _*)
+      def melted(df: DataFrame): DataFrame =
+        df.select(explode(array((0 until PqM).map(sub =>
+          struct(lit(sub).as("s"), errCol(sub).as("err"))): _*)).as("a"))
+          .select(col("a.s").as("s"), col("a.err").as("err"))
+      val corpusMax = melted(e)
+        .groupBy(col("s")).agg(max(col("err")).as("corpus_max"))
+      melted(retrainBatch(e))
+        .join(broadcast(corpusMax), Seq("s"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          count(when(col("err") > col("corpus_max"), 1)).cast("long")
+            .as("n_worse"),
+          round(min(col("err")), 4).as("min_err"),
+          round(max(col("err")), 4).as("max_err"))
+        .orderBy(col("s"))
+    },
+    oracle = Some(s"""
+      WITH $pqFixedModelCtes,
+      bat AS (
+        SELECT vec_id + 200000 AS vec_id,
+               list_reverse(embedding) AS embedding
+        FROM embeddings WHERE vec_id < 100
+      ), bsub AS (
+        SELECT vec_id, s.s AS s,
+          list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS v
+        FROM bat, (SELECT unnest(range(0, 4)) AS s) s
+      ), berr AS (
+        SELECT b.vec_id, b.s, min(${sqdistSqlExpr("b.v", "c.cv")}) AS err
+        FROM bsub b JOIN cb c ON c.s = b.s GROUP BY 1, 2
+      ), cerr AS (
+        SELECT e.vec_id, e.s, min(${sqdistSqlExpr("e.v", "c.cv")}) AS err
+        FROM sub e JOIN cb c ON c.s = e.s GROUP BY 1, 2
+      ), cmax AS (
+        SELECT s, max(err) AS corpus_max FROM cerr GROUP BY s
+      )
+      SELECT b.s, count(*)::BIGINT AS n,
+        sum(CASE WHEN b.err > m.corpus_max THEN 1 ELSE 0 END)::BIGINT
+          AS n_worse,
+        round(min(b.err), 4) AS min_err,
+        round(max(b.err), 4) AS max_err
+      FROM berr b JOIN cmax m USING (s)
+      GROUP BY 1 ORDER BY 1
+    """),
+  )
+
   /** Int8 embedding quantization audit — the pre-flight check before a
     * serving tier ships int8 vectors: symmetric per-vector quantization
     * (scale = max|v_i| / 127, q_i = ⌊v_i/scale + 0.5⌋, so q_i ∈
@@ -3287,7 +3362,7 @@ object SimilarityQueries {
   def all: Seq[Query] =
     Seq(cosineNearDup, bruteTopk, lshTopk, ivfTopk, ivfSqrtK, ivfProbe,
       ivfDelete, ivfRetrain, indexManifest, pqTopk, ivfPqTopk, ivfPqProbe,
-      ivfPqUpsert, ivfPqDelete, ivfPqRetrain,
+      ivfPqUpsert, ivfPqDelete, ivfPqRetrain, pqDrift,
       kmeans, semanticDedup, vectorStats, quantize, coverage,
       recall, maxsim, matryoshka, filteredTopk, hybridRrf, indexStats,
       hardNegatives, mmr, outliers)
