@@ -190,6 +190,8 @@ class PlanAuditSpec extends SparkSuite {
       "qv" -> "1-row / <=|queries|-row query-vector frame",
       "probes" -> "<=nprobe x |queries| probe-cell routing frame",
       "pqProbes" -> "<=nprobe x |queries| probe-cell routing frame",
+      "corpusMax" ->
+        "<=PqM-row (4) per-subspace corpus error profile (ss_pq_drift)",
       "cands.select(col(\"qid\"), col(\"nid\"))" ->
         "<=k x |queries| candidate ids (heap-limited upstream)",
       "corpus.filter(col(\"vec_id\") < 50)" ->
