@@ -74,10 +74,21 @@ object IndexMerge {
     * pass (the default combine can't, by construction).
     */
   def merge(s: SparkSession, root: String, partCol: String, keyCol: String,
-      batch: DataFrame, readSchema: Option[String] = None,
+      batch0: DataFrame, readSchema: Option[String] = None,
       mergeFn: Option[(DataFrame, DataFrame) => DataFrame] = None): Seq[Int] = {
     val fs = hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath(root)), s"no partitioned index at $root")
+    // the batch feeds the locating pass, the partition probe, and the
+    // commit job — cache it once (bounded: the nightly batch)
+    val batch = batch0.persist()
+    try mergeCached(s, root, partCol, keyCol, batch, readSchema, mergeFn)
+    finally batch.unpersist()
+  }
+
+  private def mergeCached(s: SparkSession, root: String, partCol: String,
+      keyCol: String, batch: DataFrame, readSchema: Option[String],
+      mergeFn: Option[(DataFrame, DataFrame) => DataFrame]): Seq[Int] = {
+    val fs = hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val keys = batch.select(col(keyCol))
     val stats = partStats(s, root, partCol, keyCol, keys, readSchema)
     val newParts = batch.select(col(partCol)).distinct()
@@ -120,19 +131,21 @@ object IndexMerge {
       purge0: DataFrame, readSchema: Option[String] = None): Seq[Int] = {
     val fs = hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath(root)), s"no partitioned index at $root")
-    val purge = purge0.select(col(keyCol)).distinct()
-    val stats = partStats(s, root, partCol, keyCol, purge, readSchema)
-    val touched = stats.map(_._1).sorted
-    if (touched.isEmpty) return Nil
-    val empties = stats.collect { case (p, total, nb) if total == nb => p }
-    empties.foreach(p => fs.delete(hPath(s"$root/$partCol=$p"), true))
-    val readable = touched.filterNot(empties.toSet)
-    readParts(s, root, partCol, readable, readSchema).foreach { stored =>
-      val survivors = stored.join(broadcast(purge), Seq(keyCol), "left_anti")
-      overwriteParts(s, root, partCol, survivors)
-    }
-    s.catalog.refreshByPath(root)
-    touched
+    val purge = purge0.select(col(keyCol)).distinct().persist()
+    try {
+      val stats = partStats(s, root, partCol, keyCol, purge, readSchema)
+      val touched = stats.map(_._1).sorted
+      if (touched.isEmpty) return Nil
+      val empties = stats.collect { case (p, total, nb) if total == nb => p }
+      empties.foreach(p => fs.delete(hPath(s"$root/$partCol=$p"), true))
+      val readable = touched.filterNot(empties.toSet)
+      readParts(s, root, partCol, readable, readSchema).foreach { stored =>
+        val survivors = stored.join(broadcast(purge), Seq(keyCol), "left_anti")
+        overwriteParts(s, root, partCol, survivors)
+      }
+      s.catalog.refreshByPath(root)
+      touched
+    } finally purge.unpersist()
   }
 
   /** The custom-merge escape hatch (band index: hot-band suppression
