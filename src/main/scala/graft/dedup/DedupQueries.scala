@@ -680,8 +680,10 @@ object DedupQueries {
     * SCALE.md promises: each TOUCHED shard directory rewrites as an
     * anti-join of its own rows against its own deletion list (an
     * embarrassingly-parallel per-shard operation — the plan arrives
-    * pre-routed on the same key the layout partitions by), compacted
-    * to a size-derived file count and swapped crash-safely; untouched
+    * pre-routed on the same key the layout partitions by), all shards
+    * committed in ONE dynamic-partition-overwrite job
+    * ([[graft.operators.IndexMerge.delete]], per-shard compaction
+    * included); untouched
     * shard directories keep their files byte-identical. Idempotent: a
     * re-applied list anti-joins to a no-op. Returns the touched shards.
     * Layout-generic: `sub` is the partitioned table's subdirectory and
@@ -699,23 +701,14 @@ object DedupQueries {
     try {
       val touched = routed.select(col("shard")).distinct()
         .collect().map(_.getLong(0)).sorted // bounded: ≤ 16 shards
-      touched.foreach { k =>
-        val part     = s"$layout/$sub/shard=$k"
-        val partPath = new org.apache.hadoop.fs.Path(part)
-        if (fs.exists(partPath)) {
-          val ids = routed.filter(col("shard") === k).select(col(key))
-          val surviving = s.read.parquet(part)
-            .join(ids, Seq(key), "left_anti")
-          val bytes =
-            surviving.queryExecution.optimizedPlan.stats.sizeInBytes
-          val parts = math.max(1,
-            (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
-          val tmp = part + "__purging"
-          surviving.coalesce(parts).write.mode("overwrite").parquet(tmp)
-          graft.operators.Maintenance.swapDirs(s, tmp, part)
-        }
-      }
-      s.catalog.refreshByPath(layout) // swapped paths: drop cached listings
+      // ONE dynamic-partition-overwrite commit across exactly the
+      // shards holding a purged key (the kernel's column-pruned stats
+      // pass re-locates them — the blob column never leaves the scan's
+      // pruned ReadSchema); a fully-purged shard's directory clears,
+      // exactly what a rebuild over the survivors produces
+      graft.operators.IndexMerge.delete(s, s"$layout/$sub", "shard", key,
+        routed.select(col(key)))
+      s.catalog.refreshByPath(layout)
       touched
     } finally routed.unpersist()
   }
@@ -1461,15 +1454,25 @@ object DedupQueries {
     * build) and `dd_band_upsert` (probe after incremental ingest).
     */
   private[graft] def probeBandIndex(s: SparkSession, idx: String,
-      incoming: DataFrame): DataFrame = {
+      incoming: DataFrame, excludeBatchIds: Boolean = false): DataFrame = {
     val shI = cdcSigs(incoming)
     val bandsI = cdcBandsOf(shI)
     val bkts = bandsI
       .select(pmod(hash(col("bh")), lit(16)).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted // bounded: ≤ 16
-    val bandsE = s.read.schema(bandsSchema).parquet(s"$idx/bands")
+    val bandsE0 = s.read.schema(bandsSchema).parquet(s"$idx/bands")
       .filter(col("bkt").isin(bkts.map(Integer.valueOf): _*))
       .select(col("doc_id"), col("bh"))
+    // excludeBatchIds: the ingest LOOP's retry contract — a
+    // foreachBatch retry after a committed ingest must reproduce the
+    // FIRST attempt's verdicts, so the loop screens index-minus-batch
+    // (IngestLogRestartSpec). A later-session re-screen (dd_band_upsert:
+    // tomorrow's screen of ids ingested yesterday) keeps the default —
+    // a re-submitted id IS a dup against its stored self.
+    val bandsE =
+      if (!excludeBatchIds) bandsE0
+      else bandsE0.join(broadcast(incoming.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
     val shE = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
     val cands = bandsE.as("e")
       .join(broadcast(bandsI.as("i")), col("e.bh") === col("i.bh"))
@@ -1490,14 +1493,16 @@ object DedupQueries {
     * a stored band pushed past the cap by the batch drops its rows and
     * gains a tombstone, exactly what a from-scratch rebuild over the
     * extended corpus produces (BandUpsertSpec pins the equivalence,
-    * including the over-cap transition). Crash safety: ALL temp writes
-    * land first, then hot/ (the tombstones) swaps, then each bucket's
-    * bands, then the sigs append — the batch's commit point (the
-    * presence check reads sigs), with the bucket merges anti-joined on
-    * the batch ids AND on the tombstone keys, so a crashed run at any
-    * point re-applies cleanly: a bands swap that dropped an over-cap
-    * band's rows is never durable before its tombstone is, and the
-    * re-run's tombstone anti-join finishes any half-applied bucket.
+    * including the over-cap transition). Crash safety: ALL staging
+    * writes land first, then hot/ (the tombstones) swaps, then the
+    * bands table commits in ONE dynamic-partition-overwrite job
+    * ([[graft.operators.IndexMerge.commitStaged]]), then the sigs
+    * append — the batch's commit point (the presence check reads
+    * sigs), with the merges anti-joined on the batch ids AND on the
+    * tombstone keys, so a crashed run at any point re-applies cleanly:
+    * a bands commit that dropped an over-cap band's rows is never
+    * durable before its tombstone is, and the re-run's tombstone
+    * anti-join finishes any half-applied state.
     * Returns the touched bucket ids.
     */
   def upsertBandIndex(s: SparkSession, idx: String,
@@ -1533,65 +1538,61 @@ object DedupQueries {
       val hotTbl = s.read.schema(hotSchema).parquet(s"$idx/hot") // tiny tombstone set
       val staging = s"$idx/hot__new"
       fs.delete(new org.apache.hadoop.fs.Path(staging), true) // crash leftovers
-      // PHASE 1 — compute and write every temp; NOTHING swaps yet.
-      // keep and newHot share the `stored` scan, so a write executed
-      // after a swap would try to re-read replaced files.
-      touched.foreach { b =>
-        val bandPart = s"$idx/bands/bkt=$b"
-        val bandPath = new org.apache.hadoop.fs.Path(bandPart)
-        val partNew  = newBands.filter(col("bkt") === b).drop("bkt")
-        val stored =
-          if (fs.exists(bandPath))
-            s.read.schema(bucketSchema).parquet(bandPart)
-              .join(ids, Seq("doc_id"), "left_anti") // crashed-run rows
-          else partNew.limit(0)
-        val hot0 = hotTbl.filter(col("bkt") === b).select(col("bh"))
-        // a band is suppressed if already hot, or if its full member
-        // count (stored rows are complete for non-hot bands) + the
-        // batch's rows passes the cap; counts only grow under
-        // append-only admission, so suppression is monotone and the
-        // key-only tombstone needs no count. STORED rows anti-join the
-        // tombstones too: a no-op in normal operation (the invariant
-        // says a hot band has no stored rows), but after a crash
-        // between the hot swap below and this bucket's bands swap it
-        // repairs the bucket — the re-run sees the new tombstone in
-        // hot/ and drops the now-hot band's surviving stored rows,
-        // exactly what the from-scratch rebuild produces.
-        val merged = stored.join(hot0, Seq("bh"), "left_anti")
-          .unionByName(partNew.join(hot0, Seq("bh"), "left_anti"))
-        val wBand = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("bh"))
-        val counted = merged.withColumn("bc", count(lit(1)).over(wBand))
-        val keep    = counted.filter(col("bc") <= 50).drop("bc")
-        val newHot  = counted.filter(col("bc") > 50)
-          .select(col("bh")).distinct().withColumn("bkt", lit(b))
-        keep.write.mode("overwrite").parquet(bandPart + "__upserting")
-        newHot.coalesce(1).write.mode("overwrite").parquet(s"$staging/b=$b")
-      }
+      // PHASE 1 — materialize BOTH derived sets across ALL touched
+      // buckets at once; NOTHING under the index changes yet. keep and
+      // newHot share the `stored` scan, so a write executed after a
+      // swap would try to re-read replaced files.
+      //
+      // A band is suppressed if already hot, or if its full member
+      // count (stored rows are complete for non-hot bands) + the
+      // batch's rows passes the cap; counts only grow under
+      // append-only admission, so suppression is monotone and the
+      // key-only tombstone needs no count. STORED rows anti-join the
+      // tombstones too: a no-op in normal operation (the invariant
+      // says a hot band has no stored rows), but after a crash between
+      // the hot swap below and the bands commit it repairs the table —
+      // the re-run sees the new tombstone in hot/ and drops the
+      // now-hot band's surviving stored rows, exactly what the
+      // from-scratch rebuild produces. A band key determines its
+      // bucket (bkt = hash(bh) % 16), so the one window over the
+      // all-buckets union counts per band exactly as the old
+      // per-bucket loop did.
+      val existing = touched.filter(b =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$idx/bands/bkt=$b")))
+      val stored =
+        if (existing.isEmpty) newBands.limit(0)
+        else s.read.schema(bandsSchema).option("basePath", s"$idx/bands")
+          .parquet(existing.map(b => s"$idx/bands/bkt=$b"): _*)
+          .join(ids, Seq("doc_id"), "left_anti") // crashed-run rows
+      val hot0   = hotTbl.select(col("bh"))
+      val merged = stored.join(hot0, Seq("bh"), "left_anti")
+        .unionByName(newBands.join(hot0, Seq("bh"), "left_anti"))
+      val wBand = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bh"))
+      val counted = merged.withColumn("bc", count(lit(1)).over(wBand))
+      val keep    = counted.filter(col("bc") <= 50).drop("bc")
+      val newHot  = counted.filter(col("bc") > 50)
+        .select(col("bh"), col("bkt")).distinct()
+      newHot.coalesce(1).write.mode("overwrite").parquet(staging)
+      val bandsStaging = graft.operators.IndexMerge.stageParts(
+        s, s"$idx/bands", "bkt", keep)
       // PHASE 2 — hot/ swaps FIRST (one whole-table tombstone merge;
       // the set is tiny at any scale). Ordering the tombstone publish
-      // BEFORE any bands swap closes the r11-advice crash window: a
-      // bucket swap that dropped an over-cap band's rows can never be
+      // BEFORE the bands commit closes the r11-advice crash window: a
+      // bands commit that dropped an over-cap band's rows can never be
       // durable while hot/ still lacks that band's tombstone, so no
       // crash point loses a band's pre-existing rows without also
       // suppressing the band (the repair anti-join above finishes the
       // job on re-run).
-      val newHotAll = s.read.schema(hotSchema)
-        .parquet(touched.map(b => s"$staging/b=$b"): _*)
+      val newHotAll = s.read.schema(hotSchema).parquet(staging)
       val hotTmp = s"$idx/hot__upserting"
       hotTbl.unionByName(newHotAll).distinct()
         .coalesce(1).write.mode("overwrite").parquet(hotTmp)
       graft.operators.Maintenance.swapDirs(s, hotTmp, s"$idx/hot")
-      // PHASE 3 — bands swap per bucket, already fully written.
-      touched.foreach { b =>
-        val bandPart = s"$idx/bands/bkt=$b"
-        val bandPath = new org.apache.hadoop.fs.Path(bandPart)
-        val bandTmp  = bandPart + "__upserting"
-        if (fs.exists(bandPath))
-          graft.operators.Maintenance.swapDirs(s, bandTmp, bandPart)
-        else if (!fs.rename(new org.apache.hadoop.fs.Path(bandTmp), bandPath))
-          throw new java.io.IOException(s"rename $bandTmp -> $bandPart failed")
-      }
+      // PHASE 3 — the bands table commits in ONE dynamic-overwrite job
+      // from the staged copy (buckets whose every band went hot clear).
+      graft.operators.IndexMerge.commitStaged(
+        s, s"$idx/bands", "bkt", touched, bandsStaging)
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       // the batch's commit point: sigs append LAST, so a crashed run
       // re-applies (the presence check above reads sigs); the
@@ -1734,72 +1735,40 @@ object DedupQueries {
         val touched = (purgedBands.select(col("bkt")).distinct()
           .collect().map(_.getInt(0)) ++ resKeysArr.map(_._2))
           .distinct.sorted // bounded: ≤ 16
-        // PHASE 1 — write every temp; nothing swaps yet
-        touched.foreach { b =>
-          val bandPart = s"$idx/bands/bkt=$b"
-          val bandPath = new org.apache.hadoop.fs.Path(bandPart)
-          val stored =
-            if (fs.exists(bandPath))
-              s.read.schema(bucketSchema).parquet(bandPart)
-            else resRows.limit(0).select(col("doc_id"), col("bh"))
-          // drop purged docs' rows AND any rows of a resurrecting band
-          // (none in normal operation; after a crash mid-delete the
-          // re-run re-adds the freshly computed surviving set instead
-          // of duplicating it), then add the resurrected survivors
-          val merged = stored
-            .join(purge, Seq("doc_id"), "left_anti")
-            .join(resKeysDf, Seq("bh"), "left_anti")
-            .unionByName(resRows.filter(col("bkt") === b)
-              .select(col("doc_id"), col("bh")))
-          merged.write.mode("overwrite").parquet(bandPart + "__deleting")
-        }
+        // PHASE 1 — materialize every derived set across ALL touched
+        // buckets at once; nothing under the index changes yet. Stored
+        // rows drop purged docs AND any rows of a resurrecting band
+        // (none in normal operation; after a crash mid-delete the
+        // re-run re-adds the freshly computed surviving set instead of
+        // duplicating it), then the resurrected survivors union in.
+        val existing = touched.filter(b =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$idx/bands/bkt=$b")))
+        val stored =
+          if (existing.isEmpty)
+            resRows.limit(0).select(col("doc_id"), col("bh"), col("bkt"))
+          else s.read.schema(bandsSchema).option("basePath", s"$idx/bands")
+            .parquet(existing.map(b => s"$idx/bands/bkt=$b"): _*)
+        val merged = stored
+          .join(purge, Seq("doc_id"), "left_anti")
+          .join(resKeysDf, Seq("bh"), "left_anti")
+          .unionByName(resRows.select(col("doc_id"), col("bh"), col("bkt")))
+        val bandsStaging = graft.operators.IndexMerge.stageParts(
+          s, s"$idx/bands", "bkt", merged)
         val newHot = hotTbl.join(resKeysDf, Seq("bh"), "left_anti")
         val hotTmp = s"$idx/hot__deleting"
         newHot.coalesce(1).write.mode("overwrite").parquet(hotTmp)
-        // sigs rewrite prunes to the id-buckets actually holding a
-        // purged signature (the r12 SCALE caveat, executed: the table
-        // no longer rewrites whole) — bounded: ≤ 16 bucket ids. Temps
-        // stage OUTSIDE the partitioned root: a `sbkt=N__deleting`
-        // sibling inside it would parse as a partition value and
-        // corrupt the later buckets' root reads in this very loop.
-        val sigStaging = s"$idx/sigs__deleting"
-        fs.delete(new org.apache.hadoop.fs.Path(sigStaging), true) // crash leftovers
-        val sigBkts = purgedSigs.select(col("sbkt")).distinct()
-          .collect().map(_.getInt(0)).sorted
-        sigBkts.foreach { b =>
-          val surviving = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
-            .filter(col("sbkt") === b) // static partition filter
-            .join(purge, Seq("doc_id"), "left_anti")
-            .select(col("doc_id"), col("sh"))
-          val bytes =
-            surviving.queryExecution.optimizedPlan.stats.sizeInBytes
-          val parts = math.max(1,
-            (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
-          surviving.coalesce(parts).write.mode("overwrite")
-            .parquet(s"$sigStaging/b=$b")
-        }
-        // PHASE 2 — swap buckets, then hot, then the sigs buckets (the
-        // commit = the last sigs-bucket swap; a crash mid-way leaves
-        // purged ids visible in the unswapped buckets, so the re-run's
-        // presence probe re-applies and every anti-join converges)
-        touched.foreach { b =>
-          val bandPart = s"$idx/bands/bkt=$b"
-          val bandPath = new org.apache.hadoop.fs.Path(bandPart)
-          val bandTmp  = bandPart + "__deleting"
-          if (fs.exists(bandPath))
-            graft.operators.Maintenance.swapDirs(s, bandTmp, bandPart)
-          else if (!fs.rename(new org.apache.hadoop.fs.Path(bandTmp),
-              bandPath))
-            throw new java.io.IOException(
-              s"rename $bandTmp -> $bandPart failed")
-        }
+        // PHASE 2 — the bands table commits in ONE dynamic-overwrite
+        // job, then hot/ swaps, then the sigs table commits in one
+        // dynamic-overwrite job pruned to the id-buckets holding a
+        // purged signature (the commit point: a crash anywhere earlier
+        // leaves purged ids visible in sigs, so the re-run's presence
+        // probe re-applies and every anti-join converges)
+        graft.operators.IndexMerge.commitStaged(
+          s, s"$idx/bands", "bkt", touched, bandsStaging)
         graft.operators.Maintenance.swapDirs(s, hotTmp, s"$idx/hot")
-        sigBkts.foreach { b =>
-          graft.operators.Maintenance.swapDirs(s,
-            s"$sigStaging/b=$b", s"$idx/sigs/sbkt=$b")
-        }
-        fs.delete(new org.apache.hadoop.fs.Path(sigStaging), true)
-        // swapped directories keep their paths — drop cached listings
+        graft.operators.IndexMerge.delete(s, s"$idx/sigs", "sbkt",
+          "doc_id", purge, readSchema = Some(sigsSchema))
+        // replaced partitions keep their paths — drop cached listings
         s.catalog.refreshByPath(idx)
         touched.toSeq
       } finally purgedBands.unpersist()

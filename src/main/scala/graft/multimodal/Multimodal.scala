@@ -2431,13 +2431,25 @@ object Multimodal {
     * and `dd_image_stream_ingest` (the admission loop).
     */
   private[graft] def probeMediaIndex(s: SparkSession, idx: String,
-      incomingHashes: DataFrame): DataFrame = {
+      incomingHashes: DataFrame,
+      excludeBatchIds: Boolean = false): DataFrame = {
     val bandsI = bandsOfHashes(incomingHashes)
     val keysI  = bandsI.select(col("bno"), col("bval")).distinct()
     val bkts = keysI.select(mediaBandBkt.as("b")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded: ≤ MediaIndexBuckets
-    val stored = s.read.schema(mediaBandsSchema).parquet(s"$idx/bands")
+    val stored0 = s.read.schema(mediaBandsSchema).parquet(s"$idx/bands")
       .filter(col("bkt").isin(bkts.map(Integer.valueOf): _*))
+    // excludeBatchIds: the ingest LOOP's retry contract — a
+    // foreachBatch retry after a committed ingest must reproduce the
+    // FIRST attempt's verdicts, including the probe-time band-cap
+    // counts, so the loop screens index-minus-batch
+    // (IngestLogRestartSpec's discipline). Later-session re-screens
+    // keep the default — a re-submitted id IS a dup against its
+    // stored self.
+    val stored =
+      if (!excludeBatchIds) stored0
+      else stored0.join(broadcast(incomingHashes.select(col("media_id"))),
+        Seq("media_id"), "left_anti")
     val okKeys = stored
       .join(broadcast(keysI), Seq("bno", "bval"), "left_semi")
       .groupBy(col("bno"), col("bval")).agg(count(lit(1)).as("bc"))
@@ -2467,10 +2479,12 @@ object Multimodal {
     * re-ingested; replacements are the purge tier's job): batch ids
     * already in the signatures fail loudly, duplicate ids within a
     * batch fail loudly. Only the batch's ≤16 band buckets and ≤16 sig
-    * buckets rewrite, each merge anti-joined on the batch ids so a
-    * crashed run at any point re-applies cleanly; band buckets swap
-    * first, sig buckets LAST — the batch's commit point (the presence
-    * check reads sigs). No cap bookkeeping: the cap is probe-time
+    * buckets rewrite — each table in ONE dynamic-partition-overwrite
+    * commit ([[graft.operators.IndexMerge.merge]]), anti-joined on the
+    * batch ids so a crashed run at any point re-applies cleanly; the
+    * bands table commits first, the sigs table LAST — the batch's
+    * commit point (the presence check reads sigs). No cap bookkeeping:
+    * the cap is probe-time
     * ([[writeMediaIndex]]), so an upsert that pushes a band past 50
     * members changes nothing in the store — the NEXT probe's
     * membership pass simply stops emitting that band's candidates,
@@ -2495,55 +2509,42 @@ object Multimodal {
       // The presence check distinguishes a TRUE re-ingest (every batch
       // id already in sigs → throw: admission is append-only) from a
       // crashed run's partial sig commit (some-but-not-all ids present
-      // → continue: sig buckets swap one at a time below, so a crash
-      // between two swaps leaves exactly this state, and the
-      // per-bucket anti-joins make finishing the job the repair — an
-      // any-id-present throw would brick such a batch forever, the
-      // r13 advice finding). Both counts are bounded by the nightly
-      // batch.
+      // → continue: the anti-joined merges make finishing the job the
+      // repair — an any-id-present throw would brick such a batch
+      // forever, the r13 advice finding). Since r15 each table commits
+      // in ONE dynamic-overwrite job, so the partial state is only
+      // reachable through a crash inside the sigs commit itself; a
+      // NON-crash partial overlap (a user-error mixed batch re-
+      // ingesting changed content under existing ids) is
+      // indistinguishable from it, so proceeding is logged loudly
+      // (the r14 advice). Both counts are bounded by the nightly batch.
+      val nBatch = ids.distinct().count()
       val nPresent = s.read.schema(mediaSigsSchema).parquet(s"$idx/sigs")
         .join(ids, Seq("media_id"), "left_semi")
         .select(col("media_id")).distinct().count()
-      if (nPresent > 0 && nPresent == ids.distinct().count())
+      if (nPresent > 0 && nPresent == nBatch)
         throw new IllegalArgumentException(
           s"upsertMediaIndex: all $nPresent batch ids already " +
             "indexed — admission is append-only; replacements go through " +
             "purge + re-ingest")
+      if (nPresent > 0)
+        System.err.println(
+          s"[graft.Multimodal] upsertMediaIndex: $nPresent of $nBatch " +
+            "batch ids already indexed — treating as a crashed-commit " +
+            "repair and re-applying the merge; if this batch was a " +
+            "deliberate partial re-ingest, its stored signatures are " +
+            "being REPLACED (append-only admission bypassed)")
       val newBands = bandsOfHashes(hashes).withColumn("bkt", mediaBandBkt)
-      // bareSchema: the bucket files WITHOUT the partition column (it
-      // lives in the directory name, not the files)
-      def mergeBuckets(root: String, newRows: DataFrame, part: String,
-          bareSchema: String, keyCol: String): Seq[Int] = {
-        val touched = newRows.select(col(part)).distinct()
-          .collect().map(_.getInt(0)).sorted // bounded: ≤ MediaIndexBuckets
-        touched.foreach { b =>
-          val dirPath = s"$root/$part=$b"
-          val p       = new org.apache.hadoop.fs.Path(dirPath)
-          val partNew = newRows.filter(col(part) === b).drop(part)
-          val merged =
-            if (fs.exists(p))
-              s.read.schema(bareSchema).parquet(dirPath)
-                .join(ids, Seq(keyCol), "left_anti") // crashed-run rows
-                .unionByName(partNew)
-            else partNew
-          val bytes = merged.queryExecution.optimizedPlan.stats.sizeInBytes
-          val parts = math.max(1,
-            (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
-          val tmp = dirPath + "__upserting"
-          merged.coalesce(parts).write.mode("overwrite").parquet(tmp)
-          if (fs.exists(p))
-            graft.operators.Maintenance.swapDirs(s, tmp, dirPath)
-          else if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p))
-            throw new java.io.IOException(s"rename $tmp -> $dirPath failed")
-        }
-        touched.toSeq
-      }
-      // bands first; sigs LAST (the commit point — presence reads sigs)
-      val touched = mergeBuckets(s"$idx/bands", newBands, "bkt",
-        mediaBandsBare, "media_id")
-      mergeBuckets(s"$idx/sigs",
-        hashes.withColumn("sb", mediaSigBkt(col("media_id"))), "sb",
-        mediaSigsBare, "media_id")
+      // bands first; sigs LAST (the commit point — presence reads
+      // sigs); each table commits in ONE dynamic-partition-overwrite
+      // job through the shared kernel (anti-join on the batch ids
+      // clears crashed-run rows before the union)
+      val touched = graft.operators.IndexMerge.merge(s, s"$idx/bands",
+        "bkt", "media_id", newBands, readSchema = Some(mediaBandsSchema))
+      graft.operators.IndexMerge.merge(s, s"$idx/sigs",
+        "sb", "media_id",
+        hashes.withColumn("sb", mediaSigBkt(col("media_id"))),
+        readSchema = Some(mediaSigsSchema))
       s.catalog.refreshByPath(idx)
       touched
     } finally hashes.unpersist()
@@ -2689,7 +2690,8 @@ object Multimodal {
     * computable from the purge list alone, so the locating read
     * touches only the buckets that can hold a purged id), then the
     * touched band buckets and sig buckets anti-join the purge list
-    * out — plain rewrites, because the cap is PROBE-TIME: a tombstoned
+    * out — plain rewrites, one dynamic-partition-overwrite commit per
+    * table, because the cap is PROBE-TIME: a tombstoned
     * band "resurrecting" when its membership drops back under the cap
     * is not an event this index has to handle — the next probe's
     * membership pass simply sees the smaller count and the band's
@@ -2710,6 +2712,10 @@ object Multimodal {
     require(fs.exists(sigsRoot), s"no image index at $idx — build it first")
     val purge = purge0.select(col("media_id")).persist()
     try {
+      // presence resolves against SIGS — the commit-point table, so a
+      // crashed run (bands purged, sigs not yet) still locates its
+      // remaining work; the ID-PRUNED scan reads only the sig buckets
+      // that can hold a purged id
       val sbs = purge.select(mediaSigBkt(col("media_id")).as("b")).distinct()
         .collect().map(_.getInt(0)).sorted // bounded: ≤ MediaIndexBuckets
       if (sbs.isEmpty) return Nil
@@ -2721,26 +2727,13 @@ object Multimodal {
         .select(mediaBandBkt.as("b")).distinct()
         .collect().map(_.getInt(0)).sorted // bounded: ≤ MediaIndexBuckets
       if (touched.isEmpty) return Nil // no purged id is indexed
-      def rewrite(root: String, part: String, bareSchema: String,
-          buckets: Seq[Int]): Unit =
-        buckets.foreach { b =>
-          val dirPath = s"$root/$part=$b"
-          val p       = new org.apache.hadoop.fs.Path(dirPath)
-          if (fs.exists(p)) {
-            val surviving = s.read.schema(bareSchema).parquet(dirPath)
-              .join(purge, Seq("media_id"), "left_anti")
-            val bytes =
-              surviving.queryExecution.optimizedPlan.stats.sizeInBytes
-            val parts = math.max(1,
-              (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
-            val tmp = dirPath + "__deleting"
-            surviving.coalesce(parts).write.mode("overwrite").parquet(tmp)
-            graft.operators.Maintenance.swapDirs(s, tmp, dirPath)
-          }
-        }
-      // band buckets first; sig buckets LAST (the commit point)
-      rewrite(s"$idx/bands", "bkt", mediaBandsBare, touched)
-      rewrite(s"$idx/sigs", "sb", mediaSigsBare, sbs.toSeq)
+      // the bands table first; the sigs table LAST (the commit point);
+      // each table purges in ONE dynamic-partition-overwrite commit
+      // (fully-purged buckets clear; a re-applied list is a no-op)
+      graft.operators.IndexMerge.delete(s, s"$idx/bands",
+        "bkt", "media_id", purge, readSchema = Some(mediaBandsSchema))
+      graft.operators.IndexMerge.delete(s, s"$idx/sigs",
+        "sb", "media_id", purge, readSchema = Some(mediaSigsSchema))
       s.catalog.refreshByPath(idx)
       touched.toSeq
     } finally purge.unpersist()

@@ -60,13 +60,15 @@ object IndexMerge {
   private def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
 
   /** Key-based MERGE of `batch` into the partitioned directory `root`:
-    * rows with a batch key are replaced (wherever they currently
-    * live — an update whose partition assignment moved must not
-    * survive in its old partition), new keys append. `batch` must
-    * carry `partCol` (its target partition), `keyCol`, and the payload
-    * columns, with at most one row per key (callers enforce the loud
-    * duplicate check — MERGE semantics). Returns touched partition ids
-    * (sorted).
+    * stored rows carrying a batch key are replaced by the batch's rows
+    * for that key (wherever they currently live — an update whose
+    * partition assignment moved must not survive in its old
+    * partition), new keys append. `batch` must carry `partCol` (each
+    * row's target partition), `keyCol`, and the payload columns; the
+    * KEY is the replacement unit — several rows per key (postings,
+    * band entries) are fine, but two conflicting VERSIONS of a key in
+    * one batch are the caller's loud-duplicate check to make (MERGE
+    * semantics). Returns touched partition ids (sorted).
     *
     * `mergeFn` overrides the default anti-join+union combine (e.g.
     * keep-newest CDC merges). Custom merges must never empty a
@@ -160,12 +162,36 @@ object IndexMerge {
     * batch's effect, which the caller's idempotent re-apply restores.
     */
   private[graft] def publishStaged(s: SparkSession, root: String,
-      partCol: String, touched: Seq[Int], merged: DataFrame): Unit = {
+      partCol: String, touched: Seq[Int], merged: DataFrame): Unit =
+    commitStaged(s, root, partCol, touched,
+      stageParts(s, root, partCol, merged))
+
+  /** Stage `merged` to the `root`__staging sibling in one job and
+    * return the staging path — the MATERIALIZATION half of
+    * [[publishStaged]], split out so a caller can durably publish an
+    * ordering-constrained side artifact (the band index's hot
+    * tombstones, which must land before any bands change is durable)
+    * between the staging write and [[commitStaged]]. Nothing under
+    * `root` changes.
+    */
+  private[graft] def stageParts(s: SparkSession, root: String,
+      partCol: String, merged: DataFrame): String = {
     val fs = hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = root + "__staging"
     fs.delete(hPath(staging), true) // crash leftovers
     merged.repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(staging)
+    staging
+  }
+
+  /** The COMMIT half of [[publishStaged]]: clear the `touched`
+    * partitions absent from the staged output (vacated), then commit
+    * the staged rows to `root` in one dynamic-overwrite job that reads
+    * only the staging copy, and drop the staging directory.
+    */
+  private[graft] def commitStaged(s: SparkSession, root: String,
+      partCol: String, touched: Seq[Int], staging: String): Unit = {
+    val fs = hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val stagedParts = fs.listStatus(hPath(staging)).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith(s"$partCol=") =>
@@ -193,6 +219,12 @@ object IndexMerge {
   private def partStats(s: SparkSession, root: String, partCol: String,
       keyCol: String, keys: DataFrame,
       readSchema: Option[String]): Seq[(Int, Long, Long)] = {
+    // a freshly-initialized table may hold no partition directory at
+    // all (only a _SUCCESS marker) — nothing stored, nothing touched
+    val fs = hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasParts = fs.listStatus(hPath(root)).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+    if (!hasParts) return Nil
     val base = readSchema.fold(s.read)(s.read.schema).parquet(root)
     base.select(col(keyCol), col(partCol))
       .join(broadcast(keys.distinct().withColumn("__inb", lit(1))),

@@ -103,11 +103,12 @@ object Maintenance {
     *
     * On a [[writeKeyBucketed]] layout the rewrite is PARTITION-PRUNED:
     * only the bucket directories whose hash range contains an updated
-    * key are read, merged (anti join + union), and swapped — untouched
-    * bucket directories keep their files byte-identical (asserted in
-    * MaintenanceSpec by mtime+size). Each bucket swaps crash-safely via
-    * [[swapDirs]]; a crash mid-batch leaves every bucket either old or
-    * fully merged, and re-running the same upsert is idempotent.
+    * key are read, merged (anti join + union), and committed — through
+    * [[IndexMerge.merge]]'s ONE dynamic-partition-overwrite job, so the
+    * whole batch has a single commit point; untouched bucket
+    * directories keep their files byte-identical (asserted in
+    * MaintenanceSpec by mtime+size), and re-running the same upsert is
+    * idempotent.
     *
     * On a flat directory (no bucket marker) the whole directory
     * rewrites in one crash-safe swap — correct, but O(lake) per batch;
@@ -150,24 +151,18 @@ object Maintenance {
       finally in.close()
     }
     val bucketOf = pmod(hash(col(key)), lit(nBuckets))
-    val upd = updates.withColumn("bucket", bucketOf).persist()
-    val touched = upd.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted // bounded by nBuckets
-    touched.foreach { b =>
-      val part    = s"$dir/bucket=$b"
-      val partUpd = upd.filter(col("bucket") === b).drop("bucket")
-      val partPath = new org.apache.hadoop.fs.Path(part)
-      val merged =
-        if (fs.exists(partPath)) merge(spark.read.parquet(part), partUpd)
-        else partUpd // a new key hashed into a previously-empty bucket
-      val tmp = part + "__upserting"
-      merged.write.mode("overwrite").parquet(tmp)
-      if (fs.exists(partPath)) swapDirs(spark, tmp, part)
-      else if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), partPath))
-        throw new java.io.IOException(s"rename $tmp -> $part failed")
-    }
-    upd.unpersist()
-    spark.catalog.refreshByPath(dir) // swapped paths: drop cached listings
+    val upd = updates.withColumn("bucket", bucketOf)
+    // ONE dynamic-partition-overwrite commit over exactly the touched
+    // buckets (IndexMerge locates them with a column-pruned stats
+    // pass). A key's bucket is a pure hash of the key, so an update
+    // can never vacate its bucket — the custom keep-newest combine is
+    // safe under the kernel's no-vacating rule.
+    IndexMerge.merge(spark, dir, "bucket", key, upd,
+      mergeFn =
+        if (newestBy.isEmpty) None
+        else Some((stored, batch) => keepNewest(
+          stored.unionByName(batch), key, newestBy)))
+    spark.catalog.refreshByPath(dir) // replaced partitions: drop listings
   }
 
   /** Directory swap that never leaves a window without the data: the

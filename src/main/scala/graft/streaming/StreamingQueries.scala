@@ -1254,12 +1254,14 @@ object StreamingQueries {
     *  - staging the nightly files with ordered mtimes so
     *    `maxFilesPerTrigger=1` feeds them oldest-first — the
     *    deterministic stand-in for N nights of arrivals;
-    *  - the verdict log, KEYED BY MICRO-BATCH ID: an at-least-once
-    *    foreachBatch retry after a committed upsert REPLACES its
-    *    batch's rows instead of appending a second copy next to them
-    *    (the r13 advice finding: every channel's index side was
-    *    retry-idempotent but the list-append log side was not), and
-    *    the once-per-generation sorted log write.
+    *  - the verdict log, KEYED BY MICRO-BATCH ID and written DURABLY
+    *    inside foreachBatch as a `batch=<id>` partition overwrite
+    *    ([[runIngestStream]]): an at-least-once retry REPLACES its
+    *    batch's rows instead of appending a second copy (the r13
+    *    advice finding), a crash between batches loses no committed
+    *    verdicts (the r14 ask — the log used to buffer in driver
+    *    memory until stream end), and the once-per-generation sorted
+    *    log assembles from the partitions.
     * The channel supplies only: the stream/log schemas, the staged
     * batch frames, and `setup` — build the index under the temp root
     * and return the per-batch handler (screen/ingest order is the
@@ -1292,29 +1294,59 @@ object StreamingQueries {
       batches(s).zipWithIndex.foreach { case (b, i) =>
         stageBatch(b, tmp, stage, s"batch${i + 1}", t0 + i * 120000L)
       }
-      val stream = child.readStream
-        .schema(streamSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-      val out = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Row]]()
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // put, not add: a retried batch replaces its verdict rows
-          out.put(batchId, handle(batch, batchId))
-          ()
-        }
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      import scala.jdk.CollectionConverters._
+      runIngestStream(child, stage, streamSchema, logSchema,
+        s"$tmp/logparts", s"$tmp/ckpt", handle)
+      // assemble the generation's gated log from the per-batch
+      // partitions (`batch` is durable bookkeeping, not a log column)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(logSchema)
-      val rows   = out.asScala.toSeq.sortBy(_._1).flatMap(_._2)
-      s.createDataFrame(rows.asJava, schema)
+      s.read.parquet(s"$tmp/logparts").drop("batch")
         .orderBy(schema.fieldNames.toSeq.map(col): _*)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/log")
     }
     s"$root/log"
+  }
+
+  /** The admit-and-ingest micro-batch loop itself, split from
+    * [[ingestLoop]]'s publish scaffolding so IngestLogRestartSpec can
+    * kill it between batches and restart it on the same checkpoint.
+    * Each batch's verdict rows land DURABLY inside foreachBatch,
+    * OVERWRITTEN into a `batch=<id>` partition of `logParts` (r14
+    * verdict ask #5 — the loop used to buffer every batch's verdicts
+    * in driver memory and write once after `awaitTermination`, so a
+    * mid-stream crash lost the whole log while the index kept the
+    * upserts): an at-least-once foreachBatch retry REPLACES its rows
+    * (same batchId → same partition), and a crash between batches
+    * loses nothing already committed — the restarted stream resumes
+    * from the checkpoint and re-runs at most the uncommitted batch,
+    * whose log overwrite and idempotent index handler converge.
+    * `failAfterBatch` is the spec's crash injection point (after the
+    * log write, before the micro-batch commits — the worst-ordered
+    * crash; the [[graft.core.FaultInjection]] discipline).
+    */
+  private[streaming] def runIngestStream(child: SparkSession, stage: String,
+      streamSchema: String, logSchema: String, logParts: String,
+      ckpt: String, handle: (DataFrame, Long) => Seq[Row],
+      failAfterBatch: Option[Long] = None): Unit = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(logSchema)
+    val q = child.readStream
+      .schema(streamSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import scala.jdk.CollectionConverters._
+        child.createDataFrame(handle(batch, batchId).asJava, schema)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$logParts/batch=$batchId")
+        failAfterBatch.filter(_ == batchId).foreach { b =>
+          throw new RuntimeException(s"injected crash after batch $b")
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   private[graft] def ingestDemoLog(s: SparkSession, dir: String): String = {
@@ -1333,7 +1365,8 @@ object StreamingQueries {
           // SCREEN first (the admission order: a doc must not match
           // itself); one verdict row per incoming doc — bounded by the
           // nightly batch
-          val verdicts = DQ.probeBandIndex(child, idx, batch).collect().toSeq
+          val verdicts = DQ.probeBandIndex(child, idx, batch,
+            excludeBatchIds = true).collect().toSeq
           // INGEST: the admitted docs join the index so the NEXT
           // batch screens against them. The anti-join on the stored
           // signatures makes a foreachBatch retry after a committed
@@ -1699,7 +1732,8 @@ object StreamingQueries {
           val hashes = hashesOf(batch)
           // SCREEN: one verdict row per arrival — bounded by the
           // nightly batch; the verdicts land in the persisted log
-          val verdicts = MM.probeMediaIndex(child, idx, hashes)
+          val verdicts = MM.probeMediaIndex(child, idx, hashes,
+              excludeBatchIds = true)
             .collect().toSeq
           // INGEST: admitted media join the index so the NEXT batch
           // screens against them; the stored-sigs anti-join makes a

@@ -1929,29 +1929,17 @@ object TextQueries {
         .head() // 1-row bounded collect
       val (nBatch, sumNewDl) = (batchAgg.getLong(0), batchAgg.getLong(1))
       oldInfo.unpersist()
-      val touched = (newBkts ++ oldBkts).toSeq.sorted
-      touched.foreach { b =>
-        val part     = s"$idx/postings/bkt=$b"
-        val partPath = new org.apache.hadoop.fs.Path(part)
-        val partNew  = newPosts.filter(col("bkt") === b).drop("bkt")
-        val merged =
-          if (fs.exists(partPath))
-            s.read.parquet(part)
-              .join(ids, Seq("doc_id"), "left_anti")
-              .unionByName(partNew)
-          else partNew // first postings for a previously-empty bucket
-        // per-bucket compaction: the compactParquet size rule, so a
-        // nightly upsert chain cannot accrete a small-files pathology
-        val bytes = merged.queryExecution.optimizedPlan.stats.sizeInBytes
-        val parts = math.max(1,
-          (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
-        val tmp = part + "__upserting"
-        merged.coalesce(parts).write.mode("overwrite").parquet(tmp)
-        if (fs.exists(partPath))
-          graft.operators.Maintenance.swapDirs(s, tmp, part)
-        else if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), partPath))
-          throw new java.io.IOException(s"rename $tmp -> $part failed")
-      }
+      // ONE dynamic-partition-overwrite commit over exactly the touched
+      // buckets (per-bucket compaction included — the kernel routes
+      // each bucket to one task); the kernel re-derives the touched set
+      // from its own locating pass, which must agree with newBkts ∪
+      // oldBkts above (the stats deltas were computed from the same
+      // pre-merge reads)
+      val touched = graft.operators.IndexMerge.merge(s, s"$idx/postings",
+        "bkt", "doc_id", newPosts)
+      assert(touched.toSet == (newBkts ++ oldBkts),
+        s"postings merge touched $touched but stats deltas covered " +
+          s"${(newBkts ++ oldBkts).toSeq.sorted}")
       // stats refresh — exact integers in, one division out
       val st = s.read.parquet(s"$idx/stats")
         .select(col("n_docs"), col("sum_dl")).head()
@@ -2072,19 +2060,12 @@ object TextQueries {
       .toDF("n_docs", "avgdl", "sum_dl")
       .coalesce(1).write.mode("overwrite").parquet(statsTmp)
     graft.operators.Maintenance.swapDirs(s, statsTmp, s"$idx/stats")
-    touched.foreach { b =>
-      val part = s"$idx/postings/bkt=$b"
-      val surviving = s.read.parquet(part)
-        .join(purge, Seq("doc_id"), "left_anti")
-      // per-bucket compaction, the upsert's own size rule
-      val bytes = surviving.queryExecution.optimizedPlan.stats.sizeInBytes
-      val parts = math.max(1,
-        (bytes.toDouble / (128L << 20).toDouble).ceil.toInt)
-      val tmp = part + "__deleting"
-      surviving.coalesce(parts).write.mode("overwrite").parquet(tmp)
-      graft.operators.Maintenance.swapDirs(s, tmp, part)
-    }
-    s.catalog.refreshByPath(idx) // swapped paths: drop cached listings
+    // ONE dynamic-partition-overwrite commit over exactly the buckets
+    // holding a purged doc (fully-purged buckets clear); the kernel's
+    // locating pass re-derives `touched`
+    graft.operators.IndexMerge.delete(s, s"$idx/postings", "bkt",
+      "doc_id", purge)
+    s.catalog.refreshByPath(idx)
     touched
   }
 

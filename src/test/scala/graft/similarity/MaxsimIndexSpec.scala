@@ -1,0 +1,81 @@
+package graft.similarity
+
+import graft.{QueryRegistry, SparkSuite}
+import org.apache.spark.sql.functions._
+
+/** Pins ss_maxsim_probe's persisted multi-vector serving contract: the
+  * index stores CODES (4 bytes/token, no raw vectors) in two
+  * partitioned copies — cell-keyed routing, doc-bucket-keyed fetch —
+  * the probe plan reads the fetch copy behind a partition filter with
+  * no train pass, and every served document really is a candidate from
+  * the probed cells (the routing prune is load-bearing, not
+  * decorative).
+  */
+class MaxsimIndexSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+
+  test("both persisted copies are code-only; models bounded; builds are stable") {
+    val idx   = SimilarityQueries.buildMaxsimIndex(spark, dir)
+    val cells = spark.read.parquet(s"$idx/cells")
+    val docs  = spark.read.parquet(s"$idx/docs")
+    Seq(cells, docs).foreach { t =>
+      assert(!t.columns.contains("embedding"),
+        "a maxsim copy persists raw embeddings — the tier must not")
+      (0 until 4).foreach { sub =>
+        assert(t.schema(s"c$sub").dataType ==
+          org.apache.spark.sql.types.ByteType)
+      }
+    }
+    assert(spark.read.parquet(s"$idx/centroids").count() <= 16)
+    assert(spark.read.parquet(s"$idx/codebooks").count() <= 64)
+    val n = graft.Tables(spark, dir).embeddings.count()
+    assert(cells.count() == n && docs.count() == n,
+      "a copy dropped token rows")
+    // re-entry serves the published index without rebuilding
+    assert(SimilarityQueries.buildMaxsimIndex(spark, dir) == idx)
+  }
+
+  test("the probe plan fetches candidates through the pruned docs copy, no train pass") {
+    val df   = QueryRegistry.byName("ss_maxsim_probe").run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_maxsim_index"), s"no index scan in:\n$plan")
+    assert(plan.contains("PartitionFilters: [dbkt"),
+      s"the docs fetch is not id-bucket pruned:\n$plan")
+    assert(!plan.contains("m_1") && !plan.contains("avg("),
+      s"a train pass leaked into the probe plan:\n$plan")
+    // the fetch copy's scan reads codes, never a vector column
+    val idxScans = plan.linesIterator
+      .filter(_.contains("graft_maxsim_index")).toSeq
+    assert(idxScans.nonEmpty && idxScans.forall(!_.contains("embedding")),
+      s"the maxsim index scan reads an embedding column:\n" +
+        idxScans.mkString("\n"))
+  }
+
+  test("every served document is a candidate from the probed cells") {
+    val served = QueryRegistry.byName("ss_maxsim_probe").run(spark, dir)
+      .select(col("qdoc"), col("ddoc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.nonEmpty)
+    // recompute the candidate set from the persisted artifact alone
+    val idx   = SimilarityQueries.buildMaxsimIndex(spark, dir)
+    val cents = SimilarityQueries.loadCentroids(spark, idx)
+    val qv = graft.Tables(spark, dir).embeddings
+      .filter(col("vec_id") < 50)
+      .select(expr("vec_id div 10").as("qdoc"),
+        col("vec_id").as("vec_id"), col("embedding"))
+    val probes = SimilarityQueries
+      .probesOfAll(qv.select(col("vec_id"), col("embedding")), cents)
+      .join(qv.select(col("vec_id").as("qid"), col("qdoc")), Seq("qid"))
+      .select(col("qdoc"), col("cell")).distinct()
+    val cands = spark.read.parquet(s"$idx/cells")
+      .select(col("did"), col("cell"))
+      .join(probes, Seq("cell"))
+      .filter(col("did") =!= col("qdoc"))
+      .select(col("qdoc"), col("did")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.subsetOf(cands),
+      s"served documents outside the probed-cell candidate set: " +
+        s"${(served -- cands).take(5)}")
+  }
+}
