@@ -1790,11 +1790,13 @@ object SimilarityQueries {
 
   val ivfPqTopk = Query(
     "ss_ivfpq_topk",
-    (s, dir) => {
-      val e = Tables(s, dir).embeddings
-      val codebook = trainPqCodebooks(e)
-      ivfPqServe(e, trainIvfCentroids(e, GateK), codebook, pqLuts(e, codebook))
-    },
+    // serves from the PUBLISHED index (r14 verdict ask #8): the row
+    // used to re-train the full model chain in-job every run although
+    // the persisted family encodes the identical models — pure cost,
+    // zero semantics (the oracle is verbatim; the end-to-end
+    // train+serve composition itself stays exercised by ss_pq_topk's
+    // full-scan chain and the fresh-build legs of IvfPqProbeSpec)
+    (s, dir) => ivfPqProbeTail(s, dir, buildIvfPqIndex(s, dir)),
     oracle = Some(ivfPqOracleSql()),
   )
 
@@ -2935,10 +2937,13 @@ object SimilarityQueries {
     * persisted codes, the cell routing, and the candidate pruning all
     * at once.
     */
-  val maxsimProbe = Query(
-    "ss_maxsim_probe",
-    (s, dir) => {
-      val idx      = buildMaxsimIndex(s, dir)
+  /** The standard probe tail against a persisted MaxSim index —
+    * shared by `ss_maxsim_probe` and the maintenance row's
+    * probe-after-merge (`ss_maxsim_upsert`), the ivfPqProbeTail
+    * pattern on the multi-vector family.
+    */
+  private def maxsimProbeTail(s: SparkSession, dir: String,
+      idx: String): DataFrame = {
       val cents    = loadCentroids(s, idx)
       val codebook = loadCodebooks(s, idx)
       val qv = Tables(s, dir).embeddings.filter(col("vec_id") < 50)
@@ -2989,11 +2994,23 @@ object SimilarityQueries {
           .select(col("qdoc"), col("rk"), col("ddoc"), col("score"))
           .orderBy(col("qdoc"), col("rk"))
       } finally cands.unpersist()
-    },
-    oracle = Some(s"""
-      WITH $pqFixedModelCtes,
+  }
+
+  /** The persisted-MaxSim oracle: the whole chain — models (FIXED,
+    * trained over embeddings), codes, routing, candidate pruning,
+    * decode, MaxSim — recomputed from scratch over `corpusRel`
+    * (parameterized so the maintenance row swaps in the post-upsert
+    * corpus, the ivfPqOracleSql pattern).
+    */
+  private def maxsimOracleSql(corpusRel: String = "embeddings",
+      prelude: String = ""): String = s"""
+      WITH $prelude$pqFixedModelCtes,
       v AS (
-        SELECT vec_id // 10 AS did, vec_id, embedding FROM embeddings
+        SELECT vec_id // 10 AS did, vec_id, embedding FROM $corpusRel
+      ), csub AS (
+        SELECT vec_id, s.s AS s,
+          list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS v
+        FROM $corpusRel, (SELECT unnest(range(0, 4)) AS s) s
       ), q AS (
         SELECT did AS qdoc, vec_id AS qvec, embedding AS qemb
         FROM v WHERE did < 5
@@ -3003,13 +3020,13 @@ object SimilarityQueries {
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${cosineSqlExpr2("e.embedding", "c.cv")} DESC,
                        c.cid DESC) AS rk
-          FROM embeddings e, icents c) WHERE rk = 1
+          FROM $corpusRel e, icents c) WHERE rk = 1
       ), codes AS (
         SELECT vec_id, s, cid FROM (
           SELECT e.vec_id, e.s, c.cid,
             row_number() OVER (PARTITION BY e.vec_id, e.s
               ORDER BY ${sqdistSqlExpr("e.v", "c.cv")} ASC, c.cid ASC) AS rk
-          FROM sub e JOIN cb c ON c.s = e.s) WHERE rk = 1
+          FROM csub e JOIN cb c ON c.s = e.s) WHERE rk = 1
       ), recon AS (
         SELECT c.vec_id, flatten(list(b.cv ORDER BY c.s)) AS rv
         FROM codes c JOIN cb b ON b.s = c.s AND b.cid = c.cid
@@ -3045,7 +3062,95 @@ object SimilarityQueries {
         FROM sc)
       SELECT qdoc, rk, ddoc, score FROM ranked
       WHERE rk <= 3 ORDER BY qdoc, rk
-    """),
+    """
+
+  val maxsimProbe = Query(
+    "ss_maxsim_probe",
+    (s, dir) => maxsimProbeTail(s, dir, buildMaxsimIndex(s, dir)),
+    oracle = Some(maxsimOracleSql()),
+  )
+
+  /** Incremental maintenance for the multi-vector index — the same
+    * touched-partition MERGE discipline as every other family, applied
+    * to BOTH copies: the batch's token vectors encode under the FIXED
+    * models (document id + coarse cell + 4 codes in one projection),
+    * then the routing copy merges on its touched cells and the fetch
+    * copy on its touched id-buckets, each in ONE
+    * dynamic-partition-overwrite commit
+    * ([[graft.operators.IndexMerge.merge]]). MERGE semantics on
+    * vec_id: duplicate token ids in a batch fail loudly. Returns the
+    * touched routing cells (sorted).
+    */
+  def upsertMaxsimIndex(s: SparkSession, idx: String,
+      batch: DataFrame): Seq[Int] = {
+    val dup = batch.groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"upsertMaxsimIndex: duplicate vec_id in batch " +
+          s"(${dup.head.get(0)}) — MERGE needs one row per token")
+    val cents    = loadCentroids(s, idx)
+    val codebook = loadCodebooks(s, idx)
+    val coded = batch.select(Seq(expr("vec_id div 10").as("did"),
+      col("vec_id"), argmaxCell(cents).as("cell")) ++
+      (0 until PqM).map(sub =>
+        pqArgminCode(sub, codebook(sub)).cast("tinyint").as(s"c$sub")): _*)
+    val touched = graft.operators.IndexMerge.merge(s, s"$idx/cells",
+      "cell", "vec_id", coded)
+    graft.operators.IndexMerge.merge(s, s"$idx/docs", "dbkt", "vec_id",
+      coded.drop("cell")
+        .withColumn("dbkt", pmod(hash(col("did")), lit(16))))
+    touched
+  }
+
+  /** The maintenance demo behind `ss_maxsim_upsert`: its own index
+    * family over the full token corpus, then the nightly batch —
+    * the five query documents' token sets re-submitted VERBATIM under
+    * new document ids (vec_id + 200000 ⇒ did 20000+), so each clone
+    * encodes to its original's exact codes and must surface at its
+    * twin query's rank 1 (the maximally sensitive probe: the row can
+    * only pass if BOTH copies really merged — routing finds the clone
+    * docs, fetch scores their full token sets). Applied once per
+    * corpus generation behind the count-based presence check.
+    */
+  private def upsertDemoMaxsimIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val e    = Tables(s, dir).embeddings
+      val conf = s.sparkContext.hadoopConfiguration
+      val src  = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val st   = src.getFileSystem(conf).getFileStatus(src)
+      val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+      val prefix = s"graft_maxsim_upsert_${slug}_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_fp"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"$prefix${st.getLen}_${st.getModificationTime}"
+      graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+        writeMaxsimIndex(s, e, trainIvfCentroids(e, GateK),
+          trainPqCodebooks(e), tmp)
+      }
+      val batch = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+      if (!allIdsPresent(s, s"$idx/cells", batch))
+        upsertMaxsimIndex(s, idx, batch)
+      idx
+    }
+
+  /** Multi-vector index MAINTENANCE under the gate: after the nightly
+    * merge the probe must equal the fixed-model chain over the token
+    * corpus ∪ the clone batch — each query document's verbatim clone
+    * (new did) must appear, which only happens if the routing copy
+    * holds the clones' cells AND the fetch copy serves their full
+    * token sets.
+    */
+  val maxsimUpsert = Query(
+    "ss_maxsim_upsert",
+    (s, dir) => maxsimProbeTail(s, dir, upsertDemoMaxsimIndex(s, dir)),
+    oracle = Some(maxsimOracleSql("mscorpus", prelude = """mscorpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 200000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id < 50
+      ), """)),
   )
 
   /** Matryoshka / prefix-dimension retrieval (Kusupati et al.,
@@ -3627,6 +3732,6 @@ object SimilarityQueries {
       ivfDelete, ivfRetrain, indexManifest, pqTopk, ivfPqTopk, ivfPqProbe,
       ivfPqUpsert, ivfPqDelete, ivfPqRetrain, pqDrift,
       kmeans, semanticDedup, vectorStats, quantize, coverage,
-      recall, maxsim, maxsimProbe, matryoshka, filteredTopk, hybridRrf,
-      indexStats, hardNegatives, mmr, outliers)
+      recall, maxsim, maxsimProbe, maxsimUpsert, matryoshka, filteredTopk,
+      hybridRrf, indexStats, hardNegatives, mmr, outliers)
 }

@@ -80,14 +80,14 @@ class IngestLogRestartSpec extends SparkSuite {
 
     // straight-through twin: the convergence target
     val (idxD, stageD, logD, ckptD, handleD) = world("direct")
-    StreamingQueries.runIngestStream(spark, stageD, schema, logDdl,
+    IngestStream.run(spark, stageD, schema, logDdl,
       logD, ckptD, handleD)
 
     // crashed run: batch 0's verdicts land and its ingest commits, then
     // the stream dies BEFORE the micro-batch commit — the worst order
     val (idxC, stageC, logC, ckptC, handleC) = world("crashed")
     val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      StreamingQueries.runIngestStream(spark, stageC, schema, logDdl,
+      IngestStream.run(spark, stageC, schema, logDdl,
         logC, ckptC, handleC, failAfterBatch = Some(0L))
     }
     assert(thrown.getMessage.contains("injected crash"),
@@ -103,7 +103,7 @@ class IngestLogRestartSpec extends SparkSuite {
     // straight-through run, including batch 0's verdicts (the screen
     // evaluates index-minus-batch, so the committed ingest is invisible
     // to its own retry)
-    StreamingQueries.runIngestStream(spark, stageC, schema, logDdl,
+    IngestStream.run(spark, stageC, schema, logDdl,
       logC, ckptC, handleC)
     assert(logRows(logC) == logRows(logD),
       "restarted log diverged from the straight-through run")
