@@ -3012,8 +3012,12 @@ object SimilarityQueries {
           list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS v
         FROM $corpusRel, (SELECT unnest(range(0, 4)) AS s) s
       ), q AS (
-        SELECT did AS qdoc, vec_id AS qvec, embedding AS qemb
-        FROM v WHERE did < 5
+        -- queries draw from the SOURCE table, not the corpus relation:
+        -- a purged query document still probes as an external query
+        -- (the ss_index_delete contract); identical for the probe and
+        -- upsert rows, whose corpora contain the vec_id < 50 slice
+        SELECT vec_id // 10 AS qdoc, vec_id AS qvec, embedding AS qemb
+        FROM embeddings WHERE vec_id < 50
       ), cassigned AS (
         SELECT vec_id, cid AS cell FROM (
           SELECT e.vec_id, c.cid,
@@ -3150,6 +3154,70 @@ object SimilarityQueries {
         UNION ALL
         SELECT vec_id + 200000 AS vec_id, embedding
         FROM embeddings WHERE vec_id < 50
+      ), """)),
+  )
+
+  /** Purge propagation into the multi-vector index — DOCUMENT-level
+    * deletion (the unit a dedup/purge tier emits): every token row of
+    * a purged document leaves BOTH copies, each in ONE
+    * dynamic-partition-overwrite commit — the kernel is key-generic,
+    * so the anti-join runs directly on `did` with no token-id
+    * expansion. Models stay FIXED (the family contract); idempotent.
+    * Returns the touched routing cells (sorted).
+    */
+  def deleteFromMaxsimIndex(s: SparkSession, idx: String,
+      purge0: DataFrame): Seq[Int] = {
+    val purge = purge0.select(col("did"))
+    val touched = graft.operators.IndexMerge.delete(s, s"$idx/cells",
+      "cell", "did", purge)
+    graft.operators.IndexMerge.delete(s, s"$idx/docs", "dbkt", "did",
+      purge)
+    touched
+  }
+
+  /** The purge demo behind `ss_maxsim_delete`: its own family over the
+    * full token corpus, then the routed deletion list — the
+    * deterministic `did % 7 = 3` document slice standing in for a
+    * semantic-dedup purge — propagated once per generation,
+    * presence-probed for idempotence (any purged did still in the
+    * routing copy → re-apply; the delete is idempotent).
+    */
+  private def deleteDemoMaxsimIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      val e    = Tables(s, dir).embeddings
+      val conf = s.sparkContext.hadoopConfiguration
+      val src  = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val st   = src.getFileSystem(conf).getFileStatus(src)
+      val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40)
+      val prefix = s"graft_maxsim_delete_${slug}_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_fp"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"$prefix${st.getLen}_${st.getModificationTime}"
+      graft.core.IndexDirs.publish(conf, idx, prefix) { tmp =>
+        writeMaxsimIndex(s, e, trainIvfCentroids(e, GateK),
+          trainPqCodebooks(e), tmp)
+      }
+      val purge = e.select(expr("vec_id div 10").as("did")).distinct()
+        .filter(col("did") % 7 === 3)
+      val present = s.read.parquet(s"$idx/cells")
+        .join(purge, Seq("did"), "left_semi").limit(1).collect()
+      if (present.nonEmpty) deleteFromMaxsimIndex(s, idx, purge)
+      idx
+    }
+
+  /** Multi-vector purge propagation under the gate — after the
+    * document-level deletion, a MaxSim probe must behave as if BOTH
+    * copies were rebuilt over the surviving documents under the SAME
+    * models: the corpus relation swaps to the survivors, queries stay
+    * the full five documents (a purged query document — did 3 — still
+    * probes as an external query, it just can never be RETURNED).
+    */
+  val maxsimDelete = Query(
+    "ss_maxsim_delete",
+    (s, dir) => maxsimProbeTail(s, dir, deleteDemoMaxsimIndex(s, dir)),
+    oracle = Some(maxsimOracleSql("mssur", prelude = """mssur AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE (vec_id // 10) % 7 <> 3
       ), """)),
   )
 
@@ -3732,6 +3800,6 @@ object SimilarityQueries {
       ivfDelete, ivfRetrain, indexManifest, pqTopk, ivfPqTopk, ivfPqProbe,
       ivfPqUpsert, ivfPqDelete, ivfPqRetrain, pqDrift,
       kmeans, semanticDedup, vectorStats, quantize, coverage,
-      recall, maxsim, maxsimProbe, maxsimUpsert, matryoshka, filteredTopk,
-      hybridRrf, indexStats, hardNegatives, mmr, outliers)
+      recall, maxsim, maxsimProbe, maxsimUpsert, maxsimDelete, matryoshka,
+      filteredTopk, hybridRrf, indexStats, hardNegatives, mmr, outliers)
 }

@@ -52,6 +52,38 @@ class MaxsimIndexSpec extends SparkSuite {
         idxScans.mkString("\n"))
   }
 
+  test("document-level delete == rebuild over survivors; idempotent") {
+    import spark.implicits._
+    val e = graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val cents    = SimilarityQueries.trainIvfCentroids(e, 16)
+    val codebook = SimilarityQueries.trainPqCodebooks(e)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-maxsim-delete").toString
+    val dirA = s"$root/deleted"
+    val dirB = s"$root/rebuilt"
+    SimilarityQueries.writeMaxsimIndex(spark, e, cents, codebook, dirA)
+    val purge = Seq(2L, 9L, 16L).toDF("did")
+    val touched = SimilarityQueries.deleteFromMaxsimIndex(spark, dirA, purge)
+    assert(touched.nonEmpty)
+    Seq("cells", "docs").foreach { copy =>
+      assert(spark.read.parquet(s"$dirA/$copy")
+        .join(purge, Seq("did"), "left_semi").count() == 0,
+        s"a purged document survived in $copy")
+    }
+    // idempotent: a re-applied list touches nothing
+    assert(SimilarityQueries.deleteFromMaxsimIndex(spark, dirA, purge).isEmpty)
+    // fixed-model rebuild over the surviving documents, both copies
+    val survivors = e.filter(!expr("vec_id div 10").isin(2L, 9L, 16L))
+    SimilarityQueries.writeMaxsimIndex(spark, survivors, cents, codebook, dirB)
+    Seq("cells", "docs").foreach { copy =>
+      val a = spark.read.parquet(s"$dirA/$copy")
+      val b = spark.read.parquet(s"$dirB/$copy")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"post-delete $copy diverges from the survivor rebuild")
+    }
+  }
+
   test("every served document is a candidate from the probed cells") {
     val served = QueryRegistry.byName("ss_maxsim_probe").run(spark, dir)
       .select(col("qdoc"), col("ddoc")).collect()
