@@ -926,6 +926,7 @@ object SimilarityQueries {
       val audLog = graft.streaming.StreamingQueries.audioIngestDemoLog(s, dir)
       val vidLog = graft.streaming.StreamingQueries.videoIngestDemoLog(s, dir)
       val pqLog  = graft.streaming.StreamingQueries.pqIngestDemoLog(s, dir)
+      val msLog  = graft.streaming.StreamingQueries.maxsimIngestDemoLog(s, dir)
       val nText = s.read.parquet(s"$textIdx/stats")
         .select(col("n_docs")).head().getLong(0) // 1-row stats
       val nBand = s.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
@@ -961,6 +962,9 @@ object SimilarityQueries {
       val nPqLog = s.read
         .schema("qid LONG, rk INT, nid LONG, adist DOUBLE")
         .parquet(pqLog).count()
+      val nMsLog = s.read
+        .schema("qdoc LONG, rk INT, ddoc LONG, score DOUBLE")
+        .parquet(msLog).count()
       val nPq   = s.read.parquet(s"$pqIdx/cells")
         .select(col("vec_id")).count()
       val nRt   = s.read.parquet(s"$rtIdx/cells")
@@ -972,6 +976,7 @@ object SimilarityQueries {
       Seq(
         ("admission_log", nLog, ok(logRoot, docsFp)),
         ("maxsim_index", nMs, ok(msIdx, embFp)),
+        ("maxsim_ingest_log", nMsLog, ok(msLog.stripSuffix("/log"), embFp)),
         ("audio_index", nAud, ok(audIdx, docsFp)),
         ("audio_ingest_log", nAudLog, ok(audLog.stripSuffix("/log"), docsFp)),
         ("band_index", nBand, ok(bandIdx, docsFp)),
@@ -1021,6 +1026,11 @@ object SimilarityQueries {
       UNION ALL
       SELECT 'maxsim_index',
         (SELECT count(*) FROM embeddings)::BIGINT, true
+      UNION ALL
+      SELECT 'maxsim_ingest_log',
+        (SELECT count(*) FROM (
+          ${graft.streaming.StreamingQueries.streamMaxsimIngest.oracle.get}
+        ) t)::BIGINT, true
       UNION ALL
       SELECT 'retrain_index',
         ((SELECT count(*) FROM embeddings)
@@ -2943,10 +2953,22 @@ object SimilarityQueries {
     * pattern on the multi-vector family.
     */
   private def maxsimProbeTail(s: SparkSession, dir: String,
-      idx: String): DataFrame = {
+      idx: String): DataFrame =
+    maxsimProbeFor(s, idx,
+      Tables(s, dir).embeddings.filter(col("vec_id") < 50))
+
+  /** [[maxsimProbeTail]] without the gate's vec_id < 50 query-set
+    * convention — the caller owns the bounded query frame
+    * (vec_id, embedding), grouped into documents by `vec_id div 10`
+    * (`ss_maxsim_stream_ingest` routes each micro-batch's documents as
+    * the query side after ingesting them — the ivfPqProbeBatch
+    * precedent on the multi-vector family).
+    */
+  private[graft] def maxsimProbeFor(s: SparkSession, idx: String,
+      queries: DataFrame): DataFrame = {
       val cents    = loadCentroids(s, idx)
       val codebook = loadCodebooks(s, idx)
-      val qv = Tables(s, dir).embeddings.filter(col("vec_id") < 50)
+      val qv = queries
         .select(expr("vec_id div 10").as("qdoc"),
           col("vec_id").as("qvec"), col("embedding").as("qemb"))
       // per query token: its top-2 cells (the probesOfAll kernel)
@@ -3002,70 +3024,89 @@ object SimilarityQueries {
     * (parameterized so the maintenance row swaps in the post-upsert
     * corpus, the ivfPqOracleSql pattern).
     */
-  private def maxsimOracleSql(corpusRel: String = "embeddings",
-      prelude: String = ""): String = s"""
-      WITH $prelude$pqFixedModelCtes,
-      v AS (
+  /** One fixed-model persisted-MaxSim serve as suffixed CTEs —
+    * assignment + encode + decode of `corpusRel` and the cell-pruned
+    * candidate MaxSim probe of `queryRel` against the `cb`/`icents`
+    * model CTEs ([[pqFixedModelCtes]]), ending in
+    * `mstop_<sfx>(qdoc, rk, ddoc, score)`. Instantiable more than once
+    * in one oracle text so `ss_maxsim_stream_ingest` can chain
+    * sequential serves — the [[ivfPqServeCtes]] precedent on the
+    * multi-vector family.
+    */
+  private[graft] def maxsimServeCtes(sfx: String, corpusRel: String,
+      queryRel: String): String = s"""
+      v_$sfx AS (
         SELECT vec_id // 10 AS did, vec_id, embedding FROM $corpusRel
-      ), csub AS (
+      ), csub_$sfx AS (
         SELECT vec_id, s.s AS s,
           list_slice(embedding, s.s*16 + 1, s.s*16 + 16) AS v
         FROM $corpusRel, (SELECT unnest(range(0, 4)) AS s) s
-      ), q AS (
-        -- queries draw from the SOURCE table, not the corpus relation:
-        -- a purged query document still probes as an external query
-        -- (the ss_index_delete contract); identical for the probe and
-        -- upsert rows, whose corpora contain the vec_id < 50 slice
+      ), q_$sfx AS (
         SELECT vec_id // 10 AS qdoc, vec_id AS qvec, embedding AS qemb
-        FROM embeddings WHERE vec_id < 50
-      ), cassigned AS (
+        FROM $queryRel
+      ), cassigned_$sfx AS (
         SELECT vec_id, cid AS cell FROM (
           SELECT e.vec_id, c.cid,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${cosineSqlExpr2("e.embedding", "c.cv")} DESC,
                        c.cid DESC) AS rk
           FROM $corpusRel e, icents c) WHERE rk = 1
-      ), codes AS (
+      ), codes_$sfx AS (
         SELECT vec_id, s, cid FROM (
           SELECT e.vec_id, e.s, c.cid,
             row_number() OVER (PARTITION BY e.vec_id, e.s
               ORDER BY ${sqdistSqlExpr("e.v", "c.cv")} ASC, c.cid ASC) AS rk
-          FROM csub e JOIN cb c ON c.s = e.s) WHERE rk = 1
-      ), recon AS (
+          FROM csub_$sfx e JOIN cb c ON c.s = e.s) WHERE rk = 1
+      ), recon_$sfx AS (
         SELECT c.vec_id, flatten(list(b.cv ORDER BY c.s)) AS rv
-        FROM codes c JOIN cb b ON b.s = c.s AND b.cid = c.cid
+        FROM codes_$sfx c JOIN cb b ON b.s = c.s AND b.cid = c.cid
         GROUP BY c.vec_id
-      ), qprobes AS (
+      ), qprobes_$sfx AS (
         SELECT qdoc, qvec, cid AS cell FROM (
           SELECT q.qdoc, q.qvec, c.cid,
             row_number() OVER (PARTITION BY q.qvec
               ORDER BY ${cosineSqlExpr2("q.qemb", "c.cv")} DESC,
                        c.cid DESC) AS rk
-          FROM q, icents c) WHERE rk <= 2
-      ), cand AS (
+          FROM q_$sfx q, icents c) WHERE rk <= 2
+      ), cand_$sfx AS (
         SELECT DISTINCT p.qdoc, v.did AS ddoc
-        FROM qprobes p
-          JOIN cassigned a ON a.cell = p.cell
-          JOIN v ON v.vec_id = a.vec_id
+        FROM qprobes_$sfx p
+          JOIN cassigned_$sfx a ON a.cell = p.cell
+          JOIN v_$sfx v ON v.vec_id = a.vec_id
         WHERE v.did <> p.qdoc
-      ), pm AS (
+      ), pm_$sfx AS (
         SELECT c.qdoc, c.ddoc, q.qvec,
           max(${cosineSqlExpr2("q.qemb", "r.rv")}) AS mx
-        FROM cand c
-          JOIN q ON q.qdoc = c.qdoc
-          JOIN v t ON t.did = c.ddoc
-          JOIN recon r ON r.vec_id = t.vec_id
+        FROM cand_$sfx c
+          JOIN q_$sfx q ON q.qdoc = c.qdoc
+          JOIN v_$sfx t ON t.did = c.ddoc
+          JOIN recon_$sfx r ON r.vec_id = t.vec_id
         GROUP BY 1, 2, 3
-      ), sc AS (
+      ), sc_$sfx AS (
         SELECT qdoc, ddoc, round(sum(mx), 4) AS score
-        FROM pm GROUP BY 1, 2
-      ), ranked AS (
-        SELECT qdoc, ddoc, score,
-          row_number() OVER (PARTITION BY qdoc
-            ORDER BY score DESC, ddoc) AS rk
-        FROM sc)
-      SELECT qdoc, rk, ddoc, score FROM ranked
-      WHERE rk <= 3 ORDER BY qdoc, rk
+        FROM pm_$sfx GROUP BY 1, 2
+      ), mstop_$sfx AS (
+        SELECT qdoc, rk, ddoc, score FROM (
+          SELECT qdoc, ddoc, score,
+            row_number() OVER (PARTITION BY qdoc
+              ORDER BY score DESC, ddoc) AS rk
+          FROM sc_$sfx) WHERE rk <= 3
+      )"""
+
+  /** The one-serve persisted-MaxSim oracle: [[maxsimServeCtes]] over
+    * `corpusRel` with the query side pinned to the SOURCE table's
+    * first five documents — a purged query document still probes as an
+    * external query (the ss_index_delete contract); identical for the
+    * probe and upsert rows, whose corpora contain the vec_id < 50
+    * slice.
+    */
+  private def maxsimOracleSql(corpusRel: String = "embeddings",
+      prelude: String = ""): String = s"""
+      WITH ${prelude}msq AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50
+      ), $pqFixedModelCtes,
+      ${maxsimServeCtes("g", corpusRel, "msq")}
+      SELECT qdoc, rk, ddoc, score FROM mstop_g ORDER BY qdoc, rk
     """
 
   val maxsimProbe = Query(

@@ -1537,6 +1537,90 @@ object StreamingQueries {
     }),
   )
 
+  /** Streaming MULTI-VECTOR ingest — the admit-and-ingest loop on the
+    * late-interaction channel, closing the matrix the r15 maxsim tier
+    * opened (every persisted family now has batch maintenance AND a
+    * streaming leg): per micro-batch the arriving token vectors MERGE
+    * into BOTH persisted copies under the frozen models
+    * ([[graft.similarity.SimilarityQueries.upsertMaxsimIndex]]), then
+    * the batch's own DOCUMENTS MaxSim-probe the index they just
+    * joined. Batch 2 re-submits batch 1's documents verbatim under new
+    * ids — identical tokens encode to identical codes, so each batch-2
+    * query document must see its batch-1 twin (alongside the original)
+    * in its top ranks, which a build-time-frozen index provably cannot
+    * return. The oracle chains two fixed-model persisted-MaxSim serves
+    * over the sequential corpus states via the suffix-parameterized
+    * `maxsimServeCtes`.
+    */
+  private[graft] def maxsimIngestDemoLog(s: SparkSession,
+      dir: String): String = {
+    import graft.similarity.{SimilarityQueries => SQ}
+    def cloneDocs(ss: SparkSession, idOff: Long): DataFrame =
+      Tables(ss, dir).embeddings.filter(col("vec_id") < 50)
+        .select((col("vec_id") + idOff).as("vec_id"), col("embedding"))
+    ingestLoop(s, dir, "graft_stream_maxsim", "embeddings.parquet",
+      "vec_id LONG, embedding ARRAY<FLOAT>",
+      "qdoc LONG, rk INT, ddoc LONG, score DOUBLE",
+      ss => Seq(cloneDocs(ss, 200000L), cloneDocs(ss, 300000L)),
+      (child, idx) => {
+        val e = Tables(s, dir).embeddings
+        SQ.writeMaxsimIndex(s, e, SQ.trainIvfCentroids(e, SQ.GateK),
+          SQ.trainPqCodebooks(e), idx)
+        (batch, _) => {
+          // INGEST first: the upsert MERGEs code rows into both copies
+          // under the fixed models, so a retried batch re-applies
+          // cleanly
+          SQ.upsertMaxsimIndex(child, idx, batch)
+          // SERVE: the batch's documents probe the index they just
+          // joined — ≤ 3 rows per query document, the bounded log
+          SQ.maxsimProbeFor(child, idx, batch).collect().toSeq
+        }
+      })
+  }
+
+  val streamMaxsimIngest = Query(
+    "ss_maxsim_stream_ingest",
+    (s, dir) => s.read
+      .schema("qdoc LONG, rk INT, ddoc LONG, score DOUBLE")
+      .parquet(maxsimIngestDemoLog(s, dir))
+      .orderBy(col("qdoc"), col("rk")),
+    oracle = Some {
+      import graft.similarity.{SimilarityQueries => SQ}
+      s"""
+      WITH mb1 AS (
+        SELECT vec_id + 200000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id < 50
+      ), mb2 AS (
+        SELECT vec_id + 300000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id < 50
+      ), mcorpus1 AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM mb1
+      ), mcorpus2 AS (
+        SELECT vec_id, embedding FROM mcorpus1
+        UNION ALL SELECT vec_id, embedding FROM mb2
+      ), ${SQ.pqFixedModelCtes},
+      ${SQ.maxsimServeCtes("n1", "mcorpus1", "mb1")},
+      ${SQ.maxsimServeCtes("n2", "mcorpus2", "mb2")}
+      SELECT qdoc, rk, ddoc, score FROM mstop_n1
+      UNION ALL
+      SELECT qdoc, rk, ddoc, score FROM mstop_n2
+      ORDER BY qdoc, rk
+    """
+    },
+    eagerPlan = Some((s, dir) => {
+      import graft.similarity.{SimilarityQueries => SQ}
+      // the declared per-batch serving shape: the cell-routed,
+      // bucket-pruned candidate fetch of the persisted multi-vector
+      // index by a bounded batch (the upsert half's plan rides the
+      // shared IndexMerge kernel, pinned by IndexMergeSpec)
+      val idx = SQ.buildMaxsimIndex(s, dir)
+      val batch = Tables(s, dir).embeddings.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+      SQ.maxsimProbeFor(s, idx, batch)
+    }),
+  )
+
   val streamIngest = Query(
     "dd_stream_ingest",
     (s, dir) => s.read
@@ -1820,5 +1904,6 @@ object StreamingQueries {
       streamTopk, streamFunnel, streamHourlyUsers, streamAsof,
       streamAnomaly, streamQuantiles, streamAdmission, streamIngest,
       streamVecIngest, streamTextIngest, streamImageIngest,
-      streamAudioIngest, streamVideoIngest, streamPqIngest)
+      streamAudioIngest, streamVideoIngest, streamPqIngest,
+      streamMaxsimIngest)
 }
