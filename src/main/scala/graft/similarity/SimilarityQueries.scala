@@ -1686,9 +1686,9 @@ object SimilarityQueries {
     */
   /** ADC distance column over (qid, c0..c3) rows: per-subspace literal
     * qid→LUT maps; both element_at lookups are codegen'd (GetMapValue +
-    * GetArrayItem). Shared by the in-job [[ivfPqServe]] and the
-    * persisted-index probe ([[ivfPqProbe]]) so one expression defines
-    * the asymmetric distance.
+    * GetArrayItem) — the one expression defining the asymmetric
+    * distance for every persisted-index ADC probe
+    * ([[ivfPqProbeBatch]]).
     */
   private def adcDistCol(
       luts: Seq[(Long, IndexedSeq[Array[Double]])]): Column = {
@@ -1699,23 +1699,6 @@ object SimilarityQueries {
     (0 until PqM).map(sub =>
       element_at(element_at(lutMaps(sub), col("qid")), col(s"c$sub") + 1))
       .reduce(_ + _)
-  }
-
-  private[similarity] def ivfPqServe(e: DataFrame,
-      cents: Seq[(Int, Array[Float])],
-      codebook: Map[Int, Seq[(Int, Array[Float])]],
-      luts: Seq[(Long, IndexedSeq[Array[Double]])]): DataFrame = {
-    // corpus pass: coarse cell + PQ codes in one projection
-    val encoded = e.select(Seq(
-      col("vec_id").as("nid"),
-      argmaxCell(cents).as("cell")) ++
-      (0 until PqM).map(sub =>
-        pqArgminCode(sub, codebook(sub)).as(s"c$sub")): _*)
-    val probes = probesOf(e, cents).select(col("qid"), col("cell"))
-    val adist = encoded.join(broadcast(probes), Seq("cell"))
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), adcDistCol(luts).as("adist"))
-    pqRankTail(adist)
   }
 
   /** The full IVF-PQ oracle (coarse IVF training + assignment composed
@@ -1865,7 +1848,7 @@ object SimilarityQueries {
   /** Write coarse centroids + PQ codebooks + code-only cell partitions
     * for `e` under `idx` — shared by the build and IvfPqProbeSpec's
     * fixed-model rebuild oracle. ONE corpus projection computes the
-    * coarse cell AND the 4 codes (the [[ivfPqServe]] encode pass),
+    * coarse cell AND the 4 codes (the ss_ivfpq_topk encode pass),
     * written partitioned by cell.
     */
   private[graft] def writeIvfPqIndex(s: SparkSession, e: DataFrame,
