@@ -1592,13 +1592,17 @@ object DedupQueries {
       // PHASE 3 — the bands table commits in ONE dynamic-overwrite job
       // from the staged copy (buckets whose every band went hot clear).
       graft.operators.IndexMerge.commitStaged(
-        s, s"$idx/bands", "bkt", touched, bandsStaging)
+        s, s"$idx/bands", "bkt", "doc_id", touched, bandsStaging)
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       // the batch's commit point: sigs append LAST, so a crashed run
       // re-applies (the presence check above reads sigs); the
       // partitioned append writes only the batch's id-buckets
       shI.withColumn("sbkt", sigBktOf(col("doc_id")))
         .write.mode("append").partitionBy("sbkt").parquet(s"$idx/sigs")
+      // the raw append bypasses the merge kernel, so the sigs table's
+      // part-stats sidecar (written by the purge path's kernel delete)
+      // can no longer be trusted — drop it; absent = full-scan fallback
+      graft.operators.IndexMerge.invalidateStats(s, s"$idx/sigs")
       // swapped directories keep their paths — drop any cached file
       // listings so later reads can't resolve to replaced files
       s.catalog.refreshByPath(idx)
@@ -1764,7 +1768,7 @@ object DedupQueries {
         // leaves purged ids visible in sigs, so the re-run's presence
         // probe re-applies and every anti-join converges)
         graft.operators.IndexMerge.commitStaged(
-          s, s"$idx/bands", "bkt", touched, bandsStaging)
+          s, s"$idx/bands", "bkt", "doc_id", touched, bandsStaging)
         graft.operators.Maintenance.swapDirs(s, hotTmp, s"$idx/hot")
         graft.operators.IndexMerge.delete(s, s"$idx/sigs", "sbkt",
           "doc_id", purge, readSchema = Some(sigsSchema))

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** The ONE partitioned-index merge kernel (r14 verdict tasks 1+4).
   *
@@ -21,12 +22,17 @@ import org.apache.spark.sql.functions.{broadcast, col, count, lit}
   * This kernel replaces the loop with ONE dynamic-partition-overwrite
   * job and ONE commit point:
   *
-  *  1. ONE narrow locating pass over the index's (key, partition)
-  *     columns — parquet column pruning reads a few percent of index
-  *     bytes — computes, per partition holding a batch key, the total
-  *     row count and the batch-key row count (the batch keys ride in
-  *     as a broadcast). Touched = those partitions ∪ the batch's own
-  *     target partitions; bounded collects.
+  *  1. ONE narrow locating pass over (key, partition) columns —
+  *     parquet column pruning reads a few percent of index bytes —
+  *     computes, per partition holding a batch key, the total row
+  *     count and the batch-key row count (the batch keys ride in as a
+  *     broadcast). Touched = those partitions ∪ the batch's own
+  *     target partitions; bounded collects. The pass is BOUNDED BY
+  *     THE BATCH, not the index, whenever the `_meta/part_stats`
+  *     sidecar (below) is live: per-partition key min/max prunes the
+  *     scan to partitions whose key range can intersect a batch key,
+  *     so a nightly batch touching 0.1 % of a production index reads
+  *     0.1 % of its (key, part) columns instead of all of them.
   *  2. Partitions whose EVERY stored row carries a batch key and that
   *     gain no batch rows end up empty after the merge; Spark's
   *     dynamic overwrite replaces only partitions present in the
@@ -43,10 +49,41 @@ import org.apache.spark.sql.functions.{broadcast, col, count, lit}
   *     byte-identical (the reads all complete before the commit's
   *     deletes, so reading the partitions being replaced is safe).
   *
-  * The merge itself is idempotent (anti-join on key + union), so the
-  * residual crash window — inside the filesystem commit — converges on
-  * re-application; callers' "some batch keys present" repair branches
-  * are no longer reachable through the code's own sequencing.
+  * The merge itself is idempotent (anti-join on key + union), so a
+  * crash BEFORE the filesystem commit converges on re-application.
+  * The commit itself is NOT atomic (the r15 advice): Spark's dynamic
+  * overwrite commitJob is a per-partition delete+rename loop over a
+  * `.spark-staging-<job>` directory, so a driver crash mid-commit can
+  * leave a touched partition DELETED while its full replacement sits
+  * only under the hidden staging directory — and that partition's
+  * non-batch stored rows are NOT recoverable by re-applying the merge
+  * (the anti-join would see an empty partition). Every kernel entry
+  * point therefore runs [[recoverStaging]] first: a leftover staged
+  * partition whose live directory is missing is renamed into place
+  * (restoring the full post-merge content, batch effect included),
+  * one whose live directory survived is discarded (the live copy is
+  * the pre-swap content and the idempotent re-apply regenerates the
+  * batch's effect), and the staging litter is dropped. Single-writer
+  * per index root is the callers' existing contract (`synchronized`
+  * demo builds; one maintenance job per index in production) — the
+  * recovery pass must never run concurrently with a live commit.
+  *
+  * == The `_meta/part_stats` sidecar ==
+  *
+  * Alongside the data, every commit maintains `root/_meta/part_stats`
+  * (hidden from parquet reads by the underscore): one row per
+  * partition — (part, kmin, kmax, n), the key range and row count.
+  * The locating pass consults it to scan ONLY partitions whose range
+  * can hold a batch key; partitions on disk but absent from the
+  * sidecar are always scanned (so a partial or missing sidecar is a
+  * performance fallback, never a correctness input). Crash safety is
+  * a `_meta/pending` marker written BEFORE the data commit and
+  * cleared AFTER the sidecar rewrite: while it exists the sidecar is
+  * untrusted and the locating pass reads the whole index (and the
+  * next completed commit rewrites both). The sidecar itself swaps in
+  * via write-to-sibling + rename, so a torn write is never readable.
+  * First merge against a pre-sidecar index pays one full locating
+  * scan and bootstraps the sidecar from the same pass — no extra I/O.
   *
   * Compaction: `repartition(partCol)` routes each partition value to
   * one task, so each touched directory rewrites to one file — the
@@ -58,17 +95,22 @@ import org.apache.spark.sql.functions.{broadcast, col, count, lit}
 object IndexMerge {
 
   private def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
+  private def statsPath(root: String)   = s"$root/_meta/part_stats"
+  private def pendingPath(root: String) = s"$root/_meta/pending"
+
+  private def fsOf(s: SparkSession, root: String) =
+    hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** Key-based MERGE of `batch` into the partitioned directory `root`:
     * stored rows carrying a batch key are replaced by the batch's rows
     * for that key (wherever they currently live — an update whose
     * partition assignment moved must not survive in its old
     * partition), new keys append. `batch` must carry `partCol` (each
-    * row's target partition), `keyCol`, and the payload columns; the
-    * KEY is the replacement unit — several rows per key (postings,
-    * band entries) are fine, but two conflicting VERSIONS of a key in
-    * one batch are the caller's loud-duplicate check to make (MERGE
-    * semantics). Returns touched partition ids (sorted).
+    * row's target partition), `keyCol` (non-null), and the payload
+    * columns; the KEY is the replacement unit — several rows per key
+    * (postings, band entries) are fine, but two conflicting VERSIONS
+    * of a key in one batch are the caller's loud-duplicate check to
+    * make (MERGE semantics). Returns touched partition ids (sorted).
     *
     * `mergeFn` overrides the default anti-join+union combine (e.g.
     * keep-newest CDC merges). Custom merges must never empty a
@@ -78,8 +120,9 @@ object IndexMerge {
   def merge(s: SparkSession, root: String, partCol: String, keyCol: String,
       batch0: DataFrame, readSchema: Option[String] = None,
       mergeFn: Option[(DataFrame, DataFrame) => DataFrame] = None): Seq[Int] = {
-    val fs = hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = fsOf(s, root)
     require(fs.exists(hPath(root)), s"no partitioned index at $root")
+    recoverStaging(fs, root, partCol)
     // the batch feeds the locating pass, the partition probe, and the
     // commit job — cache it once (bounded: the nightly batch)
     val batch = batch0.persist()
@@ -90,22 +133,23 @@ object IndexMerge {
   private def mergeCached(s: SparkSession, root: String, partCol: String,
       keyCol: String, batch: DataFrame, readSchema: Option[String],
       mergeFn: Option[(DataFrame, DataFrame) => DataFrame]): Seq[Int] = {
-    val fs = hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = fsOf(s, root)
     val keys = batch.select(col(keyCol))
-    val stats = partStats(s, root, partCol, keyCol, keys, readSchema)
+    val loc = locate(s, root, partCol, keyCol, keys, readSchema)
     val newParts = batch.select(col(partCol)).distinct()
       .collect().map(_.getInt(0)).toSet // bounded: batch partitions
-    val touched = (newParts ++ stats.map(_._1)).toSeq.sorted
+    val touched = (newParts ++ loc.stats.map(_._1)).toSeq.sorted
     if (touched.isEmpty) return Nil
     // partitions left EMPTY by the merge: all stored rows replaced,
     // no batch rows land (the moved-key old home)
-    val empties = stats.collect {
+    val empties = loc.stats.collect {
       case (p, total, nb) if total == nb && !newParts(p) => p
     }
     require(empties.isEmpty || mergeFn.isEmpty,
       s"custom mergeFn with fully-replaced partitions ${empties.sorted} — " +
         "the kernel cannot clear partitions whose final content it " +
         "cannot derive from the batch alone")
+    markPending(fs, root)
     empties.foreach(p => fs.delete(hPath(s"$root/$partCol=$p"), true))
     val readable = touched.filterNot(empties.toSet)
       .filter(p => fs.exists(hPath(s"$root/$partCol=$p")))
@@ -118,6 +162,8 @@ object IndexMerge {
           .unionByName(batch)
     }
     overwriteParts(s, root, partCol, merged)
+    writeStats(s, root, partCol, keyCol, loc.preMeta, touched, readSchema)
+    clearPending(fs, root)
     s.catalog.refreshByPath(root)
     touched
   }
@@ -125,26 +171,30 @@ object IndexMerge {
   /** Key-based DELETE from the partitioned directory `root`: every row
     * carrying a purge key leaves the index, in ONE dynamic-overwrite
     * commit over exactly the partitions that hold purged keys (located
-    * by the same narrow stats pass). Partitions purged to zero rows
+    * by the same pruned stats pass). Partitions purged to zero rows
     * are cleared. Idempotent: a re-applied list touches nothing.
     * Returns touched partition ids (sorted).
     */
   def delete(s: SparkSession, root: String, partCol: String, keyCol: String,
       purge0: DataFrame, readSchema: Option[String] = None): Seq[Int] = {
-    val fs = hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = fsOf(s, root)
     require(fs.exists(hPath(root)), s"no partitioned index at $root")
+    recoverStaging(fs, root, partCol)
     val purge = purge0.select(col(keyCol)).distinct().persist()
     try {
-      val stats = partStats(s, root, partCol, keyCol, purge, readSchema)
-      val touched = stats.map(_._1).sorted
+      val loc = locate(s, root, partCol, keyCol, purge, readSchema)
+      val touched = loc.stats.map(_._1).sorted
       if (touched.isEmpty) return Nil
-      val empties = stats.collect { case (p, total, nb) if total == nb => p }
+      val empties = loc.stats.collect { case (p, total, nb) if total == nb => p }
+      markPending(fs, root)
       empties.foreach(p => fs.delete(hPath(s"$root/$partCol=$p"), true))
       val readable = touched.filterNot(empties.toSet)
       readParts(s, root, partCol, readable, readSchema).foreach { stored =>
         val survivors = stored.join(broadcast(purge), Seq(keyCol), "left_anti")
         overwriteParts(s, root, partCol, survivors)
       }
+      writeStats(s, root, partCol, keyCol, loc.preMeta, touched, readSchema)
+      clearPending(fs, root)
       s.catalog.refreshByPath(root)
       touched
     } finally purge.unpersist()
@@ -159,11 +209,13 @@ object IndexMerge {
     * and the staged rows commit to `root` in one dynamic-overwrite
     * job that reads only the staging copy. Two jobs, still one commit
     * point; a crash anywhere leaves stored rows at most missing the
-    * batch's effect, which the caller's idempotent re-apply restores.
+    * batch's effect (or recoverable staging litter), which the
+    * caller's idempotent re-apply (plus [[recoverStaging]]) restores.
     */
   private[graft] def publishStaged(s: SparkSession, root: String,
-      partCol: String, touched: Seq[Int], merged: DataFrame): Unit =
-    commitStaged(s, root, partCol, touched,
+      partCol: String, keyCol: String, touched: Seq[Int],
+      merged: DataFrame): Unit =
+    commitStaged(s, root, partCol, keyCol, touched,
       stageParts(s, root, partCol, merged))
 
   /** Stage `merged` to the `root`__staging sibling in one job and
@@ -176,7 +228,7 @@ object IndexMerge {
     */
   private[graft] def stageParts(s: SparkSession, root: String,
       partCol: String, merged: DataFrame): String = {
-    val fs = hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = fsOf(s, root)
     val staging = root + "__staging"
     fs.delete(hPath(staging), true) // crash leftovers
     merged.repartition(col(partCol))
@@ -187,16 +239,29 @@ object IndexMerge {
   /** The COMMIT half of [[publishStaged]]: clear the `touched`
     * partitions absent from the staged output (vacated), then commit
     * the staged rows to `root` in one dynamic-overwrite job that reads
-    * only the staging copy, and drop the staging directory.
+    * only the staging copy, drop the staging directory, and rewrite
+    * the `_meta/part_stats` sidecar for the touched partitions (r15
+    * verdict task 5 — without this the band family's sidecar goes
+    * stale after one hot-band suppression pass).
     */
   private[graft] def commitStaged(s: SparkSession, root: String,
-      partCol: String, touched: Seq[Int], staging: String): Unit = {
-    val fs = hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      partCol: String, keyCol: String, touched: Seq[Int],
+      staging: String): Unit = {
+    val fs = fsOf(s, root)
+    recoverStaging(fs, root, partCol)
     val stagedParts = fs.listStatus(hPath(staging)).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith(s"$partCol=") =>
         n.stripPrefix(s"$partCol=").toInt }
       .toSet
+    // pre-commit sidecar rows: the live sidecar if trusted, else an
+    // empty frame typed off the staged data — partitions absent from
+    // the sidecar are always scanned, so a staged commit may create a
+    // PARTIAL sidecar safely
+    val preMetaOpt = readStatsIfLive(s, root, keyCol)
+      .orElse(if (stagedParts.nonEmpty) Some(emptyStats(s, staging, keyCol))
+              else None)
+    markPending(fs, root)
     touched.filterNot(stagedParts)
       .foreach(p => fs.delete(hPath(s"$root/$partCol=$p"), true))
     if (stagedParts.nonEmpty) {
@@ -208,34 +273,260 @@ object IndexMerge {
         .parquet(root)
     }
     fs.delete(hPath(staging), true)
+    preMetaOpt match {
+      case Some(preMeta) =>
+        writeStats(s, root, partCol, keyCol, preMeta,
+          (touched ++ stagedParts).distinct, None)
+      case None =>
+        // nothing staged AND no trusted sidecar to carry forward: drop
+        // any stale sidecar outright (absent = full-scan fallback) —
+        // clearing pending over stale rows would re-trust them
+        fs.delete(hPath(statsPath(root)), true)
+    }
+    clearPending(fs, root)
     s.catalog.refreshByPath(root)
   }
 
-  /** ONE narrow locating pass: per partition holding a key from
-    * `keys`, (partition, total stored rows, stored rows with a key).
-    * Column-pruned to (key, part); the keys broadcast. Bounded output:
-    * ≤ |partitions holding keys| rows collected.
+  /** Rebuild the `_meta/part_stats` sidecar from one full (key, part)
+    * scan if it is missing or untrusted (a `pending` marker from a
+    * crashed commit) — the explicit repair/bootstrap seam. A no-op
+    * when the sidecar is live. Safe to call on any partitioned index
+    * this kernel maintains.
     */
-  private def partStats(s: SparkSession, root: String, partCol: String,
+  def ensureStats(s: SparkSession, root: String, partCol: String,
+      keyCol: String, readSchema: Option[String] = None): Unit = {
+    val fs = fsOf(s, root)
+    require(fs.exists(hPath(root)), s"no partitioned index at $root")
+    recoverStaging(fs, root, partCol)
+    if (statsLive(fs, root)) return
+    if (partsOnDisk(fs, root, partCol).isEmpty) return
+    val base = readSchema.fold(s.read)(s.read.schema).parquet(root)
+    swapStats(s, fs, root, statsAgg(base, partCol, keyCol))
+    clearPending(fs, root)
+  }
+
+  /** Drop the `_meta/part_stats` sidecar (and any pending marker) of
+    * `root` — REQUIRED after any write to the table that bypasses this
+    * kernel (e.g. the band family's append-only sigs admission): a raw
+    * append can put keys outside the sidecar's recorded ranges, and a
+    * later pruned locating pass would miss them. An absent sidecar is
+    * the full-scan fallback — always correct; the next kernel commit
+    * re-bootstraps it from that scan.
+    */
+  def invalidateStats(s: SparkSession, root: String): Unit = {
+    val fs = fsOf(s, root)
+    fs.delete(hPath(statsPath(root)), true)
+    fs.delete(hPath(pendingPath(root)), false)
+  }
+
+  /** Crash-leftover recovery for Spark's dynamic-overwrite commit
+    * (the r15 advice): a `.spark-staging-<job>` directory under the
+    * root means a commit died mid-loop. A staged partition whose live
+    * directory is MISSING was deleted-but-not-renamed — the staged
+    * copy is its full post-merge content, so it renames into place
+    * (this is the only copy of the partition's non-batch rows). A
+    * staged partition whose live directory survived never swapped —
+    * the live (pre-merge) copy stays and the caller's idempotent
+    * re-apply regenerates the batch's effect. Requires the callers'
+    * single-writer-per-root contract.
+    */
+  private[graft] def recoverStaging(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, partCol: String): Unit =
+    fs.listStatus(hPath(root))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".spark-staging"))
+      .foreach { stg =>
+        fs.listStatus(stg.getPath).foreach { sub =>
+          val n = sub.getPath.getName
+          if (sub.isDirectory && n.startsWith(s"$partCol=") &&
+              !fs.exists(hPath(s"$root/$n")))
+            fs.rename(sub.getPath, hPath(s"$root/$n"))
+        }
+        fs.delete(stg.getPath, true)
+      }
+
+  // ---- locating pass --------------------------------------------------
+
+  /** (part, total stored rows, stored rows with a batch key) for every
+    * partition holding a batch key, plus the PRE-commit sidecar rows
+    * for every partition the pass did not invalidate — the input to
+    * the post-commit sidecar rewrite.
+    */
+  private case class Located(stats: Seq[(Int, Long, Long)],
+      preMeta: DataFrame)
+
+  private def locate(s: SparkSession, root: String, partCol: String,
       keyCol: String, keys: DataFrame,
-      readSchema: Option[String]): Seq[(Int, Long, Long)] = {
+      readSchema: Option[String]): Located = {
+    val fs = fsOf(s, root)
     // a freshly-initialized table may hold no partition directory at
     // all (only a _SUCCESS marker) — nothing stored, nothing touched
-    val fs = hPath(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val hasParts = fs.listStatus(hPath(root)).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
-    if (!hasParts) return Nil
-    val base = readSchema.fold(s.read)(s.read.schema).parquet(root)
-    base.select(col(keyCol), col(partCol))
+    val onDisk = partsOnDisk(fs, root, partCol)
+    if (onDisk.isEmpty)
+      return Located(Nil, emptyStatsFromKeys(s, keys, keyCol))
+    candidateParts(s, root, partCol, keyCol, keys) match {
+      case None =>
+        // no trusted sidecar: ONE full (key, part) scan locates the
+        // batch AND bootstraps the sidecar (same I/O the pre-sidecar
+        // kernel paid every merge)
+        val base = readSchema.fold(s.read)(s.read.schema).parquet(root)
+        val rows = scanStats(s, base, partCol, keyCol, keys)
+        Located(statsOf(rows), statsDf(s, rows, keys, keyCol))
+      case Some(cands) if cands.isEmpty =>
+        Located(Nil, s.read.parquet(statsPath(root)))
+      case Some(cands) =>
+        val df = readParts(s, root, partCol, cands, readSchema).get
+        val rows = scanStats(s, df, partCol, keyCol, keys)
+        val meta = s.read.parquet(statsPath(root))
+        val metaParts = meta.select(col("part"))
+          .collect().map(_.getInt(0)).toSet // bounded: sidecar rows
+        val extra = rows.filter(r => !metaParts(r.getInt(0)))
+        Located(statsOf(rows),
+          meta.unionByName(statsDf(s, extra, keys, keyCol)))
+    }
+  }
+
+  /** The partitions the locating pass must scan for `keys` — pruned by
+    * the `_meta/part_stats` key ranges when the sidecar is live, plus
+    * every on-disk partition the sidecar does not cover. None = no
+    * trusted sidecar (missing, torn, or a `pending` marker from a
+    * crashed commit): scan the whole index. Package-visible so
+    * IndexMergeSpec can pin the pruning.
+    */
+  private[graft] def candidateParts(s: SparkSession, root: String,
+      partCol: String, keyCol: String, keys: DataFrame): Option[Seq[Int]] = {
+    val fs = fsOf(s, root)
+    if (!statsLive(fs, root)) return None
+    val meta = s.read.parquet(statsPath(root))
+    val metaParts = meta.select(col("part"))
+      .collect().map(_.getInt(0)).toSet // bounded: sidecar rows
+    val ranged = keys.distinct()
+      .join(broadcast(meta),
+        col(keyCol) >= col("kmin") && col(keyCol) <= col("kmax"))
+      .select(col("part")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ |partitions|
+    val onDisk = partsOnDisk(fs, root, partCol)
+    val onDiskSet = onDisk.toSet
+    Some((ranged.filter(onDiskSet) ++ onDisk.filterNot(metaParts))
+      .distinct.sorted)
+  }
+
+  /** One narrow (key, part) pass over `df`: per partition, Row(part,
+    * total, n_batch, kmin, kmax). Column-pruned; the keys broadcast;
+    * bounded output (≤ |scanned partitions| rows).
+    */
+  private def scanStats(s: SparkSession, df: DataFrame, partCol: String,
+      keyCol: String, keys: DataFrame): Seq[Row] =
+    df.select(col(keyCol), col(partCol))
       .join(broadcast(keys.distinct().withColumn("__inb", lit(1))),
         Seq(keyCol), "left")
       .groupBy(col(partCol))
-      .agg(count(lit(1)).as("__total"), count(col("__inb")).as("__nb"))
-      .filter(col("__nb") > 0)
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .toSeq
+      .agg(count(lit(1)).as("__total"), count(col("__inb")).as("__nb"),
+        min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+      .collect().toSeq
+
+  private def statsOf(rows: Seq[Row]): Seq[(Int, Long, Long)] =
+    rows.collect {
+      case r if r.getLong(2) > 0 => (r.getInt(0), r.getLong(1), r.getLong(2))
+    }
+
+  // ---- sidecar maintenance ---------------------------------------------
+
+  private def statsLive(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Boolean =
+    !fs.exists(hPath(pendingPath(root))) &&
+      fs.exists(hPath(s"${statsPath(root)}/_SUCCESS"))
+
+  private def readStatsIfLive(s: SparkSession, root: String,
+      keyCol: String): Option[DataFrame] =
+    if (statsLive(fsOf(s, root), root))
+      Some(s.read.parquet(statsPath(root)))
+    else None
+
+  private def markPending(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit =
+    fs.create(hPath(pendingPath(root)), true).close()
+
+  private def clearPending(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit =
+    fs.delete(hPath(pendingPath(root)), false)
+
+  private def statsSchema(keyType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(StructField("part", IntegerType, nullable = false),
+      StructField("kmin", keyType), StructField("kmax", keyType),
+      StructField("n", LongType, nullable = false)))
+
+  /** (part, kmin, kmax, n) rows as a DataFrame, from the locating
+    * pass's collected Row(part, total, nb, kmin, kmax) shape.
+    */
+  private def statsDf(s: SparkSession, rows: Seq[Row], keys: DataFrame,
+      keyCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val out = rows.map(r => Row(r.getInt(0), r.get(3), r.get(4), r.getLong(1)))
+    s.createDataFrame(out.asJava,
+      statsSchema(keys.schema(keyCol).dataType))
   }
+
+  private def emptyStatsFromKeys(s: SparkSession, keys: DataFrame,
+      keyCol: String): DataFrame =
+    statsDf(s, Nil, keys, keyCol)
+
+  private def emptyStats(s: SparkSession, anyTable: String,
+      keyCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(Seq.empty[Row].asJava,
+      statsSchema(s.read.parquet(anyTable).schema(keyCol).dataType))
+  }
+
+  /** Per-partition (part, kmin, kmax, n) of `df` — the read-back
+    * aggregation that recomputes exact sidecar rows for just-committed
+    * partitions.
+    */
+  private def statsAgg(df: DataFrame, partCol: String,
+      keyCol: String): DataFrame =
+    df.groupBy(col(partCol).cast("int").as("part"))
+      .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"),
+        count(lit(1)).as("n"))
+
+  /** Post-commit sidecar rewrite: pre-commit rows for untouched
+    * partitions ∪ exact read-back rows for the touched partitions
+    * still on disk, swapped in via write-to-sibling + rename (a torn
+    * sidecar write is never readable; the `pending` marker covers the
+    * delete→rename gap).
+    */
+  private def writeStats(s: SparkSession, root: String, partCol: String,
+      keyCol: String, preMeta: DataFrame, touched: Seq[Int],
+      readSchema: Option[String]): Unit = {
+    val fs = fsOf(s, root)
+    val survivors = touched
+      .filter(p => fs.exists(hPath(s"$root/$partCol=$p")))
+    val touchedSet = touched.toSet
+    val kept = preMeta.filter(!col("part")
+      .isin(touchedSet.toSeq.map(Integer.valueOf): _*))
+    val fresh = readParts(s, root, partCol, survivors, readSchema)
+      .map(df => statsAgg(df, partCol, keyCol))
+    swapStats(s, fs, root, fresh.fold(kept)(kept.unionByName(_)))
+  }
+
+  private def swapStats(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      stats: DataFrame): Unit = {
+    val live = statsPath(root)
+    val next = live + "__new"
+    stats.coalesce(1).write.mode("overwrite").parquet(next)
+    fs.delete(hPath(live), true)
+    fs.rename(hPath(next), hPath(live))
+  }
+
+  // ---- shared reads / the single commit ---------------------------------
+
+  private def partsOnDisk(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, partCol: String): Seq[Int] =
+    fs.listStatus(hPath(root)).toSeq.collect {
+      case st if st.isDirectory &&
+          st.getPath.getName.startsWith(s"$partCol=") =>
+        st.getPath.getName.stripPrefix(s"$partCol=").toInt
+    }
 
   /** The stored rows of `parts` under `root`, read via `basePath` so
     * the partition column is recovered but the OUTPUT root is never an

@@ -299,7 +299,10 @@ class PlanAuditSpec extends SparkSuite {
     "operators/IndexMerge.scala" -> Map(
       "keys" -> ("the merge batch's key column — the bounded nightly " +
         "maintenance unit every partitioned-index MERGE is keyed by"),
-      "purge" -> "the deletion list (same bounded maintenance unit)"),
+      "purge" -> "the deletion list (same bounded maintenance unit)",
+      "meta" -> ("the _meta/part_stats sidecar — one row per index " +
+        "partition (≤ |partitions|), the locating pass's pruning " +
+        "table")),
     "streaming/EventStreams.scala" -> Map(
       "dim" -> ("caller-declared static dimension frame (the stream-" +
         "static enrich contract: dims are re-resolved per micro-batch)")))

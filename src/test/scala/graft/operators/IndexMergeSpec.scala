@@ -115,13 +115,150 @@ class IndexMergeSpec extends SparkSuite {
     }
   }
 
+  private def metaOf(root: String): Map[Int, (Long, Long, Long)] =
+    spark.read.parquet(s"$root/_meta/part_stats")
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+  private def fs(root: String) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  test("merge bootstraps the part-stats sidecar; the next locating pass prunes to intersecting key ranges") {
+    val root  = freshIdx(base)
+    val batch = Seq((6L, 3, "f")).toDF("id", "part", "payload")
+    // no sidecar yet: the locating pass must declare a full scan
+    assert(IndexMerge.candidateParts(spark, root, "part", "id",
+      batch.select(col("id"))).isEmpty)
+    IndexMerge.merge(spark, root, "part", "id", batch)
+    // bootstrap: one row per partition with exact key range + count
+    assert(metaOf(root) === Map(
+      0 -> (1L, 2L, 2L), 1 -> (3L, 4L, 2L), 2 -> (5L, 5L, 1L),
+      3 -> (6L, 6L, 1L)))
+    // a key only part 1's range can hold prunes the scan to part 1 —
+    // the r15 verdict's Done criterion: the locating scan's input
+    // paths exclude partitions whose key range cannot intersect
+    assert(IndexMerge.candidateParts(spark, root, "part", "id",
+      Seq(4L).toDF("id")) === Some(Seq(1)))
+    // a key outside EVERY range scans nothing stored
+    assert(IndexMerge.candidateParts(spark, root, "part", "id",
+      Seq(99L).toDF("id")) === Some(Seq.empty))
+    // the pruned merge path stays correct end-to-end: update the key,
+    // confirm the rewrite, and confirm the sidecar followed
+    IndexMerge.merge(spark, root, "part", "id",
+      Seq((4L, 1, "D")).toDF("id", "part", "payload"))
+    assert(rowsOf(root) === Set(
+      (1L, 0, "a"), (2L, 0, "b"), (3L, 1, "c"), (4L, 1, "D"),
+      (5L, 2, "e"), (6L, 3, "f")))
+    assert(metaOf(root)(1) === ((3L, 4L, 2L)))
+  }
+
+  test("a pending marker or an out-of-band append makes the locating pass fall back to the full scan") {
+    val root = freshIdx(base)
+    IndexMerge.merge(spark, root, "part", "id",
+      Seq((6L, 3, "f")).toDF("id", "part", "payload"))
+    val keys = Seq(1L).toDF("id")
+    assert(IndexMerge.candidateParts(spark, root, "part", "id", keys)
+      === Some(Seq(0)))
+    // a crashed commit leaves _meta/pending: the sidecar is untrusted
+    fs(root).create(hp(s"$root/_meta/pending"), true).close()
+    assert(IndexMerge.candidateParts(spark, root, "part", "id", keys)
+      .isEmpty, "pending marker did not force the full-scan fallback")
+    // the next completed commit rewrites the sidecar and clears pending
+    IndexMerge.merge(spark, root, "part", "id",
+      Seq((7L, 3, "g")).toDF("id", "part", "payload"))
+    assert(!fs(root).exists(hp(s"$root/_meta/pending")))
+    assert(IndexMerge.candidateParts(spark, root, "part", "id", keys)
+      === Some(Seq(0)))
+    // a write that bypasses the kernel must invalidate the sidecar
+    IndexMerge.invalidateStats(spark, root)
+    assert(IndexMerge.candidateParts(spark, root, "part", "id", keys)
+      .isEmpty, "invalidateStats left a trusted sidecar behind")
+    // ensureStats is the explicit repair: one full scan, trusted again
+    IndexMerge.ensureStats(spark, root, "part", "id")
+    assert(IndexMerge.candidateParts(spark, root, "part", "id", keys)
+      === Some(Seq(0)))
+    assert(metaOf(root)(3) === ((6L, 7L, 2L)))
+  }
+
+  test("a partition on disk but absent from the sidecar is always a locating candidate") {
+    val root = freshIdx(base)
+    IndexMerge.merge(spark, root, "part", "id",
+      Seq((6L, 3, "f")).toDF("id", "part", "payload"))
+    // plant a partition the sidecar has never seen (an out-of-band
+    // backfill): its rows must still be found by the locating pass
+    Seq((9L, 7, "z")).toDF("id", "part", "payload")
+      .write.option("basePath", root).mode("append")
+      .parquet(s"$root/part=7")
+    assert(IndexMerge.candidateParts(spark, root, "part", "id",
+      Seq(1L).toDF("id")).exists(_.contains(7)),
+      "uncovered partition was pruned away")
+    // a merge replacing the uncovered key works and adopts the row
+    IndexMerge.merge(spark, root, "part", "id",
+      Seq((9L, 7, "Z")).toDF("id", "part", "payload"))
+    assert(rowsOf(root).contains((9L, 7, "Z")))
+    assert(metaOf(root)(7) === ((9L, 9L, 1L)))
+  }
+
+  test("delete and publishStaged keep the sidecar consistent") {
+    val root = freshIdx(base)
+    IndexMerge.merge(spark, root, "part", "id",
+      Seq((6L, 3, "f")).toDF("id", "part", "payload"))
+    IndexMerge.delete(spark, root, "part", "id", Seq(5L, 2L).toDF("id"))
+    assert(metaOf(root) === Map(
+      0 -> (1L, 1L, 1L), 1 -> (3L, 4L, 2L), 3 -> (6L, 6L, 1L)),
+      "delete left stale sidecar rows (fully-purged part 2 or the " +
+        "purged row of part 0)")
+    // the staged path (band family's hot-band suppression) maintains
+    // the same sidecar — the r15 verdict's task 5
+    val merged = Seq((1L, 0, "a"), (9L, 0, "x")).toDF("id", "part", "payload")
+    IndexMerge.publishStaged(spark, root, "part", "id", Seq(0, 3), merged)
+    assert(metaOf(root) === Map(
+      0 -> (1L, 9L, 2L), 1 -> (3L, 4L, 2L)),
+      "publishStaged did not rewrite the touched partitions' stats " +
+        "(vacated part 3 must drop; part 0's range must cover the " +
+        "staged key 9)")
+  }
+
+  test("leftover dynamic-overwrite staging recovers: a deleted-but-not-renamed partition's rows are restored") {
+    val root = freshIdx(base)
+    // simulate Spark's commitJob dying mid-loop: part=2 was deleted
+    // from the live tree while its full replacement sits only under
+    // the hidden .spark-staging-<job> directory
+    val f = fs(root)
+    f.mkdirs(hp(s"$root/.spark-staging-deadjob"))
+    assert(f.rename(hp(s"$root/part=2"),
+      hp(s"$root/.spark-staging-deadjob/part=2")))
+    // a merge touching OTHER partitions must first restore part 2 —
+    // its row (5L) is not in this batch, so nothing else can bring
+    // it back
+    IndexMerge.merge(spark, root, "part", "id",
+      Seq((6L, 3, "f")).toDF("id", "part", "payload"))
+    assert(rowsOf(root) === Set(
+      (1L, 0, "a"), (2L, 0, "b"), (3L, 1, "c"), (4L, 1, "d"),
+      (5L, 2, "e"), (6L, 3, "f")),
+      "the staged partition's non-batch rows were lost")
+    assert(!f.exists(hp(s"$root/.spark-staging-deadjob")),
+      "staging litter survived recovery")
+    assert(metaOf(root)(2) === ((5L, 5L, 1L)))
+    // the other leftover shape: staged copy present AND live copy
+    // present (the commit died before this partition's swap) — the
+    // live pre-merge copy wins and the litter drops
+    f.mkdirs(hp(s"$root/.spark-staging-deadjob2/part=0"))
+    IndexMerge.delete(spark, root, "part", "id", Seq(6L).toDF("id"))
+    assert(!f.exists(hp(s"$root/.spark-staging-deadjob2")))
+    assert(rowsOf(root).contains((1L, 0, "a")))
+  }
+
   test("publishStaged commits exactly the staged partitions and clears vacated ones") {
     val root = freshIdx(base)
     // caller-computed final content for touched = {0, 2}: part 0 keeps
     // one row plus a new one, part 2 ends empty (vacated)
     val merged = Seq((1L, 0, "a"), (9L, 0, "x")).toDF("id", "part", "payload")
     val before = fileState(root)
-    IndexMerge.publishStaged(spark, root, "part", Seq(0, 2), merged)
+    IndexMerge.publishStaged(spark, root, "part", "id", Seq(0, 2), merged)
     assert(fileState(root)(1) === before(1))
     assert(!fileState(root).contains(2), "vacated part=2 survived")
     assert(rowsOf(root) === Set(
