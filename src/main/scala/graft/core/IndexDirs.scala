@@ -69,6 +69,28 @@ object IndexDirs {
     idx
   }
 
+  /** Copy a PUBLISHED index's contents into `tmp` (a build sibling of
+    * another family) — the maintenance-tier bootstrap: a demo that
+    * MUTATES its own copy of a base index clones the published
+    * artifact instead of re-training identical models and re-encoding
+    * the corpus (same fingerprint discipline ⇒ byte-equivalent
+    * content; at production scale a filesystem copy vs a corpus
+    * encode is the difference between minutes and hours). `_built` is
+    * skipped — the destination's own publish stamps it.
+    */
+  def cloneInto(conf: Configuration, src: String, tmp: String): Unit = {
+    val srcP = new Path(src)
+    val fs   = srcP.getFileSystem(conf)
+    require(fs.exists(new Path(srcP, "_built")),
+      s"clone source not published: $src")
+    fs.mkdirs(new Path(tmp))
+    fs.listStatus(srcP).foreach { st =>
+      if (st.getPath.getName != "_built")
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new Path(tmp, st.getPath.getName), false, conf)
+    }
+  }
+
   /** The published generations of `idx`'s family that do NOT carry the
     * current source fingerprint `fp` — the serving-tier audit behind
     * `ss_index_manifest`: a multi-index deployment checks, before going

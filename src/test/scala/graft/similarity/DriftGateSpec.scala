@@ -37,8 +37,11 @@ class DriftGateSpec extends SparkSuite {
     assert(prof.values.forall(_ > 0d))
     val ivfIdx = SimilarityQueries.buildIvfIndex(spark, dir)
     val iprof = spark.read.parquet(s"$ivfIdx/profile")
-    assert(iprof.columns.toSeq == Seq("cell", "corpus_min"))
+    assert(iprof.columns.toSeq == Seq("cell", "corpus_min", "n"))
     assert(iprof.count() > 0 && iprof.count() <= 16)
+    // the r16 cell-size column sums to the training corpus
+    assert(iprof.agg(org.apache.spark.sql.functions.sum("n"))
+      .head().getLong(0) == e.count())
   }
 
   test("ss_pq_drift reads the persisted profile — no corpus pass in its plan") {
@@ -108,5 +111,51 @@ class DriftGateSpec extends SparkSuite {
     val gen2 = SimilarityQueries.retrainDemoIvfPqIndex(spark, dir)
     assert(gen2.endsWith("_g2"),
       s"the reversed demo batch no longer trips the gate: served $gen2")
+  }
+
+  test("declined MaxSim retrain: batch merges into BOTH copies, gen-1 serves, no gen-2") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-drift-declined-ms").toString + "/fam_fp1"
+    val served = SimilarityQueries.maxsimRetrainArc(spark, root,
+      "fam_", e, driftFreeBatch)
+    assert(served == s"${root}_g1", s"declined gate served $served")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"${root}_g2")),
+      "a generation-2 directory exists although the gate declined")
+    Seq("cells", "docs").foreach { t =>
+      assert(spark.read.parquet(s"$served/$t")
+        .filter(col("vec_id") >= 300000).count() == 100,
+        s"merged batch token rows missing from gen-1 $t")
+    }
+    // re-entry stays declined and idempotent
+    assert(SimilarityQueries.maxsimRetrainArc(spark, root,
+      "fam_", e, driftFreeBatch) == served)
+  }
+
+  test("tripped MaxSim arc publishes generation 2 (the demo batch drifts)") {
+    val gen2 = SimilarityQueries.retrainDemoMaxsimIndex(spark, dir)
+    assert(gen2.endsWith("_g2"),
+      s"the reversed demo batch no longer trips the MaxSim gate: $gen2")
+  }
+
+  test("a batch vector whose argmax cell has no profile row counts as drifting") {
+    // the r15 advice: an inner join silently DROPPED batch vectors
+    // landing in a cell that attracted no training vector — the
+    // strongest possible drift evidence could never trip the gate
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-drift-nullcell").toString
+    def basis(i: Int): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == i) 1f else 0f)
+    Seq((0, basis(0)), (1, basis(1)), (2, basis(2))).toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/centroids")
+    // the profile covers only cells 0 and 1 — cell 2 trained on nothing
+    Seq((0, 0.9, 5L), (1, 0.9, 5L)).toDF("cell", "corpus_min", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/profile")
+    val batch = Seq((1L, basis(2))).toDF("vec_id", "embedding")
+    assert(SimilarityQueries.ivfDriftWorse(spark, idx, batch) == 1L,
+      "an unprofiled-cell batch vector was dropped by the drift gate")
   }
 }

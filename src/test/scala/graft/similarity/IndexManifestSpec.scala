@@ -16,19 +16,20 @@ class IndexManifestSpec extends SparkSuite {
 
   private def conf = spark.sparkContext.hadoopConfiguration
 
-  test("the healthy deployment audits generation_ok across all twenty families") {
+  test("the healthy deployment audits generation_ok across all twenty-one families") {
     // r14 (the r13 judge's ask #3): the gated row covers every
     // persisted artifact — the index trilogy, the compressed IVF-PQ
-    // index, the multi-vector MaxSim index (r15), both retrain
-    // generations, the three media admission indexes, the six
-    // ingest-loop logs (seven since r15: the maxsim channel joined), both
+    // index, the multi-vector MaxSim index (r15) and its retrain
+    // generations (r16), both single-vector retrain generations, the
+    // three media admission indexes, the seven ingest-loop logs, both
     // post-purge lakes, and the admission service's verdict log
     val rows = QueryRegistry.byName("ss_index_manifest").run(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.map(_._1).toSeq ==
       Seq("admission_log", "audio_index", "audio_ingest_log",
         "band_index", "image_index", "ivf_index", "ivfpq_index",
-        "maxsim_index", "maxsim_ingest_log", "media_ingest_log", "media_lake",
+        "maxsim_index", "maxsim_ingest_log", "maxsim_retrain_index",
+        "media_ingest_log", "media_lake",
         "pq_ingest_log", "pq_retrain_index", "retrain_index",
         "text_index", "text_ingest_log", "text_lake",
         "vector_ingest_log", "video_index", "video_ingest_log"))

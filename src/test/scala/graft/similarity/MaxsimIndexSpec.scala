@@ -110,4 +110,45 @@ class MaxsimIndexSpec extends SparkSuite {
       s"served documents outside the probed-cell candidate set: " +
         s"${(served -- cands).take(5)}")
   }
+
+  test("maintenance guards resolve against BOTH copies (half-committed crash states)") {
+    // the r15 advice: upsert commits cells FIRST / docs SECOND, delete
+    // purges cells FIRST / docs LAST — a guard reading only the copy
+    // that commits FIRST skips the re-apply after a crash between the
+    // two commits and the fetch copy diverges forever
+    import spark.implicits._
+    val e = graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val cents    = SimilarityQueries.trainIvfCentroids(e, 16)
+    val codebook = SimilarityQueries.trainPqCodebooks(e)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-maxsim-guard").toString + "/idx"
+    SimilarityQueries.writeMaxsimIndex(spark, e, cents, codebook, idx)
+    val batch = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+    SimilarityQueries.upsertMaxsimIndex(spark, idx, batch)
+    assert(SimilarityQueries.maxsimBatchApplied(spark, idx, batch))
+    // upsert crash state: cells committed, docs not — strip the
+    // batch's token rows from the fetch copy only
+    graft.operators.IndexMerge.delete(spark, s"$idx/docs", "dbkt",
+      "vec_id", batch.select(col("vec_id")))
+    assert(!SimilarityQueries.maxsimBatchApplied(spark, idx, batch),
+      "a cells-only guard reports a half-committed upsert as applied")
+    SimilarityQueries.upsertMaxsimIndex(spark, idx, batch) // re-apply
+    assert(SimilarityQueries.maxsimBatchApplied(spark, idx, batch))
+    assert(spark.read.parquet(s"$idx/docs")
+      .filter(col("vec_id") >= 500000).count() == 20,
+      "the re-applied upsert did not restore the fetch copy")
+    // delete crash state: cells purged, docs not (batch dids 50000-1)
+    val purge = Seq(50001L).toDF("did")
+    graft.operators.IndexMerge.delete(spark, s"$idx/cells", "cell",
+      "did", purge)
+    assert(SimilarityQueries.maxsimPurgePending(spark, idx, purge),
+      "a cells-only presence probe reports a half-applied purge as done")
+    SimilarityQueries.deleteFromMaxsimIndex(spark, idx, purge) // re-apply
+    assert(!SimilarityQueries.maxsimPurgePending(spark, idx, purge))
+    assert(spark.read.parquet(s"$idx/docs")
+      .filter(col("did") === 50001L).count() == 0,
+      "the re-applied purge did not clean the fetch copy")
+  }
 }
