@@ -58,6 +58,66 @@ class BandUpsertSpec extends SparkSuite {
       "signatures diverge from the rebuild")
   }
 
+  private def sidecarOf(tbl: String): Option[Map[Int, (Long, Long, Long)]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$tbl/_meta/part_stats/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$tbl/_meta/part_stats")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap)
+  }
+
+  private def recount(tbl: String, schema: String,
+      partCol: String): Map[Int, (Long, Long, Long)] =
+    spark.read.schema(schema).parquet(tbl)
+      .groupBy(col(partCol))
+      .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1)))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  /** Every sidecar row present must be EXACT (absent rows only cost a
+    * scan; a stale PRESENT row would mis-prune a later locate).
+    */
+  private def assertSidecarFresh(tbl: String, schema: String,
+      partCol: String, what: String): Unit = {
+    val side = sidecarOf(tbl)
+    assert(side.exists(_.nonEmpty), s"$what: no part-stats sidecar")
+    val full = recount(tbl, schema, partCol)
+    val stale = side.get.filterNot { case (k, v) => full.get(k).contains(v) }
+    assert(stale.isEmpty, s"$what: stale sidecar rows $stale vs $full")
+  }
+
+  test("the staged commit keeps the bands part-stats sidecar exact (r15 verdict task 5)") {
+    // the named staleness: the band family maintains its bands table
+    // through the STAGED path (hot-band suppression), which before r16
+    // did not touch the sidecar — one suppression pass would leave
+    // stale ranges that mis-prune every later locating pass
+    val idx = tmpIdx("m")
+    DedupQueries.writeBandIndex(spark, docs, idx)
+    val b1 = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+    DedupQueries.upsertBandIndex(spark, idx, b1)
+    assertSidecarFresh(s"$idx/bands", "doc_id LONG, bh STRING, bkt INT",
+      "bkt", "bands after staged upsert")
+    // a second staged pass over overlapping buckets must stay exact
+    val b2 = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 950000).as("doc_id"), col("text"))
+    DedupQueries.upsertBandIndex(spark, idx, b2)
+    assertSidecarFresh(s"$idx/bands", "doc_id LONG, bh STRING, bkt INT",
+      "bkt", "bands after second staged upsert")
+    // the delete path: bands recommit through the staged path, sigs
+    // through the kernel delete — both sidecars must stay exact
+    import spark.implicits._
+    val purge = (0L to 200L by 5).toDF("doc_id")
+    DedupQueries.deleteFromBandIndex(spark, idx, purge)
+    assertSidecarFresh(s"$idx/bands", "doc_id LONG, bh STRING, bkt INT",
+      "bkt", "bands after delete")
+    assertSidecarFresh(s"$idx/sigs", "doc_id LONG, sh ARRAY<LONG>, sbkt INT",
+      "sbkt", "sigs after delete")
+  }
+
   test("a band pushed past the cap drops its rows and gains a tombstone") {
     // synthetic corpus engineered for the transition: 30 near-identical
     // docs share every band; 25 more arrive in the batch, pushing the
