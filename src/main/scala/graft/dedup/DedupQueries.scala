@@ -1597,12 +1597,19 @@ object DedupQueries {
       // the batch's commit point: sigs append LAST, so a crashed run
       // re-applies (the presence check above reads sigs); the
       // partitioned append writes only the batch's id-buckets
+      // the append bypasses the merge kernel, so the sigs part-stats
+      // sidecar (written by the purge path's kernel delete) would go
+      // stale: distrust FIRST (recording the ≤16 appended id-buckets),
+      // append, then refresh those buckets' rows from read-back — a
+      // crash between append and refresh leaves the marker, never a
+      // stale range a later purge's pruned locate could miss
+      val sbkts = shI.select(sigBktOf(col("doc_id")).as("sbkt"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      graft.operators.IndexMerge.distrustStats(s, s"$idx/sigs", sbkts)
       shI.withColumn("sbkt", sigBktOf(col("doc_id")))
         .write.mode("append").partitionBy("sbkt").parquet(s"$idx/sigs")
-      // the raw append bypasses the merge kernel, so the sigs table's
-      // part-stats sidecar (written by the purge path's kernel delete)
-      // can no longer be trusted — drop it; absent = full-scan fallback
-      graft.operators.IndexMerge.invalidateStats(s, s"$idx/sigs")
+      graft.operators.IndexMerge.refreshStats(s, s"$idx/sigs", "sbkt",
+        "doc_id", sbkts, readSchema = Some(sigsSchema))
       // swapped directories keep their paths — drop any cached file
       // listings so later reads can't resolve to replaced files
       s.catalog.refreshByPath(idx)

@@ -149,7 +149,7 @@ object IndexMerge {
       s"custom mergeFn with fully-replaced partitions ${empties.sorted} — " +
         "the kernel cannot clear partitions whose final content it " +
         "cannot derive from the batch alone")
-    markPending(fs, root)
+    markPending(fs, root, touched)
     empties.foreach(p => fs.delete(hPath(s"$root/$partCol=$p"), true))
     val readable = touched.filterNot(empties.toSet)
       .filter(p => fs.exists(hPath(s"$root/$partCol=$p")))
@@ -186,7 +186,7 @@ object IndexMerge {
       val touched = loc.stats.map(_._1).sorted
       if (touched.isEmpty) return Nil
       val empties = loc.stats.collect { case (p, total, nb) if total == nb => p }
-      markPending(fs, root)
+      markPending(fs, root, touched)
       empties.foreach(p => fs.delete(hPath(s"$root/$partCol=$p"), true))
       val readable = touched.filterNot(empties.toSet)
       readParts(s, root, partCol, readable, readSchema).foreach { stored =>
@@ -261,7 +261,7 @@ object IndexMerge {
     val preMetaOpt = readStatsIfLive(s, root, keyCol)
       .orElse(if (stagedParts.nonEmpty) Some(emptyStats(s, staging, keyCol))
               else None)
-    markPending(fs, root)
+    markPending(fs, root, (touched ++ stagedParts).distinct)
     touched.filterNot(stagedParts)
       .foreach(p => fs.delete(hPath(s"$root/$partCol=$p"), true))
     if (stagedParts.nonEmpty) {
@@ -307,16 +307,60 @@ object IndexMerge {
 
   /** Drop the `_meta/part_stats` sidecar (and any pending marker) of
     * `root` — REQUIRED after any write to the table that bypasses this
-    * kernel (e.g. the band family's append-only sigs admission): a raw
-    * append can put keys outside the sidecar's recorded ranges, and a
-    * later pruned locating pass would miss them. An absent sidecar is
-    * the full-scan fallback — always correct; the next kernel commit
-    * re-bootstraps it from that scan.
+    * kernel when the writer cannot name the partitions it touched: a
+    * raw write can put keys outside the sidecar's recorded ranges, and
+    * a later pruned locating pass would miss them. An absent sidecar
+    * is the full-scan fallback — always correct; the next kernel
+    * commit re-bootstraps it from that scan. A writer that CAN name
+    * its touched partitions should call [[refreshStats]] instead and
+    * keep the sidecar live.
     */
   def invalidateStats(s: SparkSession, root: String): Unit = {
     val fs = fsOf(s, root)
     fs.delete(hPath(statsPath(root)), true)
     fs.delete(hPath(pendingPath(root)), false)
+  }
+
+  /** Mark the sidecar untrusted BEFORE an out-of-kernel write to the
+    * named partitions, recording them in the pending marker — so a
+    * crash between the write's commit and the [[refreshStats]] that
+    * must follow degrades to the full-scan fallback (and the next
+    * refresh/commit repairs exactly the recorded partitions) instead
+    * of serving ranges the write just outgrew. A no-op when no
+    * sidecar exists (nothing can go stale).
+    */
+  def distrustStats(s: SparkSession, root: String,
+      touched: Seq[Int]): Unit = {
+    val fs = fsOf(s, root)
+    if (fs.exists(hPath(s"${statsPath(root)}/_SUCCESS")))
+      markPending(fs, root, touched)
+  }
+
+  /** Recompute the sidecar rows of exactly `touched` after an
+    * out-of-kernel write to those partitions (the band family's
+    * append-only sigs admission names its ≤16 id-buckets) — the
+    * cheap alternative to [[invalidateStats]] that keeps the next
+    * purge's locating pass bounded instead of degrading it to a full
+    * scan. Also repairs any partitions a pending marker recorded (a
+    * crashed earlier commit or out-of-kernel write): the sidecar
+    * invariant is "rows reflect what is on disk", and the read-back
+    * recomputes exactly that for every recorded-or-touched partition,
+    * so the rewrite may re-trust the remaining rows. A marker with NO
+    * recorded set (unknown crash) is left in place — full-scan
+    * fallback until the next kernel commit. No-op without a sidecar.
+    */
+  def refreshStats(s: SparkSession, root: String, partCol: String,
+      keyCol: String, touched: Seq[Int],
+      readSchema: Option[String] = None): Unit = {
+    val fs = fsOf(s, root)
+    recoverStaging(fs, root, partCol)
+    if (!fs.exists(hPath(s"${statsPath(root)}/_SUCCESS"))) return
+    val recorded = pendingParts(fs, root)
+    if (fs.exists(hPath(pendingPath(root))) && recorded.isEmpty) return
+    val pre = s.read.parquet(statsPath(root))
+    writeStats(s, root, partCol, keyCol, pre,
+      (touched ++ recorded.getOrElse(Nil)).distinct, readSchema)
+    clearPending(fs, root)
   }
 
   /** Crash-leftover recovery for Spark's dynamic-overwrite commit
@@ -443,9 +487,35 @@ object IndexMerge {
       Some(s.read.parquet(statsPath(root)))
     else None
 
+  /** Write the pending marker, recording the partitions whose sidecar
+    * rows the in-flight write will invalidate: while it exists the
+    * sidecar is untrusted wholesale (full-scan locate), and a
+    * [[refreshStats]] repair can re-trust the rest after recomputing
+    * exactly the recorded set.
+    */
   private def markPending(fs: org.apache.hadoop.fs.FileSystem,
-      root: String): Unit =
-    fs.create(hPath(pendingPath(root)), true).close()
+      root: String, touched: Seq[Int]): Unit = {
+    val out = fs.create(hPath(pendingPath(root)), true)
+    out.write(touched.sorted.mkString(",")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** The partition set a pending marker recorded — None when there is
+    * no marker OR its content is unreadable/empty (an unknown-crash
+    * marker must never be "repaired" into re-trusting the sidecar).
+    */
+  private def pendingParts(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[Seq[Int]] =
+    if (!fs.exists(hPath(pendingPath(root)))) None
+    else scala.util.Try {
+      val in = fs.open(hPath(pendingPath(root)))
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      txt.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    }.toOption.filter(_.nonEmpty)
 
   private def clearPending(fs: org.apache.hadoop.fs.FileSystem,
       root: String): Unit =

@@ -116,6 +116,15 @@ class BandUpsertSpec extends SparkSuite {
       "bkt", "bands after delete")
     assertSidecarFresh(s"$idx/sigs", "doc_id LONG, sh ARRAY<LONG>, sbkt INT",
       "sbkt", "sigs after delete")
+    // the one OUT-OF-KERNEL write (the sigs admission append) must
+    // keep the live sigs sidecar exact via the bucket refresh — a
+    // stale range here would make the next purge's pruned locate miss
+    // the appended signatures
+    val b3 = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 970000).as("doc_id"), col("text"))
+    DedupQueries.upsertBandIndex(spark, idx, b3)
+    assertSidecarFresh(s"$idx/sigs", "doc_id LONG, sh ARRAY<LONG>, sbkt INT",
+      "sbkt", "sigs after the post-delete admission append")
   }
 
   test("a band pushed past the cap drops its rows and gains a tombstone") {

@@ -183,6 +183,37 @@ class IndexMergeSpec extends SparkSuite {
     assert(metaOf(root)(3) === ((6L, 7L, 2L)))
   }
 
+  test("out-of-kernel writes: distrust-then-refresh repairs the recorded partitions; unknown markers stay untrusted") {
+    val root = freshIdx(base)
+    val keys = Seq(1L).toDF("id")
+    IndexMerge.merge(spark, root, "part", "id",
+      Seq((6L, 3, "f")).toDF("id", "part", "payload"))
+    assert(IndexMerge.candidateParts(spark, root, "part", "id", keys)
+      === Some(Seq(0)))
+    // an out-of-kernel append protocol: distrust FIRST (recording the
+    // partitions), write, refresh — a crash after the write leaves the
+    // marker, so the stale range can never mis-prune
+    IndexMerge.distrustStats(spark, root, Seq(0))
+    Seq((99L, 0, "q")).toDF("id", "part", "payload")
+      .write.option("basePath", root).mode("append")
+      .parquet(s"$root/part=0")
+    assert(IndexMerge.candidateParts(spark, root, "part", "id", keys)
+      .isEmpty, "distrusted sidecar still pruned")
+    // refresh with NO explicit touched set: the marker's recorded
+    // partitions repair from read-back and the rest re-trusts
+    IndexMerge.refreshStats(spark, root, "part", "id", Nil)
+    assert(IndexMerge.candidateParts(spark, root, "part", "id", keys)
+      === Some(Seq(0)))
+    assert(metaOf(root)(0) === ((1L, 99L, 3L)),
+      "the refreshed row does not cover the appended key")
+    // a marker with no recorded set (unknown crash) must NOT be
+    // repaired into re-trusting the sidecar
+    fs(root).create(hp(s"$root/_meta/pending"), true).close()
+    IndexMerge.refreshStats(spark, root, "part", "id", Seq(0))
+    assert(IndexMerge.candidateParts(spark, root, "part", "id", keys)
+      .isEmpty, "an unknown-crash marker was cleared by refreshStats")
+  }
+
   test("a partition on disk but absent from the sidecar is always a locating candidate") {
     val root = freshIdx(base)
     IndexMerge.merge(spark, root, "part", "id",
