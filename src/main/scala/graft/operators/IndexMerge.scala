@@ -298,7 +298,7 @@ object IndexMerge {
     val fs = fsOf(s, root)
     require(fs.exists(hPath(root)), s"no partitioned index at $root")
     recoverStaging(fs, root, partCol)
-    if (statsLive(fs, root)) return
+    if (readStatsIfLive(s, root, keyCol).isDefined) return
     if (partsOnDisk(fs, root, partCol).isEmpty) return
     val base = readSchema.fold(s.read)(s.read.schema).parquet(root)
     swapStats(s, fs, root, statsAgg(base, partCol, keyCol))
@@ -358,6 +358,13 @@ object IndexMerge {
     val recorded = pendingParts(fs, root)
     if (fs.exists(hPath(pendingPath(root))) && recorded.isEmpty) return
     val pre = s.read.parquet(statsPath(root))
+    // a sidecar written under another key (or pre-key_col) cannot be
+    // partially refreshed — leave it untrusted for the next full
+    // commit to rewrite under a single key
+    if (!pre.columns.contains("key_col") ||
+        !pre.select(col("key_col")).distinct()
+          .collect().map(_.getString(0)).toSet.subsetOf(Set(keyCol)))
+      return
     writeStats(s, root, partCol, keyCol, pre,
       (touched ++ recorded.getOrElse(Nil)).distinct, readSchema)
     clearPending(fs, root)
@@ -440,8 +447,9 @@ object IndexMerge {
   private[graft] def candidateParts(s: SparkSession, root: String,
       partCol: String, keyCol: String, keys: DataFrame): Option[Seq[Int]] = {
     val fs = fsOf(s, root)
-    if (!statsLive(fs, root)) return None
-    val meta = s.read.parquet(statsPath(root))
+    val metaOpt = readStatsIfLive(s, root, keyCol)
+    if (metaOpt.isEmpty) return None
+    val meta = metaOpt.get
     val metaParts = meta.select(col("part"))
       .collect().map(_.getInt(0)).toSet // bounded: sidecar rows
     val ranged = keys.distinct()
@@ -481,11 +489,23 @@ object IndexMerge {
     !fs.exists(hPath(pendingPath(root))) &&
       fs.exists(hPath(s"${statsPath(root)}/_SUCCESS"))
 
+  /** The live sidecar, provided it is trusted AND describes `keyCol`'s
+    * ranges — a sidecar written under a different key (the mixed-key
+    * MaxSim tables) or by a pre-key_col build reads as absent, so the
+    * caller full-scans and rewrites it under its own key.
+    */
   private def readStatsIfLive(s: SparkSession, root: String,
       keyCol: String): Option[DataFrame] =
-    if (statsLive(fsOf(s, root), root))
-      Some(s.read.parquet(statsPath(root)))
-    else None
+    if (!statsLive(fsOf(s, root), root)) None
+    else {
+      val meta = s.read.parquet(statsPath(root))
+      if (!meta.columns.contains("key_col")) None
+      else {
+        val ks = meta.select(col("key_col")).distinct()
+          .collect().map(_.getString(0)).toSet // bounded: sidecar rows
+        if (ks.subsetOf(Set(keyCol))) Some(meta) else None
+      }
+    }
 
   /** Write the pending marker, recording the partitions whose sidecar
     * rows the in-flight write will invalidate: while it exists the
@@ -524,15 +544,23 @@ object IndexMerge {
   private def statsSchema(keyType: org.apache.spark.sql.types.DataType) =
     StructType(Seq(StructField("part", IntegerType, nullable = false),
       StructField("kmin", keyType), StructField("kmax", keyType),
-      StructField("n", LongType, nullable = false)))
+      StructField("n", LongType, nullable = false),
+      StructField("key_col", org.apache.spark.sql.types.StringType,
+        nullable = false)))
 
-  /** (part, kmin, kmax, n) rows as a DataFrame, from the locating
-    * pass's collected Row(part, total, nb, kmin, kmax) shape.
+  /** (part, kmin, kmax, n, key_col) rows as a DataFrame, from the
+    * locating pass's collected Row(part, total, nb, kmin, kmax) shape.
+    * `key_col` records WHICH column the ranges describe: a table
+    * maintained under more than one key (the MaxSim copies merge on
+    * vec_id but purge on did) must never have one key's values pruned
+    * against the other key's ranges — a mismatched sidecar reads as
+    * untrusted and the commit rewrites it under its own key.
     */
   private def statsDf(s: SparkSession, rows: Seq[Row], keys: DataFrame,
       keyCol: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val out = rows.map(r => Row(r.getInt(0), r.get(3), r.get(4), r.getLong(1)))
+    val out = rows.map(r =>
+      Row(r.getInt(0), r.get(3), r.get(4), r.getLong(1), keyCol))
     s.createDataFrame(out.asJava,
       statsSchema(keys.schema(keyCol).dataType))
   }
@@ -548,15 +576,16 @@ object IndexMerge {
       statsSchema(s.read.parquet(anyTable).schema(keyCol).dataType))
   }
 
-  /** Per-partition (part, kmin, kmax, n) of `df` — the read-back
-    * aggregation that recomputes exact sidecar rows for just-committed
-    * partitions.
+  /** Per-partition (part, kmin, kmax, n, key_col) of `df` — the
+    * read-back aggregation that recomputes exact sidecar rows for
+    * just-committed partitions.
     */
   private def statsAgg(df: DataFrame, partCol: String,
       keyCol: String): DataFrame =
     df.groupBy(col(partCol).cast("int").as("part"))
       .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"),
         count(lit(1)).as("n"))
+      .withColumn("key_col", lit(keyCol))
 
   /** Post-commit sidecar rewrite: pre-commit rows for untouched
     * partitions ∪ exact read-back rows for the touched partitions

@@ -777,14 +777,48 @@ object SimilarityQueries {
       .count()
   }
 
+  /** Bounded in-memory model cache for the serving tier: centroids
+    * and codebooks are k×64 / 4×16×16 float tables persisted ONCE per
+    * published generation (atomic-rename publish ⇒ a path's content
+    * never changes), yet every probe/upsert re-loaded them through a
+    * Spark read + collect — pure per-serve overhead. Entries are keyed
+    * by (table path, its `_SUCCESS` mtime) so a spec dir rewritten in
+    * place misses instead of serving a stale model; values are the
+    * bounded model collects (≤ tens of KB), and the map is cleared at
+    * a generous entry cap so a long-lived driver session cannot grow
+    * it unboundedly. Exactly what a production serving tier does —
+    * the model lives in executor/driver memory, the artifact is its
+    * cold-start source.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), AnyRef]()
+
+  private def cachedModel[T <: AnyRef](s: SparkSession, idx: String,
+      table: String)(load: => T): T = {
+    val p  = new org.apache.hadoop.fs.Path(s"$idx/$table/_SUCCESS")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val mtime =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: Exception => -1L }
+    if (mtime < 0) load // no commit marker: don't cache
+    else {
+      if (modelCache.size() > 256) modelCache.clear()
+      modelCache.computeIfAbsent((s"$idx/$table", mtime), _ => load)
+        .asInstanceOf[T]
+    }
+  }
+
   /** The index's persisted centroid model — a bounded collect (k×dim
-    * floats), the serving tier's per-batch model load.
+    * floats), the serving tier's per-batch model load (cached in
+    * memory per published generation — [[cachedModel]]).
     */
   private[graft] def loadCentroids(s: SparkSession,
       idx: String): Seq[(Int, Array[Float])] =
-    s.read.parquet(s"$idx/centroids").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
-      .sortBy(_._1)
+    cachedModel(s, idx, "centroids") {
+      s.read.parquet(s"$idx/centroids").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toSeq
+        .sortBy(_._1)
+    }
 
   /** Incremental index maintenance — the nightly-ingest path. A serving
     * tier re-ingests embedding batches daily; [[ivfProbe]] exists to
@@ -1997,10 +2031,12 @@ object SimilarityQueries {
     */
   private[graft] def loadCodebooks(s: SparkSession,
       idx: String): Map[Int, Seq[(Int, Array[Float])]] =
-    s.read.parquet(s"$idx/codebooks").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-      .groupBy(_._1).view
-      .mapValues(_.map(t => t._2 -> t._3).toSeq.sortBy(_._1)).toMap
+    cachedModel(s, idx, "codebooks") {
+      s.read.parquet(s"$idx/codebooks").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => t._2 -> t._3).toSeq.sortBy(_._1)).toMap
+    }
 
   /** IVF-PQ probe against the PERSISTED compressed index — identical
     * ranking semantics to [[ivfPqTopk]] (same oracle, the ss_ivf_probe
@@ -2137,19 +2173,32 @@ object SimilarityQueries {
       encodePq(batch, cents, codebook))
   }
 
-  /** True iff EVERY batch vec_id already sits in the cells table — the
-    * skip-guard for applying an idempotent nightly MERGE once per
-    * corpus generation. Count-based on purpose (the r14 advice): an
-    * any-present probe would, after a crash inside the merge's commit,
-    * skip the unfinished remainder and serve a partially merged index
-    * forever; under the all-present rule a partial commit re-applies,
-    * and the merge itself IS the repair. Both counts are bounded by
-    * the nightly batch (id-semi-joined, column-pruned scans).
+  /** True iff EVERY batch vec_id already sits in the partitioned
+    * table — the skip-guard for applying an idempotent nightly MERGE
+    * once per corpus generation. Count-based on purpose (the r14
+    * advice): an any-present probe would, after a crash inside the
+    * merge's commit, skip the unfinished remainder and serve a
+    * partially merged index forever; under the all-present rule a
+    * partial commit re-applies, and the merge itself IS the repair.
+    * The presence scan prunes through the merge kernel's part-stats
+    * sidecar when it is live and vec_id-keyed (r16): only partitions
+    * whose recorded range can hold a batch id are read — the guard
+    * runs per serve, so on a production index the unpruned scan was
+    * the serve path's last O(index) read. An empty candidate set
+    * short-circuits to "not present" (no stored partition can hold
+    * any batch id).
     */
-  private def allIdsPresent(s: SparkSession, cells: String,
+  private def allIdsPresent(s: SparkSession, tbl: String, partCol: String,
       batch: DataFrame): Boolean = {
     val ids = batch.select(col("vec_id")).distinct()
-    val nPresent = s.read.parquet(cells)
+    val stored = graft.operators.IndexMerge
+      .candidateParts(s, tbl, partCol, "vec_id", ids) match {
+      case Some(parts) if parts.isEmpty => return false
+      case Some(parts) => s.read.option("basePath", tbl)
+        .parquet(parts.map(p => s"$tbl/$partCol=$p"): _*)
+      case None => s.read.parquet(tbl)
+    }
+    val nPresent = stored
       .join(ids, Seq("vec_id"), "left_semi")
       .select(col("vec_id")).distinct().count()
     nPresent == ids.count()
@@ -2189,7 +2238,7 @@ object SimilarityQueries {
           trainPqCodebooks(e), tmp)
       }
       val batch = retrainBatch(e)
-      if (!allIdsPresent(s, s"$idx/cells", batch))
+      if (!allIdsPresent(s, s"$idx/cells", "cell", batch))
         upsertIvfPqIndex(s, idx, batch)
       idx
     }
@@ -2358,7 +2407,7 @@ object SimilarityQueries {
       // n_worse signal schedules the rebuild (the reversed demo batch
       // trips it at every shipped SF)
       val nWorse = pqDriftWorse(s, gen1, batch)
-      if (!allIdsPresent(s, s"$gen1/cells", batch))
+      if (!allIdsPresent(s, s"$gen1/cells", "cell", batch))
         upsertIvfPqIndex(s, gen1, batch)
       if (nWorse == 0) return gen1
       // the gate tripped: BOTH models retrain over the post-upsert
@@ -2586,7 +2635,7 @@ object SimilarityQueries {
       // build-time profile) schedules the rebuild; a drift-free batch
       // upserts, the gate declines, and generation 1 keeps serving
       val nWorse = ivfDriftWorse(s, gen1, batch)
-      if (!allIdsPresent(s, s"$gen1/cells", batch))
+      if (!allIdsPresent(s, s"$gen1/cells", "cell", batch))
         upsertIvfIndex(s, gen1, batch)
       if (nWorse == 0) return gen1
       // the gate tripped: full re-train over the post-upsert corpus,
@@ -3354,8 +3403,8 @@ object SimilarityQueries {
     */
   private[similarity] def maxsimBatchApplied(s: SparkSession, idx: String,
       batch: DataFrame): Boolean =
-    allIdsPresent(s, s"$idx/cells", batch) &&
-      allIdsPresent(s, s"$idx/docs", batch)
+    allIdsPresent(s, s"$idx/cells", "cell", batch) &&
+      allIdsPresent(s, s"$idx/docs", "dbkt", batch)
 
   /** Multi-vector index MAINTENANCE under the gate: after the nightly
     * merge the probe must equal the fixed-model chain over the token
@@ -3432,10 +3481,22 @@ object SimilarityQueries {
     */
   private[similarity] def maxsimPurgePending(s: SparkSession, idx: String,
       purge: DataFrame): Boolean = {
-    def present(tbl: String) = s.read.parquet(s"$idx/$tbl")
-      .join(purge.select(col("did")), Seq("did"), "left_semi")
-      .limit(1).collect().nonEmpty
-    present("cells") || present("docs")
+    val dids = purge.select(col("did")).distinct()
+    // the presence probe prunes through the part-stats sidecar when it
+    // is live AND did-keyed (after a purge rewrote it); a vec_id-keyed
+    // sidecar — the mixed-key MaxSim reality — reads as untrusted and
+    // the probe full-scans, never pruning dids against vec_id ranges
+    def present(tbl: String, partCol: String): Boolean =
+      graft.operators.IndexMerge
+        .candidateParts(s, s"$idx/$tbl", partCol, "did", dids) match {
+        case Some(parts) if parts.isEmpty => false
+        case Some(parts) => s.read.option("basePath", s"$idx/$tbl")
+          .parquet(parts.map(p => s"$idx/$tbl/$partCol=$p"): _*)
+          .join(dids, Seq("did"), "left_semi").limit(1).collect().nonEmpty
+        case None => s.read.parquet(s"$idx/$tbl")
+          .join(dids, Seq("did"), "left_semi").limit(1).collect().nonEmpty
+      }
+    present("cells", "cell") || present("docs", "dbkt")
   }
 
   /** Multi-vector purge propagation under the gate — after the

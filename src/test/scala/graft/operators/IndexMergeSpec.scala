@@ -233,6 +233,70 @@ class IndexMergeSpec extends SparkSuite {
     assert(metaOf(root)(7) === ((9L, 9L, 1L)))
   }
 
+  test("mixed-key tables: ranges recorded under one key never prune another key's locate") {
+    // the MaxSim shape: the same table MERGEs on a token id but PURGEs
+    // on a document id — did values compared against vec_id ranges
+    // would silently skip partitions holding the purged rows. The
+    // sidecar records its key column; a mismatched key reads as
+    // untrusted (full scan) and the commit rewrites it under its key.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-indexmerge-mixed").toString + "/idx"
+    // vec_id = did * 10 + t: partition 0 holds docs 500+, partition 1
+    // holds docs 0-1 — doc ids land far outside partition 0's vec_id
+    // range, the exact mis-prune shape
+    Seq((5001L, 5001L / 10, 0), (5002L, 5002L / 10, 0),
+        (11L, 1L, 1), (12L, 1L, 1), (5L, 0L, 1))
+      .toDF("vec_id", "did", "part")
+      .write.partitionBy("part").parquet(root)
+    // a vec_id-keyed merge bootstraps a vec_id-ranged sidecar
+    IndexMerge.merge(spark, root, "part", "vec_id",
+      Seq((21L, 2L, 1)).toDF("vec_id", "did", "part"))
+    assert(IndexMerge.candidateParts(spark, root, "part", "vec_id",
+      Seq(5001L).toDF("vec_id")) === Some(Seq(0)))
+    // a did-keyed locate must NOT consult vec_id ranges: did 500 is
+    // outside partition 0's did values' vec_id range [5001, 5002]
+    assert(IndexMerge.candidateParts(spark, root, "part", "did",
+      Seq(500L).toDF("did")).isEmpty,
+      "a did locate trusted vec_id ranges — purged rows would survive")
+    // the did-keyed delete full-scans, purges correctly, and rewrites
+    // the sidecar under did
+    IndexMerge.delete(spark, root, "part", "did", Seq(500L).toDF("did"))
+    assert(spark.read.parquet(root).filter(col("did") === 500L).count()
+      == 0, "the did purge missed rows")
+    assert(IndexMerge.candidateParts(spark, root, "part", "did",
+      Seq(1L).toDF("did")) === Some(Seq(1)),
+      "the delete did not re-key the sidecar to did")
+    // ensureStats re-keys a mismatched sidecar instead of no-opping
+    IndexMerge.ensureStats(spark, root, "part", "vec_id")
+    assert(IndexMerge.candidateParts(spark, root, "part", "vec_id",
+      Seq(11L).toDF("vec_id")) === Some(Seq(1)))
+  }
+
+  test("string keys: sidecar ranges are written and pruned under one lexicographic ordering") {
+    // the sidecar is type-generic: kmin/kmax carry the key column's
+    // own type, and pruning compares with the SAME ordering min/max
+    // aggregated with — pin the string case (no current family keys on
+    // strings, but the kernel contract is key-type-agnostic)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-indexmerge-str").toString + "/idx"
+    Seq(("apple", 0, "a"), ("berry", 0, "b"),
+        ("melon", 1, "c"), ("peach", 1, "d"))
+      .toDF("id", "part", "payload")
+      .write.partitionBy("part").parquet(root)
+    IndexMerge.merge(spark, root, "part", "id",
+      Seq(("zebra", 2, "z")).toDF("id", "part", "payload"))
+    assert(IndexMerge.candidateParts(spark, root, "part", "id",
+      Seq("banana").toDF("id")) === Some(Seq(0)),
+      "lexicographic range [apple,berry] did not capture banana")
+    assert(IndexMerge.candidateParts(spark, root, "part", "id",
+      Seq("nectarine").toDF("id")) === Some(Seq(1)))
+    IndexMerge.merge(spark, root, "part", "id",
+      Seq(("melon", 1, "C")).toDF("id", "part", "payload"))
+    assert(spark.read.parquet(root)
+      .filter(col("id") === "melon").select(col("payload"))
+      .head().getString(0) == "C")
+  }
+
   test("delete and publishStaged keep the sidecar consistent") {
     val root = freshIdx(base)
     IndexMerge.merge(spark, root, "part", "id",
