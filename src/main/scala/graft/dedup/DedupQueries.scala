@@ -702,12 +702,17 @@ object DedupQueries {
       val touched = routed.select(col("shard")).distinct()
         .collect().map(_.getLong(0)).sorted // bounded: ≤ 16 shards
       // ONE dynamic-partition-overwrite commit across exactly the
-      // shards holding a purged key (the kernel's column-pruned stats
-      // pass re-locates them — the blob column never leaves the scan's
-      // pruned ReadSchema); a fully-purged shard's directory clears,
-      // exactly what a rebuild over the survivors produces
+      // shards holding a purged key; the purge plan already routes
+      // each key to its salted-md5 shard, so it IS the exact locating
+      // hint (r16, [[graft.operators.StoredAt]]) — the kernel reads
+      // only the routed shards, no stats scan, and the blob column
+      // never leaves the pruned ReadSchema. A fully-purged shard's
+      // directory clears, exactly what a rebuild over the survivors
+      // produces.
       graft.operators.IndexMerge.delete(s, s"$layout/$sub", "shard", key,
-        routed.select(col(key)))
+        routed.select(col(key)),
+        hint = Some(graft.operators.StoredAt(
+          routed.select(col(key), col("shard")))))
       s.catalog.refreshByPath(layout)
       touched
     } finally routed.unpersist()
@@ -1778,7 +1783,9 @@ object DedupQueries {
           s, s"$idx/bands", "bkt", "doc_id", touched, bandsStaging)
         graft.operators.Maintenance.swapDirs(s, hotTmp, s"$idx/hot")
         graft.operators.IndexMerge.delete(s, s"$idx/sigs", "sbkt",
-          "doc_id", purge, readSchema = Some(sigsSchema))
+          "doc_id", purge, readSchema = Some(sigsSchema),
+          // sbkt is a pure hash of the id — exact locating hint (r16)
+          hint = Some(graft.operators.PartOf(sigBktOf)))
         // replaced partitions keep their paths — drop cached listings
         s.catalog.refreshByPath(idx)
         touched.toSeq

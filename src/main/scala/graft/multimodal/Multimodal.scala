@@ -2519,9 +2519,20 @@ object Multimodal {
       // indistinguishable from it, so proceeding is logged loudly
       // (the r14 advice). Both counts are bounded by the nightly batch.
       val nBatch = ids.distinct().count()
-      val nPresent = s.read.schema(mediaSigsSchema).parquet(s"$idx/sigs")
-        .join(ids, Seq("media_id"), "left_semi")
-        .select(col("media_id")).distinct().count()
+      // the presence read prunes to the batch ids' sig buckets — sb is
+      // a pure hash of the id, so this is exact (r16)
+      val presSbs = ids.select(mediaSigBkt(col("media_id")).as("b"))
+        .distinct().collect().map(_.getInt(0))
+        .filter { b =>
+          val p = new org.apache.hadoop.fs.Path(s"$idx/sigs/sb=$b")
+          p.getFileSystem(conf).exists(p)
+        }.sorted // bounded: ≤ MediaIndexBuckets
+      val nPresent =
+        if (presSbs.isEmpty) 0L
+        else s.read.schema(mediaSigsSchema).option("basePath", s"$idx/sigs")
+          .parquet(presSbs.map(b => s"$idx/sigs/sb=$b"): _*)
+          .join(ids, Seq("media_id"), "left_semi")
+          .select(col("media_id")).distinct().count()
       if (nPresent > 0 && nPresent == nBatch)
         throw new IllegalArgumentException(
           s"upsertMediaIndex: all $nPresent batch ids already " +
@@ -2539,12 +2550,23 @@ object Multimodal {
       // sigs); each table commits in ONE dynamic-partition-overwrite
       // job through the shared kernel (anti-join on the batch ids
       // clears crashed-run rows before the union)
+      // The BANDS merge deliberately stays UNHINTED: a band row's
+      // bucket derives from the dhash CONTENT, and the one state a
+      // hint could not cover is a crashed earlier attempt that
+      // committed bands under a DIFFERENT dhash for these ids (content
+      // changed between attempts) with no sigs row to derive it from —
+      // only the kernel's own locating scan recovers those rows, and a
+      // stale band row is a correctness input here (candidates are
+      // hash-matched pairs, so an extra stale row can surface an extra
+      // pair). The SIGS merge hints exactly: sb is a pure hash of the
+      // id (r16).
       val touched = graft.operators.IndexMerge.merge(s, s"$idx/bands",
         "bkt", "media_id", newBands, readSchema = Some(mediaBandsSchema))
       graft.operators.IndexMerge.merge(s, s"$idx/sigs",
         "sb", "media_id",
         hashes.withColumn("sb", mediaSigBkt(col("media_id"))),
-        readSchema = Some(mediaSigsSchema))
+        readSchema = Some(mediaSigsSchema),
+        hint = Some(graft.operators.PartOf(mediaSigBkt)))
       s.catalog.refreshByPath(idx)
       touched
     } finally hashes.unpersist()
@@ -2730,10 +2752,26 @@ object Multimodal {
       // the bands table first; the sigs table LAST (the commit point);
       // each table purges in ONE dynamic-partition-overwrite commit
       // (fully-purged buckets clear; a re-applied list is a no-op)
+      // bands: the purged ids' band buckets derive from their STORED
+      // sigs (purgedSigs → `touched` above) — the stored locations,
+      // so the kernel skips its stats scan (r16). One state escapes
+      // the derivation: a crashed CHANGED-CONTENT re-ingest (bands
+      // committed under the new dhash, sigs still old) purged before
+      // its repair re-runs — those band rows survive this delete.
+      // They are query-harmless (candidates always verify against
+      // sigs, where the id is now absent, so no pair can surface) and
+      // the repair-first discipline the admission path logs for makes
+      // the state operator-visible; accepting that garbage buys
+      // removing the purge path's only O(index) read. sigs: sb is a
+      // pure hash of the id.
       graft.operators.IndexMerge.delete(s, s"$idx/bands",
-        "bkt", "media_id", purge, readSchema = Some(mediaBandsSchema))
+        "bkt", "media_id", purge, readSchema = Some(mediaBandsSchema),
+        hint = Some(graft.operators.StoredAt(
+          bandsOfHashes(purgedSigs)
+            .select(col("media_id"), mediaBandBkt.as("bkt")))))
       graft.operators.IndexMerge.delete(s, s"$idx/sigs",
-        "sb", "media_id", purge, readSchema = Some(mediaSigsSchema))
+        "sb", "media_id", purge, readSchema = Some(mediaSigsSchema),
+        hint = Some(graft.operators.PartOf(mediaSigBkt)))
       s.catalog.refreshByPath(idx)
       touched.toSeq
     } finally purge.unpersist()

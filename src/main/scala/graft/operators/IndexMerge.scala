@@ -85,6 +85,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * First merge against a pre-sidecar index pays one full locating
   * scan and bootstraps the sidecar from the same pass — no extra I/O.
   *
+  * == Exact hints ==
+  *
+  * Range pruning is geometry: it only bites when keys range-cluster
+  * with partitions. On hash-bucketed tables and cell-partitioned ANN
+  * tables it degenerates to a full scan. Callers that KNOW where a
+  * key's rows live pass a [[LocateHint]] — [[PartOf]] (partition is a
+  * pure function of the key: the doc/sig buckets, the bucketed lake)
+  * or [[StoredAt]] (a routing-table lookup: the ANN cell tables via
+  * [[KeyRouting]]) — and the locating pass reads exactly the hinted
+  * partitions plus the batch's own targets: O(batch) whatever the
+  * key distribution, sidecar or no sidecar. The sidecar remains the
+  * unhinted fallback and the audit surface.
+  *
   * Compaction: `repartition(partCol)` routes each partition value to
   * one task, so each touched directory rewrites to one file — the
   * per-partition compaction the old loops bought with per-cell
@@ -92,6 +105,37 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * set `spark.sql.files.maxRecordsPerFile` or repartition by
   * (part, key-range); the commit semantics are unchanged.
   */
+/** How the locating pass bounds its scan WITHOUT consulting the
+  * `_meta/part_stats` ranges — the r16 scale step past the sidecar:
+  * range pruning degenerates to a full scan on hash-bucketed tables
+  * (every bucket's key range spans the whole key domain) and on
+  * cell-partitioned ANN tables (ids scatter across cells), which
+  * between them are most of this repo's indexes. When the caller
+  * KNOWS where a key's stored rows can live, the locating pass reads
+  * exactly those partitions — O(batch), not O(index), with or
+  * without a sidecar.
+  */
+sealed trait LocateHint
+
+/** The table is hash-bucketed: a key's partition is the pure function
+  * `f(key)`, so stored rows with a batch key can live nowhere else
+  * (and the batch's own partition column must equal `f(key)` — the
+  * writer and the hint must share one derivation helper).
+  */
+final case class PartOf(f: org.apache.spark.sql.Column =>
+  org.apache.spark.sql.Column) extends LocateHint
+
+/** A (keyCol, partCol) lookup — a routing table ([[KeyRouting]]) or a
+  * caller's already-pruned pre-scan — that covers EVERY partition
+  * storing a batch key, except partitions that are also the batch's
+  * own targets (the merge path always scans those). Over-reporting is
+  * safe (extra partitions scan as no-ops); under-reporting leaks
+  * stale rows, so maintainers must only ever let a lookup go stale in
+  * the over-reporting direction (commit data BEFORE trimming the
+  * lookup; add lookup rows BEFORE the data they describe).
+  */
+final case class StoredAt(lookup: DataFrame) extends LocateHint
+
 object IndexMerge {
 
   private def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
@@ -119,23 +163,26 @@ object IndexMerge {
     */
   def merge(s: SparkSession, root: String, partCol: String, keyCol: String,
       batch0: DataFrame, readSchema: Option[String] = None,
-      mergeFn: Option[(DataFrame, DataFrame) => DataFrame] = None): Seq[Int] = {
+      mergeFn: Option[(DataFrame, DataFrame) => DataFrame] = None,
+      hint: Option[LocateHint] = None): Seq[Int] = {
     val fs = fsOf(s, root)
     require(fs.exists(hPath(root)), s"no partitioned index at $root")
     recoverStaging(fs, root, partCol)
     // the batch feeds the locating pass, the partition probe, and the
     // commit job — cache it once (bounded: the nightly batch)
     val batch = batch0.persist()
-    try mergeCached(s, root, partCol, keyCol, batch, readSchema, mergeFn)
+    try mergeCached(s, root, partCol, keyCol, batch, readSchema, mergeFn,
+      hint)
     finally batch.unpersist()
   }
 
   private def mergeCached(s: SparkSession, root: String, partCol: String,
       keyCol: String, batch: DataFrame, readSchema: Option[String],
-      mergeFn: Option[(DataFrame, DataFrame) => DataFrame]): Seq[Int] = {
+      mergeFn: Option[(DataFrame, DataFrame) => DataFrame],
+      hint: Option[LocateHint]): Seq[Int] = {
     val fs = fsOf(s, root)
     val keys = batch.select(col(keyCol))
-    val loc = locate(s, root, partCol, keyCol, keys, readSchema)
+    val loc = locate(s, root, partCol, keyCol, keys, readSchema, hint)
     val newParts = batch.select(col(partCol)).distinct()
       .collect().map(_.getInt(0)).toSet // bounded: batch partitions
     val touched = (newParts ++ loc.stats.map(_._1)).toSeq.sorted
@@ -176,13 +223,14 @@ object IndexMerge {
     * Returns touched partition ids (sorted).
     */
   def delete(s: SparkSession, root: String, partCol: String, keyCol: String,
-      purge0: DataFrame, readSchema: Option[String] = None): Seq[Int] = {
+      purge0: DataFrame, readSchema: Option[String] = None,
+      hint: Option[LocateHint] = None): Seq[Int] = {
     val fs = fsOf(s, root)
     require(fs.exists(hPath(root)), s"no partitioned index at $root")
     recoverStaging(fs, root, partCol)
     val purge = purge0.select(col(keyCol)).distinct().persist()
     try {
-      val loc = locate(s, root, partCol, keyCol, purge, readSchema)
+      val loc = locate(s, root, partCol, keyCol, purge, readSchema, hint)
       val touched = loc.stats.map(_._1).sorted
       if (touched.isEmpty) return Nil
       val empties = loc.stats.collect { case (p, total, nb) if total == nb => p }
@@ -407,15 +455,24 @@ object IndexMerge {
       preMeta: DataFrame)
 
   private def locate(s: SparkSession, root: String, partCol: String,
-      keyCol: String, keys: DataFrame,
-      readSchema: Option[String]): Located = {
+      keyCol: String, keys: DataFrame, readSchema: Option[String],
+      hint: Option[LocateHint] = None): Located = {
     val fs = fsOf(s, root)
     // a freshly-initialized table may hold no partition directory at
     // all (only a _SUCCESS marker) — nothing stored, nothing touched
     val onDisk = partsOnDisk(fs, root, partCol)
     if (onDisk.isEmpty)
       return Located(Nil, emptyStatsFromKeys(s, keys, keyCol))
-    candidateParts(s, root, partCol, keyCol, keys) match {
+    // an exact hint outranks the sidecar ranges; without one, the
+    // sidecar prunes (None = no trusted sidecar → full scan)
+    val cands: Option[Seq[Int]] = hint match {
+      case Some(h) =>
+        val onDiskSet = onDisk.toSet
+        Some(hintParts(s, h, keys, keyCol, partCol)
+          .filter(onDiskSet).distinct.sorted)
+      case None => candidateParts(s, root, partCol, keyCol, keys)
+    }
+    cands match {
       case None =>
         // no trusted sidecar: ONE full (key, part) scan locates the
         // batch AND bootstraps the sidecar (same I/O the pre-sidecar
@@ -423,19 +480,47 @@ object IndexMerge {
         val base = readSchema.fold(s.read)(s.read.schema).parquet(root)
         val rows = scanStats(s, base, partCol, keyCol, keys)
         Located(statsOf(rows), statsDf(s, rows, keys, keyCol))
-      case Some(cands) if cands.isEmpty =>
-        Located(Nil, s.read.parquet(statsPath(root)))
       case Some(cands) =>
-        val df = readParts(s, root, partCol, cands, readSchema).get
-        val rows = scanStats(s, df, partCol, keyCol, keys)
-        val meta = s.read.parquet(statsPath(root))
-        val metaParts = meta.select(col("part"))
-          .collect().map(_.getInt(0)).toSet // bounded: sidecar rows
-        val extra = rows.filter(r => !metaParts(r.getInt(0)))
-        Located(statsOf(rows),
-          meta.unionByName(statsDf(s, extra, keys, keyCol)))
+        val rows =
+          if (cands.isEmpty) Nil
+          else scanStats(s,
+            readParts(s, root, partCol, cands, readSchema).get,
+            partCol, keyCol, keys)
+        readStatsIfLive(s, root, keyCol) match {
+          case Some(meta) =>
+            val metaParts = meta.select(col("part"))
+              .collect().map(_.getInt(0)).toSet // bounded: sidecar rows
+            val extra = rows.filter(r => !metaParts(r.getInt(0)))
+            Located(statsOf(rows),
+              meta.unionByName(statsDf(s, extra, keys, keyCol)))
+          case None =>
+            // hinted pass with no trusted sidecar: the scanned
+            // partitions seed a PARTIAL sidecar (uncovered partitions
+            // always scan on an unhinted pass, so partial is safe —
+            // the staged-commit precedent); stale untrusted rows are
+            // overwritten wholesale, never re-trusted
+            Located(statsOf(rows), statsDf(s, rows, keys, keyCol))
+        }
     }
   }
+
+  /** The hint's candidate partitions for `keys` — exact by the hint's
+    * contract, bounded collects (≤ batch partitions for [[PartOf]];
+    * ≤ lookup-matched partitions for [[StoredAt]]). Package-visible so
+    * IndexMergeSpec can pin the pruning.
+    */
+  private[graft] def hintParts(s: SparkSession, hint: LocateHint,
+      keys: DataFrame, keyCol: String, partCol: String): Seq[Int] =
+    hint match {
+      case PartOf(f) =>
+        keys.select(f(col(keyCol)).cast("int").as("part")).distinct()
+          .collect().map(_.getInt(0)).toSeq // bounded: batch partitions
+      case StoredAt(lookup) =>
+        lookup
+          .join(broadcast(keys.distinct()), Seq(keyCol), "left_semi")
+          .select(col(partCol).cast("int")).distinct()
+          .collect().map(_.getInt(0)).toSeq // bounded: ≤ |partitions|
+    }
 
   /** The partitions the locating pass must scan for `keys` — pruned by
     * the `_meta/part_stats` key ranges when the sidecar is live, plus

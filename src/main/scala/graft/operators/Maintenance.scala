@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Table-maintenance operators a long-lived 100 TB lake needs. */
 object Maintenance {
@@ -150,18 +150,20 @@ object Maintenance {
       try new String(in.readAllBytes(), "UTF-8").trim.toInt
       finally in.close()
     }
-    val bucketOf = pmod(hash(col(key)), lit(nBuckets))
-    val upd = updates.withColumn("bucket", bucketOf)
+    val bucketOf: Column => Column = k => pmod(hash(k), lit(nBuckets))
+    val upd = updates.withColumn("bucket", bucketOf(col(key)))
     // ONE dynamic-partition-overwrite commit over exactly the touched
-    // buckets (IndexMerge locates them with a column-pruned stats
-    // pass). A key's bucket is a pure hash of the key, so an update
+    // buckets. A key's bucket is a pure hash of the key, so an update
     // can never vacate its bucket — the custom keep-newest combine is
-    // safe under the kernel's no-vacating rule.
+    // safe under the kernel's no-vacating rule — and (r16) the same
+    // purity is the exact [[PartOf]] locating hint: the kernel reads
+    // ONLY the batch's buckets, no stats scan at all.
     IndexMerge.merge(spark, dir, "bucket", key, upd,
       mergeFn =
         if (newestBy.isEmpty) None
         else Some((stored, batch) => keepNewest(
-          stored.unionByName(batch), key, newestBy)))
+          stored.unionByName(batch), key, newestBy)),
+      hint = Some(PartOf(bucketOf)))
     spark.catalog.refreshByPath(dir) // replaced partitions: drop listings
   }
 

@@ -665,7 +665,18 @@ object SimilarityQueries {
       .coalesce(1).write.mode("overwrite").parquet(s"$idx/profile")
     e.select(col("vec_id"), col("embedding"), argmaxCell(cents).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$idx/cells")
+    // the id→cell routing table (r16): maintenance locating reads the
+    // batch's route buckets instead of the whole index — built here
+    // from a column-pruned read-back of the cells just written
+    cellRoute(idx).ensure(s, s"$idx/cells")
   }
+
+  /** The id→cell routing table of a single-vector cell index (IVF and
+    * IVF-PQ share the layout) — [[graft.operators.KeyRouting]] under
+    * the index root, bucketed by the vector id's own hash.
+    */
+  private[similarity] def cellRoute(idx: String): graft.operators.KeyRouting =
+    graft.operators.KeyRouting.byKey(idx, "vec_id")
 
   /** Cell-size skew of a persisted IVF index: max cell size over mean
     * cell size, read from the ≤k-row build-time profile — NO corpus
@@ -875,9 +886,14 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"), argmaxCell(cents).as("cell"))
     // ONE locating pass + ONE dynamic-partition-overwrite commit over
     // exactly the touched cells (the kernel's contract — the r14
-    // verdict's top structural ask replacing the per-cell job loop)
-    graft.operators.IndexMerge.merge(s, s"$idx/cells", "cell", "vec_id",
-      assigned)
+    // verdict's top structural ask replacing the per-cell job loop).
+    // r16: the locating pass reads the id→cell ROUTING TABLE instead
+    // of the whole index's (vec_id, cell) columns — ids scatter across
+    // cells, so even the range-pruned sidecar scan was O(index); the
+    // route bounds it to the batch's hash buckets
+    // ([[graft.operators.KeyRouting]]'s crash-ordered add→merge→settle
+    // protocol)
+    cellRoute(idx).mergeThrough(s, s"$idx/cells", assigned)
   }
 
   /** IVF probe against the PERSISTED index — identical ranking
@@ -928,8 +944,10 @@ object SimilarityQueries {
   def deleteFromIvfIndex(s: SparkSession, idx: String,
       purge0: DataFrame): Seq[Int] =
     // ONE locating pass + ONE dynamic-partition-overwrite commit over
-    // exactly the cells holding a purged id (fully-purged cells clear)
-    graft.operators.IndexMerge.delete(s, s"$idx/cells", "cell", "vec_id",
+    // exactly the cells holding a purged id (fully-purged cells clear);
+    // r16: the purged ids' cells resolve from the routing table — a
+    // read of the purge list's hash buckets, not an O(index) scan
+    cellRoute(idx).deleteThrough(s, s"$idx/cells",
       purge0.select(col("vec_id")))
 
   /** The purge-propagation demo behind `ss_index_delete`: its OWN index
@@ -2023,6 +2041,9 @@ object SimilarityQueries {
         (0 until PqM).map(sub =>
           pqArgminCode(sub, codebook(sub)).cast("tinyint").as(s"c$sub")): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$idx/cells")
+    // id→cell routing table (r16) — read back column-pruned, see
+    // [[writeIvfIndex]]
+    cellRoute(idx).ensure(s, s"$idx/cells")
   }
 
   /** The index's persisted PQ codebooks — a bounded collect (M×K×16
@@ -2168,8 +2189,10 @@ object SimilarityQueries {
     // ONE locating pass + ONE dynamic-partition-overwrite commit over
     // exactly the touched cells — the batch encodes once, the merge
     // moves 4 payload bytes per vector, and the single commit point
-    // closes the multi-swap crash window the per-cell loop carried
-    graft.operators.IndexMerge.merge(s, s"$idx/cells", "cell", "vec_id",
+    // closes the multi-swap crash window the per-cell loop carried.
+    // r16: updated ids' current cells resolve from the routing table
+    // (a read of the batch's hash buckets), not an O(index) scan
+    cellRoute(idx).mergeThrough(s, s"$idx/cells",
       encodePq(batch, cents, codebook))
   }
 
@@ -2187,12 +2210,31 @@ object SimilarityQueries {
     * the serve path's last O(index) read. An empty candidate set
     * short-circuits to "not present" (no stored partition can hold
     * any batch id).
+    *
+    * `hint` (r16): an exact [[graft.operators.LocateHint]] — the
+    * routing table or a hash derivation — outranks the sidecar. Note
+    * the guard's safe staleness direction is the OPPOSITE of the
+    * merge's: a hint that under-reports here merely reads fewer
+    * partitions, sees fewer present ids, and returns false — which
+    * re-applies an idempotent merge. Over-reporting reads extra
+    * partitions as no-ops. Either way the guard never skips
+    * unfinished work.
     */
   private def allIdsPresent(s: SparkSession, tbl: String, partCol: String,
-      batch: DataFrame): Boolean = {
+      batch: DataFrame,
+      hint: Option[graft.operators.LocateHint] = None): Boolean = {
     val ids = batch.select(col("vec_id")).distinct()
-    val stored = graft.operators.IndexMerge
-      .candidateParts(s, tbl, partCol, "vec_id", ids) match {
+    val cands = hint match {
+      case Some(h) => Some(graft.operators.IndexMerge
+        .hintParts(s, h, ids, "vec_id", partCol)
+        .filter(p => {
+          val pp = new org.apache.hadoop.fs.Path(s"$tbl/$partCol=$p")
+          pp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(pp)
+        }))
+      case None => graft.operators.IndexMerge
+        .candidateParts(s, tbl, partCol, "vec_id", ids)
+    }
+    val stored = cands match {
       case Some(parts) if parts.isEmpty => return false
       case Some(parts) => s.read.option("basePath", tbl)
         .parquet(parts.map(p => s"$tbl/$partCol=$p"): _*)
@@ -2202,6 +2244,25 @@ object SimilarityQueries {
       .join(ids, Seq("vec_id"), "left_semi")
       .select(col("vec_id")).distinct().count()
     nPresent == ids.count()
+  }
+
+  /** [[allIdsPresent]] on a single-vector cells table, pruned through
+    * the id→cell routing table when it is live: the guard reads the
+    * route-listed cells only — O(batch buckets + touched cells), the
+    * serve path's locating read bounded the same way the maintenance
+    * path's is. Route staleness in either direction re-applies an
+    * idempotent merge at worst (the guard's safe direction — see
+    * [[allIdsPresent]]).
+    */
+  private def cellIdsPresent(s: SparkSession, idx: String,
+      batch: DataFrame): Boolean = {
+    val rt = cellRoute(idx)
+    val hint =
+      if (rt.live(s))
+        Some(graft.operators.StoredAt(
+          rt.lookup(s, batch.select(col("vec_id")).distinct())))
+      else None
+    allIdsPresent(s, s"$idx/cells", "cell", batch, hint)
   }
 
   /** Purge propagation into the COMPRESSED index. The body is
@@ -2238,7 +2299,7 @@ object SimilarityQueries {
           trainPqCodebooks(e), tmp)
       }
       val batch = retrainBatch(e)
-      if (!allIdsPresent(s, s"$idx/cells", "cell", batch))
+      if (!cellIdsPresent(s, idx, batch))
         upsertIvfPqIndex(s, idx, batch)
       idx
     }
@@ -2407,7 +2468,7 @@ object SimilarityQueries {
       // n_worse signal schedules the rebuild (the reversed demo batch
       // trips it at every shipped SF)
       val nWorse = pqDriftWorse(s, gen1, batch)
-      if (!allIdsPresent(s, s"$gen1/cells", "cell", batch))
+      if (!cellIdsPresent(s, gen1, batch))
         upsertIvfPqIndex(s, gen1, batch)
       if (nWorse == 0) return gen1
       // the gate tripped: BOTH models retrain over the post-upsert
@@ -2635,7 +2696,7 @@ object SimilarityQueries {
       // build-time profile) schedules the rebuild; a drift-free batch
       // upserts, the gate declines, and generation 1 keeps serving
       val nWorse = ivfDriftWorse(s, gen1, batch)
-      if (!allIdsPresent(s, s"$gen1/cells", "cell", batch))
+      if (!cellIdsPresent(s, gen1, batch))
         upsertIvfIndex(s, gen1, batch)
       if (nWorse == 0) return gen1
       // the gate tripped: full re-train over the post-upsert corpus,
@@ -3097,6 +3158,35 @@ object SimilarityQueries {
     * the 4 PQ codes; the routing and fetch copies are two partitioned
     * writes of that projection.
     */
+  /** The document id a token id embeds (`vec_id div 10` — 10 token
+    * vectors per document in the shipped corpus) as a Column
+    * derivation — ONE definition shared by the index writers, the
+    * routing table, and the locating hints, so a hint can never
+    * disagree with the data it prunes. Exact for non-negative ids
+    * below 2^52 (the double-division bound).
+    */
+  private[similarity] def maxsimDid(v: Column): Column =
+    floor(v / lit(10)).cast("long")
+
+  /** The fetch copy's document bucket — pure hash of the did, so both
+    * docs-table commits and presence probes locate exactly
+    * ([[graft.operators.PartOf]]).
+    */
+  private[similarity] def maxsimDbkt(did: Column): Column =
+    pmod(hash(did), lit(16))
+
+  /** The multi-vector index's routing table: (vec_id, did, cell)
+    * pairs bucketed by the DOCUMENT id's hash, so token-level merges
+    * (keyed vec_id) and document-level purges (keyed did) both route
+    * — the two-key sibling of [[cellRoute]].
+    */
+  private[similarity] def maxsimRoute(
+      idx: String): graft.operators.KeyRouting =
+    graft.operators.KeyRouting(idx, Seq("vec_id", "did"),
+      graft.operators.KeyRouting.Buckets,
+      Map("vec_id" -> (v => maxsimDbkt(maxsimDid(v))),
+          "did"    -> (d => maxsimDbkt(d))))
+
   private[graft] def writeMaxsimIndex(s: SparkSession, e: DataFrame,
       cents: Seq[(Int, Array[Float])],
       codebook: Map[Int, Seq[(Int, Array[Float])]], idx: String): Unit = {
@@ -3109,8 +3199,8 @@ object SimilarityQueries {
     pqErrMelted(e, codebook)
       .groupBy(col("s")).agg(max(col("err")).as("corpus_max"))
       .coalesce(1).write.mode("overwrite").parquet(s"$idx/profile")
-    val coded = e.select(Seq(expr("vec_id div 10").as("did"), col("vec_id"),
-      argmaxCell(cents).as("cell")) ++
+    val coded = e.select(Seq(maxsimDid(col("vec_id")).as("did"),
+      col("vec_id"), argmaxCell(cents).as("cell")) ++
       (0 until PqM).map(sub =>
         pqArgminCode(sub, codebook(sub)).cast("tinyint").as(s"c$sub")): _*)
       .persist()
@@ -3118,8 +3208,13 @@ object SimilarityQueries {
       coded.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$idx/cells")
       coded.drop("cell")
-        .withColumn("dbkt", pmod(hash(col("did")), lit(16)))
+        .withColumn("dbkt", maxsimDbkt(col("did")))
         .write.mode("overwrite").partitionBy("dbkt").parquet(s"$idx/docs")
+      // the did-bucketed routing table (r16): built from the cached
+      // projection, so token merges and document purges both locate
+      // in O(batch buckets)
+      maxsimRoute(idx).writeFrom(s,
+        coded.select(col("vec_id"), col("did"), col("cell")))
     } finally coded.unpersist()
   }
 
@@ -3346,15 +3441,19 @@ object SimilarityQueries {
           s"(${dup.head.get(0)}) — MERGE needs one row per token")
     val cents    = loadCentroids(s, idx)
     val codebook = loadCodebooks(s, idx)
-    val coded = batch.select(Seq(expr("vec_id div 10").as("did"),
+    val coded = batch.select(Seq(maxsimDid(col("vec_id")).as("did"),
       col("vec_id"), argmaxCell(cents).as("cell")) ++
       (0 until PqM).map(sub =>
         pqArgminCode(sub, codebook(sub)).cast("tinyint").as(s"c$sub")): _*)
-    val touched = graft.operators.IndexMerge.merge(s, s"$idx/cells",
-      "cell", "vec_id", coded)
+    // routing copy through the route protocol (updated token ids'
+    // cells resolve from the did-bucketed route, not an index scan);
+    // fetch copy under the exact hash hint — its bucket is a pure
+    // function of the token id
+    val touched = maxsimRoute(idx).mergeThrough(s, s"$idx/cells", coded)
     graft.operators.IndexMerge.merge(s, s"$idx/docs", "dbkt", "vec_id",
       coded.drop("cell")
-        .withColumn("dbkt", pmod(hash(col("did")), lit(16))))
+        .withColumn("dbkt", maxsimDbkt(col("did"))),
+      hint = Some(graft.operators.PartOf(v => maxsimDbkt(maxsimDid(v)))))
     touched
   }
 
@@ -3402,9 +3501,17 @@ object SimilarityQueries {
     * MaxsimIndexSpec against exactly that half-committed state.
     */
   private[similarity] def maxsimBatchApplied(s: SparkSession, idx: String,
-      batch: DataFrame): Boolean =
-    allIdsPresent(s, s"$idx/cells", "cell", batch) &&
-      allIdsPresent(s, s"$idx/docs", "dbkt", batch)
+      batch: DataFrame): Boolean = {
+    val rt = maxsimRoute(idx)
+    val cellsHint =
+      if (rt.live(s))
+        Some(graft.operators.StoredAt(
+          rt.lookup(s, batch.select(col("vec_id")).distinct())))
+      else None
+    allIdsPresent(s, s"$idx/cells", "cell", batch, cellsHint) &&
+      allIdsPresent(s, s"$idx/docs", "dbkt", batch,
+        Some(graft.operators.PartOf(v => maxsimDbkt(maxsimDid(v)))))
+  }
 
   /** Multi-vector index MAINTENANCE under the gate: after the nightly
     * merge the probe must equal the fixed-model chain over the token
@@ -3435,10 +3542,11 @@ object SimilarityQueries {
   def deleteFromMaxsimIndex(s: SparkSession, idx: String,
       purge0: DataFrame): Seq[Int] = {
     val purge = purge0.select(col("did"))
-    val touched = graft.operators.IndexMerge.delete(s, s"$idx/cells",
-      "cell", "did", purge)
+    // routing copy: the purged documents' cells resolve from the
+    // route's did buckets; fetch copy: dbkt is a pure hash of the did
+    val touched = maxsimRoute(idx).deleteThrough(s, s"$idx/cells", purge)
     graft.operators.IndexMerge.delete(s, s"$idx/docs", "dbkt", "did",
-      purge)
+      purge, hint = Some(graft.operators.PartOf(d => maxsimDbkt(d))))
     touched
   }
 
@@ -3482,13 +3590,35 @@ object SimilarityQueries {
   private[similarity] def maxsimPurgePending(s: SparkSession, idx: String,
       purge: DataFrame): Boolean = {
     val dids = purge.select(col("did")).distinct()
-    // the presence probe prunes through the part-stats sidecar when it
-    // is live AND did-keyed (after a purge rewrote it); a vec_id-keyed
-    // sidecar — the mixed-key MaxSim reality — reads as untrusted and
-    // the probe full-scans, never pruning dids against vec_id ranges
-    def present(tbl: String, partCol: String): Boolean =
-      graft.operators.IndexMerge
-        .candidateParts(s, s"$idx/$tbl", partCol, "did", dids) match {
+    val rt = maxsimRoute(idx)
+    // this probe's safe staleness direction is the MERGE's, not the
+    // guard's: an under-reporting candidate set would miss surviving
+    // purged rows and skip the repair forever. Both hints honor it —
+    // the docs bucket is a pure hash of the did, and the route only
+    // ever goes stale by OVER-reporting (rows purge from cells before
+    // the route drops them). Pre-route indexes fall back to the
+    // part-stats sidecar when it is live and did-keyed, else a full
+    // scan — never pruning dids against vec_id ranges
+    def hintFor(tbl: String): Option[graft.operators.LocateHint] =
+      tbl match {
+        case "docs" =>
+          Some(graft.operators.PartOf(d => maxsimDbkt(d)))
+        case _ if rt.live(s) =>
+          Some(graft.operators.StoredAt(rt.lookup(s, dids)))
+        case _ => None
+      }
+    def present(tbl: String, partCol: String): Boolean = {
+      val cands = hintFor(tbl) match {
+        case Some(h) => Some(graft.operators.IndexMerge
+          .hintParts(s, h, dids, "did", partCol)
+          .filter(p => {
+            val pp = new org.apache.hadoop.fs.Path(s"$idx/$tbl/$partCol=$p")
+            pp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(pp)
+          }))
+        case None => graft.operators.IndexMerge
+          .candidateParts(s, s"$idx/$tbl", partCol, "did", dids)
+      }
+      cands match {
         case Some(parts) if parts.isEmpty => false
         case Some(parts) => s.read.option("basePath", s"$idx/$tbl")
           .parquet(parts.map(p => s"$idx/$tbl/$partCol=$p"): _*)
@@ -3496,6 +3626,7 @@ object SimilarityQueries {
         case None => s.read.parquet(s"$idx/$tbl")
           .join(dids, Seq("did"), "left_semi").limit(1).collect().nonEmpty
       }
+    }
     present("cells", "cell") || present("docs", "dbkt")
   }
 

@@ -1746,11 +1746,121 @@ object TextQueries {
     val d = docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) > 0)
-    d.agg(count(lit(1)).as("n_docs"), avg(size(col("t"))).as("avgdl"),
-        sum(size(col("t"))).cast("long").as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
     postingsOf(d)
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$idx/postings")
+    // the doc→buckets routing table (r16): every maintenance pass
+    // after this locates a doc's postings (and its dl, for the stats
+    // arithmetic) by reading the doc's hash bucket — O(batch), never
+    // O(index). Built from a column-pruned read-back of the postings
+    // just written. The stats tables derive from it
+    // ([[refreshDocStats]] — each doc lives in exactly ONE rb bucket,
+    // so the bucket rows sum to the global stats; the build-time
+    // `stats` values are identical to the old direct aggregation,
+    // now produced by the same code path every maintenance op uses).
+    val route = docRoute(idx)
+    route.ensure(s, s"$idx/postings")
+    refreshDocStats(s, idx, 0 until TextIndexBuckets)
+  }
+
+  /** The doc→buckets routing table of a text index: rows (doc_id, dl,
+    * bkt) — one per (doc, term-bucket) the doc has postings in —
+    * hash-bucketed by doc_id ([[graft.operators.KeyRouting]]). The
+    * locating metadata for postings merges/purges AND the anchor for
+    * crash-proof stats: per-doc dl rides along, so doc-level
+    * aggregates derive from the route's own buckets.
+    */
+  private[text] def docRoute(idx: String): graft.operators.KeyRouting =
+    graft.operators.KeyRouting(idx, Seq("doc_id"), TextIndexBuckets,
+      Map("doc_id" -> (d => pmod(hash(d), lit(TextIndexBuckets)))),
+      locCol = "bkt", carryCols = Seq("dl"), dirName = "docmap")
+
+  /** Recompute the per-rb-bucket doc stats rows for exactly `rbs` from
+    * the docmap (distinct (doc_id, dl) per bucket — a doc's rows all
+    * share its ONE dl and ONE rb bucket), then rewrite the global
+    * stats as the sum of the ≤[[TextIndexBuckets]] bucket rows. Both
+    * tables swap via write-to-sibling; the whole refresh RECOMPUTES
+    * FROM DATA, so re-applying after any crash converges — the r16
+    * replacement for delta arithmetic on the stats table, whose
+    * increments were lost forever if a crash landed between the
+    * postings commit and the stats swap (the deltas recomputed
+    * post-commit are zero).
+    */
+  /** The maintenance-pass pending marker: written BEFORE an upsert or
+    * delete mutates anything, cleared AFTER the stats refresh — the
+    * last, otherwise-unobservable tail. While it exists, an
+    * applied-once probe must treat the pass as unfinished and
+    * re-apply (every step is recompute-from-data idempotent, so the
+    * re-apply is the repair). The kernel's `_meta/pending` discipline
+    * lifted to the family's whole maintenance pass.
+    */
+  private[text] def statsPending(s: SparkSession, idx: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/stats__pending")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def setStatsPending(s: SparkSession, idx: String,
+      on: Boolean): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/stats__pending")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (on) fs.create(p, true).close() else fs.delete(p, false)
+  }
+
+  private[text] def refreshDocStats(s: SparkSession, idx: String,
+      rbs0: Seq[Int]): Unit = {
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    def exists(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    // no dstats yet (first touch of a pre-docmap generation): refresh
+    // EVERY bucket, so the sum is never partial
+    val rbs =
+      if (exists(s"$idx/dstats/_SUCCESS")) rbs0.distinct
+      else (0 until TextIndexBuckets).toSeq
+    val docmap = s"$idx/docmap"
+    val present = rbs.filter(b => exists(s"$docmap/rb=$b")).sorted
+    val fresh =
+      if (present.isEmpty) Seq.empty[(Int, Long, Long)]
+        .toDF("rb", "n_docs", "sum_dl")
+      else
+        s.read.option("basePath", docmap)
+          .parquet(present.map(b => s"$docmap/rb=$b"): _*)
+          .select(col("doc_id"), col("dl"), col("rb")).distinct()
+          .groupBy(col("rb").cast("int").as("rb"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("dl")).cast("long").as("sum_dl"))
+    val kept =
+      if (exists(s"$idx/dstats/_SUCCESS"))
+        s.read.parquet(s"$idx/dstats")
+          .filter(!col("rb").isin(rbs.map(Integer.valueOf): _*))
+      else fresh.limit(0)
+    val dsTmp = s"$idx/dstats__refreshing"
+    kept.unionByName(fresh)
+      .coalesce(1).write.mode("overwrite").parquet(dsTmp)
+    swapInto(s, dsTmp, s"$idx/dstats")
+    val tot = s.read.parquet(s"$idx/dstats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n"),
+        coalesce(sum(col("sum_dl")), lit(0L)).cast("long").as("sdl"))
+      .head() // 1-row bounded collect
+    val (nDocs, sumDl) = (tot.getLong(0), tot.getLong(1))
+    import s.implicits._
+    val stTmp = s"$idx/stats__refreshing"
+    Seq((nDocs, if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs, sumDl))
+      .toDF("n_docs", "avgdl", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(stTmp)
+    swapInto(s, stTmp, s"$idx/stats")
+  }
+
+  /** [[graft.operators.Maintenance.swapDirs]] when `live` exists, a
+    * plain rename when it does not (the first refresh of a table the
+    * build no longer pre-writes).
+    */
+  private def swapInto(s: SparkSession, tmp: String, live: String): Unit = {
+    val lp = new org.apache.hadoop.fs.Path(live)
+    val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(lp)) graft.operators.Maintenance.swapDirs(s, tmp, live)
+    else fs.rename(new org.apache.hadoop.fs.Path(tmp), lp)
   }
 
   /** (doc_id, t) tokenized docs → the postings payload (term, doc_id,
@@ -1908,49 +2018,52 @@ object TextQueries {
         s"upsertTextIndex: duplicate doc_id in batch (${dup.head.get(0)}) " +
           "— MERGE needs one row per doc")
     val ids = d.select(col("doc_id"))
+    val route = docRoute(idx)
+    route.ensure(s, s"$idx/postings")
     val newPosts = postingsOf(d).persist()
     try {
       val newBkts = newPosts.select(col("bkt")).distinct()
         .collect().map(_.getInt(0)).toSet // bounded: ≤ TextIndexBuckets
-      val oldInfo = s.read.parquet(s"$idx/postings")
-        .join(ids, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("dl"), col("bkt")).persist()
+      // route protocol, step 1 (the KeyRouting discipline): the
+      // batch's (doc, dl, bucket) pairs enter the docmap BEFORE any
+      // postings commit, so the docmap only ever over-reports
+      val newPairs = newPosts
+        .select(col("doc_id"), col("dl"), col("bkt")).distinct()
+      // pending marker up BEFORE the first mutation — cleared only
+      // after the stats refresh, so a crash anywhere inside the pass
+      // is observable to applied-once probes ([[statsPending]])
+      setStatsPending(s, idx, on = true)
+      val fastPath = route.allNew(s, ids)
+      if (fastPath) route.settleLocations(s, newPairs)
+      else route.addLocations(s, newPairs)
+      // pre-merge truth, route-pruned: the docmap lists the candidate
+      // buckets, the DATA read is the truth (an over-reporting docmap
+      // just reads an extra bucket) — replaces the full postings scan
+      val oldInfo = route.dataOf(s, s"$idx/postings", ids)
+        .select(col("doc_id"), col("dl"), col("bkt"))
       val oldBkts = oldInfo.select(col("bkt")).distinct()
         .collect().map(_.getInt(0)).toSet // bounded: ≤ TextIndexBuckets
-      // exact-integer stats deltas (replaced docs each carry ONE dl)
-      val replaced = oldInfo.select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(col("dl")), lit(0L)).cast("long").as("s"))
-        .head() // 1-row bounded collect
-      val (nReplaced, sumOldDl) = (replaced.getLong(0), replaced.getLong(1))
-      val batchAgg = d
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(size(col("t"))), lit(0L)).cast("long").as("s"))
-        .head() // 1-row bounded collect
-      val (nBatch, sumNewDl) = (batchAgg.getLong(0), batchAgg.getLong(1))
-      oldInfo.unpersist()
       // ONE dynamic-partition-overwrite commit over exactly the touched
       // buckets (per-bucket compaction included — the kernel routes
-      // each bucket to one task); the kernel re-derives the touched set
-      // from its own locating pass, which must agree with newBkts ∪
-      // oldBkts above (the stats deltas were computed from the same
-      // pre-merge reads)
+      // each bucket to one task), located through the docmap instead
+      // of a stats scan; the locating result must agree with newBkts ∪
+      // oldBkts (computed from the same pruned reads)
       val touched = graft.operators.IndexMerge.merge(s, s"$idx/postings",
-        "bkt", "doc_id", newPosts)
+        "bkt", "doc_id", newPosts,
+        hint = Some(graft.operators.StoredAt(route.lookup(s, ids))))
       assert(touched.toSet == (newBkts ++ oldBkts),
-        s"postings merge touched $touched but stats deltas covered " +
-          s"${(newBkts ++ oldBkts).toSeq.sorted}")
-      // stats refresh — exact integers in, one division out
-      val st = s.read.parquet(s"$idx/stats")
-        .select(col("n_docs"), col("sum_dl")).head()
-      val nDocs = st.getLong(0) + (nBatch - nReplaced)
-      val sumDl = st.getLong(1) - sumOldDl + sumNewDl
-      import s.implicits._
-      val statsTmp = s"$idx/stats__upserting"
-      Seq((nDocs, sumDl.toDouble / nDocs, sumDl))
-        .toDF("n_docs", "avgdl", "sum_dl")
-        .coalesce(1).write.mode("overwrite").parquet(statsTmp)
-      graft.operators.Maintenance.swapDirs(s, statsTmp, s"$idx/stats")
+        s"postings merge touched $touched but the pruned locating " +
+          s"reads covered ${(newBkts ++ oldBkts).toSeq.sorted}")
+      // route protocol, step 3: settle each batch doc's pairs to
+      // exactly its new buckets
+      if (!fastPath) route.settleLocations(s, newPairs)
+      // stats refresh — RECOMPUTED from the batch docs' docmap
+      // buckets (never delta arithmetic: recompute-from-data converges
+      // under any crash/re-apply interleaving, where a delta computed
+      // after a crashed run's committed merge would be zero and the
+      // batch's contribution lost forever)
+      refreshDocStats(s, idx, route.bucketsOf(s, ids))
+      setStatsPending(s, idx, on = false)
       // swapped directories keep their paths — drop any cached file
       // listings so later reads can't resolve to replaced files
       s.catalog.refreshByPath(idx)
@@ -1985,9 +2098,20 @@ object TextQueries {
       // be a (correct but costly) no-op — a serving tier probes an
       // up-to-date index, it does not re-run last night's ingest per
       // query. MERGE idempotence itself is TextIndexUpsertSpec's pin.
-      val applied = s.read.parquet(s"$idx/postings")
-        .filter(col("doc_id") % 5 === 0).limit(1).collect()
-      if (applied.isEmpty)
+      // A live [[statsPending]] marker overrides "applied": a crashed
+      // pass may have committed the postings but died before the
+      // docmap settle / stats refresh, and only the re-apply heals
+      // those tails. The presence read prunes through the docmap.
+      val batchIds = docs
+        .filter(col("doc_id") % 5 === 0 || col("doc_id") % 10 === 1)
+        .select(col("doc_id"))
+      val route = docRoute(idx)
+      route.ensure(s, s"$idx/postings")
+      val applied = !statsPending(s, idx) &&
+        route.dataOf(s, s"$idx/postings",
+            batchIds.filter(col("doc_id") % 5 === 0))
+          .limit(1).collect().nonEmpty
+      if (!applied)
         upsertTextIndex(s, idx,
           docs.filter(col("doc_id") % 5 === 0 || col("doc_id") % 10 === 1))
       idx
@@ -2040,31 +2164,29 @@ object TextQueries {
     val fs = postingsRoot.getFileSystem(conf)
     require(fs.exists(postingsRoot), s"no text index at $idx — build it first")
     val purge = purge0.select(col("doc_id"))
-    val touched = s.read.parquet(s"$idx/postings")
-      .join(purge, Seq("doc_id"), "left_semi")
+    val route = docRoute(idx)
+    route.ensure(s, s"$idx/postings")
+    // the purged docs' buckets resolve through the docmap, and the
+    // DATA read is the presence truth (an over-reporting docmap —
+    // a crashed earlier run — reads an extra bucket as a no-op)
+    val touched = route.dataOf(s, s"$idx/postings", purge)
       .select(col("bkt")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded: ≤ TextIndexBuckets
-    if (touched.isEmpty) return Nil
-    // survivor stats from the anti-join view — the same values the
-    // post-delete postings would yield, in every partial-swap state
-    val st = s.read.parquet(s"$idx/postings")
-      .join(purge, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).cast("long").as("s"))
-      .head() // 1-row bounded collect
-    val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
-    import s.implicits._
-    val statsTmp = s"$idx/stats__deleting"
-    Seq((nDocs, if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs, sumDl))
-      .toDF("n_docs", "avgdl", "sum_dl")
-      .coalesce(1).write.mode("overwrite").parquet(statsTmp)
-    graft.operators.Maintenance.swapDirs(s, statsTmp, s"$idx/stats")
-    // ONE dynamic-partition-overwrite commit over exactly the buckets
-    // holding a purged doc (fully-purged buckets clear); the kernel's
-    // locating pass re-derives `touched`
-    graft.operators.IndexMerge.delete(s, s"$idx/postings", "bkt",
-      "doc_id", purge)
+    setStatsPending(s, idx, on = true)
+    if (touched.nonEmpty) {
+      // ONE dynamic-partition-overwrite commit over exactly the
+      // buckets holding a purged doc (fully-purged buckets clear)
+      graft.operators.IndexMerge.delete(s, s"$idx/postings", "bkt",
+        "doc_id", purge,
+        hint = Some(graft.operators.StoredAt(route.lookup(s, purge))))
+    }
+    // the docmap drop and the stats refresh run UNCONDITIONALLY: a
+    // crashed earlier run may have committed the postings delete and
+    // died before these tails, and a presence-gated re-entry would
+    // never heal them (recompute-from-data makes both idempotent)
+    route.dropLocations(s, purge)
+    refreshDocStats(s, idx, route.bucketsOf(s, purge))
+    setStatsPending(s, idx, on = false)
     s.catalog.refreshByPath(idx)
     touched
   }
@@ -2099,9 +2221,17 @@ object TextQueries {
       if (!fs.exists(marker)) {
         val purge = graft.dedup.DedupQueries.textPurgeIds(s, dir)
           .select(col("doc_id"))
-        val present = s.read.parquet(s"$idx/postings")
-          .join(purge, Seq("doc_id"), "left_semi").limit(1).collect()
-        if (present.nonEmpty) deleteFromTextIndex(s, idx, purge)
+        // pending = purged postings still on disk (docmap-pruned data
+        // read), OR purged docmap pairs surviving, OR a live
+        // stats-pending marker — any of the three means a crashed
+        // pass left tails only the re-apply heals
+        val route = docRoute(idx)
+        route.ensure(s, s"$idx/postings")
+        val pending = statsPending(s, idx) ||
+          route.dataOf(s, s"$idx/postings", purge)
+            .limit(1).collect().nonEmpty ||
+          route.lookup(s, purge).limit(1).collect().nonEmpty
+        if (pending) deleteFromTextIndex(s, idx, purge)
         fs.create(marker, true).close()
       }
       idx
