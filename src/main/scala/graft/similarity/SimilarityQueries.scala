@@ -926,6 +926,46 @@ object SimilarityQueries {
     oracle = ivfTopk.oracle,
   )
 
+  /** Routing-table consistency audit (r16) — the maintenance
+    * invariant behind every O(batch) locating pass: the id→cell
+    * route ([[cellRoute]]) must agree with the cells table it routes
+    * for, per cell and in total. The row reads both tables of the
+    * PUBLISHED index (bounded: two column-pruned count aggregations,
+    * k rows out) and the oracle recomputes the cell assignment from
+    * scratch in DuckDB — so a route that drifted from the cells, OR
+    * both drifting from the true model, hash-fails. The full outer
+    * join surfaces a cell present on only one side as a count
+    * mismatch instead of silently dropping it.
+    */
+  val routeAudit = Query(
+    "ss_route_audit",
+    (s, dir) => {
+      val idx = buildIvfIndex(s, dir)
+      val rt = cellRoute(idx)
+      rt.ensure(s, s"$idx/cells")
+      val fromCells = s.read.parquet(s"$idx/cells")
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_cells"))
+      val fromRoute = s.read.parquet(rt.routeDir)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_route"))
+      fromCells.join(fromRoute, Seq("cell"), "full")
+        .select(col("cell"),
+          coalesce(col("n_cells"), lit(0L)).as("n_cells"),
+          coalesce(col("n_route"), lit(0L)).as("n_route"),
+          (coalesce(col("n_cells"), lit(0L)) ===
+            coalesce(col("n_route"), lit(0L))).as("consistent"))
+        .orderBy(col("cell"))
+    },
+    oracle = Some(s"""
+      WITH ${ivfAssignCtes()},
+      counts AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell)
+      SELECT cell::BIGINT AS cell, n AS n_cells, n AS n_route,
+             TRUE AS consistent
+      FROM counts ORDER BY cell
+    """),
+  )
+
   /** Purge propagation into the persisted IVF index — the DELETE path
     * through [[upsertIvfIndex]]'s touched-cell discipline, closing the
     * r11 gap: the lake purge removes vectors, but a probe against an
@@ -4315,6 +4355,7 @@ object SimilarityQueries {
   // forward pass while reverse/rotate passes keep covering the rest.
   def all: Seq[Query] =
     Seq(cosineNearDup, bruteTopk, lshTopk, ivfTopk, ivfSqrtK, ivfProbe,
+      routeAudit,
       ivfDelete, ivfRetrain, ivfBalance, indexManifest, pqTopk, ivfPqTopk,
       ivfPqProbe,
       ivfPqUpsert, ivfPqMeta, ivfPqDelete, ivfPqRetrain, pqDrift,

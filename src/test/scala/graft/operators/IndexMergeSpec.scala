@@ -363,4 +363,71 @@ class IndexMergeSpec extends SparkSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "__staging")),
       "staging directory survived the publish")
   }
+
+  test("a PartOf hint locates exactly the hashed partitions, sidecar or no sidecar") {
+    // hash-bucketed shape: part = id % 3 — every partition's key RANGE
+    // spans the domain (0,3,6.. / 1,4,7.. / 2,5,8..), so the sidecar's
+    // range prune would scan everything; the hint is exact
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-indexmerge-hash").toString + "/idx"
+    Seq((0L, 0, "a"), (3L, 0, "b"), (1L, 1, "c"), (4L, 1, "d"),
+        (2L, 2, "e"))
+      .toDF("id", "part", "payload")
+      .write.partitionBy("part").parquet(root)
+    val partOf = PartOf(k => pmod(k, lit(3)))
+    // the hint's candidate set is the batch keys' own buckets — no
+    // sidecar consulted (there is none yet)
+    assert(IndexMerge.hintParts(spark, partOf,
+      Seq(3L, 4L).toDF("id"), "id", "part").sorted === Seq(0, 1))
+    val batch = Seq((3L, 0, "B"), (7L, 1, "x")).toDF("id", "part", "payload")
+    val before = fileState(root)
+    val touched = IndexMerge.merge(spark, root, "part", "id", batch,
+      hint = Some(partOf))
+    assert(touched === Seq(0, 1))
+    assert(fileState(root)(2) === before(2),
+      "partition outside the hint was rewritten")
+    assert(rowsOf(root) === Set(
+      (0L, 0, "a"), (3L, 0, "B"), (1L, 1, "c"), (4L, 1, "d"),
+      (2L, 2, "e"), (7L, 1, "x")))
+    // the hinted commit seeds a PARTIAL sidecar: scanned partitions
+    // only; uncovered on-disk partitions remain unhinted candidates
+    // (the always-scan fallback), so partial is safe
+    val m = metaOf(root)
+    assert(m.keySet === Set(0, 1), s"partial sidecar expected, got $m")
+    assert(IndexMerge.candidateParts(spark, root, "part", "id",
+      Seq(99L).toDF("id")).exists(_.contains(2)),
+      "sidecar-uncovered partition was pruned from an unhinted locate")
+    // hinted DELETE: purge id 4 (bucket 1 only) — bucket 0 untouched
+    val b0 = fileState(root)(0)
+    assert(IndexMerge.delete(spark, root, "part", "id",
+      Seq(4L).toDF("id"), hint = Some(partOf)) === Seq(1))
+    assert(fileState(root)(0) === b0)
+    assert(!rowsOf(root).contains((4L, 1, "d")))
+  }
+
+  test("a StoredAt hint prunes to the lookup's partitions; over-reporting is a no-op; moved keys clear their hinted old home") {
+    val root = freshIdx(base)
+    // id=5 moves part 2 -> 0; the lookup (a routing table) knows its
+    // old home AND over-reports part 1 (stale pair) — the extra
+    // partition scans as a no-op, the vacated old home clears
+    val lookup = Seq((5L, 2), (5L, 1)).toDF("id", "part")
+    assert(IndexMerge.hintParts(spark, StoredAt(lookup),
+      Seq(5L).toDF("id"), "id", "part").sorted === Seq(1, 2))
+    val batch = Seq((5L, 0, "E")).toDF("id", "part", "payload")
+    val touched = IndexMerge.merge(spark, root, "part", "id", batch,
+      hint = Some(StoredAt(lookup)))
+    // touched = the batch's target (0) + the true old home (2); the
+    // over-reported part 1 scanned, held no batch key, stayed put
+    assert(touched === Seq(0, 2))
+    assert(!fileState(root).contains(2),
+      "moved key's hinted old partition survived empty")
+    assert(rowsOf(root) === Set(
+      (1L, 0, "a"), (2L, 0, "b"), (3L, 1, "c"), (4L, 1, "d"),
+      (5L, 0, "E")))
+    // lookup rows of OTHER keys never widen the scan: the semi-join
+    // narrows to the batch keys first
+    assert(IndexMerge.hintParts(spark,
+      StoredAt(Seq((5L, 0), (99L, 1)).toDF("id", "part")),
+      Seq(5L).toDF("id"), "id", "part") === Seq(0))
+  }
 }

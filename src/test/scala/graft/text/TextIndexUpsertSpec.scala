@@ -131,4 +131,72 @@ class TextIndexUpsertSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("build it first"))
   }
+
+  test("a crashed pass heals: the pending marker forces a re-apply whose stats recompute from data") {
+    // the r16 stats contract: no delta arithmetic survives — the
+    // refresh recomputes per-rb-bucket doc stats from the docmap, so
+    // ANY crash interleaving converges under re-apply. Simulate the
+    // worst pre-r16 state (postings + docmap committed, stats refresh
+    // never ran — the old delta code recomputed a zero delta here and
+    // lost the batch's contribution forever): roll the stats table
+    // back to garbage, plant the pending marker, re-apply.
+    val idx = tmpIdx("c")
+    TextQueries.writeTextIndex(spark,
+      docs.filter(col("doc_id") % 5 =!= 0), idx)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    TextQueries.upsertTextIndex(spark, idx, batch)
+    val good = spark.read.parquet(s"$idx/stats").head()
+    // roll back: garbage stats + the marker a mid-pass death leaves
+    import spark.implicits._
+    val garbTmp = s"$idx/stats__garb"
+    Seq((1L, 1.0, 1L)).toDF("n_docs", "avgdl", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(garbTmp)
+    graft.operators.Maintenance.swapDirs(spark, garbTmp, s"$idx/stats")
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/stats__pending")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
+    assert(TextQueries.statsPending(spark, idx))
+    // the repair IS the idempotent re-apply
+    TextQueries.upsertTextIndex(spark, idx, batch)
+    val healed = spark.read.parquet(s"$idx/stats").head()
+    assert(healed.getLong(healed.fieldIndex("n_docs")) ==
+      good.getLong(good.fieldIndex("n_docs")))
+    assert(healed.getLong(healed.fieldIndex("sum_dl")) ==
+      good.getLong(good.fieldIndex("sum_dl")))
+    assert(healed.getDouble(healed.fieldIndex("avgdl")) ==
+      good.getDouble(good.fieldIndex("avgdl")))
+    assert(!TextQueries.statsPending(spark, idx),
+      "the completed re-apply left the pending marker up")
+  }
+
+  test("deleteFromTextIndex heals its tails: a crash after the postings purge re-applies to clean docmap and stats") {
+    val idx = tmpIdx("x")
+    TextQueries.writeTextIndex(spark, docs, idx)
+    val purge = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+    // simulate "postings purged, docmap/stats tails never ran": the
+    // kernel delete alone, exactly deleteFromTextIndex's first commit
+    val route = TextQueries.docRoute(idx)
+    route.ensure(spark, s"$idx/postings")
+    graft.operators.IndexMerge.delete(spark, s"$idx/postings", "bkt",
+      "doc_id", purge,
+      hint = Some(graft.operators.StoredAt(route.lookup(spark, purge))))
+    assert(spark.read.parquet(route.routeDir)
+      .join(purge, Seq("doc_id"), "left_semi").count() > 0,
+      "precondition: stale docmap pairs should survive the crash")
+    // re-apply: no postings work left, but the tails heal
+    TextQueries.deleteFromTextIndex(spark, idx, purge)
+    assert(spark.read.parquet(route.routeDir)
+      .join(purge, Seq("doc_id"), "left_semi").count() == 0,
+      "re-apply did not drop the purged docs' docmap pairs")
+    // stats equal a from-scratch build over the survivors
+    val rebuilt = tmpIdx("y")
+    TextQueries.writeTextIndex(spark,
+      docs.join(purge, Seq("doc_id"), "left_anti"), rebuilt)
+    val sd = spark.read.parquet(s"$idx/stats").head()
+    val sr = spark.read.parquet(s"$rebuilt/stats").head()
+    assert(sd.getLong(sd.fieldIndex("n_docs")) ==
+      sr.getLong(sr.fieldIndex("n_docs")))
+    assert(sd.getLong(sd.fieldIndex("sum_dl")) ==
+      sr.getLong(sr.fieldIndex("sum_dl")))
+  }
 }
