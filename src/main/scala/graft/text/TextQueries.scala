@@ -2132,28 +2132,76 @@ object TextQueries {
     oracle = bm25.oracle,
   )
 
+  /** Stats-derivation audit (r16) — the gated face of the
+    * recompute-from-data stats architecture: after the upsert demo's
+    * base-build + nightly batch (final corpus = the full documents),
+    * the serving stats pair AND the per-bucket dstats rows it was
+    * summed from must equal a from-scratch recount of the corpus —
+    * n_docs twice (global table and dstats sum: a bucket row gone
+    * missing splits them), exact integer sum_dl, and the avgdl
+    * division at the gate's 4-dp rounding. The oracle re-tokenizes
+    * in DuckDB, so the row is sensitive to the docmap (dstats
+    * derives from it), the refresh's touched-bucket arithmetic, and
+    * the pending-marker healing — the whole r16 stats chain, not
+    * just the final division.
+    */
+  /** Pre-r16 generation repair: a published index whose maintenance
+    * pass predates the derived-stats chain has no dstats table — one
+    * full refresh bootstraps docmap + dstats (and rewrites stats to
+    * the same values the old direct aggregation produced). The same
+    * bootstrap-on-first-read rule every fingerprint-persisted layout
+    * addition follows.
+    */
+  private def ensureDerivedStats(s: SparkSession, idx: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/dstats/_SUCCESS")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) {
+      docRoute(idx).ensure(s, s"$idx/postings")
+      refreshDocStats(s, idx, 0 until TextIndexBuckets)
+    }
+  }
+
+  val statsAudit = Query(
+    "tx_stats_audit",
+    (s, dir) => {
+      val idx = upsertDemoIndex(s, dir)
+      ensureDerivedStats(s, idx)
+      val st = s.read.parquet(s"$idx/stats")
+      val ds = s.read.parquet(s"$idx/dstats")
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).cast("long")
+          .as("n_docs_dstats"))
+      // 1-row × 1-row (the Relational exact-vs-approx precedent) —
+      // nothing corpus-sized on either side
+      st.select(col("n_docs"), round(col("avgdl"), 4).as("avgdl_r"),
+          col("sum_dl"))
+        .crossJoin(ds)
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        FROM documents
+      ), nz AS (SELECT doc_id, len(t) AS dl FROM d WHERE len(t) > 0)
+      SELECT count(*) AS n_docs, round(avg(dl), 4) AS avgdl_r,
+             sum(dl)::BIGINT AS sum_dl, count(*) AS n_docs_dstats
+      FROM nz
+    """),
+  )
+
   /** Purge propagation into the persisted inverted index — the DELETE
     * path through [[upsertTextIndex]]'s touched-bucket discipline,
     * closing the r11 gap: `dd_purge_apply` cleans the LAKE, but a probe
     * against an unmaintained index still scores (and can return) the
     * purged docs. Semantics = a from-scratch [[writeTextIndex]] over
     * the surviving corpus: the purged docs' postings leave their
-    * buckets (anti-join, touched buckets only, compacted, crash-safe
-    * swaps), and the (n_docs, avgdl, sum_dl) stats are RECOMPUTED from
-    * the SURVIVING postings (the anti-join view) — one narrow
-    * (doc_id, dl) column-pruned pass, NOT a delta: a delta computed
-    * before the swaps cannot tell, on a crashed-and-rerun delete,
-    * whether it was already applied; the survivor recompute is
-    * invariant across every partial-swap state, so re-running from any
-    * crash point converges. Swap order is stats FIRST, buckets after:
-    * the delete's commit point is then the LAST bucket swap, which is
-    * exactly the condition callers already test for idempotence
-    * ("any purged id still in the postings?") — a crash anywhere
-    * leaves purged postings behind and the re-run finishes the job
-    * (re-writing the identical stats on the way). distinct(doc_id, dl)
-    * → integer (count, sum) → one final division = bit-identical to
-    * the build's avg. Purges are rare relative to probes and upserts,
-    * so the narrow pass amortizes; ids with no postings (never
+    * buckets in ONE dynamic-overwrite commit (located through the
+    * docmap — a read of the purge list's hash buckets, r16, never an
+    * O(index) scan), their docmap pairs drop, and the stats
+    * RECOMPUTE from the touched docmap buckets
+    * ([[refreshDocStats]] — recompute-from-data, so every
+    * crash/re-apply interleaving converges; the [[statsPending]]
+    * marker brackets the pass and the docmap-drop + stats tails run
+    * UNCONDITIONALLY, healing a crashed run whose postings commit
+    * landed but whose tails died). Ids with no postings (never
     * indexed, or zero-token docs) are the documented no-op. Returns
     * the touched bucket ids (sorted).
     */
@@ -3494,6 +3542,6 @@ object TextQueries {
     fingerprint, rollingFingerprint, bigrams, bpeTokens, tfidf,
     repetition, piiRedact, entropy, sample, trainSplit, corpusLedger, shards, mixRebalance,
     mixTemperature, filterFunnel, vocab, pack, packBpe, chunks, heavyHitters,
-    sourceCap, bm25, bm25Probe, indexUpsert, indexDelete, lmScore, lmHoldout, bpeTrain, bpeEncode, bpeVocab, countMin, packEval, evalSample,
+    sourceCap, bm25, bm25Probe, indexUpsert, statsAudit, indexDelete, lmScore, lmHoldout, bpeTrain, bpeEncode, bpeVocab, countMin, packEval, evalSample,
     novelty, datasetCard, sftFormat, pplBuckets, tokenizerEval, sourceOverlap)
 }
