@@ -2231,7 +2231,25 @@ object Multimodal {
     bandsOfHashes(hashes)
       .withColumn("bkt", mediaBandBkt)
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$idx/bands")
+    // the id→band-buckets routing table (r16): band buckets derive
+    // from dhash CONTENT, so an id's band rows are not locatable from
+    // the id — the bandmap bounds every bands-table locate to the
+    // batch's hash buckets, and its add-first protocol covers even a
+    // crashed changed-content re-ingest (the state the sigs-derived
+    // lookup could not)
+    mediaBandRoute(idx).ensure(s, s"$idx/bands",
+      readSchema = Some(mediaBandsSchema))
   }
+
+  /** The media bands routing table — [[graft.operators.KeyRouting]]
+    * with the band bucket as the location column, one row per
+    * (media_id, bucket) the id has band rows in.
+    */
+  private def mediaBandRoute(idx: String): graft.operators.KeyRouting =
+    graft.operators.KeyRouting(idx, Seq("media_id"), MediaIndexBuckets,
+      Map("media_id" -> (id => pmod(hash(id), lit(MediaIndexBuckets)))),
+      locCol = "bkt", dirName = "bandmap",
+      schemaDdl = Some("media_id LONG, bkt INT"))
 
   /** Arrival-fixture headroom guard (r13 advice): the media arrival
     * waves stack at +500000/+600000/+700000/+800000 offsets and key
@@ -2549,19 +2567,22 @@ object Multimodal {
       // bands first; sigs LAST (the commit point — presence reads
       // sigs); each table commits in ONE dynamic-partition-overwrite
       // job through the shared kernel (anti-join on the batch ids
-      // clears crashed-run rows before the union)
-      // The BANDS merge deliberately stays UNHINTED: a band row's
-      // bucket derives from the dhash CONTENT, and the one state a
-      // hint could not cover is a crashed earlier attempt that
-      // committed bands under a DIFFERENT dhash for these ids (content
-      // changed between attempts) with no sigs row to derive it from —
-      // only the kernel's own locating scan recovers those rows, and a
-      // stale band row is a correctness input here (candidates are
-      // hash-matched pairs, so an extra stale row can surface an extra
-      // pair). The SIGS merge hints exactly: sb is a pure hash of the
-      // id (r16).
-      val touched = graft.operators.IndexMerge.merge(s, s"$idx/bands",
-        "bkt", "media_id", newBands, readSchema = Some(mediaBandsSchema))
+      // clears crashed-run rows before the union).
+      // The BANDS commit rides the bandmap route protocol (r16): a
+      // band row's bucket derives from dhash CONTENT, not the id, so
+      // the locating pass used to scan the whole bands table — and a
+      // sigs-derived hint could not cover a crashed CHANGED-CONTENT
+      // re-ingest (bands committed under the new dhash, sigs still
+      // old/absent), where a stale band row is a correctness input
+      // (candidates are hash-matched pairs, so an extra stale row can
+      // surface an extra pair). The route's add-first discipline
+      // covers exactly that state: an attempt's band buckets enter
+      // the bandmap before any of its band rows land, so a re-applied
+      // merge — same content or changed — always finds the orphans
+      // (KeyRoutingSpec pins the window). The SIGS merge hints
+      // exactly: sb is a pure hash of the id (r16).
+      val touched = mediaBandRoute(idx).mergeThrough(s, s"$idx/bands",
+        newBands, readSchema = Some(mediaBandsSchema))
       graft.operators.IndexMerge.merge(s, s"$idx/sigs",
         "sb", "media_id",
         hashes.withColumn("sb", mediaSigBkt(col("media_id"))),
@@ -2741,39 +2762,27 @@ object Multimodal {
       val sbs = purge.select(mediaSigBkt(col("media_id")).as("b")).distinct()
         .collect().map(_.getInt(0)).sorted // bounded: ≤ MediaIndexBuckets
       if (sbs.isEmpty) return Nil
-      val purgedSigs = s.read.schema(mediaSigsSchema).parquet(s"$idx/sigs")
+      val anyIndexed = s.read.schema(mediaSigsSchema)
+        .parquet(s"$idx/sigs")
         .filter(col("sb").isin(sbs.map(Integer.valueOf): _*))
         .join(purge, Seq("media_id"), "left_semi")
-        .select(col("media_id"), col("dhash"))
-      val touched = bandsOfHashes(purgedSigs)
-        .select(mediaBandBkt.as("b")).distinct()
-        .collect().map(_.getInt(0)).sorted // bounded: ≤ MediaIndexBuckets
-      if (touched.isEmpty) return Nil // no purged id is indexed
+        .limit(1).collect()
+      if (anyIndexed.isEmpty) return Nil // no purged id is indexed
       // the bands table first; the sigs table LAST (the commit point);
       // each table purges in ONE dynamic-partition-overwrite commit
-      // (fully-purged buckets clear; a re-applied list is a no-op)
-      // bands: the purged ids' band buckets derive from their STORED
-      // sigs (purgedSigs → `touched` above) — the stored locations,
-      // so the kernel skips its stats scan (r16). One state escapes
-      // the derivation: a crashed CHANGED-CONTENT re-ingest (bands
-      // committed under the new dhash, sigs still old) purged before
-      // its repair re-runs — those band rows survive this delete.
-      // They are query-harmless (candidates always verify against
-      // sigs, where the id is now absent, so no pair can surface) and
-      // the repair-first discipline the admission path logs for makes
-      // the state operator-visible; accepting that garbage buys
-      // removing the purge path's only O(index) read. sigs: sb is a
-      // pure hash of the id.
-      graft.operators.IndexMerge.delete(s, s"$idx/bands",
-        "bkt", "media_id", purge, readSchema = Some(mediaBandsSchema),
-        hint = Some(graft.operators.StoredAt(
-          bandsOfHashes(purgedSigs)
-            .select(col("media_id"), mediaBandBkt.as("bkt")))))
+      // (fully-purged buckets clear; a re-applied list is a no-op).
+      // bands locate through the bandmap route (r16) — a read of the
+      // purge list's hash buckets, never a bands scan, and unlike the
+      // sigs-derived band keys the route also covers rows a crashed
+      // changed-content re-ingest left under a dhash the sigs never
+      // recorded. sigs: sb is a pure hash of the id.
+      val touched = mediaBandRoute(idx).deleteThrough(s, s"$idx/bands",
+        purge, readSchema = Some(mediaBandsSchema))
       graft.operators.IndexMerge.delete(s, s"$idx/sigs",
         "sb", "media_id", purge, readSchema = Some(mediaSigsSchema),
         hint = Some(graft.operators.PartOf(mediaSigBkt)))
       s.catalog.refreshByPath(idx)
-      touched.toSeq
+      touched
     } finally purge.unpersist()
   }
 

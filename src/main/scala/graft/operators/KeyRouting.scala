@@ -66,7 +66,7 @@ import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod}
 final case class KeyRouting(root: String, keyCols: Seq[String],
     buckets: Int, rbFns: Map[String, Column => Column],
     locCol: String = "cell", carryCols: Seq[String] = Nil,
-    dirName: String = "route") {
+    dirName: String = "route", schemaDdl: Option[String] = None) {
 
   private def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
   private[graft] val routeDir = s"$root/$dirName"
@@ -104,9 +104,11 @@ final case class KeyRouting(root: String, keyCols: Seq[String],
     * missing, torn, or differently bucketed — ONE column-pruned scan,
     * paid once per pre-route index generation. No-op when live.
     */
-  def ensure(s: SparkSession, cells: String): Unit = {
+  def ensure(s: SparkSession, cells: String,
+      readSchema: Option[String] = None): Unit = {
     if (live(s)) return
-    writeFrom(s, s.read.parquet(cells).select(routeCols: _*))
+    writeFrom(s, readSchema.fold(s.read)(s.read.schema).parquet(cells)
+      .select(routeCols: _*))
   }
 
   /** Build the route from `pairs` (key…, cell) — the fresh-build path
@@ -142,7 +144,11 @@ final case class KeyRouting(root: String, keyCols: Seq[String],
       .distinct().collect().map(_.getInt(0)) // bounded: batch buckets
       .filter(b => f.exists(hPath(s"$routeDir/rb=$b"))).sorted
     if (bkts.isEmpty)
-      s.read.parquet(routeDir).limit(0).select(routeCols: _*)
+      // schemaDdl covers the fully-empty route (no bucket dirs =
+      // nothing for schema inference; the media tables' bare-schema
+      // rule applied here)
+      schemaDdl.fold(s.read)(d => s.read.schema(s"$d, rb INT"))
+        .parquet(routeDir).limit(0).select(routeCols: _*)
     else
       s.read.option("basePath", routeDir)
         .parquet(bkts.map(b => s"$routeDir/rb=$b"): _*)
@@ -225,20 +231,20 @@ final case class KeyRouting(root: String, keyCols: Seq[String],
     * `keyCols`, `cell`, and the payload; returns the data merge's
     * touched cells.
     */
-  def mergeThrough(s: SparkSession, cells: String,
-      batch: DataFrame): Seq[Int] = {
-    ensure(s, cells)
+  def mergeThrough(s: SparkSession, cells: String, batch: DataFrame,
+      readSchema: Option[String] = None): Seq[Int] = {
+    ensure(s, cells, readSchema)
     val keyCol = keyCols.head
     val pairs = batch.select(routeCols: _*).distinct()
     if (allNew(s, batch.select(col(keyCol)))) {
       settleLocations(s, pairs)
-      IndexMerge.merge(s, cells, locCol, keyCol, batch,
+      IndexMerge.merge(s, cells, locCol, keyCol, batch, readSchema,
         hint = Some(StoredAt(pairs)))
     } else {
       addLocations(s, pairs)
       val locs = lookup(s, batch.select(col(keyCol)))
       val touched = IndexMerge.merge(s, cells, locCol, keyCol, batch,
-        hint = Some(StoredAt(locs)))
+        readSchema, hint = Some(StoredAt(locs)))
       settleLocations(s, pairs)
       touched
     }
@@ -249,13 +255,14 @@ final case class KeyRouting(root: String, keyCols: Seq[String],
     * single-column frame of any of `keyCols`; returns the data
     * delete's touched cells.
     */
-  def deleteThrough(s: SparkSession, cells: String,
-      keys0: DataFrame): Seq[Int] = {
-    ensure(s, cells)
+  def deleteThrough(s: SparkSession, cells: String, keys0: DataFrame,
+      readSchema: Option[String] = None): Seq[Int] = {
+    ensure(s, cells, readSchema)
     val keys = keys0.select(col(keys0.columns.head)).distinct()
     val locs = lookup(s, keys)
     val touched = IndexMerge.delete(s, cells, locCol,
-      keys.columns.head, keys, hint = Some(StoredAt(locs)))
+      keys.columns.head, keys, readSchema,
+      hint = Some(StoredAt(locs)))
     dropLocations(s, keys)
     touched
   }
