@@ -15,7 +15,7 @@ object IngestStream {
     * [[StreamingQueries]]'s ingestLoop publish scaffolding so IngestLogRestartSpec can
     * kill it between batches and restart it on the same checkpoint.
     * Each batch's verdict rows land DURABLY inside foreachBatch,
-    * OVERWRITTEN into a `batch=<id>` partition of `logParts` (r14
+    * OVERWRITTEN into a `mbatch=<id>` partition of `logParts` (r14
     * verdict ask #5 — the loop used to buffer every batch's verdicts
     * in driver memory and write once after `awaitTermination`, so a
     * mid-stream crash lost the whole log while the index kept the
@@ -62,7 +62,7 @@ object IngestStream {
     val fs = new org.apache.hadoop.fs.Path(logParts)
       .getFileSystem(child.sparkContext.hadoopConfiguration)
     def committed = (0L until nBatches.toLong).forall(i => fs.exists(
-      new org.apache.hadoop.fs.Path(s"$logParts/batch=$i/_SUCCESS")))
+      new org.apache.hadoop.fs.Path(s"$logParts/mbatch=$i/_SUCCESS")))
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!committed && q.isActive &&
         System.currentTimeMillis() < deadline)
@@ -100,7 +100,12 @@ object IngestStream {
         import scala.jdk.CollectionConverters._
         child.createDataFrame(handle(batch, batchId).asJava, schema)
           .coalesce(1).write.mode("overwrite")
-          .parquet(s"$logParts/batch=$batchId")
+          // the bookkeeping partition key is `mbatch`, NOT `batch`: a
+          // Hive-style partition directory SHADOWS a same-named data
+          // column on read (the directory value wins), so a channel
+          // whose log schema itself carries `batch` (the text channel)
+          // would lose its own column to the drop in the assembly step
+          .parquet(s"$logParts/mbatch=$batchId")
         failAfterBatch.filter(_ == batchId).foreach { b =>
           throw new RuntimeException(s"injected crash after batch $b")
         }

@@ -1255,7 +1255,7 @@ object StreamingQueries {
     *    `maxFilesPerTrigger=1` feeds them oldest-first — the
     *    deterministic stand-in for N nights of arrivals;
     *  - the verdict log, KEYED BY MICRO-BATCH ID and written DURABLY
-    *    inside foreachBatch as a `batch=<id>` partition overwrite
+    *    inside foreachBatch as a `mbatch=<id>` partition overwrite
     *    ([[IngestStream.run]]): an at-least-once retry REPLACES its
     *    batch's rows instead of appending a second copy (the r13
     *    advice finding), a crash between batches loses no committed
@@ -1306,9 +1306,13 @@ object StreamingQueries {
       else IngestStream.run(child, stage, streamSchema, logSchema,
         s"$tmp/logparts", s"$tmp/ckpt", handle)
       // assemble the generation's gated log from the per-batch
-      // partitions (`batch` is durable bookkeeping, not a log column)
+      // partitions (`mbatch` is durable bookkeeping, not a log column
+      // — and deliberately NOT named `batch`, which the text channel's
+      // log schema uses: a partition directory shadows a same-named
+      // data column on read, so the old `batch=<id>` key silently
+      // erased that channel's own column here)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(logSchema)
-      s.read.parquet(s"$tmp/logparts").drop("batch")
+      s.read.parquet(s"$tmp/logparts").drop("mbatch")
         .orderBy(schema.fieldNames.toSeq.map(col): _*)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/log")
     }
@@ -1688,7 +1692,12 @@ object StreamingQueries {
     import graft.text.{TextQueries => TQ}
     def docs(ss: SparkSession): DataFrame =
       Tables(ss, dir).documents.select(col("doc_id"), col("text"))
-    ingestLoop(s, dir, "graft_stream_text", "documents.parquet",
+    // _v2: the mbatch bookkeeping rename changes what this family's
+    // assembled log contains (the old `batch=` key ate the channel's
+    // own `batch` column), so a previously published generation is
+    // WRONG, not merely differently laid out — bump the family prefix
+    // (the graft_stream_vec_v2 precedent) so stale roots cannot serve
+    ingestLoop(s, dir, "graft_stream_text_v2", "documents.parquet",
       "doc_id LONG, text STRING",
       "batch INT, rk INT, doc_id LONG, bm25 DOUBLE",
       ss => Seq(docs(ss).filter(col("doc_id") % 10 === 0),

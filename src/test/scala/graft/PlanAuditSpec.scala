@@ -78,7 +78,11 @@ class PlanAuditSpec extends SparkSuite {
     "ss_hard_negatives", "ss_mmr",
     // tx_ppl_buckets reuses tx_lm_score's kernel verbatim (lmScored),
     // inheriting its sanctioned 1-row vocabulary-size broadcast cross.
-    "tx_ppl_buckets")
+    "tx_ppl_buckets",
+    // tx_stats_audit crosses the index's 1-row stats table with the
+    // 1-row dstats rollup — the q_approx_distinct 1-row × 1-row
+    // contract (nothing corpus-sized on either side).
+    "tx_stats_audit")
 
   /** The plan the lint audits: the query's own result plan, or the
     * declared eager intermediate (which, unlike `run`, plans lazily —

@@ -93,7 +93,7 @@ class IngestLogRestartSpec extends SparkSuite {
     assert(thrown.getMessage.contains("injected crash"),
       s"unexpected failure: ${thrown.getMessage}")
     // the committed batch's verdicts survived the crash, durably
-    assert(new java.io.File(s"$logC/batch=0").exists(),
+    assert(new java.io.File(s"$logC/mbatch=0").exists(),
       "batch 0's verdict partition did not land inside foreachBatch")
     val batch0 = logRows(logC)
     assert(batch0.nonEmpty)
