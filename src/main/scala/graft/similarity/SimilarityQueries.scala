@@ -285,8 +285,13 @@ object SimilarityQueries {
 
   /** Per-cell (cosine, cid) score structs over literal centroids:
     * lexicographic struct ordering = (ccos DESC, cid DESC) ranking.
+    * Since round 16 the hot paths use the loop kernels in
+    * [[graft.functions.CellKernels]] instead (O(k·dim) literal trees
+    * re-paid analysis+codegen per run); this composed form remains as
+    * the executable parity reference — CellKernelsSpec asserts
+    * bit-identical results between the two on the shipped corpus.
     */
-  private def scoreStructs(cents: Seq[(Int, Array[Float])]): Seq[Column] =
+  private[similarity] def scoreStructs(cents: Seq[(Int, Array[Float])]): Seq[Column] =
     cents.map { case (cid, cv) =>
       struct(
         VectorFunctions.cosineSim(col("embedding"), typedLit(cv))
@@ -294,11 +299,17 @@ object SimilarityQueries {
         lit(cid).as("cid"))
     }
 
-  /** Codegen'd argmax: greatest over the k structs, ties to the higher
-    * cid — identical to the declared (ccos DESC, cid DESC).
+  /** Codegen'd argmax, ties to the higher cid — identical ordering to
+    * the declared (ccos DESC, cid DESC). Round 16: the model rides as
+    * a reference object inside ONE loop kernel
+    * ([[graft.functions.CellKernels.bestCell]]) instead of k literal
+    * struct subtrees — the `greatest(struct…)` form re-paid O(k·dim)
+    * analysis + codegen every run and stops compiling at production k
+    * (CellKernelsSpec pins bit-parity with [[scoreStructs]]).
     */
   private def argmaxCell(cents: Seq[(Int, Array[Float])]): Column =
-    greatest(scoreStructs(cents): _*).getField("cid")
+    graft.functions.CellKernels.bestCell(col("embedding"), cents)
+      .getField("cid")
 
   /** The cell count the GATE queries pin: 16 cells over the ≤2000-row
     * test corpora keeps oracles fixed and cheap. A 100 TB deployment
@@ -380,9 +391,8 @@ object SimilarityQueries {
   private[graft] def probesOfAll(q: DataFrame,
       cents: Seq[(Int, Array[Float])], nprobe: Int = 2): DataFrame =
     q.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        explode(slice(sort_array(array(scoreStructs(cents): _*),
-          asc = false), 1, nprobe)).as("c"))
-      .select(col("qid"), col("qv"), col("c").getField("cid").as("cell"))
+      explode(graft.functions.CellKernels.topCells(col("embedding"),
+        cents, nprobe)).as("cell"))
 
   /** The shared probe→rank tail: join candidates on the cell key,
     * exact cosine + per-query top-5.
@@ -764,7 +774,8 @@ object SimilarityQueries {
     */
   private def coherence(df: DataFrame,
       cents: Seq[(Int, Array[Float])]): DataFrame =
-    df.select(greatest(scoreStructs(cents): _*).as("best"))
+    df.select(graft.functions.CellKernels
+      .bestCell(col("embedding"), cents).as("best"))
       .select(col("best").getField("cid").as("cell"),
         col("best").getField("ccos").as("cos"))
 
@@ -1457,7 +1468,7 @@ object SimilarityQueries {
     (s, dir) => {
       val e = Tables(s, dir).embeddings
       def bestCell(cents: Seq[(Int, Array[Float])]): Column =
-        greatest(scoreStructs(cents): _*)
+        graft.functions.CellKernels.bestCell(col("embedding"), cents)
       val model = trainKmeans8(e)
       e.select(bestCell(model).as("best"))
         .select(col("best.cid").as("cluster"), col("best.ccos").as("ccos"))
@@ -1676,12 +1687,7 @@ object SimilarityQueries {
     * structs — ties to the lower code id.
     */
   private def pqArgminCode(sub: Int, cb: Seq[(Int, Array[Float])]): Column =
-    least(cb.map { case (cid, cv) =>
-      struct(
-        VectorFunctions.subvecSqDist(col("embedding"), sub * PqSubDim, cv)
-          .as("d"),
-        lit(cid).as("cid"))
-    }: _*).getField("cid")
+    graft.functions.CellKernels.pqCode(col("embedding"), sub * PqSubDim, cb)
 
   /** PQ training: per-subspace seeds = the first K vectors'
     * subvectors, one Lloyd step (all 4 subspaces in one melted pass,
@@ -2988,10 +2994,10 @@ object SimilarityQueries {
         argmaxCell(cents).as("cell"))
       val probesRanked = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          posexplode(slice(sort_array(array(scoreStructs(cents): _*),
-            asc = false), 1, sweep.max)))
+          posexplode(graft.functions.CellKernels.topCells(
+            col("embedding"), cents, sweep.max)))
         .select(col("qid"), col("qv"), (col("pos") + 1).as("pr"),
-          col("col").getField("cid").as("cell"))
+          col("col").as("cell"))
       val cand = assigned.join(probesRanked, Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("pr"), col("vec_id").as("nid"),
@@ -3870,10 +3876,8 @@ object SimilarityQueries {
       val probes = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("label").as("qlabel"),
-          explode(slice(sort_array(array(scoreStructs(cents): _*),
-            asc = false), 1, 2)).as("c"))
-        .select(col("qid"), col("qv"), col("qlabel"),
-          col("c").getField("cid").as("cell"))
+          explode(graft.functions.CellKernels.topCells(
+            col("embedding"), cents, 2)).as("cell"))
       val cand = assigned.join(probes, Seq("cell"))
         .filter(col("vec_id") =!= col("qid") &&
           col("label") === col("qlabel"))
@@ -4312,7 +4316,8 @@ object SimilarityQueries {
       val e = Tables(s, dir).embeddings
       val model = trainKmeans8(e)
       val p = e.select(col("vec_id"),
-        greatest(scoreStructs(model): _*).as("best"))
+        graft.functions.CellKernels.bestCell(col("embedding"), model)
+          .as("best"))
         .select(col("vec_id"), col("best.cid").as("cluster"),
           floor(col("best.ccos") * 1000000).cast("long").as("cos_ppm"))
       val st = p.groupBy(col("cluster"))
