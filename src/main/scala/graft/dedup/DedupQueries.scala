@@ -84,6 +84,23 @@ object DedupQueries {
 
   private[graft] val MinhashP = 4294967311L
 
+  /** The 16 min-hashes of `sh` as ONE fused kernel pass
+    * ([[graft.functions.MinHashes]]; round 16) — value-identical to
+    * the composed per-rehash form kept in [[minHashesComposed]] and
+    * parity-pinned in DedupSpec; the composed form ran 16 interpreted
+    * lambda passes (and 17 array allocations) per row.
+    */
+  private def minHashesCol: Column =
+    graft.functions.HashFunctions.minHashes(col("sh"), hashParams, MinhashP)
+
+  /** Built-ins-only twin of [[minHashesCol]] (interpreted HOFs; kept
+    * as executable documentation + parity check).
+    */
+  private[dedup] def minHashesComposed: Column =
+    array(hashParams.map { case (a, b) =>
+      array_min(transform(col("sh"), h => (h * a + b) % MinhashP))
+    }: _*)
+
   private[graft] def dupCorpus(t: Tables): DataFrame =
     t.documents.select(col("doc_id"), col("text"))
       .unionAll(
@@ -223,9 +240,7 @@ object DedupQueries {
       val sh = spread(dupCorpus(t))
         .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
-      val mh = array(hashParams.map { case (a, b) =>
-        array_min(transform(col("sh"), h => (h * a + b) % MinhashP))
-      }: _*)
+      val mh = minHashesCol
       val bandKeys = array((0 until 4).map { b =>
         concat_ws(":", lit(b.toString) +:
           (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)
@@ -251,7 +266,8 @@ object DedupQueries {
       cands
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("inter",
+          graft.functions.HashFunctions.intersectSize(col("sh_a"), col("sh_b")))
         .select(col("id_a"), col("id_b"),
           round(col("inter").cast("double") /
             (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4)
@@ -315,9 +331,7 @@ object DedupQueries {
     */
   private def bandPairsCfg(sh: DataFrame, nBands: Int, rowsPer: Int): DataFrame = {
     require(nBands * rowsPer <= hashParams.length, "not enough min-hashes")
-    val mh = array(hashParams.map { case (a, b) =>
-      array_min(transform(col("sh"), h => (h * a + b) % MinhashP))
-    }: _*)
+    val mh = minHashesCol
     val bandKeys = array((0 until nBands).map { b =>
       concat_ws(":", lit(b.toString) +:
         (0 until rowsPer).map(r => element_at(col("mh"), b * rowsPer + r + 1)
@@ -342,7 +356,8 @@ object DedupQueries {
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.HashFunctions.intersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
 
@@ -1139,9 +1154,7 @@ object DedupQueries {
     * variants, so the two admission paths cannot drift).
     */
   private[graft] def cdcBandsOf(sh: DataFrame): DataFrame = {
-    val mhCol = array(hashParams.map { case (a, b) =>
-      array_min(transform(col("sh"), h => (h * a + b) % MinhashP))
-    }: _*)
+    val mhCol = minHashesCol
     val bandKeys = array((0 until 4).map { b =>
       concat_ws(":", lit(b.toString) +:
         (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)
@@ -1180,7 +1193,8 @@ object DedupQueries {
         col("sh").as("sh_n"))), "new_id")
       .join(shE.select(col("doc_id").as("old_id"),
         col("sh").as("sh_o")), "old_id")
-      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_o"))))
+      .withColumn("inter",
+        graft.functions.HashFunctions.intersectSize(col("sh_n"), col("sh_o")))
       .select(col("new_id"),
         (col("inter").cast("double") /
           (size(col("sh_n")) + size(col("sh_o")) - col("inter"))).as("jac"))

@@ -126,6 +126,52 @@ object HashKernels {
     }
     out
   }
+
+  /** Codegen entry point for [[MinHashes]]: the j-th output is
+    * min over the input hashes x of (x·a_j + b_j) mod p — one pass
+    * over the hash array for all j. Empty input → all-null minima,
+    * matching `array_min(transform(…))` per rehash.
+    */
+  def minHashes(sh: ArrayData, as: Array[Long], bs: Array[Long],
+      p: Long): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0)
+      return new GenericArrayData(Array.fill[Any](as.length)(null))
+    val mins = Array.fill(as.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = sh.getLong(i)
+      var j = 0
+      while (j < as.length) {
+        val v = (x * as(j) + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Codegen entry point for [[IntersectSize]]:
+    * |distinct(a) ∩ distinct(b)| over long arrays — the count
+    * `size(array_intersect(a, b))` produces, without materializing the
+    * intersection array or re-hashing per call site.
+    */
+  def intersectSize(a: ArrayData, b: ArrayData): Int = {
+    val (small, large) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[java.lang.Long](
+      math.max(8, small.numElements() * 2))
+    var i = 0
+    while (i < small.numElements()) { set.add(small.getLong(i)); i += 1 }
+    var cnt = 0
+    i = 0
+    while (i < large.numElements()) {
+      if (set.remove(large.getLong(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
 }
 
 /** Distinct character n-grams of a text column (fused kernel twin of
@@ -207,6 +253,70 @@ case class ProfileOverlap(child: Expression, profiles: Seq[Seq[String]])
   override def prettyName: String = "profile_overlap"
 }
 
+/** All 16 (or however many) affine min-hashes of a distinct-hash array
+  * in ONE pass — the fused, codegen'd twin of one
+  * `array_min(transform(sh, h -> (h*a_j + b_j) % p))` per rehash,
+  * which runs interpreted: 16 lambda passes and 17 array allocations
+  * per row. The (a_j, b_j) parameters ride as reference objects.
+  * Empty input → all-null minima (the array_min-of-empty rule).
+  */
+case class MinHashes(child: Expression, as: Array[Long], bs: Array[Long],
+    p: Long) extends UnaryExpression with ExpectsInputTypes {
+  require(as.length == bs.length && as.nonEmpty, "minhash param mismatch")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minHashes(v.asInstanceOf[ArrayData], as, bs, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("mhAs", as, "long[]")
+    val rb = ctx.addReferenceObj("mhBs", bs, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.minHashes($c, $ra, $rb, ${p}L)")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: MinHashes => child == o.child && p == o.p &&
+      java.util.Arrays.equals(as, o.as) && java.util.Arrays.equals(bs, o.bs)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (child, java.util.Arrays.hashCode(as), java.util.Arrays.hashCode(bs), p)
+      .hashCode()
+
+  override protected def withNewChildInternal(c: Expression): MinHashes =
+    copy(child = c)
+
+  override def prettyName: String = "min_hashes"
+}
+
+/** |distinct(a) ∩ distinct(b)| of two long-array columns — the fused,
+  * codegen'd twin of `size(array_intersect(a, b))`, which interprets
+  * and materializes the intersection array only to count it.
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.intersectSize(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.intersectSize($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): IntersectSize =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "intersect_size"
+}
+
 /** 60-bit SimHash of a text column. */
 case class SimHash60(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {
@@ -241,4 +351,15 @@ object HashFunctions {
   /** Per-profile overlap counts of a gram array (native kernel). */
   def profileOverlap(c: Column, profiles: Seq[Seq[String]]): Column =
     Exprs.toColumn(ProfileOverlap(Exprs.toExpr(c), profiles))
+
+  /** All affine min-hashes of a distinct-hash array in one pass
+    * (native kernel).
+    */
+  def minHashes(c: Column, params: Seq[(Long, Long)], p: Long): Column =
+    Exprs.toColumn(MinHashes(Exprs.toExpr(c),
+      params.map(_._1).toArray, params.map(_._2).toArray, p))
+
+  /** |distinct(a) ∩ distinct(b)| of two long arrays (native kernel). */
+  def intersectSize(a: Column, b: Column): Column =
+    Exprs.toColumn(IntersectSize(Exprs.toExpr(a), Exprs.toExpr(b)))
 }
