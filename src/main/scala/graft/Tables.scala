@@ -11,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * caches, or collects.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def load(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def load(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    spark.read.schema(Tables.fileSchema(spark, path)).parquet(path)
+  }
 
   def region: DataFrame     = load("region")
   def nation: DataFrame     = load("nation")
@@ -43,13 +45,43 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = {
     val reader = graft.core.Sessions.withConf(spark,
       "spark.sql.legacy.parquet.nanosAsLong" -> "true")
-    Tables.normalizeEventsTs(reader.read.parquet(s"$dir/events.parquet"))
+    val path = s"$dir/events.parquet"
+    Tables.normalizeEventsTs(
+      reader.read.schema(Tables.fileSchema(reader, path)).parquet(path))
   }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")
 }
 
 object Tables {
+  /** Footer-schema cache for the fixed test tables, keyed by the
+    * file's (path, length, mtime) identity — the same fingerprint the
+    * index layer keys generations by. Every schema-less
+    * `read.parquet` runs a footer-inference Spark job (~30 ms + a
+    * ~50 ms planning gap); with most queries loading 1-4 tables and
+    * the bench running 235 × 4 passes, inference was a measurable
+    * constant tax on EVERY query (r16, guide §1.1). A metastore holds
+    * exactly this metadata in production; the identity key re-probes
+    * if the driver regenerates a fixture mid-process. Results are
+    * never cached — only the footer's StructType.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private[graft] def fileSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    // the events layout probe needs the caller's session confs
+    // (nanosAsLong), so the conf fingerprint joins the key
+    val conf = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .getOrElse("")
+    val key = s"$path@${st.getLen}_${st.getModificationTime}_$conf"
+    schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+  }
+
   /** Normalize a probed `events` frame's `ts` column to session-TZ
     * TimestampType at microsecond precision, whatever physical layout
     * the file carries. Shared by the batch loader above and the

@@ -91,6 +91,30 @@ object IndexDirs {
     }
   }
 
+  /** Applied-once MARKER fast path for a published index's maintenance
+    * op (r16, guide §1.1): `marker` records that `work` — typically a
+    * data-derived presence guard plus an idempotent MERGE/purge —
+    * CONVERGED on this generation. The steady-state re-entry check
+    * becomes one file stat instead of the guard's per-call Spark
+    * actions (the guard jobs were most of several maintenance rows'
+    * serve-path cost). Crash discipline mirrors `_built` and the
+    * lakes' `_purge_applied`: the marker is written only AFTER `work`
+    * returns, so a crash anywhere inside leaves it absent and the next
+    * caller re-enters the full guard/repair path; the marker can never
+    * claim convergence that didn't happen. The generation directory
+    * owns the marker — a regenerated source gets a fresh fingerprint
+    * path with no marker, and [[publish]] GCs the old one.
+    */
+  def appliedOnce(conf: Configuration, idx: String, marker: String)(
+      work: => Unit): Unit = {
+    val p  = new Path(idx, marker)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) {
+      work
+      fs.create(p, true).close()
+    }
+  }
+
   /** The published generations of `idx`'s family that do NOT carry the
     * current source fingerprint `fp` — the serving-tier audit behind
     * `ss_index_manifest`: a multi-index deployment checks, before going

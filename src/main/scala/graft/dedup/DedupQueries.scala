@@ -1651,10 +1651,13 @@ object DedupQueries {
       .select((col("doc_id") + 600000).as("doc_id"),
         concat(lit("fresh content row "), col("doc_id").cast("string"),
           lit(" batch nightly ingest")).as("text"))
-    val already = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
-      .join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .limit(1).collect()
-    if (already.isEmpty) upsertBandIndex(s, idx, fresh)
+    graft.core.IndexDirs.appliedOnce(
+      s.sparkContext.hadoopConfiguration, idx, "_upsert_applied") {
+      val already = s.read.schema(sigsSchema).parquet(s"$idx/sigs")
+        .join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .limit(1).collect()
+      if (already.isEmpty) upsertBandIndex(s, idx, fresh)
+    }
     idx
   }
 

@@ -2928,13 +2928,17 @@ object Multimodal {
       }
       // apply the nightly batch once per corpus generation (the
       // applied-once discipline: a serving tier probes an up-to-date
-      // index, it does not re-run last night's ingest per query; the
-      // append-only contract makes re-ingest loud, so presence IS the
-      // marker)
-      val applied = s.read.schema(mediaSigsSchema).parquet(s"$idx/sigs")
-        .filter(col("media_id") % 5 === 0).limit(1).collect()
-      if (applied.isEmpty)
-        upsertMediaIndex(s, idx, hashes.filter(col("media_id") % 5 === 0))
+      // index, it does not re-run last night's ingest per query). The
+      // r16 marker fast path makes the steady-state re-entry one file
+      // stat; the no-marker path keeps the data-derived presence check
+      // (the append-only contract makes re-ingest loud, so presence IS
+      // the evidence) before the marker stamps convergence.
+      graft.core.IndexDirs.appliedOnce(conf, idx, "_upsert_applied") {
+        val applied = s.read.schema(mediaSigsSchema).parquet(s"$idx/sigs")
+          .filter(col("media_id") % 5 === 0).limit(1).collect()
+        if (applied.isEmpty)
+          upsertMediaIndex(s, idx, hashes.filter(col("media_id") % 5 === 0))
+      }
       idx
     }
 

@@ -1023,9 +1023,11 @@ object SimilarityQueries {
         writeIvfIndex(s, e, trainIvfCentroids(e, GateK), tmp)
       }
       val purge = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
-      val present = s.read.parquet(s"$idx/cells")
-        .join(purge, Seq("vec_id"), "left_semi").limit(1).collect()
-      if (present.nonEmpty) deleteFromIvfIndex(s, idx, purge)
+      graft.core.IndexDirs.appliedOnce(conf, idx, "_purge_applied") {
+        val present = s.read.parquet(s"$idx/cells")
+          .join(purge, Seq("vec_id"), "left_semi").limit(1).collect()
+        if (present.nonEmpty) deleteFromIvfIndex(s, idx, purge)
+      }
       idx
     }
 
@@ -1084,8 +1086,10 @@ object SimilarityQueries {
     * CURRENT source fingerprint
     * ([[graft.core.IndexDirs.stalePublishedGenerations]];
     * IndexManifestSpec proves a planted stale generation flips it).
-    * Cheap by construction: three 1-row/narrow-count reads plus three
-    * directory listings — nothing corpus-sized moves.
+    * Cheap by construction: 21 narrow count/1-row reads fused into ONE
+    * union plan (a single Spark action; r16 — the per-family count
+    * jobs' planning gaps dominated the row) plus per-family directory
+    * listings on the driver — nothing corpus-sized moves.
     */
   val indexManifest = Query(
     "ss_index_manifest",
@@ -1143,77 +1147,98 @@ object SimilarityQueries {
       val vidLog = graft.streaming.StreamingQueries.videoIngestDemoLog(s, dir)
       val pqLog  = graft.streaming.StreamingQueries.pqIngestDemoLog(s, dir)
       val msLog  = graft.streaming.StreamingQueries.maxsimIngestDemoLog(s, dir)
-      val nText = s.read.parquet(s"$textIdx/stats")
-        .select(col("n_docs")).head().getLong(0) // 1-row stats
-      val nBand = s.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
-        .parquet(s"$bandIdx/sigs").count()
-      val nIvf = s.read.parquet(s"$ivfIdx/cells")
-        .select(col("vec_id")).count()
-      val nTextLake  = s.read.parquet(s"$textLake/docs")
-        .select(col("doc_id")).count()
-      val nMediaLake = s.read.parquet(s"$mediaLake/media")
-        .select(col("media_id")).count()
-      val nLog = s.read
-        .schema("doc_id LONG, status STRING, best_jac DOUBLE")
-        .parquet(logPath).count()
-      val nImg = s.read.schema("media_id LONG, dhash LONG, sb INT")
-        .parquet(s"$imgIdx/sigs").count()
-      val nAud = s.read.schema("media_id LONG, dhash LONG, sb INT")
-        .parquet(s"$audIdx/sigs").count()
-      val nVid = s.read.schema("media_id LONG, dhash LONG, sb INT")
-        .parquet(s"$vidIdx/sigs").count()
-      val nTxLog = s.read.schema("batch INT, rk INT, doc_id LONG, bm25 DOUBLE")
-        .parquet(txLog).count()
-      val nVecLog = s.read.schema("qid LONG, rk INT, nid LONG, cos DOUBLE")
-        .parquet(vecLog).count()
-      val nImgLog = s.read
-        .schema("media_id LONG, status STRING, best_hamming INT")
-        .parquet(imgLog).count()
-      val nAudLog = s.read
-        .schema("media_id LONG, status STRING, best_hamming INT")
-        .parquet(audLog).count()
-      val nVidLog = s.read
-        .schema("media_id LONG, status STRING, best_hamming INT")
-        .parquet(vidLog).count()
-      val nPqLog = s.read
-        .schema("qid LONG, rk INT, nid LONG, adist DOUBLE")
-        .parquet(pqLog).count()
-      val nMsLog = s.read
-        .schema("qdoc LONG, rk INT, ddoc LONG, score DOUBLE")
-        .parquet(msLog).count()
-      val nPq   = s.read.parquet(s"$pqIdx/cells")
-        .select(col("vec_id")).count()
-      val nRt   = s.read.parquet(s"$rtIdx/cells")
-        .select(col("vec_id")).count()
-      val nPqRt = s.read.parquet(s"$pqRtIdx/cells")
-        .select(col("vec_id")).count()
-      val nMs = s.read.parquet(s"$msIdx/docs")
-        .select(col("vec_id")).count()
-      val nMsRt = s.read.parquet(s"$msRtIdx/docs")
-        .select(col("vec_id")).count()
-      Seq(
-        ("admission_log", nLog, ok(logRoot, docsFp)),
-        ("maxsim_index", nMs, ok(msIdx, embFp)),
-        ("maxsim_retrain_index", nMsRt, ok(msRtIdx, s"${embFp}_g2")),
-        ("maxsim_ingest_log", nMsLog, ok(msLog.stripSuffix("/log"), embFp)),
-        ("audio_index", nAud, ok(audIdx, docsFp)),
-        ("audio_ingest_log", nAudLog, ok(audLog.stripSuffix("/log"), docsFp)),
-        ("band_index", nBand, ok(bandIdx, docsFp)),
-        ("image_index", nImg, ok(imgIdx, docsFp)),
-        ("video_index", nVid, ok(vidIdx, docsFp)),
-        ("ivf_index", nIvf, ok(ivfIdx, embFp)),
-        ("ivfpq_index", nPq, ok(pqIdx, embFp)),
-        ("media_ingest_log", nImgLog, ok(imgLog.stripSuffix("/log"), docsFp)),
-        ("media_lake", nMediaLake, ok(mediaLake, docsFp)),
-        ("pq_ingest_log", nPqLog, ok(pqLog.stripSuffix("/log"), embFp)),
-        ("pq_retrain_index", nPqRt, ok(pqRtIdx, s"${embFp}_g2")),
-        ("retrain_index", nRt, ok(rtIdx, s"${embFp}_g2")),
-        ("text_index", nText, ok(textIdx, docsFp)),
-        ("text_ingest_log", nTxLog, ok(txLog.stripSuffix("/log"), docsFp)),
-        ("text_lake", nTextLake, ok(textLake, docsFp)),
-        ("vector_ingest_log", nVecLog, ok(vecLog.stripSuffix("/log"), embFp)),
-        ("video_ingest_log", nVidLog, ok(vidLog.stripSuffix("/log"), docsFp)))
-        .toDF("artifact", "n_items", "generation_ok")
+      // All 21 per-family reads fused into ONE aggregate under a single
+      // action (r16, guide §1.1/§7.3: the audit issued ~20 SEQUENTIAL
+      // count jobs, each paying a 25-35 ms planning gap that dwarfed
+      // its 10-30 ms scan — ~60 jobs and 2.5 s for narrow reads
+      // totaling ~1 s of executor work). Shape: each leg emits
+      // (artifact, weight) rows — weight 1 per item, or the stats
+      // table's n_docs for the postings family — a zero-weight seed
+      // row per family keeps an EMPTY family visible at count 0, and
+      // one global sum over the union counts everything with a single
+      // tiny exchange. Every leg reads with an explicit one-column
+      // schema, so no footer-inference job runs either.
+      // generation_ok stays a bounded driver-side directory listing
+      // evaluated at plan build, joined in from a literal map.
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("artifact"), lit(1L).as("w"))
+      val legs = Seq(
+        leg("admission_log",
+          s.read.schema("doc_id LONG").parquet(logPath)),
+        leg("maxsim_index",
+          s.read.schema("vec_id LONG").parquet(s"$msIdx/docs")),
+        leg("maxsim_retrain_index",
+          s.read.schema("vec_id LONG").parquet(s"$msRtIdx/docs")),
+        leg("maxsim_ingest_log",
+          s.read.schema("qdoc LONG").parquet(msLog)),
+        leg("audio_index",
+          s.read.schema("media_id LONG").parquet(s"$audIdx/sigs")),
+        leg("audio_ingest_log",
+          s.read.schema("media_id LONG").parquet(audLog)),
+        leg("band_index",
+          s.read.schema("doc_id LONG").parquet(s"$bandIdx/sigs")),
+        leg("image_index",
+          s.read.schema("media_id LONG").parquet(s"$imgIdx/sigs")),
+        leg("video_index",
+          s.read.schema("media_id LONG").parquet(s"$vidIdx/sigs")),
+        leg("ivf_index",
+          s.read.schema("vec_id LONG").parquet(s"$ivfIdx/cells")),
+        leg("ivfpq_index",
+          s.read.schema("vec_id LONG").parquet(s"$pqIdx/cells")),
+        leg("media_ingest_log",
+          s.read.schema("media_id LONG").parquet(imgLog)),
+        leg("media_lake",
+          s.read.schema("media_id LONG").parquet(s"$mediaLake/media")),
+        leg("pq_ingest_log",
+          s.read.schema("qid LONG").parquet(pqLog)),
+        leg("pq_retrain_index",
+          s.read.schema("vec_id LONG").parquet(s"$pqRtIdx/cells")),
+        leg("retrain_index",
+          s.read.schema("vec_id LONG").parquet(s"$rtIdx/cells")),
+        // text_index is the one non-count leg: n_items is the 1-row
+        // postings stats table's n_docs value
+        s.read.schema("n_docs LONG").parquet(s"$textIdx/stats")
+          .select(lit("text_index").as("artifact"),
+            col("n_docs").as("w")),
+        leg("text_ingest_log",
+          s.read.schema("batch INT").parquet(txLog)),
+        leg("text_lake",
+          s.read.schema("doc_id LONG").parquet(s"$textLake/docs")),
+        leg("vector_ingest_log",
+          s.read.schema("qid LONG").parquet(vecLog)),
+        leg("video_ingest_log",
+          s.read.schema("media_id LONG").parquet(vidLog)))
+      val okByName: Map[String, Boolean] = Map(
+        "admission_log"        -> ok(logRoot, docsFp),
+        "maxsim_index"         -> ok(msIdx, embFp),
+        "maxsim_retrain_index" -> ok(msRtIdx, s"${embFp}_g2"),
+        "maxsim_ingest_log"    -> ok(msLog.stripSuffix("/log"), embFp),
+        "audio_index"          -> ok(audIdx, docsFp),
+        "audio_ingest_log"     -> ok(audLog.stripSuffix("/log"), docsFp),
+        "band_index"           -> ok(bandIdx, docsFp),
+        "image_index"          -> ok(imgIdx, docsFp),
+        "video_index"          -> ok(vidIdx, docsFp),
+        "ivf_index"            -> ok(ivfIdx, embFp),
+        "ivfpq_index"          -> ok(pqIdx, embFp),
+        "media_ingest_log"     -> ok(imgLog.stripSuffix("/log"), docsFp),
+        "media_lake"           -> ok(mediaLake, docsFp),
+        "pq_ingest_log"        -> ok(pqLog.stripSuffix("/log"), embFp),
+        "pq_retrain_index"     -> ok(pqRtIdx, s"${embFp}_g2"),
+        "retrain_index"        -> ok(rtIdx, s"${embFp}_g2"),
+        "text_index"           -> ok(textIdx, docsFp),
+        "text_ingest_log"      -> ok(txLog.stripSuffix("/log"), docsFp),
+        "text_lake"            -> ok(textLake, docsFp),
+        "vector_ingest_log"    -> ok(vecLog.stripSuffix("/log"), embFp),
+        "video_ingest_log"     -> ok(vidLog.stripSuffix("/log"), docsFp))
+      import s.implicits._
+      val seeds = okByName.keys.toSeq.sorted
+        .map(n => (n, 0L)).toDF("artifact", "w")
+      (legs :+ seeds).reduce(_.unionAll(_))
+        .groupBy(col("artifact"))
+        .agg(sum(col("w")).cast("long").as("n_items"))
+        .select(col("artifact"), col("n_items"),
+          element_at(typedlit(okByName), col("artifact"))
+            .as("generation_ok"))
         .orderBy(col("artifact"))
     },
     oracle = Some(s"""
@@ -1317,76 +1342,6 @@ object SimilarityQueries {
           SELECT count(*) FROM purged))::BIGINT, true
       ORDER BY artifact
     """),
-    // `run` assembles a 6-row local report from bounded collects; the
-    // auditable distributed work is the narrow per-artifact reads
-    eagerPlan = Some((s, dir) => {
-      val textIdx = graft.text.TextQueries.buildTextIndex(s, dir)
-      val bandIdx = graft.dedup.DedupQueries.buildBandIndex(s, dir)
-      val ivfIdx  = buildIvfIndex(s, dir)
-      val textLake  = graft.dedup.DedupQueries.ensurePurgedTextLake(s, dir)
-      val mediaLake = graft.multimodal.Multimodal.ensurePurgedMediaLake(s, dir)
-      val logPath   = graft.streaming.StreamingQueries.ingestDemoLog(s, dir)
-      def cnt(df: DataFrame, name: String): DataFrame =
-        df.agg(count(lit(1)).as("n_items"))
-          .select(lit(name).as("artifact"), col("n_items"))
-      s.read.parquet(s"$textIdx/stats")
-        .select(lit("text_index").as("artifact"), col("n_docs").as("n_items"))
-        .unionByName(cnt(s.read.schema("doc_id LONG, sh ARRAY<LONG>, sbkt INT")
-          .parquet(s"$bandIdx/sigs"), "band_index"))
-        .unionByName(cnt(s.read.parquet(s"$ivfIdx/cells"), "ivf_index"))
-        .unionByName(cnt(s.read.parquet(s"$textLake/docs")
-          .select(col("doc_id")), "text_lake"))
-        .unionByName(cnt(s.read.parquet(s"$mediaLake/media")
-          .select(col("media_id")), "media_lake"))
-        .unionByName(cnt(s.read
-          .schema("doc_id LONG, status STRING, best_jac DOUBLE")
-          .parquet(logPath), "admission_log"))
-        .unionByName(cnt(s.read
-          .schema("media_id LONG, dhash LONG, sb INT")
-          .parquet(s"${graft.multimodal.Multimodal.buildImageIndex(s, dir)}/sigs"),
-          "image_index"))
-        .unionByName(cnt(s.read
-          .schema("media_id LONG, dhash LONG, sb INT")
-          .parquet(s"${graft.multimodal.Multimodal.buildAudioIndex(s, dir)}/sigs"),
-          "audio_index"))
-        .unionByName(cnt(s.read
-          .schema("media_id LONG, dhash LONG, sb INT")
-          .parquet(s"${graft.multimodal.Multimodal.buildVideoIndex(s, dir)}/sigs"),
-          "video_index"))
-        .unionByName(cnt(s.read
-          .schema("batch INT, rk INT, doc_id LONG, bm25 DOUBLE")
-          .parquet(graft.streaming.StreamingQueries.textIngestDemoLog(s, dir)),
-          "text_ingest_log"))
-        .unionByName(cnt(s.read
-          .schema("qid LONG, rk INT, nid LONG, cos DOUBLE")
-          .parquet(graft.streaming.StreamingQueries.vecIngestDemoLog(s, dir)),
-          "vector_ingest_log"))
-        .unionByName(cnt(s.read
-          .schema("media_id LONG, status STRING, best_hamming INT")
-          .parquet(graft.streaming.StreamingQueries.imageIngestDemoLog(s, dir)),
-          "media_ingest_log"))
-        .unionByName(cnt(s.read
-          .schema("media_id LONG, status STRING, best_hamming INT")
-          .parquet(graft.streaming.StreamingQueries.audioIngestDemoLog(s, dir)),
-          "audio_ingest_log"))
-        .unionByName(cnt(s.read
-          .schema("media_id LONG, status STRING, best_hamming INT")
-          .parquet(graft.streaming.StreamingQueries.videoIngestDemoLog(s, dir)),
-          "video_ingest_log"))
-        .unionByName(cnt(s.read
-          .schema("qid LONG, rk INT, nid LONG, adist DOUBLE")
-          .parquet(graft.streaming.StreamingQueries.pqIngestDemoLog(s, dir)),
-          "pq_ingest_log"))
-        .unionByName(cnt(s.read
-          .parquet(s"${buildIvfPqIndex(s, dir)}/cells")
-          .select(col("vec_id")), "ivfpq_index"))
-        .unionByName(cnt(s.read
-          .parquet(s"${retrainDemoIndex(s, dir)}/cells")
-          .select(col("vec_id")), "retrain_index"))
-        .unionByName(cnt(s.read
-          .parquet(s"${retrainDemoIvfPqIndex(s, dir)}/cells")
-          .select(col("vec_id")), "pq_retrain_index"))
-    }),
   )
 
   /** The shared deterministic k-means-8 trainer (seeds = first k
@@ -2345,8 +2300,10 @@ object SimilarityQueries {
           trainPqCodebooks(e), tmp)
       }
       val batch = retrainBatch(e)
-      if (!cellIdsPresent(s, idx, batch))
-        upsertIvfPqIndex(s, idx, batch)
+      graft.core.IndexDirs.appliedOnce(conf, idx, "_upsert_applied") {
+        if (!cellIdsPresent(s, idx, batch))
+          upsertIvfPqIndex(s, idx, batch)
+      }
       idx
     }
 
@@ -2434,9 +2391,11 @@ object SimilarityQueries {
           trainPqCodebooks(e), tmp)
       }
       val purge = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
-      val present = s.read.parquet(s"$idx/cells")
-        .join(purge, Seq("vec_id"), "left_semi").limit(1).collect()
-      if (present.nonEmpty) deleteFromIvfPqIndex(s, idx, purge)
+      graft.core.IndexDirs.appliedOnce(conf, idx, "_purge_applied") {
+        val present = s.read.parquet(s"$idx/cells")
+          .join(purge, Seq("vec_id"), "left_semi").limit(1).collect()
+        if (present.nonEmpty) deleteFromIvfPqIndex(s, idx, purge)
+      }
       idx
     }
 
@@ -3533,8 +3492,10 @@ object SimilarityQueries {
       }
       val batch = e.filter(col("vec_id") < 50)
         .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
-      if (!maxsimBatchApplied(s, idx, batch))
-        upsertMaxsimIndex(s, idx, batch)
+      graft.core.IndexDirs.appliedOnce(conf, idx, "_upsert_applied") {
+        if (!maxsimBatchApplied(s, idx, batch))
+          upsertMaxsimIndex(s, idx, batch)
+      }
       idx
     }
 
@@ -3620,8 +3581,10 @@ object SimilarityQueries {
       }
       val purge = e.select(expr("vec_id div 10").as("did")).distinct()
         .filter(col("did") % 7 === 3)
-      if (maxsimPurgePending(s, idx, purge))
-        deleteFromMaxsimIndex(s, idx, purge)
+      graft.core.IndexDirs.appliedOnce(conf, idx, "_purge_applied") {
+        if (maxsimPurgePending(s, idx, purge))
+          deleteFromMaxsimIndex(s, idx, purge)
+      }
       idx
     }
 

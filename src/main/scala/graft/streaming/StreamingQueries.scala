@@ -65,7 +65,10 @@ object StreamingQueries {
     val reader = graft.core.Sessions.withConf(s,
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
       "spark.sql.shuffle.partitions" -> streamPartitions)
-    val rawSchema = reader.read.parquet(s"$dir/events.parquet").schema
+    // footer probe through the (session, file-identity)-cached schema
+    // map — the per-pass inference job was a fixed tax on every
+    // streaming row (r16; see Tables.fileSchema)
+    val rawSchema = Tables.fileSchema(reader, s"$dir/events.parquet")
     val raw = reader.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -401,7 +404,7 @@ object StreamingQueries {
       val reader = graft.core.Sessions.withConf(s,
         "spark.sql.shuffle.partitions" -> streamPartitions)
       import reader.implicits._
-      val schema = reader.read.parquet(s"$dir/documents.parquet").schema
+      val schema = Tables.fileSchema(reader, s"$dir/documents.parquet")
       val docs = reader.readStream
         .schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -562,7 +565,7 @@ object StreamingQueries {
     (s, dir) => {
       val reader = graft.core.Sessions.withConf(s,
         "spark.sql.shuffle.partitions" -> streamPartitions)
-      val schema = reader.read.parquet(s"$dir/documents.parquet").schema
+      val schema = Tables.fileSchema(reader, s"$dir/documents.parquet")
       val docs = reader.readStream
         .schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -624,7 +627,7 @@ object StreamingQueries {
     (s, dir) => {
       val reader = graft.core.Sessions.withConf(s,
         "spark.sql.shuffle.partitions" -> streamPartitions)
-      val schema = reader.read.parquet(s"$dir/documents.parquet").schema
+      val schema = Tables.fileSchema(reader, s"$dir/documents.parquet")
       val docs = reader.readStream
         .schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -794,7 +797,7 @@ object StreamingQueries {
         "zzz_absent")
       val reader = graft.core.Sessions.withConf(s,
         "spark.sql.shuffle.partitions" -> streamPartitions)
-      val schema = reader.read.parquet(s"$dir/documents.parquet").schema
+      val schema = Tables.fileSchema(reader, s"$dir/documents.parquet")
       val docs = reader.readStream
         .schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -996,7 +999,7 @@ object StreamingQueries {
       val cents = SQ.loadCentroids(s, idx)
       val child = graft.core.Sessions.withConf(s,
         "spark.sql.shuffle.partitions" -> streamPartitions)
-      val schema = child.read.parquet(s"$dir/embeddings.parquet").schema
+      val schema = Tables.fileSchema(child, s"$dir/embeddings.parquet")
       val qs = child.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet")
         .parquet(dir)
@@ -1151,7 +1154,7 @@ object StreamingQueries {
       val idx = DQ.buildBandIndex(s, dir)
       val child = graft.core.Sessions.withConf(s,
         "spark.sql.shuffle.partitions" -> streamPartitions)
-      val schema = child.read.parquet(s"$dir/documents.parquet").schema
+      val schema = Tables.fileSchema(child, s"$dir/documents.parquet")
       val docsStream = child.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)

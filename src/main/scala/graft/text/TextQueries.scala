@@ -2105,15 +2105,22 @@ object TextQueries {
       val batchIds = docs
         .filter(col("doc_id") % 5 === 0 || col("doc_id") % 10 === 1)
         .select(col("doc_id"))
-      val route = docRoute(idx)
-      route.ensure(s, s"$idx/postings")
-      val applied = !statsPending(s, idx) &&
-        route.dataOf(s, s"$idx/postings",
-            batchIds.filter(col("doc_id") % 5 === 0))
-          .limit(1).collect().nonEmpty
-      if (!applied)
-        upsertTextIndex(s, idx,
-          docs.filter(col("doc_id") % 5 === 0 || col("doc_id") % 10 === 1))
+      // r16 marker fast path: steady-state re-entry is one file stat;
+      // the no-marker path keeps the stats-pending + presence guard
+      // (a crashed pass may have committed postings but died before
+      // the stats settle — only the re-apply heals those tails, and
+      // the marker stamps only AFTER the settle completed).
+      graft.core.IndexDirs.appliedOnce(conf, idx, "_upsert_applied") {
+        val route = docRoute(idx)
+        route.ensure(s, s"$idx/postings")
+        val applied = !statsPending(s, idx) &&
+          route.dataOf(s, s"$idx/postings",
+              batchIds.filter(col("doc_id") % 5 === 0))
+            .limit(1).collect().nonEmpty
+        if (!applied)
+          upsertTextIndex(s, idx,
+            docs.filter(col("doc_id") % 5 === 0 || col("doc_id") % 10 === 1))
+      }
       idx
     }
 
@@ -2809,25 +2816,45 @@ object TextQueries {
     */
   private[graft] def bpeEncodedDocs(s: SparkSession, dir: String): DataFrame = {
     val merges = trainBpeMerges(s, dir).map(m => (m._2, m._3))
+    // The (doc, word) count table fed BOTH the distinct-word encode
+    // branch AND the final join-back, and the encoded word table fed
+    // the vocab ranking AND the id-sum rollup — as lazy subtrees the
+    // corpus tokenize+aggregate planned THREE times and the merge fold
+    // twice (r16; 8 scans / 22 Exchanges in the tx_tokenizer_eval
+    // plan). Checkpoint each once: occ is the aggregated token-count
+    // table (far smaller than raw text — exactly what a production
+    // tokenizer materializes), encoded is vocabulary-sized.
     val occ = graft.core.Par
       .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
         col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val encoded = occ.select(col("word")).distinct()
       .withColumn("syms", expr(encodeExpr(merges)))
-    val wsym = encoded.select(col("word"), explode(col("syms")).as("sym"))
+      .localCheckpoint()
     // tokenizer vocab ids: 1-based byte-order rank over the final
-    // symbol alphabet. The unpartitioned window is MODEL-sized by
-    // construction (base chars + bpeRounds new symbols), the same
-    // bounded-artifact contract as the centroid collects.
-    val vocab = wsym.select(col("sym")).distinct()
-      .withColumn("tid",
-        row_number().over(Window.orderBy(col("sym"))).cast("long"))
-    val wid = wsym.join(vocab, "sym")
-      .groupBy(col("word"))
-      .agg(count(lit(1)).as("n_toks"), sum(col("tid")).as("id_sum"))
+    // symbol alphabet — MODEL-sized by construction (base chars +
+    // bpeRounds new symbols), the same bounded-artifact contract as
+    // the centroid collects, so rank it on the driver (r16: this
+    // replaces an unpartitioned window + a vocab-keyed join with a
+    // literal-map lookup). UTF-8 byte order = Spark UTF8String order =
+    // DuckDB binary collation; JVM String order differs past ASCII.
+    val alphabet = encoded.select(explode(col("syms")).as("sym"))
+      .distinct().collect().map(_.getString(0))
+    val tidOf: Map[String, Long] = alphabet
+      .sortWith { (a, b) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      }
+      .zipWithIndex.map { case (sym, i) => sym -> (i + 1L) }.toMap
+    val wid = encoded.select(col("word"),
+      size(col("syms")).cast("long").as("n_toks"),
+      aggregate(transform(col("syms"),
+          sym => element_at(typedlit(tidOf), sym)),
+        lit(0L), (acc, x) => acc + x).as("id_sum"))
     occ.join(wid, "word")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_ws_tokens"),

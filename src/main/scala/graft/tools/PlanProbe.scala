@@ -26,8 +26,11 @@ object PlanProbe {
       exec(q.run(spark, dir)) // warm
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
-        exec(q.run(spark, dir))
-        println(f"[probe] $name pass$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val df = q.run(spark, dir)
+        val t1 = System.nanoTime()
+        exec(df)
+        println(f"[probe] $name pass$i: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+          f" (construct ${(t1 - t0) / 1e9}%.3f s)")
       }
       if (sys.env.contains("PROBE_EXPLAIN")) {
         val df = q.run(spark, dir)
