@@ -1370,6 +1370,10 @@ object Multimodal {
           (id, audioUs, videoUs, drift, math.abs(drift) * 20 > videoUs)
         }
       }.toDF("media_id", "audio_us", "video_us", "drift_us", "out_of_sync")
+      // (r16 measured: checkpointing before the presentation sort to
+      // dodge the range-sampler re-execution does NOT pay here — the
+      // sampler's pass is fractional, and the materialization costs
+      // what it saves. Left as the plain sort.)
       rows.orderBy(col("media_id"))
     },
     oracle = Some("""

@@ -2346,6 +2346,13 @@ object TextQueries {
       .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
         col("doc_id"))
       .select(col("doc_id"), toks(col("text")).as("t"))
+    // r16: the aggregated per-doc bigram table is checkpointed ONCE
+    // and the model derives FROM it — exactly the oracle's own CTE
+    // chain (its `model` selects from `bg`). Before, `d` fed three
+    // lazy branches and the corpus scan + tokenize + explode planned
+    // three times; checkpointing `d` itself was measured WORSE (the
+    // token arrays (de)serialize 3×), while docBigrams is the narrow
+    // post-shuffle table the scoring join re-reads anyway.
     val docBigrams = d.filter(size(col("t")) >= 2)
       .select(col("doc_id"), (size(col("t")) - 1).as("n_bigrams"),
         explode(expr(
@@ -2353,34 +2360,28 @@ object TextQueries {
             " i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
       .groupBy(col("doc_id"), col("n_bigrams"), col("bg"))
       .agg(count(lit(1)).as("k"))
-    // Model shave (r11 ask #3, A/B-measured −25% on the kernel): the
-    // bigram counts aggregate the INSTANCES directly, keyed (w1, bg)
-    // with w1 emitted at explode time — Σ_docs per-doc-count =
-    // instance count, so cb is integer-identical to re-aggregating the
-    // per-doc table, but this branch pays one narrow map-side-combined
-    // count instead of recomputing the WIDE per-doc hash aggregation
-    // (which has no exchange above it — spreadBy co-partitions it by
-    // doc_id — so subtree reuse could never deduplicate it). The
-    // left-context marginal c(w1·) then comes from a WINDOW over the
-    // aggregated model rows instead of a separate aggregation joined
-    // back — two exchanges and one join fewer. Skew note: the window
-    // partitions by w1 over DISTINCT-bigram rows, so a stopword's
-    // group is bounded by its distinct successors (≤ vocabulary),
-    // never by corpus instances — the instance-level shuffle stays on
-    // the uniform (w1, bg) key with map-side combine. (A single-
-    // exchange variant shuffling raw instances BY w1 measured another
-    // −20% here but concentrates a stopword's full instance volume in
-    // one partition at web scale — rejected as a 100 TB straggler.)
-    val model = d.filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(t) - 2)," +
-          " i -> struct(t[i] AS w1, concat(t[i], ' ', t[i + 1]) AS bg))"))
-        .as("p"))
-      .select(col("p.w1").as("w1"), col("p.bg").as("bg"))
-      .groupBy(col("w1"), col("bg"))
-      .agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    // Model shave (r11 ask #3, A/B-measured −25% on the kernel), now
+    // re-aggregating the CHECKPOINTED per-doc table: Σ_docs per-doc
+    // count = instance count, so cb is integer-identical to the
+    // instance-level aggregation this replaces (which re-tokenized and
+    // re-exploded the corpus — the checkpoint makes the re-aggregation
+    // a narrow block read). w1 = the bigram's first token (tokens are
+    // whitespace-split, so the first ' ' is the separator — the
+    // oracle's split_part(bg, ' ', 1)). The left-context marginal
+    // c(w1·) stays a WINDOW over the aggregated model rows. Skew note:
+    // the window partitions by w1 over DISTINCT-bigram rows, so a
+    // stopword's group is bounded by its distinct successors
+    // (≤ vocabulary), never by corpus instances. (A single-exchange
+    // variant shuffling raw instances BY w1 measured −20% here in r11
+    // but concentrates a stopword's full instance volume in one
+    // partition at web scale — still rejected as a 100 TB straggler.)
+    val model = docBigrams
+      .groupBy(col("bg"))
+      .agg(sum(col("k")).as("cb"))
       .withColumn("cl", sum(col("cb")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(substring_index(col("bg"), " ", 1))))
     val voc = d.select(explode(col("t")).as("term"))
       .agg(count_distinct(col("term")).as("v"))
     val logp = log((col("cb") + 1.0) / (col("cl") + col("v")))
