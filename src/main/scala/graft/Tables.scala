@@ -68,6 +68,16 @@ object Tables {
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
 
+  /** `spark.read.parquet(path)` with the footer/partition schema
+    * served from [[fileSchema]]'s identity-keyed cache — the serving
+    * paths' per-pass footer-inference job becomes a first-touch-only
+    * cost. For a partitioned index directory the identity is the
+    * directory's mtime (adding/removing a partition re-probes); a
+    * family's schema never changes within a published generation path.
+    */
+  private[graft] def readPq(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(fileSchema(spark, path)).parquet(path)
+
   private[graft] def fileSchema(spark: SparkSession, path: String)
       : org.apache.spark.sql.types.StructType = {
     val p  = new org.apache.hadoop.fs.Path(path)

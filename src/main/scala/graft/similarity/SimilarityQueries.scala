@@ -698,7 +698,7 @@ object SimilarityQueries {
     * cells that attracted nothing drop out of the model entirely.
     */
   private[similarity] def ivfCellSkew(s: SparkSession, idx: String): Double = {
-    val ns = s.read.parquet(s"$idx/profile").select(col("n"))
+    val ns = graft.Tables.readPq(s, s"$idx/profile").select(col("n"))
       .collect().map(_.getLong(0)) // bounded: ≤ k rows
     if (ns.isEmpty) 0.0 else ns.max.toDouble * ns.length / ns.sum.toDouble
   }
@@ -747,7 +747,7 @@ object SimilarityQueries {
     "ss_ivf_balance",
     (s, dir) => {
       val idx = buildIvfIndex(s, dir)
-      s.read.parquet(s"$idx/profile")
+      graft.Tables.readPq(s, s"$idx/profile")
         .select(col("cell"), col("n"))
         .orderBy(col("cell"))
     },
@@ -793,7 +793,7 @@ object SimilarityQueries {
       batch: DataFrame): Long = {
     val cents = loadCentroids(s, idx)
     coherence(batch, cents)
-      .join(broadcast(s.read.parquet(s"$idx/profile")
+      .join(broadcast(graft.Tables.readPq(s, s"$idx/profile")
         .select(col("cell"), col("corpus_min"))), Seq("cell"), "left")
       .filter(col("cos") < col("corpus_min") || col("corpus_min").isNull)
       .count()
@@ -927,7 +927,7 @@ object SimilarityQueries {
       // the probed cell directories, nprobe/k of the index
       val cells = probes.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).sorted
-      val assigned = s.read.parquet(s"$idx/cells")
+      val assigned = graft.Tables.readPq(s, s"$idx/cells")
         .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
         .select(col("vec_id"), col("embedding"), col("cell"))
       rankTail(assigned, probes)
@@ -954,7 +954,7 @@ object SimilarityQueries {
       val idx = buildIvfIndex(s, dir)
       val rt = cellRoute(idx)
       rt.ensure(s, s"$idx/cells")
-      val fromCells = s.read.parquet(s"$idx/cells")
+      val fromCells = graft.Tables.readPq(s, s"$idx/cells")
         .groupBy(col("cell").cast("long").as("cell"))
         .agg(count(lit(1)).as("n_cells"))
       val fromRoute = s.read.parquet(rt.routeDir)
@@ -1024,7 +1024,7 @@ object SimilarityQueries {
       }
       val purge = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
       graft.core.IndexDirs.appliedOnce(conf, idx, "_purge_applied") {
-        val present = s.read.parquet(s"$idx/cells")
+        val present = graft.Tables.readPq(s, s"$idx/cells")
           .join(purge, Seq("vec_id"), "left_semi").limit(1).collect()
         if (present.nonEmpty) deleteFromIvfIndex(s, idx, purge)
       }
@@ -1048,7 +1048,7 @@ object SimilarityQueries {
       val probes = probesOf(Tables(s, dir).embeddings, cents)
       val cells = probes.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).sorted // bounded: ≤ nprobe × |queries|
-      val assigned = s.read.parquet(s"$idx/cells")
+      val assigned = graft.Tables.readPq(s, s"$idx/cells")
         .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
         .select(col("vec_id"), col("embedding"), col("cell"))
       rankTail(assigned, probes)
@@ -2097,7 +2097,7 @@ object SimilarityQueries {
     // codes scan carries a STATIC partition filter
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val encoded = s.read.parquet(s"$idx/cells")
+    val encoded = graft.Tables.readPq(s, s"$idx/cells")
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .select(Seq(col("vec_id").as("nid"), col("cell")) ++
         (0 until PqM).map(sub => col(s"c$sub")): _*)
@@ -2155,7 +2155,7 @@ object SimilarityQueries {
       batch: DataFrame): Long = {
     val codebook = loadCodebooks(s, idx)
     pqErrMelted(batch, codebook)
-      .join(broadcast(s.read.parquet(s"$idx/profile")), Seq("s"))
+      .join(broadcast(graft.Tables.readPq(s, s"$idx/profile")), Seq("s"))
       .filter(col("err") > col("corpus_max"))
       .count()
   }
@@ -2345,7 +2345,7 @@ object SimilarityQueries {
       val idx = upsertDemoIvfPqIndex(s, dir)
       graft.operators.IndexMerge.ensureStats(s, s"$idx/cells", "cell",
         "vec_id")
-      s.read.parquet(s"$idx/cells/_meta/part_stats")
+      graft.Tables.readPq(s, s"$idx/cells/_meta/part_stats")
         .select(col("part").as("cell"), col("kmin"), col("kmax"), col("n"))
         .orderBy(col("cell"))
     },
@@ -2392,7 +2392,7 @@ object SimilarityQueries {
       }
       val purge = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
       graft.core.IndexDirs.appliedOnce(conf, idx, "_purge_applied") {
-        val present = s.read.parquet(s"$idx/cells")
+        val present = graft.Tables.readPq(s, s"$idx/cells")
           .join(purge, Seq("vec_id"), "left_semi").limit(1).collect()
         if (present.nonEmpty) deleteFromIvfPqIndex(s, idx, purge)
       }
@@ -2733,7 +2733,7 @@ object SimilarityQueries {
       val probes = probesOf(Tables(s, dir).embeddings, cents)
       val cells = probes.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).sorted // bounded: ≤ nprobe × |queries|
-      val assigned = s.read.parquet(s"$idx/cells")
+      val assigned = graft.Tables.readPq(s, s"$idx/cells")
         .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
         .select(col("vec_id"), col("embedding"), col("cell"))
       rankTail(assigned, probes)
@@ -2779,7 +2779,7 @@ object SimilarityQueries {
       // the only corpus-sized work left in this row is the filtered
       // batch scan (DriftGateSpec pins the plan)
       pqErrMelted(retrainBatch(e), codebook)
-        .join(broadcast(s.read.parquet(s"$idx/profile")), Seq("s"))
+        .join(broadcast(graft.Tables.readPq(s, s"$idx/profile")), Seq("s"))
         .groupBy(col("s"))
         .agg(count(lit(1)).cast("long").as("n"),
           count(when(col("err") > col("corpus_max"), 1)).cast("long")
@@ -3291,7 +3291,7 @@ object SimilarityQueries {
         .collect().map(_.getInt(0)).sorted // bounded: ≤ 2 × |query tokens|
       // candidate documents: ≥1 token in a probed cell of the query
       // doc — the routing copy, partition-pruned, did column only
-      val cands = s.read.parquet(s"$idx/cells")
+      val cands = graft.Tables.readPq(s, s"$idx/cells")
         .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
         .select(col("did"), col("cell"))
         .join(broadcast(probes.select(col("qdoc"), col("cell")).distinct()),
@@ -3305,7 +3305,7 @@ object SimilarityQueries {
           .collect().map(_.getInt(0)).sorted // bounded: ≤ 16
         // fetch ONLY the candidates' token sets (the fetch copy,
         // id-bucket pruned), decode, and MaxSim-score
-        val docTokens = s.read.parquet(s"$idx/docs")
+        val docTokens = graft.Tables.readPq(s, s"$idx/docs")
           .filter(col("dbkt").isin(dbkts.map(Integer.valueOf): _*))
           .join(broadcast(cands), Seq("did"))
           .select(col("qdoc"), col("did").as("ddoc"),
@@ -3925,7 +3925,7 @@ object SimilarityQueries {
       // training drops from the model, so cids need not be contiguous)
       val cv = map_from_arrays(
         typedLit(cents.map(_._1)), typedLit(cents.map(_._2.toSeq)))
-      val cells = s.read.parquet(s"$idx/cells")
+      val cells = graft.Tables.readPq(s, s"$idx/cells")
         .select(col("cell"),
           VectorFunctions.cosineSim(
             element_at(cv, col("cell")), col("embedding")).as("cos"))

@@ -1016,7 +1016,7 @@ object StreamingQueries {
             val cells = probes.select(col("cell")).distinct()
               .collect().map(_.getInt(0)).sorted
             if (cells.nonEmpty) {
-              val assigned = child.read.parquet(s"$idx/cells")
+              val assigned = Tables.readPq(child, s"$idx/cells")
                 .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
                 .select(col("vec_id"), col("embedding"), col("cell"))
               // ≤ 5 rows per query in this batch — bounded accumulate
@@ -1047,7 +1047,7 @@ object StreamingQueries {
       val idx   = SQ.buildIvfIndex(s, dir)
       val cents = SQ.loadCentroids(s, idx)
       val probes = SQ.probesOf(Tables(s, dir).embeddings, cents)
-      val assigned = s.read.parquet(s"$idx/cells")
+      val assigned = Tables.readPq(s, s"$idx/cells")
         .select(col("vec_id"), col("embedding"), col("cell"))
       SQ.rankTail(assigned, probes)
     }),
@@ -1416,7 +1416,7 @@ object StreamingQueries {
           val probes = SQ.probesOfAll(batch, cents)
           val cells = probes.select(col("cell")).distinct()
             .collect().map(_.getInt(0)).sorted // bounded: ≤ 2 × |batch|
-          val assigned = child.read.parquet(s"$idx/cells")
+          val assigned = Tables.readPq(child, s"$idx/cells")
             .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
             .select(col("vec_id"), col("embedding"), col("cell"))
           SQ.rankTail(assigned, probes).collect().toSeq
@@ -1470,7 +1470,7 @@ object StreamingQueries {
         .select((col("vec_id") + 300000).as("vec_id"),
           reverse(col("embedding")).as("embedding"))
       val probes = SQ.probesOfAll(batch, cents)
-      val assigned = s.read.parquet(s"$idx/cells")
+      val assigned = Tables.readPq(s, s"$idx/cells")
         .select(col("vec_id"), col("embedding"), col("cell"))
       SQ.rankTail(assigned, probes)
     }),

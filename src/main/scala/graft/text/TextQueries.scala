@@ -1832,14 +1832,14 @@ object TextQueries {
             sum(col("dl")).cast("long").as("sum_dl"))
     val kept =
       if (exists(s"$idx/dstats/_SUCCESS"))
-        s.read.parquet(s"$idx/dstats")
+        graft.Tables.readPq(s, s"$idx/dstats")
           .filter(!col("rb").isin(rbs.map(Integer.valueOf): _*))
       else fresh.limit(0)
     val dsTmp = s"$idx/dstats__refreshing"
     kept.unionByName(fresh)
       .coalesce(1).write.mode("overwrite").parquet(dsTmp)
     swapInto(s, dsTmp, s"$idx/dstats")
-    val tot = s.read.parquet(s"$idx/dstats")
+    val tot = graft.Tables.readPq(s, s"$idx/dstats")
       .agg(coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n"),
         coalesce(sum(col("sum_dl")), lit(0L)).cast("long").as("sdl"))
       .head() // 1-row bounded collect
@@ -1954,12 +1954,12 @@ object TextQueries {
     val bkts = qTerms.toDF("term")
       .select(pmod(hash(col("term")), lit(TextIndexBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val posts = s.read.parquet(s"$idx/postings")
+    val posts = graft.Tables.readPq(s, s"$idx/postings")
       .filter(col("bkt").isin(bkts.map(Integer.valueOf): _*))
       .filter(col("term").isin(qTerms: _*))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val dfT = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = s.read.parquet(s"$idx/stats")
+    val stats = graft.Tables.readPq(s, s"$idx/stats")
       .select(col("n_docs"), col("avgdl"))
     posts.join(broadcast(dfT), "term")
       .crossJoin(broadcast(stats))
@@ -2172,8 +2172,8 @@ object TextQueries {
     (s, dir) => {
       val idx = upsertDemoIndex(s, dir)
       ensureDerivedStats(s, idx)
-      val st = s.read.parquet(s"$idx/stats")
-      val ds = s.read.parquet(s"$idx/dstats")
+      val st = graft.Tables.readPq(s, s"$idx/stats")
+      val ds = graft.Tables.readPq(s, s"$idx/dstats")
         .agg(coalesce(sum(col("n_docs")), lit(0L)).cast("long")
           .as("n_docs_dstats"))
       // 1-row × 1-row (the Relational exact-vs-approx precedent) —
@@ -2815,7 +2815,8 @@ object TextQueries {
     * `tx_bpe_encode` and the per-language `tx_tokenizer_eval` rollup,
     * one definition so the encode semantics cannot drift.
     */
-  private[graft] def bpeEncodedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bpeEncodedDocs(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame = {
     val merges = trainBpeMerges(s, dir).map(m => (m._2, m._3))
     // The (doc, word) count table fed BOTH the distinct-word encode
     // branch AND the final join-back, and the encoded word table fed
@@ -2825,16 +2826,19 @@ object TextQueries {
     // plan). Checkpoint each once: occ is the aggregated token-count
     // table (far smaller than raw text — exactly what a production
     // tokenizer materializes), encoded is vocabulary-sized.
-    val occ = graft.core.Par
+    // `checkpoint = false` is the audit seam: the same pipeline left
+    // lazy end-to-end, so the plan lints see the real distributed
+    // shape (eagerPlan on `tx_bpe_encode`).
+    def ck(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    val occ = ck(graft.core.Par
       .spreadBy(Tables(s, dir).documents.select(col("doc_id"), col("text")),
         col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val encoded = occ.select(col("word")).distinct()
-      .withColumn("syms", expr(encodeExpr(merges)))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("cnt")))
+    val encoded = ck(occ.select(col("word")).distinct()
+      .withColumn("syms", expr(encodeExpr(merges))))
     // tokenizer vocab ids: 1-based byte-order rank over the final
     // symbol alphabet — MODEL-sized by construction (base chars +
     // bpeRounds new symbols), the same bounded-artifact contract as
@@ -2874,6 +2878,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
     oracle = Some(bpeEncodeOracleSql),
+    // the serving path checkpoints its two shared intermediates, so the
+    // run-result plan bottoms out in ExistingRDD scans; the audit seam
+    // is the SAME pipeline left lazy end-to-end (checkpoint = false)
+    eagerPlan = Some((s, dir) =>
+      bpeEncodedDocs(s, dir, checkpoint = false)
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4)
+            .as("compression"),
+          col("token_id_sum"))
+        .orderBy(col("doc_id"))),
   )
 
   /** Tokenizer EVALUATION — the per-language scorecard a tokenizer

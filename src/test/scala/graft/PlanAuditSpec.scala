@@ -128,7 +128,6 @@ class PlanAuditSpec extends SparkSuite {
     "tx_index_upsert" -> "the tx_bm25_probe tail after the nightly upsert",
     "tx_index_delete" -> "the tx_bm25_probe tail after the purge",
     "tx_stream_ingest" -> "the tx_bm25_probe tail, per bounded micro-batch",
-    "tx_bpe_encode" -> "merge-rank window over the bounded BPE merge table",
     "tx_bpe_vocab" -> "two merge-rank windows over the bounded BPE merge table",
     "tx_corpus_ledger" -> "running totals over the bounded per-snapshot ledger rows",
     "tx_heavy_hitters" -> "rank tail over the ≤ sketch-capacity entries",
@@ -249,10 +248,11 @@ class PlanAuditSpec extends SparkSuite {
       "qv" -> "1-row / <=|queries|-row query-vector frame",
       "probes" -> "<=nprobe x |queries| probe-cell routing frame",
       "pqProbes" -> "<=nprobe x |queries| probe-cell routing frame",
-      "s.read.parquet(s\"$idx/profile\")" ->
+      "graft.Tables.readPq(s, s\"$idx/profile\")" ->
         ("the persisted bounded fit profile — <=PqM-row (4) per-" +
         "subspace error table (ss_pq_drift / pqDriftWorse) or <=k-row " +
-        "per-cell coherence table (ivfDriftWorse)"),
+        "per-cell coherence table (ivfDriftWorse); read through the " +
+        "cached-schema helper"),
       "cands" -> ("<=|candidate docs| x |query docs| routing pairs in " +
         "ss_maxsim_probe — cell-pruned candidates of a bounded query " +
         "set"),
