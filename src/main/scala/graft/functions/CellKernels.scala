@@ -51,6 +51,23 @@ private[graft] object CellKernels {
   def pqCode(v: Column, start: Int, cb: Seq[(Int, Array[Float])]): Column =
     Exprs.toColumn(NearestSubCode(Exprs.toExpr(v), start,
       cb.map(_._1).toArray, cb.map(_._2).toArray))
+
+  /** Driver-side evaluation of [[TopCells]] over ONE collected vector
+    * — it invokes the SAME expression instance's `nullSafeEval`, so a
+    * serving path that derives its probe cells on the driver (from a
+    * bounded, already-collected query batch) cannot drift from the
+    * kernel the executors run: bit parity by construction, not by
+    * parallel implementation (the pqLuts discipline, minus the
+    * re-implementation).
+    */
+  def topCellsEval(v: Array[Float], cents: Seq[(Int, Array[Float])],
+      n: Int): Array[Int] =
+    TopCells(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        null, ArrayType(FloatType)),
+      cents.map(_._1).toArray, cents.map(_._2).toArray, n)
+      .nullSafeEval(UnsafeArrayData.fromPrimitiveArray(v))
+      .asInstanceOf[ArrayData].toIntArray()
 }
 
 /** Shared shape of the three kernels: unary over `array<float>`, model

@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.{Query, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -3276,56 +3276,89 @@ object SimilarityQueries {
     */
   private[graft] def maxsimProbeFor(s: SparkSession, idx: String,
       queries: DataFrame): DataFrame = {
+      import scala.jdk.CollectionConverters._
       val cents    = loadCentroids(s, idx)
       val codebook = loadCodebooks(s, idx)
-      val qv = queries
-        .select(expr("vec_id div 10").as("qdoc"),
-          col("vec_id").as("qvec"), col("embedding").as("qemb"))
-      // per query token: its top-2 cells (the probesOfAll kernel)
-      val probes = probesOfAll(
-        qv.select(col("qvec").as("vec_id"), col("qemb").as("embedding")),
-        cents)
-        .select(col("qid").as("qvec"), col("cell"))
-        .join(broadcast(qv.select(col("qvec"), col("qdoc"))), Seq("qvec"))
-      val cells = probes.select(col("cell")).distinct()
-        .collect().map(_.getInt(0)).sorted // bounded: ≤ 2 × |query tokens|
+      // ONE collect of the bounded query frame (≤ |query docs| × 10
+      // token rows — the same frame BOTH broadcast sides shipped to
+      // every executor before, so driver residency is already the
+      // declared contract). The probe fan-out then derives on the
+      // driver through the kernel's own eval (topCellsEval — bit
+      // parity by construction), and qv/probes become local relations:
+      // their broadcasts build without a Spark job each. 23 jobs → ~8
+      // per serve, measured on ss_maxsim_probe (guide §1.1: the row
+      // was half driver-gap between tiny jobs).
+      val qRows = queries
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val qvSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qdoc",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qvec",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qemb",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = false)))
+      val qv = s.createDataFrame(
+        qRows.toSeq.map { case (id, emb) =>
+          Row(id / 10, id, emb.toSeq) }.asJava, qvSchema)
+      // per query token: its top-2 cells — SAME kernel, driver eval
+      val probeRows = qRows.toSeq.flatMap { case (id, emb) =>
+        graft.functions.CellKernels.topCellsEval(emb, cents, 2)
+          .map(cell => (id / 10, cell))
+      }
+      val probes = s.createDataFrame(
+        probeRows.distinct.map { case (qdoc, cell) => Row(qdoc, cell) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qdoc",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      val cells = probeRows.map(_._2).distinct.sorted // ≤ 2 × |query tokens|
       // candidate documents: ≥1 token in a probed cell of the query
-      // doc — the routing copy, partition-pruned, did column only
-      val cands = graft.Tables.readPq(s, s"$idx/cells")
+      // doc — the routing copy, partition-pruned, did column only; the
+      // fetch bucket rides the SAME job (dbkt is a pure function of
+      // did), so the bucket set needs no second action
+      val candRows = graft.Tables.readPq(s, s"$idx/cells")
         .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
         .select(col("did"), col("cell"))
-        .join(broadcast(probes.select(col("qdoc"), col("cell")).distinct()),
-          Seq("cell"))
+        .join(broadcast(probes), Seq("cell"))
         .filter(col("did") =!= col("qdoc"))
-        .select(col("qdoc"), col("did")).distinct()
-        .persist()
-      try {
-        val dbkts = cands
-          .select(pmod(hash(col("did")), lit(16)).as("b")).distinct()
-          .collect().map(_.getInt(0)).sorted // bounded: ≤ 16
-        // fetch ONLY the candidates' token sets (the fetch copy,
-        // id-bucket pruned), decode, and MaxSim-score
-        val docTokens = graft.Tables.readPq(s, s"$idx/docs")
-          .filter(col("dbkt").isin(dbkts.map(Integer.valueOf): _*))
-          .join(broadcast(cands), Seq("did"))
-          .select(col("qdoc"), col("did").as("ddoc"),
-            pqDecodeCol(codebook).as("rv"))
-        val scored = docTokens
-          .join(broadcast(qv), Seq("qdoc"))
-          .select(col("qdoc"), col("ddoc"), col("qvec"),
-            VectorFunctions.cosineSim(col("qemb"), col("rv")).as("cos"))
-          .groupBy(col("qdoc"), col("ddoc"), col("qvec"))
-          .agg(max(col("cos")).as("mx"))
-          .groupBy(col("qdoc"), col("ddoc"))
-          .agg(round(sum(col("mx")), 4).as("score"))
-        val top = graft.plans.TopK.perGroup(scored, Seq("qdoc"),
-          Seq("score" -> false, "ddoc" -> true), 3)
-        val w = Window.partitionBy(col("qdoc"))
-          .orderBy(col("score").desc, col("ddoc"))
-        top.withColumn("rk", row_number().over(w))
-          .select(col("qdoc"), col("rk"), col("ddoc"), col("score"))
-          .orderBy(col("qdoc"), col("rk"))
-      } finally cands.unpersist()
+        .select(col("qdoc"), col("did"),
+          pmod(hash(col("did")), lit(16)).as("dbkt"))
+        .distinct()
+        .collect() // bounded: the frame broadcast to every executor below
+      val dbkts = candRows.map(_.getInt(2)).distinct.sorted // ≤ 16
+      val cands = s.createDataFrame(
+        candRows.toSeq.map(r => Row(r.getLong(0), r.getLong(1))).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qdoc",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("did",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      // fetch ONLY the candidates' token sets (the fetch copy,
+      // id-bucket pruned), decode, and MaxSim-score
+      val docTokens = graft.Tables.readPq(s, s"$idx/docs")
+        .filter(col("dbkt").isin(dbkts.map(Integer.valueOf): _*))
+        .join(broadcast(cands), Seq("did"))
+        .select(col("qdoc"), col("did").as("ddoc"),
+          pqDecodeCol(codebook).as("rv"))
+      val scored = docTokens
+        .join(broadcast(qv), Seq("qdoc"))
+        .select(col("qdoc"), col("ddoc"), col("qvec"),
+          VectorFunctions.cosineSim(col("qemb"), col("rv")).as("cos"))
+        .groupBy(col("qdoc"), col("ddoc"), col("qvec"))
+        .agg(max(col("cos")).as("mx"))
+        .groupBy(col("qdoc"), col("ddoc"))
+        .agg(round(sum(col("mx")), 4).as("score"))
+      val top = graft.plans.TopK.perGroup(scored, Seq("qdoc"),
+        Seq("score" -> false, "ddoc" -> true), 3)
+      val w = Window.partitionBy(col("qdoc"))
+        .orderBy(col("score").desc, col("ddoc"))
+      top.withColumn("rk", row_number().over(w))
+        .select(col("qdoc"), col("rk"), col("ddoc"), col("score"))
+        .orderBy(col("qdoc"), col("rk"))
   }
 
   /** The persisted-MaxSim oracle: the whole chain — models (FIXED,

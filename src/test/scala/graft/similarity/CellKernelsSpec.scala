@@ -79,6 +79,27 @@ class CellKernelsSpec extends SparkSuite {
     assert(got.filter(col("n") =!= lit(2)).count() == 0)
   }
 
+  test("topCellsEval (driver eval) == TopCells over the corpus, n=2 and n=4") {
+    // the MaxSim probe derives its probe cells on the DRIVER from the
+    // collected query batch (r16 job fusion); the helper must route
+    // through the same expression eval, so pin it against the
+    // Spark-evaluated kernel row by row
+    val cents = SimilarityQueries.trainIvfCentroids(emb, 16)
+    Seq(2, 4).foreach { n =>
+      val viaSpark = emb
+        .select(col("vec_id"),
+          CellKernels.topCells(col("embedding"), cents, n).as("cells"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      val rows = emb.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      rows.foreach { case (id, v) =>
+        assert(CellKernels.topCellsEval(v, cents, n).toSeq == viaSpark(id),
+          s"vec_id=$id n=$n")
+      }
+    }
+  }
+
   test("kernels match their interpreted eval (codegen off)") {
     val cents = SimilarityQueries.trainIvfCentroids(emb, 16)
     val cb = SimilarityQueries.trainPqCodebooks(emb)
