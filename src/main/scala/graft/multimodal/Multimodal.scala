@@ -323,7 +323,14 @@ object Multimodal {
     (s, dir) => {
       import s.implicits._
       val params = Tables(s, dir).documents
-        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .select(col("doc_id"), col("n_chars"))
+        // sort the two-column INPUT, not the decoded output: a range
+        // sort downstream of the narrow codec pass re-executes the
+        // whole pass in its boundary sampler (mm_av_sync's r16
+        // profile: identical codec work ran twice); sorted input +
+        // order-preserving narrow stages yield the same global
+        // media_id order in ONE pass
+        .orderBy(col("doc_id")).as[(Long, Long)]
       val decoded = params.mapPartitions { it =>
         it.map { case (id, nChars) =>
           val rate    = 8000 + (id % 5).toInt * 2000
@@ -338,7 +345,6 @@ object Multimodal {
         "n_samples", "duration_ms", "mean_sample")
       decoded
         .withColumn("mean_sample", round(col("mean_sample"), 4))
-        .orderBy(col("media_id"))
     },
     oracle = Some("""
       SELECT doc_id AS media_id,
@@ -370,7 +376,14 @@ object Multimodal {
     "mm_bmp_decode",
     (s, dir) => {
       import s.implicits._
-      val params = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val params = Tables(s, dir).documents.select(col("doc_id"))
+        // sort the two-column INPUT, not the decoded output: a range
+        // sort downstream of the narrow codec pass re-executes the
+        // whole pass in its boundary sampler (mm_av_sync's r16
+        // profile: identical codec work ran twice); sorted input +
+        // order-preserving narrow stages yield the same global
+        // media_id order in ONE pass
+        .orderBy(col("doc_id")).as[Long]
       val decoded = params.mapPartitions { it =>
         it.map { id =>
           val w = (id % 31 + 1).toInt
@@ -385,7 +398,6 @@ object Multimodal {
         "mean_level", "top_left")
       decoded
         .withColumn("mean_level", round(col("mean_level"), 4))
-        .orderBy(col("media_id"))
     },
     oracle = Some("""
       SELECT doc_id AS media_id,
@@ -420,7 +432,14 @@ object Multimodal {
     (s, dir) => {
       import s.implicits._
       val params = Tables(s, dir).documents
-        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .select(col("doc_id"), col("n_chars"))
+        // sort the two-column INPUT, not the decoded output: a range
+        // sort downstream of the narrow codec pass re-executes the
+        // whole pass in its boundary sampler (mm_av_sync's r16
+        // profile: identical codec work ran twice); sorted input +
+        // order-preserving narrow stages yield the same global
+        // media_id order in ONE pass
+        .orderBy(col("doc_id")).as[(Long, Long)]
       val decoded = params.mapPartitions { it =>
         it.map { case (id, nChars) =>
           val w   = ((id % 8) + 1).toInt * 2
@@ -438,7 +457,6 @@ object Multimodal {
         "n_frames", "duration_ms", "first_frame_mean", "last_top_left")
       decoded
         .withColumn("first_frame_mean", round(col("first_frame_mean"), 4))
-        .orderBy(col("media_id"))
     },
     oracle = Some("""
       SELECT doc_id AS media_id,
@@ -1347,7 +1365,8 @@ object Multimodal {
     (s, dir) => {
       import s.implicits._
       val params = Tables(s, dir).documents
-        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id")).as[(Long, Long)]
       val rows = params.mapPartitions { it =>
         it.map { case (id, nChars) =>
           val w    = ((id % 8) + 1).toInt * 2
@@ -1370,11 +1389,16 @@ object Multimodal {
           (id, audioUs, videoUs, drift, math.abs(drift) * 20 > videoUs)
         }
       }.toDF("media_id", "audio_us", "video_us", "drift_us", "out_of_sync")
-      // (r16 measured: checkpointing before the presentation sort to
-      // dodge the range-sampler re-execution does NOT pay here — the
-      // sampler's pass is fractional, and the materialization costs
-      // what it saves. Left as the plain sort.)
-      rows.orderBy(col("media_id"))
+      // presentation order comes from sorting the two-column INPUT
+      // above (one cheap columnar range sort), not the codec output:
+      // a range sort AFTER the narrow mapPartitions made the sampler
+      // execute the whole encode+decode pass a SECOND time just to
+      // pick boundaries — the r16 profile showed two ~0.75 s jobs
+      // running identical codec work (checkpointing was measured not
+      // to pay; moving the sort upstream removes the second pass
+      // outright). Sorted input + order-preserving narrow stages
+      // leave the output globally ordered by media_id.
+      rows
     },
     oracle = Some("""
       WITH p AS (
@@ -1486,7 +1510,14 @@ object Multimodal {
     (s, dir) => {
       import s.implicits._
       val params = Tables(s, dir).documents
-        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .select(col("doc_id"), col("n_chars"))
+        // sort the two-column INPUT, not the decoded output: a range
+        // sort downstream of the narrow codec pass re-executes the
+        // whole pass in its boundary sampler (mm_av_sync's r16
+        // profile: identical codec work ran twice); sorted input +
+        // order-preserving narrow stages yield the same global
+        // media_id order in ONE pass
+        .orderBy(col("doc_id")).as[(Long, Long)]
       val rows = params.mapPartitions { it =>
         it.map { case (id, nChars) =>
           val w   = ((id % 8) + 1).toInt * 2
@@ -1510,7 +1541,7 @@ object Multimodal {
           (id, sums.length, cuts, first)
         }
       }.toDF("media_id", "n_frames", "n_cuts", "first_cut")
-      rows.orderBy(col("media_id"))
+      rows
     },
     oracle = Some("""
       WITH p AS (
@@ -1921,7 +1952,14 @@ object Multimodal {
     (s, dir) => {
       import s.implicits._
       val params = Tables(s, dir).documents
-        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .select(col("doc_id"), col("n_chars"))
+        // sort the two-column INPUT, not the decoded output: a range
+        // sort downstream of the narrow codec pass re-executes the
+        // whole pass in its boundary sampler (mm_av_sync's r16
+        // profile: identical codec work ran twice); sorted input +
+        // order-preserving narrow stages yield the same global
+        // media_id order in ONE pass
+        .orderBy(col("doc_id")).as[(Long, Long)]
       val rows = params.flatMap { case (id, nChars) =>
         val w   = ((id % 8) + 1).toInt * 2
         val h   = ((id % 4) + 1).toInt * 2
@@ -1938,7 +1976,9 @@ object Multimodal {
           (id, slot, f, f.toLong * 1000 / fps, sums(f) / px)
         }
       }.toDF("media_id", "slot", "frame_idx", "t_ms", "luma_mean")
-      rows.orderBy(col("media_id"), col("slot"))
+      // per-id slots emit in increasing order inside the flatMap, so
+      // the sorted input already yields (media_id, slot) order
+      rows
     },
     oracle = Some("""
       WITH p AS (
