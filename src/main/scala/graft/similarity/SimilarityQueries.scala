@@ -394,6 +394,46 @@ object SimilarityQueries {
       explode(graft.functions.CellKernels.topCells(col("embedding"),
         cents, nprobe)).as("cell"))
 
+  /** ONE collect of a bounded query frame — (vec_id, embedding) rows
+    * for the driver-side probe/LUT derivations below. Bounded by the
+    * caller's declared query-set contract (gate slice or nightly
+    * micro-batch), the same rows the serving joins broadcast anyway.
+    */
+  private[graft] def collectedQueries(q: DataFrame): Seq[(Long, Array[Float])] =
+    q.select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+
+  /** [[probesOfAll]] over an ALREADY-COLLECTED query batch, evaluated
+    * on the driver through the SAME TopCells kernel eval
+    * ([[graft.functions.CellKernels.topCellsEval]] — bit parity by
+    * construction). Returns the probe frame as a LOCAL relation (its
+    * broadcasts build with no Spark job) plus the distinct probed
+    * cells — the static partition filter — so the serve needs no
+    * separate cells action. r16 job fusion (guide §1.1): the probe
+    * rows were half driver-gap between tiny jobs.
+    */
+  private[graft] def localProbesOf(s: SparkSession,
+      rows: Seq[(Long, Array[Float])], cents: Seq[(Int, Array[Float])],
+      nprobe: Int = 2): (DataFrame, Seq[Int]) = {
+    import scala.jdk.CollectionConverters._
+    val probeRows = rows.flatMap { case (id, emb) =>
+      graft.functions.CellKernels.topCellsEval(emb, cents, nprobe)
+        .map(cell => (id, emb, cell))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = false),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val probes = s.createDataFrame(
+      probeRows.map { case (id, emb, c) => Row(id, emb.toSeq, c) }.asJava,
+      schema)
+    (probes, probeRows.map(_._3).distinct.sorted)
+  }
+
   /** The shared probe→rank tail: join candidates on the cell key,
     * exact cosine + per-query top-5.
     */
@@ -920,13 +960,13 @@ object SimilarityQueries {
     (s, dir) => {
       val idx = buildIvfIndex(s, dir)
       val cents = loadCentroids(s, idx)
-      val probes = probesOf(Tables(s, dir).embeddings, cents)
-      // resolve the probed cells first (bounded: ≤ nprobe × |queries|
-      // values, via the same scoring kernel) so the index scan below
-      // carries a STATIC partition filter — the plan then reads only
-      // the probed cell directories, nprobe/k of the index
-      val cells = probes.select(col("cell")).distinct()
-        .collect().map(_.getInt(0)).sorted
+      // ONE collect of the bounded query slice; the probe cells (the
+      // static partition filter below) and the probe frame both derive
+      // on the driver through the same TopCells kernel eval — the
+      // separate probes job + cells collect are gone (r16 job fusion)
+      val (probes, cells) = localProbesOf(s,
+        collectedQueries(Tables(s, dir).embeddings.filter(col("vec_id") < 20)),
+        cents)
       val assigned = graft.Tables.readPq(s, s"$idx/cells")
         .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
         .select(col("vec_id"), col("embedding"), col("cell"))
@@ -1045,9 +1085,11 @@ object SimilarityQueries {
     (s, dir) => {
       val idx = deleteDemoIvfIndex(s, dir)
       val cents = loadCentroids(s, idx)
-      val probes = probesOf(Tables(s, dir).embeddings, cents)
-      val cells = probes.select(col("cell")).distinct()
-        .collect().map(_.getInt(0)).sorted // bounded: ≤ nprobe × |queries|
+      // one query-slice collect; probes + the static partition filter
+      // derive on the driver (localProbesOf — r16 job fusion)
+      val (probes, cells) = localProbesOf(s,
+        collectedQueries(Tables(s, dir).embeddings.filter(col("vec_id") < 20)),
+        cents)
       val assigned = graft.Tables.readPq(s, s"$idx/cells")
         .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
         .select(col("vec_id"), col("embedding"), col("cell"))
@@ -1697,11 +1739,17 @@ object SimilarityQueries {
     */
   private[similarity] def pqLutsOf(q: DataFrame,
       codebook: Map[Int, Seq[(Int, Array[Float])]])
+      : Seq[(Long, IndexedSeq[Array[Double]])] =
+    pqLutsOfRows(collectedQueries(q), codebook)
+
+  /** [[pqLutsOf]] over an ALREADY-COLLECTED query batch — shares one
+    * [[collectedQueries]] action with [[localProbesOf]] in the IVF-PQ
+    * serve (r16 job fusion).
+    */
+  private[similarity] def pqLutsOfRows(rows: Seq[(Long, Array[Float])],
+      codebook: Map[Int, Seq[(Int, Array[Float])]])
       : Seq[(Long, IndexedSeq[Array[Double]])] = {
-    val probeRows = q
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq.sortBy(_._1)
+    val probeRows = rows.sortBy(_._1)
     def sq(q: Array[Float], sub: Int, cv: Array[Float]): Double = {
       var acc = 0.0; var i = 0
       while (i < PqSubDim) {
@@ -2091,12 +2139,14 @@ object SimilarityQueries {
       q: DataFrame): DataFrame = {
     val cents    = loadCentroids(s, idx)
     val codebook = loadCodebooks(s, idx)
-    val luts     = pqLutsOf(q, codebook)
-    val probes   = probesOfAll(q, cents).select(col("qid"), col("cell"))
-    // bounded: ≤ nprobe × |queries| cells — resolved first so the
-    // codes scan carries a STATIC partition filter
-    val cells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    // ONE collect of the bounded query batch feeds BOTH driver-side
+    // derivations — the ADC LUTs and the probe cells (the static
+    // partition filter): the serve ran three query-side actions
+    // (LUT collect, probes scan, cells collect), now one (r16)
+    val qRows = collectedQueries(q)
+    val luts  = pqLutsOfRows(qRows, codebook)
+    val (probesAll, cells) = localProbesOf(s, qRows, cents)
+    val probes = probesAll.select(col("qid"), col("cell"))
     val encoded = graft.Tables.readPq(s, s"$idx/cells")
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .select(Seq(col("vec_id").as("nid"), col("cell")) ++
@@ -2730,9 +2780,11 @@ object SimilarityQueries {
     (s, dir) => {
       val idx = retrainDemoIndex(s, dir)
       val cents = loadCentroids(s, idx)
-      val probes = probesOf(Tables(s, dir).embeddings, cents)
-      val cells = probes.select(col("cell")).distinct()
-        .collect().map(_.getInt(0)).sorted // bounded: ≤ nprobe × |queries|
+      // one query-slice collect; probes + the static partition filter
+      // derive on the driver (localProbesOf — r16 job fusion)
+      val (probes, cells) = localProbesOf(s,
+        collectedQueries(Tables(s, dir).embeddings.filter(col("vec_id") < 20)),
+        cents)
       val assigned = graft.Tables.readPq(s, s"$idx/cells")
         .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
         .select(col("vec_id"), col("embedding"), col("cell"))

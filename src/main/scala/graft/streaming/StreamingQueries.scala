@@ -1009,12 +1009,12 @@ object StreamingQueries {
       try {
         val q = qs.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            val probes = SQ.probesOf(batch, cents)
-            // bounded: ≤ nprobe × |queries in batch| cell ids — resolve
-            // them first so the index scan partition-prunes (the
-            // ss_ivf_probe serving shape)
-            val cells = probes.select(col("cell")).distinct()
-              .collect().map(_.getInt(0)).sorted
+            // one batch-slice collect; probes + the static partition
+            // filter derive on the driver (localProbesOf — the
+            // ss_ivf_probe serving shape, r16 job fusion)
+            val qRows = SQ.collectedQueries(
+              batch.filter(col("vec_id") < 20))
+            val (probes, cells) = SQ.localProbesOf(child, qRows, cents)
             if (cells.nonEmpty) {
               val assigned = Tables.readPq(child, s"$idx/cells")
                 .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
@@ -1412,10 +1412,11 @@ object StreamingQueries {
           // idempotence bookkeeping needed on this channel
           SQ.upsertIvfIndex(child, idx, batch)
           // SERVE: the batch's vectors probe the index they just
-          // joined — ≤ 5 rows per batch vector, the bounded probe log
-          val probes = SQ.probesOfAll(batch, cents)
-          val cells = probes.select(col("cell")).distinct()
-            .collect().map(_.getInt(0)).sorted // bounded: ≤ 2 × |batch|
+          // joined — ≤ 5 rows per batch vector, the bounded probe log;
+          // probes + the static partition filter derive on the driver
+          // from one batch collect (localProbesOf — r16 job fusion)
+          val (probes, cells) =
+            SQ.localProbesOf(child, SQ.collectedQueries(batch), cents)
           val assigned = Tables.readPq(child, s"$idx/cells")
             .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
             .select(col("vec_id"), col("embedding"), col("cell"))
