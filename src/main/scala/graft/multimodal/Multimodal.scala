@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.{Query, Tables}
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2495,10 +2495,34 @@ object Multimodal {
   private[graft] def probeMediaIndex(s: SparkSession, idx: String,
       incomingHashes: DataFrame,
       excludeBatchIds: Boolean = false): DataFrame = {
-    val bandsI = bandsOfHashes(incomingHashes)
-    val keysI  = bandsI.select(col("bno"), col("bval")).distinct()
-    val bkts = keysI.select(mediaBandBkt.as("b")).distinct()
-      .collect().map(_.getInt(0)).sorted // bounded: ≤ MediaIndexBuckets
+    import scala.jdk.CollectionConverters._
+    // ONE collect of the arrival batch's band rows (≤ 6 × |batch| —
+    // the nightly unit, the same frame the screen joins broadcast to
+    // every executor anyway): incomingHashes is the CODEC hashing
+    // pass, and as a lazy subtree it re-executed once per consumer —
+    // the bucket collect, the two batch-side broadcasts, and the
+    // final verdict join each re-encoded and re-hashed every arrival
+    // blob (4 codec passes per screen, r16 profile). The bucket set
+    // rides the same job (bkt is a pure function of the band key).
+    val bandRows = bandsOfHashes(incomingHashes)
+      .select(col("media_id"), col("dhash"), col("bno"), col("bval"),
+        mediaBandBkt.as("bkt"))
+      .collect()
+    val bkts = bandRows.map(_.getInt(4)).distinct.sorted
+    val bandsI = s.createDataFrame(
+      bandRows.toSeq.map(r =>
+        Row(r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dhash",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bno",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bval",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val keysI = bandsI.select(col("bno"), col("bval")).distinct()
+    val idsI  = bandsI.select(col("media_id")).distinct()
     val stored0 = s.read.schema(mediaBandsSchema).parquet(s"$idx/bands")
       .filter(col("bkt").isin(bkts.map(Integer.valueOf): _*))
     // excludeBatchIds: the ingest LOOP's retry contract — a
@@ -2510,8 +2534,7 @@ object Multimodal {
     // stored self.
     val stored =
       if (!excludeBatchIds) stored0
-      else stored0.join(broadcast(incomingHashes.select(col("media_id"))),
-        Seq("media_id"), "left_anti")
+      else stored0.join(broadcast(idsI), Seq("media_id"), "left_anti")
     val okKeys = stored
       .join(broadcast(keysI), Seq("bno", "bval"), "left_semi")
       .groupBy(col("bno"), col("bval")).agg(count(lit(1)).as("bc"))
@@ -2527,7 +2550,7 @@ object Multimodal {
     val flags = cands.groupBy(col("new_id"))
       .agg(min(col("hamming")).as("best"))
       .withColumnRenamed("new_id", "media_id")
-    incomingHashes.select(col("media_id"))
+    idsI
       .join(broadcast(flags), Seq("media_id"), "left")
       .select(col("media_id"),
         when(col("best") <= 5, "dup").otherwise("new").as("status"),

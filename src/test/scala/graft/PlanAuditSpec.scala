@@ -297,9 +297,9 @@ class PlanAuditSpec extends SparkSuite {
       "okKeys" -> "probed un-hot band keys (subset of keysI, same bound)",
       "bandsI" -> "arrival-batch band rows (6 per image, same bound)",
       "flags" -> "<=|batch| per-arrival verdict frame",
-      "incomingHashes.select" -> ("the screened batch's own ids, anti-" +
-        "joined so a foreachBatch retry screens index-minus-batch " +
-        "(the bounded nightly unit)")),
+      "idsI" -> ("the screened batch's own ids (local relation from " +
+        "the one band-row collect), anti-joined so a foreachBatch " +
+        "retry screens index-minus-batch (the bounded nightly unit)")),
     "operators/IndexMerge.scala" -> Map(
       "keys" -> ("the merge batch's key column — the bounded nightly " +
         "maintenance unit every partitioned-index MERGE is keyed by"),
