@@ -2114,8 +2114,16 @@ object DedupQueries {
         .select(col("doc_id"),
           explode(graft.functions.HashFunctions.shingleHash32(col("text"), 8))
             .as("h"))
+      // r16 (guide §1.2): the eval-slice gram set feeds THREE
+      // consumers — the sizing count, the bloom build aggregation, and
+      // the exact-confirm join — and each re-ran the tokenize+shingle
+      // pass over the eval slice (3 × ~0.3 s scan jobs profiled). One
+      // eager localCheckpoint materializes it once (eval-suite-sized,
+      // stored as distributed blocks — never driver-collected; the
+      // same bound that lets the exact variant broadcast it).
       val bench = grams.filter(col("doc_id") % 97 === 0)
         .select(col("h")).distinct()
+        .localCheckpoint(true)
       val nBench = bench.count() // bounded: a count, sizes the filter
       val bf = bench.select(xxhash64(col("h")).as("x"))
         .stat.bloomFilter("x", math.max(nBench, 1L), 0.01)

@@ -182,9 +182,19 @@ object IndexMerge {
       hint: Option[LocateHint]): Seq[Int] = {
     val fs = fsOf(s, root)
     val keys = batch.select(col(keyCol))
-    val loc = locate(s, root, partCol, keyCol, keys, readSchema, hint)
-    val newParts = batch.select(col(partCol)).distinct()
-      .collect().map(_.getInt(0)).toSet // bounded: batch partitions
+    // r16 (guide §1.1): a PartOf hint pins batch.partCol == f(key), so
+    // the hint's candidate set IS the batch's own target-partition set
+    // — one bounded collect serves both instead of two near-identical
+    // jobs per merge (every hinted maintenance row and ingest batch
+    // paid the duplicate).
+    val preHinted: Option[Seq[Int]] = hint.collect {
+      case h @ PartOf(_) => hintParts(s, h, keys, keyCol, partCol)
+    }
+    val loc = locate(s, root, partCol, keyCol, keys, readSchema, hint,
+      preHinted)
+    val newParts = preHinted.map(_.toSet).getOrElse(
+      batch.select(col(partCol)).distinct()
+        .collect().map(_.getInt(0)).toSet) // bounded: batch partitions
     val touched = (newParts ++ loc.stats.map(_._1)).toSeq.sorted
     if (touched.isEmpty) return Nil
     // partitions left EMPTY by the merge: all stored rows replaced,
@@ -456,7 +466,8 @@ object IndexMerge {
 
   private def locate(s: SparkSession, root: String, partCol: String,
       keyCol: String, keys: DataFrame, readSchema: Option[String],
-      hint: Option[LocateHint] = None): Located = {
+      hint: Option[LocateHint] = None,
+      preHinted: Option[Seq[Int]] = None): Located = {
     val fs = fsOf(s, root)
     // a freshly-initialized table may hold no partition directory at
     // all (only a _SUCCESS marker) — nothing stored, nothing touched
@@ -464,11 +475,14 @@ object IndexMerge {
     if (onDisk.isEmpty)
       return Located(Nil, emptyStatsFromKeys(s, keys, keyCol))
     // an exact hint outranks the sidecar ranges; without one, the
-    // sidecar prunes (None = no trusted sidecar → full scan)
+    // sidecar prunes (None = no trusted sidecar → full scan).
+    // `preHinted` is the caller's already-collected hint set (the
+    // merge path shares one collect between hint and target
+    // partitions) — same values [[hintParts]] would produce.
     val cands: Option[Seq[Int]] = hint match {
       case Some(h) =>
         val onDiskSet = onDisk.toSet
-        Some(hintParts(s, h, keys, keyCol, partCol)
+        Some(preHinted.getOrElse(hintParts(s, h, keys, keyCol, partCol))
           .filter(onDiskSet).distinct.sorted)
       case None => candidateParts(s, root, partCol, keyCol, keys)
     }

@@ -1600,7 +1600,13 @@ object Relational {
     "q16_parts_suppliers",
     (s, dir) => {
       val t = Tables(s, dir)
-      val rel = t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      // r16 (guide §2.4): the (partkey, suppkey) pre-distinct bought
+      // nothing — count(DISTINCT l_suppkey) per (brand, type, size) is
+      // invariant under duplicate pairs, and the count-distinct's own
+      // map-side partial aggregate dedupes before its exchange. Keeping
+      // the raw pairs drops a full-width Exchange(partkey, suppkey)
+      // (3 shuffles → 2) and lets both broadcast joins ride the scan.
+      val rel = t.lineitem.select(col("l_partkey"), col("l_suppkey"))
       val denylist = t.supplier.filter(col("s_acctbal") < 1000)
         .select(col("s_suppkey"))
       rel

@@ -405,6 +405,34 @@ class IndexMergeSpec extends SparkSuite {
     assert(!rowsOf(root).contains((4L, 1, "d")))
   }
 
+  test("a PartOf merge creating a NEW partition lands it (the fused hint collect covers the batch's own targets)") {
+    // r16: the merge path derives the batch's target-partition set
+    // from the SAME collect as the PartOf candidate set (the hint
+    // contract pins batch.partCol == f(key)). The case that fusion
+    // must not break: a batch key hashing to a bucket with no on-disk
+    // directory yet — the on-disk filter applies only to the SCAN
+    // side, never to the new-partition side.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-indexmerge-newpart").toString + "/idx"
+    Seq((0L, 0, "a"), (1L, 1, "b")).toDF("id", "part", "payload")
+      .write.partitionBy("part").parquet(root)
+    val partOf = PartOf(k => pmod(k, lit(3)))
+    val batch = Seq((2L, 2, "NEW"), (4L, 1, "B")).toDF("id", "part", "payload")
+    val before = fileState(root)
+    val touched = IndexMerge.merge(spark, root, "part", "id", batch,
+      hint = Some(partOf))
+    assert(touched === Seq(1, 2), "new bucket 2 must count as touched")
+    assert(fileState(root)(0) === before(0),
+      "partition outside the batch's buckets was rewritten")
+    assert(rowsOf(root) === Set(
+      (0L, 0, "a"), (1L, 1, "b"), (4L, 1, "B"), (2L, 2, "NEW")))
+    // idempotent re-apply: same touched set, same rows
+    assert(IndexMerge.merge(spark, root, "part", "id", batch,
+      hint = Some(partOf)) === Seq(1, 2))
+    assert(rowsOf(root) === Set(
+      (0L, 0, "a"), (1L, 1, "b"), (4L, 1, "B"), (2L, 2, "NEW")))
+  }
+
   test("a StoredAt hint prunes to the lookup's partitions; over-reporting is a no-op; moved keys clear their hinted old home") {
     val root = freshIdx(base)
     // id=5 moves part 2 -> 0; the lookup (a routing table) knows its
